@@ -1,0 +1,79 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class CellIdSpec extends AnyFunSuite {
+
+  test("property: encode/decode round trip (seeded)") {
+    val rnd = new Random(42)
+    (1 to 2000).foreach { _ =>
+      val res = rnd.nextInt(CellId.MaxRes + 1)
+      val x = rnd.nextLong((1L << 29) - 1).abs
+      val y = rnd.nextLong((1L << 29) - 1).abs
+      val id = CellId.encode(res, x, y)
+      assert(CellId.res(id) == res)
+      assert(CellId.cx(id) == x)
+      assert(CellId.cy(id) == y)
+    }
+  }
+
+  test("property: parent/children inverses (seeded)") {
+    val rnd = new Random(43)
+    (1 to 1000).foreach { _ =>
+      val res = 1 + rnd.nextInt(CellId.MaxRes - 1)
+      val x = rnd.nextLong((1L << 28) - 1).abs
+      val y = rnd.nextLong((1L << 28) - 1).abs
+      val id = CellId.encode(res, x, y)
+      assert(CellId.children(id).forall(ch => CellId.parent(ch) == id))
+      val p = CellId.parent(id)
+      assert(CellId.children(p).contains(id))
+    }
+  }
+
+  test("z-order locality: siblings are contiguous in id space") {
+    val p = CellId.encode(9, 5, 7)
+    val kids = CellId.children(p).sorted
+    assert(kids.zip(kids.tail).forall { case (a, b) => b - a > 0 })
+    // all 4 children share the same 56-bit prefix above their 2 low z bits
+    assert(kids.map(_ >> 2).distinct.length == 1)
+  }
+
+  test("ofPixel buckets pixels into 2^res blocks") {
+    assert(CellId.ofPixel(0, 0, 8) == CellId.ofPixel(255, 255, 8))
+    assert(CellId.ofPixel(0, 0, 8) != CellId.ofPixel(255, 256, 8))
+    val (r0, c0, size) = CellId.pixelWindow(CellId.ofPixel(300, 510, 8))
+    assert(size == 256 && r0 == 256 && c0 == 256)
+  }
+
+  test("kRing square lattice counts, edge clipped at 0") {
+    val inner = CellId.encode(4, 10, 10)
+    assert(CellId.kRing(inner, 1).length == 9)
+    assert(CellId.neighbors(inner).length == 8)
+    val corner = CellId.encode(4, 0, 0)
+    assert(CellId.kRing(corner, 1).length == 4)
+  }
+
+  test("coverWindow covers exactly the touched blocks") {
+    val ids = CellId.coverWindow(0, 511, 0, 255, 8)
+    assert(ids.length == 2) // two 256-blocks stacked vertically
+    val ids2 = CellId.coverWindow(10, 20, 10, 20, 4)
+    assert(ids2.length == 4) // rows 0..1 x cols 0..1 at block16
+  }
+
+  test("compact folds 4 siblings into parent") {
+    val p = CellId.encode(9, 3, 4)
+    val cover = CellId.children(p) ++ Array(CellId.encode(8, 99, 99))
+    val compacted = CellId.compact(cover)
+    assert(compacted.contains(p))
+    assert(compacted.length == 2)
+  }
+
+  test("cell extent aligns with grid pixels") {
+    val g = GridRef(1024, 1024, 1000.0, 2000.0, 5.0)
+    val id = CellId.ofPixel(0, 0, 8)
+    val e = CellId.extent(g, id)
+    assert(e.left == g.left && e.top == g.top)
+    assert(e.right == g.left + 256 * 5.0 && e.bottom == g.top - 256 * 5.0)
+  }
+}
