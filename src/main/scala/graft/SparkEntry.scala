@@ -1,13 +1,317 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+import graft.corpus.Synth
+import graft.operators.{TileOps, Rasterize}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
+  * express it. Raster operators run the real distributed path (tiles +
+  * cell-id shuffles); their oracles regenerate the same integer-derived
+  * fixture grid in SQL, so results hash-match bit-for-bit (no libm floats).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val tileRes = 6 // 64x64-pixel tiles for the small fixture grids
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Cents helper: exact integer money (round-half-away on positives in
+    * both engines). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  // ---------------------------------------------------------------- queries
+
+  /** Flagship on sf=0.001: the reference tutorial pipeline
+    * (demo/tutorial_edit_DEM.ipynb) — DEM tiles -> rect_clip -> rasterize
+    * CA1 features -> burn-edit join -> per-feature edit stats. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dem = TileOps.tileGrid(spark, Synth.demRef, tileRes)(Synth.demValue)
+    val (clipped, _) = TileOps.rectClip(dem, Synth.demRef, Synth.tutorialClip, tileRes)
+    val burned = Rasterize(spark, Synth.ca1Features, Synth.demRef, tileRes, useAttr = true)
+    val edited = Rasterize.editJoin(TileOps.cells(clipped), burned)
+      .withColumn("v_edit", when($"burn".isNotNull, $"v" - $"burn" * 2).otherwise($"v"))
+    edited.filter($"burn".isNotNull)
+      .groupBy($"burn").agg(
+        count(lit(1)).as("n"),
+        sum($"v_edit").as("sum_edit"))
+      .orderBy($"burn")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational over driver tables (Catalyst built-ins showcase) ----
+    "q1_lineitem_agg" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sum(cents($"l_extendedprice")).as("sum_price_cents"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("rev_cents"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    "q2_top_orders" -> ((s, dir) => {
+      import s.implicits._
+      val l = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val rev = l.groupBy($"l_orderkey")
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("rev_cents"))
+      rev.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_name", $"rev_cents",
+          unix_millis($"o_orderdate".cast("timestamp")).as("order_epoch"))
+        .orderBy($"rev_cents".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    "q3_events_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      table(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_event", lag($"event_id", 1).over(w))
+        .filter($"rn" <= 3)
+        .select($"user_id", $"rn", $"event_id",
+          unix_millis($"ts".cast("timestamp")).as("ts_epoch"), $"prev_event")
+        .orderBy($"user_id", $"rn")
+    }),
+
+    "q4_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      table(s, dir, "events")
+        .withColumn("gap", unix_millis($"ts".cast("timestamp")) - lag(unix_millis($"ts".cast("timestamp")), 1).over(w))
+        .withColumn("new_sess", when($"gap".isNull || $"gap" > 1800000, 1L).otherwise(0L))
+        .withColumn("sess", sum($"new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id")
+        .agg(max($"sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }),
+
+    // ---- raster operators (distributed tile path; SURVEY.md §2) ----
+    // A1/A2: NaN-ignoring stats over the tiled DEM
+    "r1_grid_stats" -> ((s, _) => {
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      TileOps.stats(dem)
+    }),
+
+    // P1: rect_clip with snap (tutorial extent), banded checksum
+    "r2_rect_clip" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      val (clipped, (r0, _, _, _)) =
+        TileOps.rectClip(dem, Synth.demRef, Synth.tutorialClip, tileRes)
+      TileOps.cells(clipped)
+        .withColumn("band", floor(($"row" - lit(r0)) / 16).cast("long"))
+        .groupBy($"band")
+        .agg(count($"v").as("n_valid"), count(lit(1)).as("n_cells"),
+          sum($"v").as("sum_v"))
+        .orderBy($"band")
+    }),
+
+    // J3: union-extent mosaic, later source wins INCLUDING nodata
+    "r3_mosaic" -> ((s, _) => {
+      import s.implicits._
+      val a = TileOps.tileGrid(s, Synth.gridARef, tileRes)(Synth.gridAValue)
+      val b = TileOps.tileGrid(s, Synth.gridBRef, tileRes)(Synth.gridBValue)
+      val patches = TileOps.alignedPatches(a, Synth.gridARef, Synth.mosaicRef,
+          tileRes, seq = 0, coverAll = true)
+        .union(TileOps.alignedPatches(b, Synth.gridBRef, Synth.mosaicRef,
+          tileRes, seq = 1, coverAll = true))
+      TileOps.cells(TileOps.mosaic(patches))
+        .withColumn("band", floor($"row" / 16).cast("long"))
+        .groupBy($"band")
+        .agg(count($"v").as("n_valid"), sum($"v").as("sum_v"))
+        .orderBy($"band")
+    }),
+
+    // J1: rasterize burn join (CA1 features, attribute burn, last wins)
+    "r4_rasterize" -> ((s, _) => {
+      import s.implicits._
+      Rasterize(s, Synth.ca1Features, Synth.demRef, tileRes, useAttr = true)
+        .toDF("row", "col", "burn")
+        .groupBy($"burn")
+        .agg(count(lit(1)).as("n"), sum($"row").as("sum_row"),
+          sum($"col").as("sum_col"))
+        .orderBy($"burn")
+    }),
+
+    // ---- training-data pipeline over the documents table ----
+    // exact dedup by canonical token-set signature
+    "d1_dedup_sets" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .withColumn("sig",
+          md5(concat_ws(" ", array_sort(array_distinct(split($"text", " "))))))
+        .groupBy($"sig")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .filter($"n_docs" > 1)
+        .orderBy($"sig")
+    }),
+
+    // quality scoring: token/char/punct stats, pure arithmetic
+    "d2_quality" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .withColumn("n_tokens",
+          (length($"text") - length(regexp_replace($"text", " ", ""))) + 1)
+        .withColumn("avg_tok_len",
+          ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+        .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"),
+          $"avg_tok_len")
+        .orderBy($"doc_id")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB-side regeneration of the DEM fixture grid (must mirror
+    * Synth.demValue exactly — integer arithmetic only). */
+  private def demSql: String =
+    s"""SELECT (i // ${Synth.demRef.ncols}) AS r, (i % ${Synth.demRef.ncols}) AS c,
+       | CASE WHEN (i % 97) = 13 THEN NULL
+       |      ELSE (((i // ${Synth.demRef.ncols}) * 31 + (i % ${Synth.demRef.ncols}) * 17) % 1000) / 4.0 END AS v
+       |FROM range(${Synth.demRef.nrows.toLong * Synth.demRef.ncols}) t(i)""".stripMargin
+
+  /** Ray-casting point-in-polygon as SQL, bit-identical to
+    * RefKernel.pointInPolygon (same operand order in the cross test). */
+  private def pipSql(xs: Array[Double], ys: Array[Double]): String = {
+    val terms = (1 until xs.length).map { i =>
+      val j = i - 1
+      val (xi, yi, xj, yj) = (xs(i), ys(i), xs(j), ys(j))
+      s"(CASE WHEN (($yi > py) != ($yj > py)) AND (px < ($xj - $xi) * (py - $yi) / ($yj - $yi) + $xi) THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_top_orders" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderkey, c.c_name, rev.rev_cents,
+        |  epoch_ms(o.o_orderdate) AS order_epoch
+        |FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY rev.rev_cents DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
+    "q3_events_window" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+        |  FROM events)
+        |SELECT user_id, CAST(rn AS INT) AS rn, event_id,
+        |  epoch_ms(ts) AS ts_epoch, prev_event
+        |FROM w WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q4_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(ts)
+        |      - lag(epoch_ms(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+        |    ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |c AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |  FROM s)
+        |SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "r1_grid_stats" ->
+      s"""WITH g AS ($demSql)
+         |SELECT max(v) AS max_v, min(v) AS min_v, median(v) AS median_v,
+         |  CAST(count(v) AS BIGINT) AS valid_cells, sum(v) AS sum_v
+         |FROM g""".stripMargin,
+
+    "r2_rect_clip" -> {
+      val (r0, r1, c0, c1) = Synth.demRef.clipWindow(Synth.tutorialClip)
+      s"""WITH g AS ($demSql)
+         |SELECT CAST((r - $r0) // 16 AS BIGINT) AS band,
+         |  CAST(count(v) AS BIGINT) AS n_valid,
+         |  CAST(count(*) AS BIGINT) AS n_cells, sum(v) AS sum_v
+         |FROM g WHERE r BETWEEN $r0 AND $r1 AND c BETWEEN $c0 AND $c1
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "r3_mosaic" -> {
+      val m = Synth.mosaicRef
+      val a = Synth.gridARef
+      val b = Synth.gridBRef
+      // pixel offsets of A and B inside the union grid
+      val aRowOff = ((m.top - a.top) / m.cellsize).toInt
+      val aColOff = ((a.left - m.left) / m.cellsize).toInt
+      val bRowOff = ((m.top - b.top) / m.cellsize).toInt
+      val bColOff = ((b.left - m.left) / m.cellsize).toInt
+      s"""WITH g AS (SELECT (i // ${m.ncols}) AS r, (i % ${m.ncols}) AS c
+         |  FROM range(${m.nrows.toLong * m.ncols}) t(i)),
+         |v AS (SELECT r, c,
+         |  CASE WHEN r BETWEEN $bRowOff AND ${bRowOff + b.nrows - 1}
+         |        AND c BETWEEN $bColOff AND ${bColOff + b.ncols - 1} THEN
+         |    CASE WHEN ((r - $bRowOff) * ${b.ncols} + (c - $bColOff)) % 71 = 3 THEN NULL
+         |         ELSE (((r - $bRowOff) * 5 + (c - $bColOff) * 3) % 80) / 4.0 END
+         |  WHEN r BETWEEN $aRowOff AND ${aRowOff + a.nrows - 1}
+         |        AND c BETWEEN $aColOff AND ${aColOff + a.ncols - 1} THEN
+         |    CASE WHEN ((r - $aRowOff) * ${a.ncols} + (c - $aColOff)) % 89 = 7 THEN NULL
+         |         ELSE (((r - $aRowOff) * 13 + (c - $aColOff) * 7) % 100) / 4.0 END
+         |  END AS v FROM g)
+         |SELECT CAST(r // 16 AS BIGINT) AS band,
+         |  CAST(count(v) AS BIGINT) AS n_valid, sum(v) AS sum_v
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "r4_rasterize" -> {
+      val ref = Synth.demRef
+      // reverse feature order = sequential last-wins (Raster.py:330)
+      val cases = Synth.ca1Features.sortBy(-_.seq).map { f =>
+        s"WHEN ${pipSql(f.xs, f.ys)} THEN ${f.attr}"
+      }.mkString(" ")
+      s"""WITH g AS (SELECT (i // ${ref.ncols}) AS r, (i % ${ref.ncols}) AS c,
+         |  ${ref.left} + ((i % ${ref.ncols}) + 0.5) * ${ref.cellsize} AS px,
+         |  ${ref.top} - ((i // ${ref.ncols}) + 0.5) * ${ref.cellsize} AS py
+         |  FROM range(${ref.nrows.toLong * ref.ncols}) t(i)),
+         |f AS (SELECT r, c, CASE $cases END AS burn FROM g)
+         |SELECT burn, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(r) AS BIGINT) AS sum_row, CAST(sum(c) AS BIGINT) AS sum_col
+         |FROM f WHERE burn IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "d1_dedup_sets" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,
+        | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "d2_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        | CAST(n_chars - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+        |   / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import graft.core._
+
+/** One pixel of the global grid in map/grid space. */
+final case class CellPx(row: Int, col: Int, v: Double)
+
+/** Distributed tile-grid operators — the Spark re-expression of the
+  * reference's whole-array NumPy ops (SURVEY.md §2). The unit of
+  * distribution is [[Tile]] (one row per 2^res-pixel block keyed by
+  * [[CellId]]); kernels are tight JVM loops over primitive payloads, plans
+  * stay declarative so Catalyst prunes/pushes around them.
+  */
+object TileOps {
+
+  /** Generate a deterministic synthetic grid as a distributed Dataset[Tile].
+    * `f(row, col)` must be a pure, serializable function (integer-derived in
+    * fixtures so any SQL oracle reproduces it bit-exactly). Scales: one task
+    * per ~(tiles/parallelism); no driver materialization. */
+  def tileGrid(spark: SparkSession, ref: GridRef, res: Int)(
+      f: (Int, Int) => Double): Dataset[Tile] = {
+    import spark.implicits._
+    val size = 1 << res
+    val tilesX = (ref.ncols + size - 1) / size
+    val tilesY = (ref.nrows + size - 1) / size
+    val ncols = ref.ncols
+    val nrows = ref.nrows
+    spark.range(tilesX.toLong * tilesY).map { i =>
+      val tx = (i % tilesX).toInt
+      val ty = (i / tilesX).toInt
+      val row0 = ty * size
+      val col0 = tx * size
+      val h = math.min(size, nrows - row0)
+      val w = math.min(size, ncols - col0)
+      val payload = new Array[Double](h * w)
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          payload(r * w + c) = f(row0 + r, col0 + c)
+          c += 1
+        }
+        r += 1
+      }
+      Tile(CellId.encode(res, tx, ty), row0, col0, h, w, payload)
+    }
+  }
+
+  /** Explode tiles to per-pixel rows (global row/col, NaN -> null v).
+    * The inverse of tiling; used at SQL-comparison boundaries and as the
+    * `to_points` analogue (Raster.py:553-567). */
+  def cells(tiles: Dataset[Tile]): DataFrame = {
+    import tiles.sparkSession.implicits._
+    tiles.flatMap { t =>
+      val out = new Array[CellPx](t.h * t.w)
+      var i = 0
+      var r = 0
+      while (r < t.h) {
+        var c = 0
+        while (c < t.w) {
+          out(i) = CellPx(t.row0 + r, t.col0 + c, t.payload(r * t.w + c))
+          i += 1
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }.toDF("row", "col", "v")
+      .withColumn("v", when(isnan($"v"), lit(null)).otherwise($"v"))
+  }
+
+  /** rect_clip as a cell-pruned filter + per-tile crop (Raster.py:185-233
+    * re-expressed): the cell_id predicate prunes whole tiles BEFORE any
+    * payload is touched (at scale: Parquet row-group pruning on the
+    * Z-ordered cell_id), edge tiles are cropped in a payload kernel.
+    * Returns tiles in GLOBAL pixel coordinates plus the snapped window. */
+  def rectClip(tiles: Dataset[Tile], ref: GridRef, e: Extent, res: Int)
+      : (Dataset[Tile], (Int, Int, Int, Int)) = {
+    import tiles.sparkSession.implicits._
+    val (r0, r1, c0, c1) = ref.clipWindow(e)
+    val keep = CellId.coverWindow(r0, r1, c0, c1, res).toSet
+    val kept = tiles.filter($"cellId".isin(keep.toSeq: _*))
+    val cropped = kept.map { t =>
+      val nr0 = math.max(t.row0, r0)
+      val nc0 = math.max(t.col0, c0)
+      val nr1 = math.min(t.row0 + t.h - 1, r1)
+      val nc1 = math.min(t.col0 + t.w - 1, c1)
+      if (nr0 == t.row0 && nc0 == t.col0 && nr1 == t.row0 + t.h - 1 && nc1 == t.col0 + t.w - 1) t
+      else {
+        val nh = nr1 - nr0 + 1
+        val nw = nc1 - nc0 + 1
+        val payload = new Array[Double](nh * nw)
+        var r = 0
+        while (r < nh) {
+          System.arraycopy(t.payload, (nr0 - t.row0 + r) * t.w + (nc0 - t.col0),
+            payload, r * nw, nw)
+          r += 1
+        }
+        Tile(t.cellId, nr0, nc0, nh, nw, payload)
+      }
+    }
+    (cropped, (r0, r1, c0, c1))
+  }
+
+  /** NaN-ignoring per-tile partial stats, merged by Catalyst hash-agg —
+    * the distributed form of np.nanmax/nanmin + num_valid_cells
+    * (Raster.py:844-854,122). Median stays exact via percentile over the
+    * exploded valid cells (fine to sf-scale; approx variant for 100TB is
+    * `percentile_approx`). */
+  def stats(tiles: Dataset[Tile]): DataFrame = {
+    val c = cells(tiles)
+    c.agg(
+      max("v").as("max_v"),
+      min("v").as("min_v"),
+      expr("percentile(v, 0.5)").as("median_v"),
+      count("v").as("valid_cells"),
+      sum("v").as("sum_v"))
+  }
+
+  /** Convert a whole source grid (as tiles, SAME cellsize & aligned offsets)
+    * into TilePatches of the target tiling with precedence `seq` — the
+    * shuffle-side input of the mosaic (combine_raster paste,
+    * spatial_analysis.py:288-295). Aligned fast path: pure index shift.
+    * `coverAll=true` -> combine_raster semantics (later overwrites INCLUDING
+    * nodata); false -> merge/paste_on(ignore_nan) (NaN source pixels leave
+    * the target intact, Raster.py:546-549,889-894). */
+  def alignedPatches(tiles: Dataset[Tile], srcRef: GridRef, targetRef: GridRef,
+      res: Int, seq: Int, coverAll: Boolean): Dataset[TilePatch] = {
+    import tiles.sparkSession.implicits._
+    require(srcRef.cellsize == targetRef.cellsize, "alignedPatches requires equal cellsize")
+    // integer pixel offset of source (0,0) in target coords
+    val colOff = Math.rint((srcRef.left - targetRef.left) / targetRef.cellsize).toInt
+    val rowOff = Math.rint((targetRef.top - srcRef.top) / targetRef.cellsize).toInt
+    val tNrows = targetRef.nrows
+    val tNcols = targetRef.ncols
+    val size = 1 << res
+    tiles.flatMap { t =>
+      // source tile window in target pixel coords
+      val tr0 = t.row0 + rowOff
+      val tc0 = t.col0 + colOff
+      val tr1 = tr0 + t.h - 1
+      val tc1 = tc0 + t.w - 1
+      if (tr1 < 0 || tc1 < 0 || tr0 >= tNrows || tc0 >= tNcols) Iterator.empty
+      else {
+        val cr0 = math.max(0, tr0); val cr1 = math.min(tNrows - 1, tr1)
+        val cc0 = math.max(0, tc0); val cc1 = math.min(tNcols - 1, tc1)
+        CellId.coverWindow(cr0, cr1, cc0, cc1, res).iterator.map { cid =>
+          val (prow0L, pcol0L, _) = CellId.pixelWindow(cid)
+          val prow0 = prow0L.toInt; val pcol0 = pcol0L.toInt
+          val ph = math.min(size, tNrows - prow0)
+          val pw = math.min(size, tNcols - pcol0)
+          val payload = Array.fill(ph * pw)(Double.NaN)
+          val cov = TilePatch.emptyCover(ph * pw)
+          val wr0 = math.max(prow0, cr0); val wr1 = math.min(prow0 + ph - 1, cr1)
+          val wc0 = math.max(pcol0, cc0); val wc1 = math.min(pcol0 + pw - 1, cc1)
+          var r = wr0
+          while (r <= wr1) {
+            var c = wc0
+            while (c <= wc1) {
+              val v = t.payload((r - tr0) * t.w + (c - tc0))
+              val idx = (r - prow0) * pw + (c - pcol0)
+              payload(idx) = v
+              if (coverAll || !v.isNaN) TilePatch.setBit(cov, idx)
+              c += 1
+            }
+            r += 1
+          }
+          TilePatch(cid, prow0, pcol0, ph, pw, seq, payload, cov)
+        }
+      }
+    }
+  }
+
+  /** Mosaic fold: groupBy(cell_id) + last-writer-wins by explicit per-pixel
+    * seq — NEVER partition order, so seams are deterministic under any
+    * parallelism (SURVEY.md §2.3 J3/J4; reference sequential paste
+    * spatial_analysis.py:288-295). Map-side partial merge applies (the
+    * Aggregator is associative+commutative given distinct seqs). */
+  def mosaic(patches: Dataset[TilePatch]): Dataset[Tile] = {
+    import patches.sparkSession.implicits._
+    patches.groupByKey(_.cellId).agg(MosaicAgg.toColumn.name("tile")).map(_._2)
+  }
+
+  /** Base tiles as lowest-precedence patches (seq bound by caller). */
+  def asPatches(tiles: Dataset[Tile], seq: Int): Dataset[TilePatch] = {
+    import tiles.sparkSession.implicits._
+    tiles.map { t =>
+      TilePatch(t.cellId, t.row0, t.col0, t.h, t.w, seq, t.payload,
+        TilePatch.fullCover(t.h * t.w))
+    }
+  }
+}
+
+/** Mosaic merge buffer: per-pixel (value, seq); seq = Int.MinValue marks
+  * uncovered. */
+final case class MosaicBuf(cellId: Long, row0: Int, col0: Int, h: Int, w: Int,
+    values: Array[Double], seqs: Array[Int])
+
+/** Last-writer-wins per-pixel mosaic Aggregator (TypedImperativeAggregate
+  * semantics via typed Aggregator). Associative & commutative: merge keeps
+  * the pixel with the GREATER seq, so the result is independent of
+  * partitioning/arrival order — the distributed equivalent of the
+  * reference's sequential paste loop (spatial_analysis.py:288-295). */
+object MosaicAgg extends Aggregator[TilePatch, MosaicBuf, Tile] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  override def zero: MosaicBuf =
+    MosaicBuf(-1L, 0, 0, 0, 0, Array.empty, Array.empty)
+
+  private def fromPatch(p: TilePatch): MosaicBuf = {
+    val n = p.h * p.w
+    val vals = new Array[Double](n)
+    val seqs = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (p.covered(i)) { vals(i) = p.payload(i); seqs(i) = p.seq }
+      else { vals(i) = Double.NaN; seqs(i) = Int.MinValue }
+      i += 1
+    }
+    MosaicBuf(p.cellId, p.row0, p.col0, p.h, p.w, vals, seqs)
+  }
+
+  override def reduce(b: MosaicBuf, p: TilePatch): MosaicBuf = {
+    if (b.cellId == -1L) fromPatch(p)
+    else {
+      require(b.cellId == p.cellId && b.h == p.h && b.w == p.w,
+        s"patch shape mismatch on cell ${p.cellId}")
+      var i = 0
+      val n = b.h * b.w
+      while (i < n) {
+        if (p.covered(i) && p.seq > b.seqs(i)) {
+          b.values(i) = p.payload(i)
+          b.seqs(i) = p.seq
+        }
+        i += 1
+      }
+      b
+    }
+  }
+
+  override def merge(a: MosaicBuf, b: MosaicBuf): MosaicBuf = {
+    if (a.cellId == -1L) b
+    else if (b.cellId == -1L) a
+    else {
+      var i = 0
+      val n = a.h * a.w
+      while (i < n) {
+        if (b.seqs(i) > a.seqs(i)) {
+          a.values(i) = b.values(i)
+          a.seqs(i) = b.seqs(i)
+        }
+        i += 1
+      }
+      a
+    }
+  }
+
+  override def finish(b: MosaicBuf): Tile =
+    Tile(b.cellId, b.row0, b.col0, b.h, b.w, b.values)
+
+  override def bufferEncoder: Encoder[MosaicBuf] = Encoders.product[MosaicBuf]
+  override def outputEncoder: Encoder[Tile] = Encoders.product[Tile]
+}

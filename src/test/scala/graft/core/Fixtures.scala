@@ -1,20 +1,15 @@
 package graft.core
 
-/** Shared deterministic fixtures (FIXTURES.md). CA1 polygon coordinates are
-  * the exact decode of the reference's sample shapefile
-  * (`/root/reference/hydro_raster/sample/CA1_overhead_features.shp`). */
+import graft.corpus.Synth
+
+/** Shared deterministic fixtures (FIXTURES.md). Grid/vector fixtures live in
+  * main (graft.corpus.Synth) because SparkEntry queries build on them; this
+  * object adds test-only derivations. */
 object Fixtures {
 
-  /** FIXTURES.md §2 synthetic DEM header (stand-in for stripped CA1_5m.tif). */
-  val demRef = GridRef(ncols = 154, nrows = 203, xll = 340760, yll = 554667,
-    cellsize = 5, nodata = -9999)
-
-  /** Deterministic INTEGER-derived terrain (exact in IEEE double and in any
-    * SQL engine — no libm divergence): value = ((r*31 + c*17) % 1000) / 4.0,
-    * with nodata holes where (r*ncols + c) % 97 == 13. */
-  def demValue(r: Int, c: Int): Double =
-    if ((r * demRef.ncols + c) % 97 == 13) Double.NaN
-    else ((r * 31 + c * 17) % 1000) / 4.0
+  val demRef: GridRef = Synth.demRef
+  def demValue(r: Int, c: Int): Double = Synth.demValue(r, c)
+  val ca1Features: Seq[Feature] = Synth.ca1Features
 
   def demGrid: RefKernel.Grid = {
     val data = new Array[Double](demRef.ncols * demRef.nrows)
@@ -23,25 +18,21 @@ object Fixtures {
     RefKernel.Grid(demRef, data)
   }
 
-  /** FIXTURES.md §1: the 4 CA1 overhead-feature polygons (exact decode).
-    * seq = feature index (= reference default burn value); attr = id. */
-  val ca1Features: Seq[Feature] = Seq(
-    Feature(0, "polygon",
-      Array(341431.4458, 341455.5102, 341412.3603, 341384.9767, 341431.4458),
-      Array(555569.2773, 555565.9580, 555417.4228, 555420.7420, 555569.2773),
-      attr = 2.0, seq = 0),
-    Feature(1, "polygon",
-      Array(341313.7866, 341342.7971, 341353.9178, 341327.8084, 341313.7866),
-      Array(554692.3337, 554708.2894, 554694.2677, 554679.2790, 554692.3337),
-      attr = 4.0, seq = 1),
-    Feature(2, "polygon",
-      Array(341365.6132, 341391.1149, 341395.3652, 341374.1138, 341365.6132),
-      Array(554999.1120, 554998.2619, 554948.9587, 554950.6588, 554999.1120),
-      attr = 5.0, seq = 2),
-    Feature(3, "polygon",
-      Array(341020.0371, 341019.2848, 341116.3402, 341120.1020, 341020.0371),
-      Array(554941.3361, 554953.3739, 554956.3834, 554944.3455, 554941.3361),
-      attr = 9.0, seq = 3))
+  def gridA: RefKernel.Grid = {
+    val ref = Synth.gridARef
+    val data = new Array[Double](ref.ncols * ref.nrows)
+    for (r <- 0 until ref.nrows; c <- 0 until ref.ncols)
+      data(r * ref.ncols + c) = Synth.gridAValue(r, c)
+    RefKernel.Grid(ref, data)
+  }
+
+  def gridB: RefKernel.Grid = {
+    val ref = Synth.gridBRef
+    val data = new Array[Double](ref.ncols * ref.nrows)
+    for (r <- 0 until ref.nrows; c <- 0 until ref.ncols)
+      data(r * ref.ncols + c) = Synth.gridBValue(r, c)
+    RefKernel.Grid(ref, data)
+  }
 
   /** FIXTURES.md §4 cross-section fixture grid. */
   val xsecRef = GridRef(ncols = 120, nrows = 60, xll = -5, yll = 0,
