@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
-import graft.corpus.Synth
-import graft.operators.{TileOps, Rasterize}
+import graft.corpus.{ImageCorpus, Synth}
+import graft.operators.{Gather, Knn, Line2Sub, PtRec, Rasterize, TileOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
@@ -144,6 +144,85 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum($"row").as("sum_row"),
           sum($"col").as("sum_col"))
         .orderBy($"burn")
+    }),
+
+    // J5: kNN scattered->grid interpolation (bucketed k-d tree path)
+    "r5_knn" -> ((s, _) => {
+      import s.implicits._
+      val pts = s.createDataset(Synth.knnPoints.map(p => PtRec(p._1, p._2, p._3, p._4)))
+      Knn.nearestBucketed(s, pts, Synth.knnRef, res = 5, ringK = 1)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
+          $"v", $"pid")
+        .orderBy($"row", $"col")
+    }),
+
+    // W3: grid_resample_nearest gather join (5m DEM -> offset 10m grid)
+    "r6_resample" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      Gather.resampleNearest(dem, Synth.demRef, Synth.resampleTargetRef,
+          tileRes, clamp = false)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .orderBy($"row", $"col")
+    }),
+
+    // line2sub generator (Raster.py:340-366)
+    "r7_line2sub" -> ((s, _) => {
+      import s.implicits._
+      val (xs, ys) = Synth.fixtureLine
+      val lines = s.createDataset(Seq(Line2Sub.LineRec(0L, xs, ys)))
+      Line2Sub.cells(lines, Synth.knnRef)
+        .select($"seq", $"row", $"col")
+        .orderBy($"seq")
+    }),
+
+    // ANN/similarity: brute-force cosine top-5 per query vector
+    "e1_knn_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val dotExpr = (a: String, b: String) =>
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, z) -> acc + z)")
+      val pairs = q.join(e, $"vec_id" =!= $"qid")
+        .withColumn("dot", dotExpr("qv", "embedding"))
+        .withColumn("qn", sqrt(dotExpr("qv", "qv")))
+        .withColumn("en", sqrt(dotExpr("embedding", "embedding")))
+        .withColumn("cos", $"dot" / ($"qn" * $"en"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      pairs.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"qid", $"rank".cast("long").as("rank"), $"vec_id".as("vid"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // image corpus invariants: decode + PSNR + caption lineage + phash dups
+    // (rows-only gate — DuckDB cannot decode PNG/JPEG)
+    "i1_image_invariants" -> ((s, _) => {
+      import s.implicits._
+      val n = 64L
+      val gridW = 8
+      val corpus = ImageCorpus.generate(s, n, gridW)
+      val decoded = ImageCorpus.decodeTiles(corpus, gridW)
+      val checks = decoded.map { t =>
+        val i = t.imageId.stripPrefix("img-").toLong
+        val src = if (i > 0 && i % 251 == 0) i - 1 else i
+        val tx = (src % gridW).toInt
+        val ty = (src / gridW).toInt
+        val fmt = ImageCorpus.fmtOf(src)
+        val truth = ImageCorpus.tilePayload(tx, ty).map { v =>
+          if (fmt == "png") Math.rint(v * graft.codecs.ImageCodec.PngScale) / graft.codecs.ImageCodec.PngScale
+          else Math.rint(v * graft.codecs.ImageCodec.JpgScale) / graft.codecs.ImageCodec.JpgScale
+        }
+        val p = graft.codecs.ImageCodec.psnr(t.payload, truth, 60.0)
+        val captionOk = t.caption == s"tile $tx,$ty of synthetic terrain; seed=42; fmt=$fmt"
+        (fmt, p, captionOk)
+      }.toDF("fmt", "psnr", "caption_ok")
+      checks.groupBy($"fmt").agg(
+        count(lit(1)).as("n"),
+        min($"psnr").as("min_psnr"),
+        sum(when($"caption_ok", 1L).otherwise(0L)).as("n_caption_ok"))
+        .orderBy($"fmt")
     }),
 
     // ---- training-data pipeline over the documents table ----
@@ -301,6 +380,48 @@ object SparkEntry {
          |  CAST(sum(r) AS BIGINT) AS sum_row, CAST(sum(c) AS BIGINT) AS sum_col
          |FROM f WHERE burn IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "r5_knn" ->
+      """WITH pts AS (SELECT i AS pid,
+        |  -5.0 + ((i * 37) % 113) * 0.5 + 0.125 AS x,
+        |  ((i * 53) % 107) * 0.25 + 0.0625 AS y,
+        |  ((i * 29) % 400) / 4.0 AS v
+        |  FROM range(60) t(i)),
+        |cells AS (SELECT (i // 120) AS r, (i % 120) AS c,
+        |  -5.0 + ((i % 120) + 0.5) * 0.5 AS cx,
+        |  30.0 - ((i // 120) + 0.5) * 0.5 AS cy
+        |  FROM range(7200) t(i)),
+        |d AS (SELECT r, c, pid, v,
+        |  row_number() OVER (PARTITION BY r, c
+        |    ORDER BY (x - cx) * (x - cx) + (y - cy) * (y - cy), pid) AS rn
+        |  FROM cells, pts)
+        |SELECT r AS row, c AS col, v, pid FROM d WHERE rn = 1
+        |ORDER BY row, col""".stripMargin,
+
+    "r6_resample" ->
+      """WITH t AS (SELECT (i // 77) AS r, (i % 77) AS c FROM range(7777) t(i))
+        |SELECT r AS row, c AS col,
+        |  CASE WHEN ((2 * r + 1) * 154 + (2 * c + 1)) % 97 = 13 THEN NULL
+        |       ELSE (((2 * r + 1) * 31 + (2 * c + 1) * 17) % 1000) / 4.0 END AS v
+        |FROM t ORDER BY row, col""".stripMargin,
+
+    "r7_line2sub" ->
+      """SELECT j AS seq, 50 - j AS row, 10 AS col FROM range(10) t(j)
+        |UNION ALL SELECT j + 10, 40 - j, 10 + j FROM range(10) t(j)
+        |UNION ALL SELECT j + 20, 30, 20 + j FROM range(41) t(j)
+        |ORDER BY seq""".stripMargin,
+
+    "e1_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |p AS (SELECT q.qid, e.vec_id AS vid,
+        |  (SELECT sum(q.qv[i + 1]::DOUBLE * e.embedding[i + 1]::DOUBLE) FROM range(64) t(i)) AS dot,
+        |  sqrt((SELECT sum(q.qv[i + 1]::DOUBLE * q.qv[i + 1]::DOUBLE) FROM range(64) t(i))) AS qn,
+        |  sqrt((SELECT sum(e.embedding[i + 1]::DOUBLE * e.embedding[i + 1]::DOUBLE) FROM range(64) t(i))) AS en
+        |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT qid, vid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dot / (qn * en) DESC, vid) AS rank
+        |  FROM p)
+        |SELECT qid, rank, vid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "d1_dedup_sets" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,

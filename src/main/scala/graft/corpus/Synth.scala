@@ -73,6 +73,23 @@ object Synth {
     * construction is NOT assumed — ties break by lowest point id). */
   val knnRef = GridRef(ncols = 120, nrows = 60, xll = -5, yll = 0, cellsize = 0.5)
 
+  /** Resample target for r6: 10m grid offset +1.25m from the DEM so every
+    * map2sub fraction lands on .25/.75 (round-half-even can never diverge
+    * from round-half-away — the oracle rule). Gather hits source pixel
+    * (2r+1, 2c+1). */
+  val resampleTargetRef = GridRef(ncols = 77, nrows = 101,
+    xll = 340761.25, yll = 554668.25, cellsize = 10)
+
+  /** Polyline fixture for line2sub with integer-only linspace values
+    * (each segment's steps-1 divides both deltas): centers of
+    * (50,10) -> (40,10) -> (30,20) -> (30,60) on knnRef. */
+  def fixtureLine: (Array[Double], Array[Double]) = {
+    val cells = Array((50, 10), (40, 10), (30, 20), (30, 60))
+    val xs = cells.map { case (_, c) => knnRef.sub2map(0, c)._1 }
+    val ys = cells.map { case (r, _) => knnRef.sub2map(r, 0)._2 }
+    (xs, ys)
+  }
+
   def knnPoints: Array[(Long, Double, Double, Double)] =
     (0 until 60).map { i =>
       val px = -5.0 + ((i * 37) % 113) * 0.5 + 0.125 // off-center -> no PIP ties

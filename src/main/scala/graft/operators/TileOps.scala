@@ -264,3 +264,71 @@ object MosaicAgg extends Aggregator[TilePatch, MosaicBuf, Tile] {
   override def bufferEncoder: Encoder[MosaicBuf] = Encoders.product[MosaicBuf]
   override def outputEncoder: Encoder[Tile] = Encoders.product[Tile]
 }
+
+/** Gather-style regrids (reference grid_resample_nearest / assign_to,
+  * Raster.py:457-515): every TARGET pixel pulls its source pixel via the
+  * map2sub index math, expressed as an equi-join between target pixels
+  * (keyed by the source cell they read) and source tiles — shuffle on the
+  * Z-ordered source cell id, broadcastable when the source is small. */
+object Gather {
+  import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+  import org.apache.spark.sql.functions._
+  import graft.core._
+
+  /** One target pixel's read request: which source cell, which source pixel. */
+  final case class GatherReq(srcCell: Long, tRow: Int, tCol: Int, sRow: Int, sCol: Int)
+
+  /** nearest regrid; `clamp=true` = assign_to edge clamping
+    * (Raster.py:505-508), else out-of-source targets yield null. */
+  def resampleNearest(srcTiles: Dataset[Tile], srcRef: GridRef,
+      targetRef: GridRef, res: Int, clamp: Boolean): DataFrame = {
+    val spark = srcTiles.sparkSession
+    import spark.implicits._
+    val (sNrows, sNcols) = (srcRef.nrows, srcRef.ncols)
+    val reqs = spark.range(targetRef.numCells).flatMap { id =>
+      val tr = (id / targetRef.ncols).toInt
+      val tc = (id % targetRef.ncols).toInt
+      val (x, y) = targetRef.sub2map(tr, tc)
+      val (sr0, sc0) = srcRef.map2sub(x, y)
+      val (sr, sc) =
+        if (clamp)
+          (math.max(0, math.min(sNrows - 1, sr0)), math.max(0, math.min(sNcols - 1, sc0)))
+        else (sr0, sc0)
+      if (sr < 0 || sr >= sNrows || sc < 0 || sc >= sNcols) Iterator.empty
+      else Iterator.single(GatherReq(
+        CellId.ofPixel(sr.toLong, sc.toLong, res), tr, tc, sr, sc))
+    }
+    val joined = reqs.joinWith(srcTiles, reqs("srcCell") === srcTiles("cellId"))
+    val gathered = joined.map { case (req, tile) =>
+      (req.tRow, req.tCol, tile.value(req.sRow, req.sCol))
+    }.toDF("row", "col", "v")
+    // out-of-range targets reappear as null rows only in clamp=false mode if
+    // the caller outer-joins against the full target frame; resample keeps
+    // the reference behavior of NaN-out-of-range via left join:
+    val all = spark.range(targetRef.numCells).select(
+      ($"id" / targetRef.ncols).cast("int").as("row"),
+      ($"id" % targetRef.ncols).cast("int").as("col"))
+    all.join(gathered, Seq("row", "col"), "left")
+      .withColumn("v", when(isnan($"v"), lit(null)).otherwise($"v"))
+  }
+}
+
+/** line2sub as a generator (reference Raster.line2sub, Raster.py:340-366):
+  * polyline -> ordered cell subscripts; per segment steps =
+  * max(|drow|,|dcol|)+1 linspace points rounded half-even, segment-end
+  * dropped unless final, out-of-grid filtered. */
+object Line2Sub {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import graft.core._
+
+  final case class LineRec(lineId: Long, xs: Array[Double], ys: Array[Double])
+
+  def cells(lines: Dataset[LineRec], ref: GridRef): DataFrame = {
+    import lines.sparkSession.implicits._
+    lines.flatMap { ln =>
+      RefKernel.line2sub(ref, ln.xs, ln.ys).iterator.zipWithIndex.map {
+        case ((r, c), seq) => (ln.lineId, seq.toLong, r.toLong, c.toLong)
+      }
+    }.toDF("line_id", "seq", "row", "col")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.codecs
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.ImageCorpus
+
+class CodecSpec extends AnyFunSuite {
+
+  val payload: Array[Double] = ImageCorpus.tilePayload(3, 2)
+
+  test("PNG 16-bit round trip is exact on quantized values (lossless gate)") {
+    val bytes = ImageCodec.encodePng(payload, 256, 256)
+    val (decoded, w, h) = ImageCodec.decode(bytes, "png")
+    assert(w == 256 && h == 256)
+    val truth = payload.map(v => Math.rint(v * ImageCodec.PngScale) / ImageCodec.PngScale)
+    assert(decoded.sameElements(truth))
+    assert(ImageCodec.psnr(decoded, truth, 60.0).isPosInfinity)
+  }
+
+  test("PNG NaN sentinel survives round trip") {
+    val p = payload.clone()
+    p(17) = Double.NaN
+    p(4001) = Double.NaN
+    val (decoded, _, _) = ImageCodec.decode(ImageCodec.encodePng(p, 256, 256), "png")
+    assert(decoded(17).isNaN && decoded(4001).isNaN)
+    assert(!decoded(18).isNaN)
+  }
+
+  test("JPEG PSNR >= 40 dB on smooth terrain (lossy gate)") {
+    val bytes = ImageCodec.encodeJpg(payload, 256, 256)
+    val (decoded, _, _) = ImageCodec.decode(bytes, "jpg")
+    val truth = payload.map(v => Math.rint(v * ImageCodec.JpgScale) / ImageCodec.JpgScale)
+    val p = ImageCodec.psnr(decoded, truth, 60.0)
+    assert(p >= 40.0, s"JPEG psnr $p < 40 dB")
+  }
+
+  test("phash: identical payloads equal, shifted tiles differ") {
+    val h1 = ImageCodec.phash64(payload, 256, 256)
+    val h2 = ImageCodec.phash64(payload.clone(), 256, 256)
+    assert(h1 == h2)
+    val other = ImageCorpus.tilePayload(9, 7)
+    assert(h1 != ImageCodec.phash64(other, 256, 256))
+  }
+
+  test("corpus generation is deterministic and dup rule holds") {
+    val a = ImageCorpus.rowOf(251, 8)
+    val prev = ImageCorpus.rowOf(250, 8)
+    assert(a.phash == prev.phash) // payload duplicated
+    assert(a.image_id != prev.image_id)
+    val b = ImageCorpus.rowOf(251, 8)
+    assert(java.util.Arrays.equals(a.bytes, b.bytes))
+  }
+}
