@@ -1,24 +1,179 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.corpus.{ImageCorpus, Synth}
+import graft.operators._
+
+/** Benchmark main (driver contract: ONE JSON line on stdout).
+  *
+  * Measures (a) every SparkEntry query at SPARK_GRAFT_CPUS, and (b) the
+  * headline end-to-end tile pipeline — image corpus scan -> decode ->
+  * cell-keyed mosaic (dup resolution by seq) -> rasterize burn join -> kNN
+  * interpolation — at local[8] AND local[32] on the SAME input, reporting
+  * tiles/sec at both plus scaling efficiency (the sandbox proxy for the
+  * north rule's N->4N executor gate; BASELINE.md).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing is BYTE-based; burn/kNN shuffle rows are ~200B
+      // descriptors that expand into 2^16-pixel kernels, so at bench scale
+      // AQE folds them into ONE task (measured: 31/32 workers parked). At
+      // 100TB the descriptor side is TBs and coalescing never triggers;
+      // here it must be off for the cost model to match reality.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+
+  private def stage[A](name: String)(f: => A): A = {
+    if (!debug) f
+    else {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val a = f
+      System.err.println(f"[stage] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      a
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+  }
+
+  /** End-to-end pipeline on n corpus tiles read from `corpusPath` (the
+    * input image+caption table — pre-written, like the Iceberg table the
+    * north rule scans; generation/encode is NOT part of the measured job).
+    * Every stage is the real operator: scan -> decode -> cell-keyed mosaic
+    * (dup resolution by seq) -> rasterize burn join -> kNN slab. */
+  def pipeline(spark: SparkSession, corpusPath: String, n: Long, gridW: Int): Long = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(corpusPath).as[graft.corpus.ImageRow]
+    val decoded = ImageCorpus.decodeTiles(corpus, gridW)
+    val ref = ImageCorpus.corpusRef(n, gridW)
+
+    // mosaic: duplicates (i % 251 == 0 rows) collapse deterministically —
+    // seq = image index, later image wins (combine_raster rule)
+    val patches = decoded.map { t =>
+      val seq = t.imageId.stripPrefix("img-").toLong.toInt
+      TilePatch(t.cellId, t.row0, t.col0, t.h, t.w, seq, t.payload,
+        TilePatch.fullCover(t.h * t.w))
+    }
+    val mosaic = TileOps.mosaic(patches)
+
+    // per-tile stats (forces full payload pass + hash agg)
+    val statsRows = mosaic.map { t =>
+      var mx = Double.MinValue
+      var n0 = 0L
+      var i = 0
+      while (i < t.payload.length) {
+        val v = t.payload(i)
+        if (!v.isNaN) { n0 += 1; if (v > mx) mx = v }
+        i += 1
+      }
+      (t.cellId, n0, mx)
+    }.toDF("cell_id", "valid", "max_v")
+
+    // rasterize: one quad per 2x2 tile block + 50x duplicated features on
+    // tile row 0 (hot cells -> AQE skew path, FIXTURES.md §3)
+    val rows = ((n + gridW - 1) / gridW).toInt
+    val quads = for {
+      ty <- 0 until rows by 2
+      tx <- 0 until gridW by 2
+      rep <- 0 until (if (ty == 0) 50 else 1)
+    } yield {
+      val e = CellId.extent(ref, CellId.encode(ImageCorpus.TileRes, tx, ty))
+      val inset = 64 * ref.cellsize
+      Feature((ty * gridW + tx) * 64L + rep, "polygon",
+        Array(e.left + inset, e.right + inset, e.right - inset, e.left - inset, e.left + inset)
+          .map(x => math.max(ref.left + 1, math.min(ref.right - 1, x))),
+        Array(e.bottom + inset, e.bottom + inset, e.top - inset, e.top - inset, e.bottom + inset)
+          .map(y => math.max(ref.bottom + 1, math.min(ref.top - 1, y))),
+        attr = (tx + ty).toDouble, seq = ty * gridW + tx)
+    }
+    val burned = Rasterize(spark, quads, ref, ImageCorpus.TileRes, useAttr = true)
+      .groupBy($"v").count()
+
+    // kNN slab: one 256px-tall band across the full corpus width (scales
+    // with n so the stage weight is constant per tile), 2 points per tile
+    val slabW = gridW * ImageCorpus.TileSize
+    val slabRef = GridRef(slabW, 256, ref.left, ref.top - 256 * ref.cellsize, ref.cellsize)
+    val slabWm = slabW * ref.cellsize
+    val pts = spark.range(2 * n).map { i =>
+      PtRec(i, slabRef.left + (((i * 37.0) % slabWm) + 0.125),
+        slabRef.bottom + ((i * 53) % 1024) * 1.25 + 0.0625, (i % 400) / 4.0)
+    }
+    val knn = Knn.nearestBucketed(spark, pts, slabRef, res = 6, ringK = 1)
+
+    stage("decode+mosaic+stats")(statsRows.count()) +
+      stage("burn")(burned.count()) +
+      stage("knn")(knn.groupBy($"pid").count().count())
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nTiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_TILES", "1536").toLong
+    val gridW = 32
+
+    // (a) gated queries at the requested parallelism
+    val s1 = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(s1, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      name -> sec
+    }
+    // pre-write the input corpus table once (untimed — the job under the
+    // scaling gate SCANS an existing table; generation is fixture setup)
+    val corpusPath = s"/dev/shm/graft_bench_corpus_$nTiles"
+    val warmPath = "/dev/shm/graft_bench_corpus_warm"
+    if (!new java.io.File(corpusPath + "/_SUCCESS").exists())
+      ImageCorpus.generate(s1, nTiles, gridW).write.mode("overwrite").parquet(corpusPath)
+    if (!new java.io.File(warmPath + "/_SUCCESS").exists())
+      ImageCorpus.generate(s1, 64, gridW).write.mode("overwrite").parquet(warmPath)
+    s1.stop()
+
+    // (b) scaling: same pipeline, same input, local[8] vs local[32];
+    // warm each session first (JIT + codegen + shuffle service), then take
+    // the median of 3 timed runs (single runs are GC-noise-prone)
+    def medianRun(cpus: Int): Double = {
+      val s = session(cpus)
+      pipeline(s, warmPath, 64, gridW)
+      val ts = (1 to 3).map { _ =>
+        System.gc()
+        val (_, sec) = time(pipeline(s, corpusPath, nTiles, gridW))
+        sec
+      }.sorted
+      s.stop()
+      ts(1)
+    }
+    val sec8 = medianRun(8)
+    val sec32 = medianRun(32)
+
+    val thr8 = nTiles / sec8
+    val thr32 = nTiles / sec32
+    val eff = (thr32 / thr8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"tiles":$nTiles,"tiles_per_sec_8":$thr8%.2f,"tiles_per_sec_32":$thr32%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"scaling_efficiency":$eff%.3f}}""")
   }
 }

@@ -18,6 +18,11 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object ImageCodec {
 
+  // ImageIO's default stream cache is FILE-backed — 32 executor threads
+  // contend on /tmp and serialize; in-memory cache restores parallel
+  // encode/decode throughput.
+  ImageIO.setUseCache(false)
+
   final val PngScale = 64.0
   final val PngNaN = 65535
   final val JpgScale = 2.0

@@ -1,0 +1,187 @@
+package graft.icelite
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tile
+
+/** icelite — an Iceberg-SHAPED snapshot/manifest layer over Parquet, built
+  * in-repo because no Iceberg jar ships in the sandbox (SURVEY.md §7.2).
+  * Public Iceberg concepts reproduced: versioned metadata json with a
+  * current-snapshot pointer (atomic rename commit), manifests listing data
+  * files with cell-id min/max stats for scan pruning, and per-partition
+  * LINEAGE rows enabling checkpoint resume: a killed ingest job re-run on
+  * the same staging area skips every bucket whose lineage row committed.
+  *
+  * Layout:
+  *   table/metadata/v{N}.json        versioned metadata; last N wins
+  *   table/manifests/m-{snap}.json   data files + stats of one snapshot
+  *   table/lineage/{snap}/b-{i}.json staged per-bucket lineage (the
+  *                                   checkpoint; written BEFORE the final
+  *                                   metadata commit)
+  *   table/data/{snap}/b-{i}/        one parquet dir per bucket
+  */
+object IceLite {
+
+  final case class Lineage(bucket: Int, rows: Long, checksum: Long)
+  final case class DataFileEntry(path: String, bucket: Int, rows: Long,
+      minCell: Long, maxCell: Long)
+
+  private def mkdirs(p: Path): Unit = { Files.createDirectories(p); () }
+
+  private def q(s: String) = "\"" + s + "\""
+
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Highest committed metadata version, or 0. */
+  def currentVersion(table: String): Int = {
+    val md = Paths.get(table, "metadata")
+    if (!Files.exists(md)) 0
+    else {
+      val vs = Files.list(md).iterator()
+      var best = 0
+      vs.forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".json"))
+          best = math.max(best, n.stripPrefix("v").stripSuffix(".json").toInt)
+      }
+      best
+    }
+  }
+
+  def currentSnapshot(table: String): Option[Long] = {
+    val v = currentVersion(table)
+    if (v == 0) None
+    else {
+      val s = Files.readString(Paths.get(table, "metadata", s"v$v.json"))
+      "\"current_snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    }
+  }
+
+  /** Buckets already checkpointed for a snapshot attempt (resume set). */
+  def committedBuckets(table: String, snap: Long): Set[Int] = {
+    val dir = Paths.get(table, "lineage", snap.toString)
+    if (!Files.exists(dir)) Set.empty
+    else {
+      val out = Set.newBuilder[Int]
+      Files.list(dir).iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("b-") && n.endsWith(".json"))
+          out += n.stripPrefix("b-").stripSuffix(".json").toInt
+      }
+      out.result()
+    }
+  }
+
+  /** Resumable ingest: write `tiles` bucketed by cell id in `buckets`
+    * independent chunk jobs, checkpointing a lineage row after each chunk;
+    * already-checkpointed buckets are SKIPPED (this is the kill/re-run
+    * resume path). `failAtBucket` injects a crash for tests. Returns the
+    * snapshot id once ALL buckets committed and metadata flipped.
+    *
+    * Bucketing is on the Z-order cell id's high bits, so each bucket is a
+    * contiguous cell range — manifest min/max stats stay tight and reads
+    * prune by range. */
+  def commitResumable(spark: SparkSession, tiles: Dataset[Tile], table: String,
+      buckets: Int, snap: Long, failAtBucket: Option[Int] = None): Long = {
+    import spark.implicits._
+    mkdirs(Paths.get(table, "metadata"))
+    mkdirs(Paths.get(table, "manifests"))
+    mkdirs(Paths.get(table, "lineage", snap.toString))
+
+    val done = committedBuckets(table, snap)
+    // range-bucket on the Z-order id so each bucket is a CONTIGUOUS cell
+    // range -> manifest min/max stats stay tight and reads prune by range
+    val zr = tiles.agg(min($"cellId"), max($"cellId")).collect()(0)
+    val (zlo, zhi) =
+      if (zr.isNullAt(0)) (0L, 0L) else (zr.getLong(0), zr.getLong(1))
+    val span = math.max(1L, zhi - zlo + 1)
+    val bucketed = tiles
+      .withColumn("bucket",
+        least(lit(buckets - 1),
+          (($"cellId" - lit(zlo)) * lit(buckets.toLong) / lit(span)).cast("int")))
+      .cache()
+
+    (0 until buckets).foreach { b =>
+      if (!done.contains(b)) {
+        failAtBucket.filter(_ == b).foreach { _ =>
+          bucketed.unpersist()
+          throw new RuntimeException(s"injected failure before bucket $b")
+        }
+        val dir = s"$table/data/$snap/b-$b"
+        val part = bucketed.filter($"bucket" === b).drop("bucket").as[Tile]
+        part.write.mode("overwrite").parquet(dir)
+        // per-bucket lineage row: rows + order-independent checksum
+        val stats = part.map(t => (1L, t.cellId * 31 + t.payload.length))
+          .groupByKey(_ => 0)
+          .mapGroups((_, it) => it.foldLeft((0L, 0L)) { case ((n, c), (dn, dc)) => (n + dn, c ^ dc) })
+          .collect().headOption.getOrElse((0L, 0L))
+        writeAtomic(Paths.get(table, "lineage", snap.toString, s"b-$b.json"),
+          s"""{"bucket": $b, "rows": ${stats._1}, "checksum": ${stats._2}}""")
+      }
+    }
+    bucketed.unpersist()
+
+    // manifest: data files with cell min/max for pruning
+    val entries = (0 until buckets).map { b =>
+      val dir = s"$table/data/$snap/b-$b"
+      val mm = spark.read.parquet(dir).agg(min($"cellId"), max($"cellId"), count(lit(1)))
+        .collect()(0)
+      val (lo, hi, n) =
+        if (mm.isNullAt(0)) (0L, 0L, 0L)
+        else (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+      s"""{"path": ${q(dir)}, "bucket": $b, "rows": $n, "min_cell": $lo, "max_cell": $hi}"""
+    }
+    writeAtomic(Paths.get(table, "manifests", s"m-$snap.json"),
+      entries.mkString("[", ",\n", "]"))
+
+    val v = currentVersion(table) + 1
+    writeAtomic(Paths.get(table, "metadata", s"v$v.json"),
+      s"""{"format": "icelite/1", "current_snapshot": $snap,
+         | "manifest": ${q(s"$table/manifests/m-$snap.json")},
+         | "buckets": $buckets}""".stripMargin)
+    snap
+  }
+
+  /** Snapshot-pinned read; `cellRange` prunes whole data files via manifest
+    * min/max before any parquet footer is opened. */
+  def read(spark: SparkSession, table: String, snap: Long,
+      cellRange: Option[(Long, Long)] = None): Dataset[Tile] = {
+    import spark.implicits._
+    val manifest = Files.readString(Paths.get(table, "manifests", s"m-$snap.json"))
+    val entryRe =
+      """\{"path": "([^"]+)", "bucket": (\d+), "rows": (\d+), "min_cell": (-?\d+), "max_cell": (-?\d+)\}""".r
+    val files = entryRe.findAllMatchIn(manifest).flatMap { m =>
+      val (path, rows, lo, hi) = (m.group(1), m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)
+      if (rows == 0) None
+      else cellRange match {
+        case Some((a, b)) if hi < a || lo > b => None // manifest-level pruning
+        case _ => Some(path)
+      }
+    }.toSeq
+    if (files.isEmpty) spark.emptyDataset[Tile]
+    else spark.read.parquet(files: _*).as[Tile]
+  }
+
+  /** Lineage rows of a snapshot (metrics surface). */
+  def lineage(table: String, snap: Long): Seq[Lineage] = {
+    val dir = Paths.get(table, "lineage", snap.toString)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val re = """\{"bucket": (\d+), "rows": (\d+), "checksum": (-?\d+)\}""".r
+      val out = Seq.newBuilder[Lineage]
+      Files.list(dir).iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith(".json"))
+          re.findFirstMatchIn(Files.readString(p)).foreach { m =>
+            out += Lineage(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong)
+          }
+      }
+      out.result().sortBy(_.bucket)
+    }
+  }
+}

@@ -71,47 +71,39 @@ object Knn {
       (CellId.ofPixel(row.toLong, col.toLong, res), row, col)
     }.toDF("bucket", "row", "col").as[(Long, Int, Int)]
 
-    val firstPass = cells.groupByKey(_._1).cogroup(candidates.groupByKey(_._1)) {
+    // escalation fallback: cells whose halo-local best can't be PROVEN
+    // nearest (best d2 > guard^2, or empty bucket) consult a broadcast
+    // global k-d tree inline — one job, no cache, no second shuffle. At
+    // 100TB the fallback would be ring-2k escalation instead; the broadcast
+    // here plays the role of the (small) global point index.
+    val allPts = points.collect().map(p => (p.pid, p.x, p.y, p.v))
+    val bc = spark.sparkContext.broadcast(allPts)
+
+    cells.groupByKey(_._1).cogroup(candidates.groupByKey(_._1)) {
       (bucket, cellIt, candIt) =>
         val cs0 = cellIt.toArray
         if (cs0.isEmpty) Iterator.empty
         else {
           val pts = candIt.map(_._2).toArray.distinct
-          if (pts.isEmpty) cs0.iterator.map { case (_, r, c) => (r, c, Double.NaN, -1L, false) }
-          else {
-            val tree = KdTree.build(pts.map(p => (p.pid, p.x, p.y, p.v)))
-            cs0.iterator.map { case (_, r, c) =>
-              val cx = left + (c + 0.5) * cs
-              val cy = top - (r + 0.5) * cs
-              val (pid, v, d2) = tree.nearest(cx, cy)
-              (r, c, v, pid, d2 <= guard2) // provable only within the halo guard
+          val localTree =
+            if (pts.isEmpty) null
+            else KdTree.build(pts.map(p => (p.pid, p.x, p.y, p.v)))
+          lazy val globalTree = KdTree.build(bc.value)
+          cs0.iterator.map { case (_, r, c) =>
+            val cx = left + (c + 0.5) * cs
+            val cy = top - (r + 0.5) * cs
+            val localHit =
+              if (localTree == null) None
+              else {
+                val (pid, v, d2) = localTree.nearest(cx, cy)
+                if (d2 <= guard2) Some((r, c, v, pid)) else None
+              }
+            localHit.getOrElse {
+              val (pid, v, _) = globalTree.nearest(cx, cy)
+              (r, c, v, pid)
             }
           }
         }
-    }.toDF("row", "col", "v", "pid", "proven")
-
-    val cached = firstPass.cache()
-    val resolved = cached.filter($"proven").select($"row", $"col", $"v", $"pid")
-    val unresolved = cached.filter(!$"proven").select($"row", $"col")
-
-    // escalation: the (rare) unproven cells scan the full point set via a
-    // broadcast k-d tree — at 100TB this would be ring-2k escalation instead;
-    // the fraction is observable via `unresolved.count`.
-    val allPts = points.collect().map(p => (p.pid, p.x, p.y, p.v))
-    val bc = spark.sparkContext.broadcast(allPts)
-    val fixed = unresolved.as[(Int, Int)].mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val tree = KdTree.build(bc.value)
-        it.map { case (r, c) =>
-          val cx = left + (c + 0.5) * cs
-          val cy = top - (r + 0.5) * cs
-          val (pid, v, _) = tree.nearest(cx, cy)
-          (r, c, v, pid)
-        }
-      }
     }.toDF("row", "col", "v", "pid")
-
-    resolved.union(fixed)
   }
 }

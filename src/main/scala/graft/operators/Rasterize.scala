@@ -59,7 +59,8 @@ object Rasterize {
       else {
         val vals = Array.fill(h * w)(Double.NaN)
         fs.foreach { f =>
-          // envelope cull inside the cell window
+          // restrict the scan to the feature bbox ∩ cell window: pixel
+          // centers at left+(c+0.5)cs are >= xmin iff c >= (xmin-left)/cs-0.5
           var xmin = Double.MaxValue; var xmax = Double.MinValue
           var ymin = Double.MaxValue; var ymax = Double.MinValue
           var k = 0
@@ -69,14 +70,17 @@ object Rasterize {
             if (y < ymin) ymin = y; if (y > ymax) ymax = y
             k += 1
           }
-          var r = r0
-          while (r <= r1) {
-            var c = c0
-            while (c <= c1) {
+          val fr0 = math.max(r0, math.ceil((ref.top - ymax) / ref.cellsize - 0.5).toInt)
+          val fr1 = math.min(r1, math.floor((ref.top - ymin) / ref.cellsize - 0.5).toInt)
+          val fc0 = math.max(c0, math.ceil((xmin - ref.left) / ref.cellsize - 0.5).toInt)
+          val fc1 = math.min(c1, math.floor((xmax - ref.left) / ref.cellsize - 0.5).toInt)
+          var r = fr0
+          while (r <= fr1) {
+            val py = ref.top - (r + 0.5) * ref.cellsize
+            var c = fc0
+            while (c <= fc1) {
               val px = ref.left + (c + 0.5) * ref.cellsize
-              val py = ref.top - (r + 0.5) * ref.cellsize
-              if (px >= xmin && px <= xmax && py >= ymin && py <= ymax &&
-                RefKernel.pointInPolygon(px, py, f.xs, f.ys))
+              if (RefKernel.pointInPolygon(px, py, f.xs, f.ys))
                 vals((r - r0) * w + (c - c0)) = f.value
               c += 1
             }
