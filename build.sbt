@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // batch-throughput GC: G1 young pauses hit 0.9-1.6s under the tile
+  // pipeline's allocation rate; ParallelGC measures 20-40ms
+  "-XX:+UseParallelGC",
 )

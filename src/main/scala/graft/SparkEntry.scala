@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.corpus.{ImageCorpus, Synth}
-import graft.operators.{Gather, Knn, Line2Sub, PtRec, Rasterize, TileOps}
+import graft.operators.{Gather, Knn, Line2Sub, PtRec, Rasterize, Stencil, TileOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
@@ -238,6 +238,84 @@ object SparkEntry {
         .orderBy($"sig")
     }),
 
+    // near-dup: exact 3-gram Jaccard >= 0.8 via inverted-index join
+    // (integer cross-multiplied threshold — no float compare)
+    "d3_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val sh = table(s, dir, "documents")
+        .select($"doc_id", graft.text.TextOps.tokens($"text").as("w"))
+        .select($"doc_id",
+          explode(array_distinct(graft.text.TextOps.wordShingles($"w", 3))).as("sh"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a").join(sh.as("b"),
+          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("ia", "sza"), "ia")
+        .join(sizes.toDF("ib", "szb"), "ib")
+        .filter($"inter" * 10 >= lit(8) * ($"sza" + $"szb" - $"inter"))
+        .select($"ia", $"ib", $"inter", $"sza", $"szb")
+        .orderBy($"ia", $"ib")
+    }),
+
+    // MinHash+LSH near-dup (banded candidates + exact verify; rows-only —
+    // xxhash64 banding is engine-side; recall vs exact is ScalaTest-gated)
+    "d4_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextOps.minhashLshPairs(table(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold10 = 8)
+        .orderBy($"ia", $"ib")
+    }),
+
+    // SimHash fingerprints + hamming-near pairs (rows-only)
+    "d5_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = table(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .map { case (id, t) => (id, graft.text.TextOps.simhash64(t)) }
+        .toDF("doc_id", "simhash")
+      hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+          $"a.simhash".as("ha"), $"b.simhash".as("hb"))
+        .as[(Long, Long, Long, Long)]
+        .map { case (ia, ib, ha, hb) =>
+          (ia, ib, graft.text.TextOps.hamming64(ha, hb))
+        }
+        .toDF("ia", "ib", "hamming")
+        .filter($"hamming" <= 6)
+        .orderBy($"ia", $"ib")
+    }),
+
+    // language-ID heuristic (marker-count argmax; SQL-oracle-checked)
+    "d6_langid" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .select($"doc_id", graft.text.TextOps.langId($"text").as("pred_lang"),
+          graft.text.TextOps.langScore($"text", "en").as("en_score"))
+        .orderBy($"doc_id")
+    }),
+
+    // rolling-hash document fingerprint (rows-only)
+    "d7_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, t) => (id, graft.text.TextOps.fingerprint(t)) }
+        .toDF("doc_id", "fp")
+        .orderBy($"doc_id")
+    }),
+
+    // W1: Horn gradient via distributed halo exchange (sampled pixels)
+    "r8_gradient" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      Stencil.hornGradient(dem, Synth.demRef, tileRes)
+        .filter(($"row" * lit(Synth.demRef.ncols) + $"col") % 37 === 5)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
+          $"gx", $"gy")
+        .orderBy($"row", $"col")
+    }),
+
     // quality scoring: token/char/punct stats, pure arithmetic
     "d2_quality" -> ((s, dir) => {
       import s.implicits._
@@ -422,6 +500,67 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY dot / (qn * en) DESC, vid) AS rank
         |  FROM p)
         |SELECT qid, rank, vid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "d3_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3) t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ia, ib, CAST(c AS BIGINT) AS inter,
+        |  CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb
+        |FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |WHERE c * 10 >= 8 * (sa.sz + sb.sz - c)
+        |ORDER BY ia, ib""".stripMargin,
+
+    "d6_langid" -> {
+      def score(lang: String): String =
+        graft.text.TextOps.langMarkers(lang)
+          .map(m => s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+      s"""WITH s AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+         |sc AS (SELECT doc_id, ${score("en")} AS en, ${score("de")} AS de,
+         |  ${score("es")} AS es, ${score("fr")} AS fr FROM s)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |       WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |       WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |       WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |       ELSE 'fr' END AS pred_lang,
+         |  en AS en_score
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "r8_gradient" -> {
+      val nc = Synth.demRef.ncols
+      def v(rr: String, cc: String): String =
+        s"((($rr) * 31 + ($cc) * 17) % 1000) / 4.0"
+      def hole(rr: String, cc: String): String =
+        s"(($rr) * $nc + ($cc)) % 97 = 13"
+      val n = Seq( // 3x3 neighborhood in (dr, dc)
+        ("tl", -1, -1), ("tp", -1, 0), ("tr", -1, 1),
+        ("l", 0, -1), ("rt", 0, 1),
+        ("bl", 1, -1), ("bt", 1, 0), ("br", 1, 1))
+      val holes = (n.map { case (_, dr, dc) => hole(s"r + $dr", s"c + $dc") } :+
+        hole("r", "c")).mkString(" OR ")
+      val defs = n.map { case (nm, dr, dc) => s"${v(s"r + $dr", s"c + $dc")} AS $nm" }
+        .mkString(",\n  ")
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c
+         |  FROM range(${Synth.demRef.nrows.toLong * nc}) t(i)
+         |  WHERE i % 37 = 5
+         |    AND (i // $nc) BETWEEN 1 AND ${Synth.demRef.nrows - 2}
+         |    AND (i % $nc) BETWEEN 1 AND ${nc - 2}
+         |    AND NOT ($holes)),
+         |nb AS (SELECT r, c,
+         |  $defs FROM g)
+         |SELECT r AS row, c AS col,
+         |  ((tr + 2 * rt + br) - (tl + 2 * l + bl)) / (8 * 5.0) AS gx,
+         |  ((tl + 2 * tp + tr) - (bl + 2 * bt + br)) / (8 * 5.0) AS gy
+         |FROM nb ORDER BY row, col""".stripMargin
+    },
 
     "d1_dedup_sets" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.core._
+
+/** 2-D stencils with distributed halo exchange — the reference's
+  * "window functions" are neighborhood kernels, not SQL windows
+  * (hillshade `grid_show.py:136-158`; SURVEY.md §2.5 W1).
+  *
+  * Shape: every tile ships its 1-pixel border strips to the 8 neighbor
+  * cells (tiny fraction of payload), groupByKey(cell) assembles a padded
+  * (h+2)x(w+2) plane, the kernel runs as a tight JVM loop. One shuffle
+  * whose volume is ~4/2^res of the data — at res 8, 1.6% overhead. */
+object Stencil {
+
+  /** A fragment addressed to `targetCell`: either the full tile payload or
+    * a border strip from a neighbor, in GLOBAL pixel coords. */
+  final case class Frag(targetCell: Long, row0: Int, col0: Int, h: Int, w: Int,
+      payload: Array[Double])
+
+  /** Emit self + 8 border fragments per tile. */
+  def withHalo(tiles: Dataset[Tile], res: Int): Dataset[Frag] = {
+    import tiles.sparkSession.implicits._
+    tiles.flatMap { t =>
+      val self = Frag(t.cellId, t.row0, t.col0, t.h, t.w, t.payload)
+      val cx = CellId.cx(t.cellId)
+      val cy = CellId.cy(t.cellId)
+      val frags = Iterator.newBuilder[Frag]
+      frags += self
+      def strip(r0: Int, c0: Int, h: Int, w: Int): Array[Double] = {
+        val out = new Array[Double](h * w)
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            out(r * w + c) = t.payload((r0 - t.row0 + r) * t.w + (c0 - t.col0 + c))
+            c += 1
+          }
+          r += 1
+        }
+        out
+      }
+      val top = t.row0
+      val bot = t.row0 + t.h - 1
+      val left = t.col0
+      val right = t.col0 + t.w - 1
+      def neigh(dx: Long, dy: Long): Option[Long] =
+        if (cx + dx < 0 || cy + dy < 0) None
+        else Some(CellId.encode(CellId.res(t.cellId), cx + dx, cy + dy))
+      // edges
+      neigh(0, -1).foreach(n => frags += Frag(n, top, left, 1, t.w, strip(top, left, 1, t.w)))
+      neigh(0, 1).foreach(n => frags += Frag(n, bot, left, 1, t.w, strip(bot, left, 1, t.w)))
+      neigh(-1, 0).foreach(n => frags += Frag(n, top, left, t.h, 1, strip(top, left, t.h, 1)))
+      neigh(1, 0).foreach(n => frags += Frag(n, top, right, t.h, 1, strip(top, right, t.h, 1)))
+      // corners
+      neigh(-1, -1).foreach(n => frags += Frag(n, top, left, 1, 1, strip(top, left, 1, 1)))
+      neigh(1, -1).foreach(n => frags += Frag(n, top, right, 1, 1, strip(top, right, 1, 1)))
+      neigh(-1, 1).foreach(n => frags += Frag(n, bot, left, 1, 1, strip(bot, left, 1, 1)))
+      neigh(1, 1).foreach(n => frags += Frag(n, bot, right, 1, 1, strip(bot, right, 1, 1)))
+      frags.result()
+    }
+  }
+
+  /** Horn 3x3 gradient (the hillshade core): per interior pixel with all 9
+    * neighbors valid,
+    *   gx = ((tr + 2*r + br) - (tl + 2*l + bl)) / (8*cs)   [eastward]
+    *   gy = ((tl + 2*t + tr) - (bl + 2*b + br)) / (8*cs)   [northward]
+    * NaN/out-of-grid neighborhood -> no output row. Returns
+    * (row, col, gx, gy) cells. */
+  def hornGradient(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
+    import tiles.sparkSession.implicits._
+    val cs = ref.cellsize
+    val nrows = ref.nrows
+    val ncols = ref.ncols
+    withHalo(tiles, res).groupByKey(_.targetCell).flatMapGroups { (cid, it) =>
+      val frags = it.toArray
+      val (r0L, c0L, size) = CellId.pixelWindow(cid)
+      val r0 = r0L.toInt
+      val c0 = c0L.toInt
+      if (r0 >= nrows || c0 >= ncols) Iterator.empty
+      else {
+        val h = math.min(size, nrows - r0)
+        val w = math.min(size, ncols - c0)
+        // padded plane, NaN outside contributions
+        val ph = h + 2
+        val pw = w + 2
+        val pad = Array.fill(ph * pw)(Double.NaN)
+        frags.foreach { f =>
+          var r = 0
+          while (r < f.h) {
+            val pr = f.row0 + r - (r0 - 1)
+            if (pr >= 0 && pr < ph) {
+              var c = 0
+              while (c < f.w) {
+                val pc = f.col0 + c - (c0 - 1)
+                if (pc >= 0 && pc < pw) pad(pr * pw + pc) = f.payload(r * f.w + c)
+                c += 1
+              }
+            }
+            r += 1
+          }
+        }
+        val out = Array.newBuilder[(Int, Int, Double, Double)]
+        var r = 1
+        while (r <= h) {
+          var c = 1
+          while (c <= w) {
+            val tl = pad((r - 1) * pw + (c - 1)); val tp = pad((r - 1) * pw + c); val tr = pad((r - 1) * pw + (c + 1))
+            val l = pad(r * pw + (c - 1)); val ct = pad(r * pw + c); val rt = pad(r * pw + (c + 1))
+            val bl = pad((r + 1) * pw + (c - 1)); val bt = pad((r + 1) * pw + c); val br = pad((r + 1) * pw + (c + 1))
+            if (!(tl.isNaN || tp.isNaN || tr.isNaN || l.isNaN || ct.isNaN || rt.isNaN ||
+              bl.isNaN || bt.isNaN || br.isNaN)) {
+              val gx = ((tr + 2 * rt + br) - (tl + 2 * l + bl)) / (8 * cs)
+              val gy = ((tl + 2 * tp + tr) - (bl + 2 * bt + br)) / (8 * cs)
+              out += ((r0 + r - 1, c0 + c - 1, gx, gy))
+            }
+            c += 1
+          }
+          r += 1
+        }
+        out.result().iterator
+      }
+    }.toDF("row", "col", "gx", "gy")
+  }
+
+  /** Full hillshade (azdeg 315, altdeg 45 like the reference default,
+    * grid_show.py:136-158): illumination = cos(slope)cos(alt-complement)…
+    * standard GIS formula over the Horn gradient. Trig makes it unsuitable
+    * for cross-engine hash oracles; parity is tested against RefKernel. */
+  def hillshade(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      azdeg: Double = 315.0, altdeg: Double = 45.0): DataFrame = {
+    import tiles.sparkSession.implicits._
+    val az = math.toRadians(360.0 - azdeg + 90.0)
+    val alt = math.toRadians(altdeg)
+    hornGradient(tiles, ref, res).as[(Int, Int, Double, Double)].map {
+      case (r, c, gx, gy) =>
+        val slope = math.atan(math.hypot(gx, gy))
+        val aspect = math.atan2(gy, -gx)
+        val shade = math.sin(alt) * math.cos(slope) +
+          math.cos(alt) * math.sin(slope) * math.cos(az - aspect)
+        (r, c, math.max(0.0, math.min(1.0, shade)))
+    }.toDF("row", "col", "shade")
+  }
+}

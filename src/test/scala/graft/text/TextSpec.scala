@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("simhash: identical texts collide, near texts are hamming-near") {
+    val a = TextOps.simhash64("the quick brown fox jumps over the lazy dog")
+    val b = TextOps.simhash64("the quick brown fox jumps over the lazy dog")
+    val c = TextOps.simhash64("the quick brown fox jumps over the lazy cat")
+    val d = TextOps.simhash64("completely different words entirely here now")
+    assert(a == b)
+    assert(TextOps.hamming64(a, c) < TextOps.hamming64(a, d))
+  }
+
+  test("fingerprint: order-sensitive, whitespace-run-normalized") {
+    assert(TextOps.fingerprint("a b c") == TextOps.fingerprint("a  b   c"))
+    assert(TextOps.fingerprint("a b c") != TextOps.fingerprint("c b a"))
+    assert(TextOps.fingerprint("") == 0L)
+  }
+
+  test("langId picks marker-majority language; und when none") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "we saw the cat and the dog of it all"),
+      (2L, "der hund und die katze und der vogel"),
+      (3L, "el gato y los perros que corren"),
+      (4L, "le chat et les chiens et le chien"),
+      (5L, "nothing matching here at all")).toDF("id", "text")
+    val got = df.select($"id", TextOps.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "und"))
+  }
+
+  test("minhash LSH recall: candidates cover ALL exact-Jaccard>=0.8 pairs (sf0.001)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = TextOps.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold10 = 8)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    // exact pairs via the same inverted-index shape (the d3 query logic)
+    val sh = docs.select($"doc_id", TextOps.tokens($"text").as("w"))
+      .select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array_distinct(
+            TextOps.wordShingles($"w", 3))).as("sh"))
+    val sizes = sh.groupBy($"doc_id").count().withColumnRenamed("count", "sz")
+    val exact = sh.as("a").join(sh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .join(sizes.toDF("ia", "sza"), "ia")
+      .join(sizes.toDF("ib", "szb"), "ib")
+      .filter($"c" * 10 >= org.apache.spark.sql.functions.lit(8) * ($"sza" + $"szb" - $"c"))
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh), s"LSH missed ${(exact -- lsh).size} true pairs")
+    // and LSH verification keeps only true pairs
+    assert(lsh == exact)
+  }
+
+  test("gradient stencil matches direct whole-grid computation") {
+    import spark.implicits._
+    import graft.corpus.Synth
+    import graft.operators.{Stencil, TileOps}
+    val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val got = Stencil.hornGradient(dem, Synth.demRef, 6)
+      .as[(Int, Int, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // single-threaded oracle: same formula straight off the value function
+    val ref = Synth.demRef
+    var checked = 0
+    for (r <- 1 until ref.nrows - 1; c <- 1 until ref.ncols - 1) {
+      val v = Array(
+        Synth.demValue(r - 1, c - 1), Synth.demValue(r - 1, c), Synth.demValue(r - 1, c + 1),
+        Synth.demValue(r, c - 1), Synth.demValue(r, c), Synth.demValue(r, c + 1),
+        Synth.demValue(r + 1, c - 1), Synth.demValue(r + 1, c), Synth.demValue(r + 1, c + 1))
+      if (v.forall(x => !x.isNaN)) {
+        val gx = ((v(2) + 2 * v(5) + v(8)) - (v(0) + 2 * v(3) + v(6))) / 40.0
+        val gy = ((v(0) + 2 * v(1) + v(2)) - (v(6) + 2 * v(7) + v(8))) / 40.0
+        assert(got((r, c)) == ((gx, gy)), s"at ($r,$c)")
+        checked += 1
+      } else assert(!got.contains((r, c)))
+    }
+    assert(checked > 25000)
+  }
+}
