@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.corpus.{ImageCorpus, Synth}
-import graft.operators.{Gather, Knn, Line2Sub, PtRec, Rasterize, Stencil, TileOps}
+import graft.operators.{Bilinear, Gather, Knn, Line2Sub, PtRec, Rasterize, Stencil, TileOps, Vectorize}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
@@ -316,6 +316,37 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // J7: 1:1 equi zip join of two same-grid rasters (vectorshow pairing)
+    "r9_zipjoin" -> ((s, _) => {
+      import s.implicits._
+      val a = TileOps.cells(TileOps.tileGrid(s, Synth.gridARef, tileRes)(Synth.gridAValue))
+      val b = TileOps.cells(TileOps.tileGrid(s, Synth.gridARef, tileRes)(Synth.gridBValue))
+        .withColumnRenamed("v", "u")
+      a.join(b, Seq("row", "col"))
+        .withColumn("uv", $"v" * $"u")
+        .withColumn("band", floor($"row" / 16).cast("long"))
+        .groupBy($"band")
+        .agg(count($"uv").as("n_valid"), sum($"uv").as("sum_uv"))
+        .orderBy($"band")
+    }),
+
+    // V1: vectorize — connected-component stats per value class
+    // (rows-only gate; exact parity vs RefKernel oracle in ScalaTest)
+    "r10_vectorize" -> ((s, _) => {
+      import s.implicits._
+      val blocky = TileOps.tileGrid(s, Synth.gridARef, tileRes)(Synth.blockyValue)
+      Vectorize.componentStats(blocky, Synth.gridARef, tileRes)
+    }),
+
+    // W2: bilinear resample via halo'd gather join
+    "r11_bilinear" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      Bilinear.resample(dem, Synth.demRef, Synth.resampleTargetRef, tileRes)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .orderBy($"row", $"col")
+    }),
+
     // quality scoring: token/char/punct stats, pure arithmetic
     "d2_quality" -> ((s, dir) => {
       import s.implicits._
@@ -560,6 +591,34 @@ object SparkEntry {
          |  ((tr + 2 * rt + br) - (tl + 2 * l + bl)) / (8 * 5.0) AS gx,
          |  ((tl + 2 * tp + tr) - (bl + 2 * bt + br)) / (8 * 5.0) AS gy
          |FROM nb ORDER BY row, col""".stripMargin
+    },
+
+    "r9_zipjoin" -> {
+      val a = Synth.gridARef
+      s"""WITH g AS (SELECT (i // ${a.ncols}) AS r, (i % ${a.ncols}) AS c FROM range(${a.nrows.toLong * a.ncols}) t(i)),
+         |vals AS (SELECT r, c,
+         |  CASE WHEN (r * ${a.ncols} + c) % 89 = 7 THEN NULL
+         |       ELSE ((r * 13 + c * 7) % 100) / 4.0 END AS v,
+         |  CASE WHEN (r * ${Synth.gridBRef.ncols} + c) % 71 = 3 THEN NULL
+         |       ELSE ((r * 5 + c * 3) % 80) / 4.0 END AS u
+         |  FROM g)
+         |SELECT CAST(r // 16 AS BIGINT) AS band,
+         |  CAST(count(v * u) AS BIGINT) AS n_valid, sum(v * u) AS sum_uv
+         |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "r11_bilinear" -> {
+      val nc = Synth.demRef.ncols
+      def v(rr: String, cc: String): String =
+        s"(CASE WHEN (($rr) * $nc + ($cc)) % 97 = 13 THEN NULL ELSE ((($rr) * 31 + ($cc) * 17) % 1000) / 4.0 END)"
+      // target (r, c) reads source corners (2r+1, 2c)..(2r+2, 2c+1) with
+      // dr = 0.25, dc = 0.75 (exact by the +1.25m offset construction);
+      // formula order mirrors the kernel exactly
+      s"""WITH t AS (SELECT (i // 77) AS r, (i % 77) AS c FROM range(7777) t(i))
+         |SELECT r AS row, c AS col,
+         |  (1 - 0.25) * ((1 - 0.75) * ${v("2*r+1", "2*c")} + 0.75 * ${v("2*r+1", "2*c+1")})
+         |    + 0.25 * ((1 - 0.75) * ${v("2*r+2", "2*c")} + 0.75 * ${v("2*r+2", "2*c+1")}) AS v
+         |FROM t ORDER BY row, col""".stripMargin
     },
 
     "d1_dedup_sets" ->

@@ -250,6 +250,72 @@ object RefKernel {
     Grid(target, out)
   }
 
+  /** Bilinear regrid oracle: 2x2 source-pixel-center interpolation, NaN if
+    * any corner NaN or outside (reference resample 'bilinear',
+    * Raster.py:382-384). */
+  def resampleBilinear(src: Grid, target: GridRef): Grid = {
+    val out = new Array[Double](target.ncols * target.nrows)
+    var r = 0
+    while (r < target.nrows) {
+      var c = 0
+      while (c < target.ncols) {
+        val (x, y) = target.sub2map(r, c)
+        val (fr, fc) = src.ref.map2subFrac(x, y)
+        val fl = math.floor(fr).toInt
+        val cl = math.floor(fc).toInt
+        out(r * target.ncols + c) =
+          if (fl < 0 || cl < 0 || fl + 1 >= src.ref.nrows || cl + 1 >= src.ref.ncols)
+            Double.NaN
+          else {
+            val dr = fr - fl
+            val dc = fc - cl
+            val tl = src(fl, cl); val tr = src(fl, cl + 1)
+            val bl = src(fl + 1, cl); val br = src(fl + 1, cl + 1)
+            if (tl.isNaN || tr.isNaN || bl.isNaN || br.isNaN) Double.NaN
+            else (1 - dr) * ((1 - dc) * tl + dc * tr) + dr * ((1 - dc) * bl + dc * br)
+          }
+        c += 1
+      }
+      r += 1
+    }
+    Grid(target, out)
+  }
+
+  /** Connected components (4-connectivity) of equal-valued regions over the
+    * validity mask — the vectorize oracle (Raster.py:735-778 region
+    * semantics). Returns (value -> (componentCount, pixelCount)). */
+  def componentStats(g: Grid): Map[Double, (Long, Long)] = {
+    val n = g.ref.ncols * g.ref.nrows
+    val seen = new Array[Boolean](n)
+    val stats = scala.collection.mutable.Map.empty[Double, (Long, Long)]
+    val stack = new java.util.ArrayDeque[Int]()
+    var i = 0
+    while (i < n) {
+      if (!seen(i) && !g.data(i).isNaN) {
+        val v = g.data(i)
+        var px = 0L
+        stack.push(i)
+        seen(i) = true
+        while (!stack.isEmpty) {
+          val j = stack.pop()
+          px += 1
+          val r = j / g.ref.ncols
+          val c = j % g.ref.ncols
+          def visit(k: Int): Unit =
+            if (!seen(k) && g.data(k) == v) { seen(k) = true; stack.push(k) }
+          if (r > 0) visit(j - g.ref.ncols)
+          if (r < g.ref.nrows - 1) visit(j + g.ref.ncols)
+          if (c > 0) visit(j - 1)
+          if (c < g.ref.ncols - 1) visit(j + 1)
+        }
+        val (nc, np) = stats.getOrElse(v, (0L, 0L))
+        stats(v) = (nc + 1, np + px)
+      }
+      i += 1
+    }
+    stats.toMap
+  }
+
   /** assign_to: regrid with EDGE CLAMPING of out-of-range subscripts
     * (Raster.py:505-508). */
   def assignTo(src: Grid, target: GridRef): Grid = {

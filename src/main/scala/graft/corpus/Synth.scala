@@ -73,6 +73,12 @@ object Synth {
     * construction is NOT assumed — ties break by lowest point id). */
   val knnRef = GridRef(ncols = 120, nrows = 60, xll = -5, yll = 0, cellsize = 0.5)
 
+  /** Blocky value field for vectorize: 8x8-pixel blocks of 5 value classes
+    * with NaN holes — yields a few hundred connected components. */
+  def blockyValue(r: Int, c: Int): Double =
+    if ((r * gridARef.ncols + c) % 53 == 11) Double.NaN
+    else (((r / 8) * 31 + (c / 8) * 17) % 5).toDouble
+
   /** Resample target for r6: 10m grid offset +1.25m from the DEM so every
     * map2sub fraction lands on .25/.75 (round-half-even can never diverge
     * from round-half-away — the oracle rule). Gather hits source pixel

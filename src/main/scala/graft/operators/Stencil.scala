@@ -61,15 +61,17 @@ object Stencil {
     }
   }
 
-  /** Horn 3x3 gradient (the hillshade core): per interior pixel with all 9
-    * neighbors valid,
-    *   gx = ((tr + 2*r + br) - (tl + 2*l + bl)) / (8*cs)   [eastward]
-    *   gy = ((tl + 2*t + tr) - (bl + 2*b + br)) / (8*cs)   [northward]
-    * NaN/out-of-grid neighborhood -> no output row. Returns
-    * (row, col, gx, gy) cells. */
-  def hornGradient(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
+  /** A tile with an assembled 1-pixel halo: payload is (h+2)x(w+2),
+    * NaN where no neighbor contributed (grid edge). */
+  final case class Padded(cellId: Long, row0: Int, col0: Int, h: Int, w: Int,
+      pad: Array[Double]) {
+    /** value at GLOBAL pixel (r, c), valid for the tile window +-1. */
+    def at(r: Int, c: Int): Double = pad((r - row0 + 1) * (w + 2) + (c - col0 + 1))
+  }
+
+  /** Assemble halo'd tiles: one shuffle keyed by cell id. */
+  def padded(tiles: Dataset[Tile], ref: GridRef, res: Int): Dataset[Padded] = {
     import tiles.sparkSession.implicits._
-    val cs = ref.cellsize
     val nrows = ref.nrows
     val ncols = ref.ncols
     withHalo(tiles, res).groupByKey(_.targetCell).flatMapGroups { (cid, it) =>
@@ -77,11 +79,14 @@ object Stencil {
       val (r0L, c0L, size) = CellId.pixelWindow(cid)
       val r0 = r0L.toInt
       val c0 = c0L.toInt
-      if (r0 >= nrows || c0 >= ncols) Iterator.empty
+      // groups keyed by a cell with no tile of its own (off-grid neighbors)
+      // only ever receive border frags, which are anchored OUTSIDE the
+      // group's own window — only the self frag is anchored at (r0, c0)
+      val hasSelf = frags.exists(f => f.row0 == r0 && f.col0 == c0)
+      if (r0 >= nrows || c0 >= ncols || !hasSelf) Iterator.empty
       else {
         val h = math.min(size, nrows - r0)
         val w = math.min(size, ncols - c0)
-        // padded plane, NaN outside contributions
         val ph = h + 2
         val pw = w + 2
         val pad = Array.fill(ph * pw)(Double.NaN)
@@ -100,6 +105,28 @@ object Stencil {
             r += 1
           }
         }
+        Iterator.single(Padded(cid, r0, c0, h, w, pad))
+      }
+    }
+  }
+
+  /** Horn 3x3 gradient (the hillshade core): per interior pixel with all 9
+    * neighbors valid,
+    *   gx = ((tr + 2*r + br) - (tl + 2*l + bl)) / (8*cs)   [eastward]
+    *   gy = ((tl + 2*t + tr) - (bl + 2*b + br)) / (8*cs)   [northward]
+    * NaN/out-of-grid neighborhood -> no output row. Returns
+    * (row, col, gx, gy) cells. */
+  def hornGradient(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
+    import tiles.sparkSession.implicits._
+    val cs = ref.cellsize
+    padded(tiles, ref, res).flatMap { pt =>
+      val h = pt.h
+      val w = pt.w
+      val pw = w + 2
+      val pad = pt.pad
+      val r0 = pt.row0
+      val c0 = pt.col0
+      locally {
         val out = Array.newBuilder[(Int, Int, Double, Double)]
         var r = 1
         while (r <= h) {

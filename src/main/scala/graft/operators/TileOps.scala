@@ -342,3 +342,54 @@ object Line2Sub {
     }.toDF("line_id", "seq", "row", "col")
   }
 }
+
+/** Bilinear regrid (reference resample 'bilinear' kernel, Raster.py:382-384
+  * via rasterio): each target pixel interpolates the 2x2 source-pixel-center
+  * neighborhood. Cross-tile corners are served by the SAME halo exchange as
+  * the stencils (Stencil.padded), so the join is a single equi-join of
+  * target read-requests against halo'd source tiles on cell id. NaN if any
+  * corner is NaN or outside the source grid. */
+object Bilinear {
+  import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+  import org.apache.spark.sql.functions._
+  import graft.core._
+
+  final case class BilReq(srcCell: Long, tRow: Int, tCol: Int,
+      fl: Int, cl: Int, dr: Double, dc: Double)
+
+  def resample(srcTiles: Dataset[Tile], srcRef: GridRef, targetRef: GridRef,
+      res: Int): DataFrame = {
+    val spark = srcTiles.sparkSession
+    import spark.implicits._
+    val (sNrows, sNcols) = (srcRef.nrows, srcRef.ncols)
+    val reqs = spark.range(targetRef.numCells).flatMap { id =>
+      val tr = (id / targetRef.ncols).toInt
+      val tc = (id % targetRef.ncols).toInt
+      val (x, y) = targetRef.sub2map(tr, tc)
+      val (fr, fc) = srcRef.map2subFrac(x, y)
+      val fl = math.floor(fr).toInt
+      val cl = math.floor(fc).toInt
+      if (fl < 0 || cl < 0 || fl + 1 >= sNrows || cl + 1 >= sNcols) Iterator.empty
+      else Iterator.single(BilReq(CellId.ofPixel(fl.toLong, cl.toLong, res),
+        tr, tc, fl, cl, fr - fl, fc - cl))
+    }
+    val pads = Stencil.padded(srcTiles, srcRef, res)
+    val joined = reqs.joinWith(pads, reqs("srcCell") === pads("cellId"))
+    val vals = joined.map { case (q, pt) =>
+      val tl = pt.at(q.fl, q.cl)
+      val tr2 = pt.at(q.fl, q.cl + 1)
+      val bl = pt.at(q.fl + 1, q.cl)
+      val br = pt.at(q.fl + 1, q.cl + 1)
+      val v =
+        if (tl.isNaN || tr2.isNaN || bl.isNaN || br.isNaN) Double.NaN
+        else (1 - q.dr) * ((1 - q.dc) * tl + q.dc * tr2) +
+          q.dr * ((1 - q.dc) * bl + q.dc * br)
+      (q.tRow, q.tCol, v)
+    }.toDF("row", "col", "v")
+    val all = spark.range(targetRef.numCells).select(
+      ($"id" / targetRef.ncols).cast("int").as("row"),
+      ($"id" % targetRef.ncols).cast("int").as("col"))
+    all.join(vals, Seq("row", "col"), "left")
+      .withColumn("v", when(isnan($"v"), lit(null)).otherwise($"v"))
+  }
+}

@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.io.{BufferedReader, ByteArrayInputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core._
+import graft.operators.TileOps
+
+/** ESRI ASCII-grid source/sink (reference `arc_header_read`/`arcgridread`/
+  * `arcgridwrite`, spatial_analysis.py:38-172; byte_file_read :211-227).
+  *
+  * Semantics preserved: 6 header lines, keys shorter than 12 chars
+  * lowercased on read (so the canonical `NODATA_value` spelling survives,
+  * :73-75), values parsed as float with ncols/nrows coerced int, NODATA ->
+  * NaN on ingest, NaN -> NODATA with %g formatting on egress, transparent
+  * .gz. Distributed ingest path: `spark.read.format("binaryFile")` +
+  * the same bytes decoder + tile split on executors. */
+object AscIO {
+
+  /** Parse the 6-line header (spatial_analysis.py:38-96). */
+  def parseHeader(lines: Seq[String]): GridRef = {
+    val kv = lines.take(6).map { ln =>
+      val parts = ln.trim.split("\\s+", 2)
+      val key = if (parts(0).length < 12) parts(0).toLowerCase else parts(0)
+      key -> parts(1).trim.toDouble
+    }.toMap
+    GridRef(
+      ncols = kv("ncols").toInt,
+      nrows = kv("nrows").toInt,
+      xll = kv("xllcorner"),
+      yll = kv("yllcorner"),
+      cellsize = kv("cellsize"),
+      nodata = kv.getOrElse("nodata_value", -9999.0))
+  }
+
+  /** Decode a whole ASC payload (optionally gzipped) from bytes —
+    * the byte_file_read kernel (spatial_analysis.py:211-227). */
+  def decodeBytes(bytes: Array[Byte], gzipped: Boolean): (GridRef, Array[Double]) = {
+    val in =
+      if (gzipped) new GZIPInputStream(new ByteArrayInputStream(bytes))
+      else new ByteArrayInputStream(bytes)
+    val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.US_ASCII))
+    val header = (1 to 6).map(_ => reader.readLine())
+    val ref = parseHeader(header)
+    val data = new Array[Double](ref.ncols * ref.nrows)
+    var i = 0
+    var line = reader.readLine()
+    while (line != null && i < data.length) {
+      val tok = new java.util.StringTokenizer(line)
+      while (tok.hasMoreTokens && i < data.length) {
+        val v = tok.nextToken().toDouble
+        data(i) = if (v == ref.nodata) Double.NaN else v
+        i += 1
+      }
+      line = reader.readLine()
+    }
+    reader.close()
+    require(i == data.length, s"ASC body short: $i of ${data.length} values")
+    (ref, data)
+  }
+
+  /** Driver-side single-file read. */
+  def readFile(path: String): (GridRef, Array[Double]) =
+    decodeBytes(Files.readAllBytes(Paths.get(path)), path.endsWith(".gz"))
+
+  /** Distributed ingest: binaryFile scan -> decode + tile split on
+    * executors. Each ASC becomes a tile set on ITS OWN grid; cross-file
+    * mosaic goes through alignedPatches + MosaicAgg with file seq. */
+  def readTiles(spark: SparkSession, pathGlob: String, res: Int)
+      : Dataset[(String, Tile)] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val (ref, data) = decodeBytes(bytes, path.endsWith(".gz"))
+        val size = 1 << res
+        val tilesX = (ref.ncols + size - 1) / size
+        val tilesY = (ref.nrows + size - 1) / size
+        for {
+          ty <- 0 until tilesY
+          tx <- 0 until tilesX
+        } yield {
+          val row0 = ty * size
+          val col0 = tx * size
+          val h = math.min(size, ref.nrows - row0)
+          val w = math.min(size, ref.ncols - col0)
+          val payload = new Array[Double](h * w)
+          var r = 0
+          while (r < h) {
+            System.arraycopy(data, (row0 + r) * ref.ncols + col0, payload, r * w, w)
+            r += 1
+          }
+          (path, Tile(CellId.encode(res, tx, ty), row0, col0, h, w, payload))
+        }
+      }
+  }
+
+  /** %g-equivalent formatter (reference writes '%g', arcgridwrite
+    * spatial_analysis.py:163-170): shortest of %e/%f at 6 significant
+    * digits, trailing zeros trimmed — matches C printf %g. */
+  def formatG(v: Double): String = {
+    if (v.isNaN) return "nan"
+    if (v == 0.0) return "0"
+    val exp = math.floor(math.log10(math.abs(v))).toInt
+    def trim(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    if (exp < -4 || exp >= 6) {
+      val m = String.format("%.5e", Double.box(v)) // 6 significant digits
+      val Array(mant, e) = m.split("[eE]")
+      s"${trim(mant)}e$e"
+    } else {
+      trim(String.format(s"%.${5 - exp}f", Double.box(v)))
+    }
+  }
+
+  /** Write one grid as ASC (gzip if path ends .gz) — arcgridwrite parity
+    * (spatial_analysis.py:128-172): header `%d`/`%g`, NaN -> NODATA. */
+  def writeFile(path: String, ref: GridRef, data: Array[Double]): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"ncols    ${ref.ncols}\n")
+    sb.append(s"nrows    ${ref.nrows}\n")
+    sb.append(s"xllcorner    ${formatG(ref.xll)}\n")
+    sb.append(s"yllcorner    ${formatG(ref.yll)}\n")
+    sb.append(s"cellsize    ${formatG(ref.cellsize)}\n")
+    sb.append(s"NODATA_value    ${formatG(ref.nodata)}\n")
+    var r = 0
+    while (r < ref.nrows) {
+      var c = 0
+      while (c < ref.ncols) {
+        if (c > 0) sb.append(' ')
+        val v = data(r * ref.ncols + c)
+        sb.append(formatG(if (v.isNaN) ref.nodata else v))
+        c += 1
+      }
+      sb.append('\n')
+      r += 1
+    }
+    val bytes = sb.toString.getBytes(StandardCharsets.US_ASCII)
+    if (path.endsWith(".gz")) {
+      val out = new GZIPOutputStream(Files.newOutputStream(Paths.get(path)))
+      out.write(bytes)
+      out.close()
+    } else Files.write(Paths.get(path), bytes)
+  }
+
+  /** Export a tile dataset as one ASC: tiles are collected INTO the export
+    * buffer per output grid (exports are by nature single-grid artifacts;
+    * the distributed form writes per-tile shards + a driver-side stitch). */
+  def writeTiles(tiles: Dataset[Tile], ref: GridRef, path: String): Unit = {
+    val data = Array.fill(ref.ncols * ref.nrows)(Double.NaN)
+    tiles.collect().foreach { t =>
+      var r = 0
+      while (r < t.h) {
+        System.arraycopy(t.payload, r * t.w, data, (t.row0 + r) * ref.ncols + t.col0, t.w)
+        r += 1
+      }
+    }
+    writeFile(path, ref, data)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.corpus.Synth
+
+/** Parity for the wave-4 operators: bilinear regrid, gather resample,
+  * vectorize component stats — all vs the RefKernel oracle. */
+class RegridSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import graft.core.{Fixtures => F}
+
+  test("bilinear regrid matches oracle exactly (incl. NaN corners)") {
+    val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val got = Bilinear.resample(dem, Synth.demRef, Synth.resampleTargetRef, 6)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val oracle = RefKernel.resampleBilinear(F.demGrid, Synth.resampleTargetRef)
+    assert(got.size == Synth.resampleTargetRef.numCells)
+    for (r <- 0 until oracle.ref.nrows; c <- 0 until oracle.ref.ncols) {
+      val w = oracle(r, c)
+      val g = got((r, c))
+      assert(g == w || (g.isNaN && w.isNaN), s"($r,$c): $g vs $w")
+    }
+  }
+
+  test("gather resample-nearest matches oracle (r6 target)") {
+    val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val got = Gather.resampleNearest(dem, Synth.demRef, Synth.resampleTargetRef, 6,
+        clamp = false)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val oracle = RefKernel.resampleNearest(F.demGrid, Synth.resampleTargetRef)
+    for (r <- 0 until oracle.ref.nrows; c <- 0 until oracle.ref.ncols) {
+      val w = oracle(r, c)
+      val g = got((r, c))
+      assert(g == w || (g.isNaN && w.isNaN), s"($r,$c)")
+    }
+  }
+
+  test("vectorize component stats match single-threaded BFS oracle") {
+    val blocky = TileOps.tileGrid(spark, Synth.gridARef, 6)(Synth.blockyValue)
+    val got = Vectorize.componentStats(blocky, Synth.gridARef, 6)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val data = Array.tabulate(Synth.gridARef.ncols * Synth.gridARef.nrows)(i =>
+      Synth.blockyValue(i / Synth.gridARef.ncols, i % Synth.gridARef.ncols))
+    val want = RefKernel.componentStats(RefKernel.Grid(Synth.gridARef, data))
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("vectorize is partitioning-invariant (seam merge correctness)") {
+    // a finer tile size forces many more seams; counts must not change
+    val blocky4 = TileOps.tileGrid(spark, Synth.gridARef, 4)(Synth.blockyValue)
+    val blocky6 = TileOps.tileGrid(spark, Synth.gridARef, 6)(Synth.blockyValue)
+    val a = Vectorize.componentStats(blocky4, Synth.gridARef, 4)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Vectorize.componentStats(blocky6, Synth.gridARef, 6)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b)
+  }
+
+  test("hillshade runs end-to-end and is bounded [0,1]") {
+    val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val rows = Stencil.hillshade(dem, Synth.demRef, 6).collect()
+    assert(rows.length > 25000)
+    assert(rows.forall { r => val s = r.getDouble(2); s >= 0.0 && s <= 1.0 })
+  }
+}

@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.corpus.Synth
+
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val golden: String = // FIXTURES.md §5 tiny ASC golden
+    """ncols    4
+      |nrows    3
+      |xllcorner    0
+      |yllcorner    0
+      |cellsize    2
+      |NODATA_value    -9999
+      |1 2 3 4
+      |5 -9999 7 8
+      |9 10 11 12
+      |""".stripMargin
+
+  test("ASC golden parses per spec (header lowercase, NODATA->NaN)") {
+    val (ref, data) = AscIO.decodeBytes(golden.getBytes("ASCII"), gzipped = false)
+    assert(ref == GridRef(4, 3, 0, 0, 2, -9999))
+    assert(data(1 * 4 + 1).isNaN) // cell (1,1)
+    assert(data.count(v => !v.isNaN) == 11)
+    assert(ref.extent == Extent(0, 8, 0, 6))
+    assert(ref.sub2map(0, 0) == ((1.0, 5.0)))
+  }
+
+  test("ASC write -> read round trip (incl. gz) preserves values and header") {
+    val dir = Files.createTempDirectory("asc")
+    val ref = GridRef(17, 13, 340760, 554667, 5, -9999)
+    val data = Array.tabulate(17 * 13)(i =>
+      if (i % 19 == 3) Double.NaN else ((i * 31) % 1000) / 4.0)
+    for (name <- Seq("a.asc", "a.asc.gz")) {
+      val p = dir.resolve(name).toString
+      AscIO.writeFile(p, ref, data)
+      val (ref2, data2) = AscIO.readFile(p)
+      assert(ref2 == ref)
+      data.zip(data2).foreach { case (a, b) =>
+        assert(a == b || (a.isNaN && b.isNaN))
+      }
+    }
+  }
+
+  test("uppercase header keys >= 12 chars survive; shorter are lowercased") {
+    val asc = golden.replace("NODATA_value", "NODATA_VALUE")
+    val (ref, _) = AscIO.decodeBytes(asc.getBytes("ASCII"), gzipped = false)
+    assert(ref.nodata == -9999.0) // NODATA_VALUE is 12 chars -> NOT lowercased
+    // reference behavior: 12+-char keys keep case, lookup is on the
+    // canonical lowercase name -> default nodata would apply. Our reader
+    // keys the map by the case-preserved name, so the default kicks in:
+    // spatial_analysis.py:73-75 semantics
+  }
+
+  test("formatG matches python %g on representative values") {
+    assert(AscIO.formatG(0.0) == "0")
+    assert(AscIO.formatG(2.0) == "2")
+    assert(AscIO.formatG(-9999.0) == "-9999")
+    assert(AscIO.formatG(340760.0) == "340760")
+    assert(AscIO.formatG(1000000.0) == "1e+06")
+    assert(AscIO.formatG(0.25) == "0.25")
+    assert(AscIO.formatG(123.456789) == "123.457")
+    assert(AscIO.formatG(0.00001) == "1e-05")
+  }
+
+  test("distributed binaryFile ingest tiles an ASC identically to local read") {
+    val dir = Files.createTempDirectory("ascdist")
+    val ref = Synth.demRef
+    val data = Array.tabulate(ref.ncols * ref.nrows)(i =>
+      Synth.demValue(i / ref.ncols, i % ref.ncols))
+    AscIO.writeFile(dir.resolve("dem.asc").toString, ref, data)
+    val tiles = AscIO.readTiles(spark, dir.resolve("dem.asc").toString, 6).collect()
+    assert(tiles.map(_._2.h.toLong * tiles.head._2.w).nonEmpty)
+    val total = tiles.map { case (_, t) => t.h.toLong * t.w }.sum
+    assert(total == ref.numCells)
+    tiles.foreach { case (_, t) =>
+      for (r <- 0 until t.h; c <- 0 until t.w) {
+        val want = Synth.demValue(t.row0 + r, t.col0 + c)
+        val got = t.payload(r * t.w + c)
+        assert(got == want || (got.isNaN && want.isNaN))
+      }
+    }
+  }
+
+  test("shapefile reader reproduces the embedded CA1 fixture exactly") {
+    val path = "/root/reference/hydro_raster/sample/CA1_overhead_features.shp"
+    assume(Files.exists(Paths.get(path)))
+    val got = ShpReader.readFeatures(path, "adjust_val")
+    assert(got.size == 4)
+    // ring coordinates match the FIXTURES.md decode byte-for-byte
+    // FIXTURES.md embeds the 4-decimal decode; the file holds full doubles
+    got.zip(Synth.ca1Features).foreach { case (g, want) =>
+      assert(g.kind == "polygon")
+      g.xs.zip(want.xs).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 5e-5, s"feature ${g.featureId} x: $a vs $b")
+      }
+      g.ys.zip(want.ys).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 5e-5, s"feature ${g.featureId} y: $a vs $b")
+      }
+    }
+    // dbf: id column = {2,4,5,9}; adjust_val = -3.00 then NULLs
+    val full = ShpReader.read(path)
+    assert(full.records.map(_("id")) == Seq(Some(2.0), Some(4.0), Some(5.0), Some(9.0)))
+    assert(full.records.head("adjust_val").contains(-3.0))
+    assert(full.records.tail.forall(_("adjust_val").isEmpty))
+    // null-attr burn path: NaN attr
+    assert(got.head.attr == -3.0 && got.tail.forall(_.attr.isNaN))
+  }
+}
