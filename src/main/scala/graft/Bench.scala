@@ -74,18 +74,11 @@ object Bench {
     }
     val winners = keyed.groupByKey(_._1).reduceGroups((a, b) => if (a._2 > b._2) a else b)
 
-    // decode winners + per-tile stats (full payload pass)
+    // decode winners + per-tile stats, FUSED into the codec domain (the
+    // agg runs on the code plane; no 512KB double[] per tile)
     val statsRows = winners.map { case (cid, (_, seq, bytes, fmt)) =>
-      val (payload, w, h) = graft.codecs.ImageCodec.decode(bytes, fmt)
-      var mx = Double.MinValue
-      var n0 = 0L
-      var i = 0
-      while (i < payload.length) {
-        val v = payload(i)
-        if (!v.isNaN) { n0 += 1; if (v > mx) mx = v }
-        i += 1
-      }
-      (cid, seq, n0, mx, w * h)
+      val (valid, mx, px) = graft.codecs.ImageCodec.decodeStats(bytes, fmt)
+      (cid, seq, valid, mx, px)
     }.toDF("cell_id", "seq", "valid", "max_v", "px")
 
     // rasterize: one quad per 2x2 tile block + 50x duplicated features on
@@ -133,7 +126,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nTiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_TILES", "1536").toLong
+    val nTiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_TILES", "32768").toLong
     val gridW = 32
 
     // (a) gated queries at the requested parallelism

@@ -27,21 +27,45 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  /** Flagship on sf=0.001: the reference tutorial pipeline
-    * (demo/tutorial_edit_DEM.ipynb) — DEM tiles -> rect_clip -> rasterize
-    * CA1 features -> burn-edit join -> per-feature edit stats. */
+  /** Flagship: the full north-star shape end-to-end —
+    * (1) image+caption corpus -> decode -> dedup-early mosaic (last-wins by
+    *     seq) -> per-tile stats + caption-lineage check;
+    * (2) the reference tutorial pipeline (demo/tutorial_edit_DEM.ipynb):
+    *     DEM tiles -> rect_clip -> rasterize CA1 features -> burn-edit join
+    *     -> per-feature edit stats.
+    * Returns one row per pipeline stage with row counts + checksums. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // (1) corpus leg
+    val gridW = 8
+    val corpus = ImageCorpus.generate(spark, 64, gridW)
+    val decoded = ImageCorpus.decodeTiles(corpus, gridW)
+    val captionsOk = decoded.map { t =>
+      val i = t.imageId.stripPrefix("img-").toLong
+      val src = if (i > 0 && i % 251 == 0) i - 1 else i
+      val (tx, ty) = ((src % gridW).toInt, (src / gridW).toInt)
+      if (t.caption == s"tile $tx,$ty of synthetic terrain; seed=42; fmt=${ImageCorpus.fmtOf(src)}") 1L else 0L
+    }.reduce(_ + _)
+    val mosaicTiles = TileOps.mosaic(decoded.map(t =>
+      TilePatch(t.cellId, t.row0, t.col0, t.h, t.w,
+        t.imageId.stripPrefix("img-").toLong.toInt, t.payload,
+        TilePatch.fullCover(t.h * t.w))))
+    val corpusValid = mosaicTiles.map(_.validCount).reduce(_ + _)
+
+    // (2) tutorial leg
     val dem = TileOps.tileGrid(spark, Synth.demRef, tileRes)(Synth.demValue)
     val (clipped, _) = TileOps.rectClip(dem, Synth.demRef, Synth.tutorialClip, tileRes)
     val burned = Rasterize(spark, Synth.ca1Features, Synth.demRef, tileRes, useAttr = true)
     val edited = Rasterize.editJoin(TileOps.cells(clipped), burned)
       .withColumn("v_edit", when($"burn".isNotNull, $"v" - $"burn" * 2).otherwise($"v"))
-    edited.filter($"burn".isNotNull)
-      .groupBy($"burn").agg(
-        count(lit(1)).as("n"),
-        sum($"v_edit").as("sum_edit"))
-      .orderBy($"burn")
+    val editStats = edited.filter($"burn".isNotNull)
+      .groupBy($"burn").agg(count(lit(1)).as("n"), sum($"v_edit").as("sum"))
+      .collect().map(r => (s"edit_burn_${r.getDouble(0)}", r.getLong(1), r.getDouble(2)))
+
+    val rows = Seq(
+      ("corpus_caption_ok", captionsOk, 0.0),
+      ("corpus_mosaic_valid_px", corpusValid, 0.0)) ++ editStats
+    spark.createDataset(rows).toDF("stage", "n", "checksum")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -93,6 +93,36 @@ object ImageCodec {
     (out, w, h)
   }
 
+  /** Fused decode+stats: NaN-aware (validCount, max) computed directly on
+    * the code plane — aggregation pushdown into the codec domain, so the
+    * 512KB double[] per tile is never materialized when only stats are
+    * needed (the decoded buffer lives only as the codec's short raster). */
+  def decodeStats(bytes: Array[Byte], fmt: String): (Long, Double, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val png = fmt == "png"
+    val nanCode = if (png) PngNaN else JpgNaN
+    val scale = if (png) PngScale else JpgScale
+    var maxCode = -1
+    var valid = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val code = raster.getSample(x, y, 0)
+        if (code != nanCode) {
+          valid += 1
+          if (code > maxCode) maxCode = code
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (valid, if (maxCode < 0) Double.NaN else maxCode / scale, w * h)
+  }
+
   /** Raw 8/16-bit code plane (for PSNR in code space). */
   def decodeCodes(bytes: Array[Byte]): (Array[Int], Int, Int) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))

@@ -103,6 +103,71 @@ object Rasterize {
       res: Int, useAttr: Boolean): Dataset[CellPx] =
     burn(cover(spark, features, ref, res, useAttr), ref)
 
+  /** Explicitly SALTED burn for hot cells (many features on one cell id —
+    * the skew the north rule calls out): every cover task is replicated to
+    * `salt` sub-keys and each (cell, salt) group burns only the pixel rows
+    * with `row % salt == salt_id`, so one hot cell's work spreads across
+    * `salt` tasks while last-wins stays exact (each pixel still sees ALL
+    * its features, in seq order). salt=1 degenerates to the plain burn. */
+  def burnSalted(tasks: Dataset[CoverTask], ref: GridRef, salt: Int): Dataset[CellPx] = {
+    import tasks.sparkSession.implicits._
+    if (salt <= 1) burn(tasks, ref)
+    else {
+      val nrows = ref.nrows
+      val ncols = ref.ncols
+      val salted = tasks.flatMap(t => (0 until salt).iterator.map(s => (s, t)))
+      salted.groupByKey { case (s, t) => (t.cellId, s) }.flatMapGroups {
+        (key: (Long, Int), it: Iterator[(Int, CoverTask)]) =>
+          val (cid, s) = key
+          val fs = it.map(_._2).toArray.sortBy(_.seq)
+          val (r0L, c0L, size) = CellId.pixelWindow(cid)
+          val r0 = r0L.toInt
+          val c0 = c0L.toInt
+          val r1 = math.min(nrows - 1, r0 + size - 1)
+          val c1 = math.min(ncols - 1, c0 + size - 1)
+          if (r1 < r0 || c1 < c0) Iterator.empty
+          else {
+            val w = c1 - c0 + 1
+            val out = Array.newBuilder[CellPx]
+            var r = r0 + ((s - (r0 % salt)) % salt + salt) % salt // first row with r % salt == s
+            while (r <= r1) {
+              val rowVals = Array.fill(w)(Double.NaN)
+              fs.foreach { f =>
+                var xmin = Double.MaxValue; var xmax = Double.MinValue
+                var ymin = Double.MaxValue; var ymax = Double.MinValue
+                var k = 0
+                while (k < f.xs.length) {
+                  val x = f.xs(k); val y = f.ys(k)
+                  if (x < xmin) xmin = x; if (x > xmax) xmax = x
+                  if (y < ymin) ymin = y; if (y > ymax) ymax = y
+                  k += 1
+                }
+                val py = ref.top - (r + 0.5) * ref.cellsize
+                if (py >= ymin && py <= ymax) {
+                  val fc0 = math.max(c0, math.ceil((xmin - ref.left) / ref.cellsize - 0.5).toInt)
+                  val fc1 = math.min(c1, math.floor((xmax - ref.left) / ref.cellsize - 0.5).toInt)
+                  var c = fc0
+                  while (c <= fc1) {
+                    val px = ref.left + (c + 0.5) * ref.cellsize
+                    if (RefKernel.pointInPolygon(px, py, f.xs, f.ys))
+                      rowVals(c - c0) = f.value
+                    c += 1
+                  }
+                }
+              }
+              var c = 0
+              while (c < w) {
+                if (!rowVals(c).isNaN) out += CellPx(r, c0 + c, rowVals(c))
+                c += 1
+              }
+              r += salt
+            }
+            out.result().iterator
+          }
+      }
+    }
+  }
+
   /** Burned-pixel DataFrame joined back as a mask/edit layer: the tutorial
     * "edit DEM by features" pipeline (demo/tutorial_edit_DEM.ipynb cells
     * 4-12): burned value per pixel left-joined onto the DEM cells. */

@@ -112,6 +112,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(row.getLong(3) == n)
   }
 
+  test("salted burn == plain burn (hot-cell skew split preserves last-wins)") {
+    val tasks = Rasterize.cover(spark, Synth.ca1Features, Synth.demRef, res, useAttr = true)
+    val plain = Rasterize.burn(tasks, Synth.demRef)
+      .collect().map(p => (p.row, p.col) -> p.v).toMap
+    for (salt <- Seq(2, 4, 7)) {
+      val salted = Rasterize.burnSalted(
+        Rasterize.cover(spark, Synth.ca1Features, Synth.demRef, res, useAttr = true),
+        Synth.demRef, salt)
+        .collect().map(p => (p.row, p.col) -> p.v).toMap
+      assert(salted == plain, s"salt=$salt")
+    }
+  }
+
   test("mosaic is deterministic under different partitioning (seam rule)") {
     val a = TileOps.tileGrid(spark, Synth.gridARef, res)(Synth.gridAValue)
     val b = TileOps.tileGrid(spark, Synth.gridBRef, res)(Synth.gridBValue)
