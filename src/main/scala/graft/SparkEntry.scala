@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.corpus.{ImageCorpus, Synth}
-import graft.operators.{Bilinear, Gather, Knn, Line2Sub, PtRec, Rasterize, Stencil, TileOps, Vectorize}
+import graft.operators.{Bilinear, ClipPolygon, Gather, Knn, Line2Sub, PtRec, Rasterize, Stencil, TileFns, TileOps, Vectorize}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
@@ -200,24 +200,56 @@ object SparkEntry {
         .orderBy($"seq")
     }),
 
-    // ANN/similarity: brute-force cosine top-5 per query vector
+    // ANN/similarity: brute-force cosine top-5 per query vector (exact)
     "e1_knn_cosine" -> ((s, dir) => {
       import s.implicits._
       val e = table(s, dir, "embeddings")
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
-      val dotExpr = (a: String, b: String) =>
-        expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, z) -> acc + z)")
-      val pairs = q.join(e, $"vec_id" =!= $"qid")
-        .withColumn("dot", dotExpr("qv", "embedding"))
-        .withColumn("qn", sqrt(dotExpr("qv", "qv")))
-        .withColumn("en", sqrt(dotExpr("embedding", "embedding")))
-        .withColumn("cos", $"dot" / ($"qn" * $"en"))
-      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-      pairs.withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
-        .select($"qid", $"rank".cast("long").as("rank"), $"vec_id".as("vid"))
+      graft.sim.Similarity.bruteTopK(q,
+          e.select($"vec_id".as("vid"), $"embedding".as("v")), 5)
         .orderBy($"qid", $"rank")
+    }),
+
+    // ANN scale path: IVF with a k-means coarse quantizer (rows-only;
+    // algorithm recall is ScalaTest-gated on a CLUSTERED fixture — the
+    // driver embeddings are uniform-random, where low recall at
+    // nProbe << nlist is a property of the data, not the index)
+    "e2_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val clusters = graft.sim.Similarity.kmeansClusters(s, e, "vec_id",
+        "embedding", k = 8, iters = 4)
+      val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.sim.Similarity.ivfTopK(s, withCl, "vec_id", "embedding", "cl",
+          q, k = 5, nProbe = 3)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
+    "r12_clip_polygon" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      val masked = ClipPolygon(dem, Synth.demRef, tileRes, Synth.ca1Features)
+      TileOps.cells(masked)
+        .filter($"v".isNotNull)
+        .withColumn("band", floor($"row" / 16).cast("long"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_valid"), sum($"v").as("sum_v"))
+        .orderBy($"band")
+    }),
+
+    // A4: rank classification counts (grid_show breaks semantics)
+    "r13_classify" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      val classed = TileFns.classify(dem, Array(50.0, 100.0, 150.0, 200.0))
+      TileOps.cells(classed)
+        .groupBy($"v".as("class"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"class")
     }),
 
     // image corpus invariants: decode + PSNR + caption lineage + phash dups
@@ -644,6 +676,29 @@ object SparkEntry {
          |    + 0.25 * ((1 - 0.75) * ${v("2*r+2", "2*c")} + 0.75 * ${v("2*r+2", "2*c+1")}) AS v
          |FROM t ORDER BY row, col""".stripMargin
     },
+
+    "r12_clip_polygon" -> {
+      val ref = Synth.demRef
+      val insides = Synth.ca1Features.map(f => pipSql(f.xs, f.ys)).mkString(" OR ")
+      s"""WITH g AS (SELECT (i // ${ref.ncols}) AS r, (i % ${ref.ncols}) AS c,
+         |  CASE WHEN (i % 97) = 13 THEN NULL
+         |       ELSE (((i // ${ref.ncols}) * 31 + (i % ${ref.ncols}) * 17) % 1000) / 4.0 END AS v,
+         |  ${ref.left} + ((i % ${ref.ncols}) + 0.5) * ${ref.cellsize} AS px,
+         |  ${ref.top} - ((i // ${ref.ncols}) + 0.5) * ${ref.cellsize} AS py
+         |  FROM range(${ref.nrows.toLong * ref.ncols}) t(i))
+         |SELECT CAST(r // 16 AS BIGINT) AS band,
+         |  CAST(count(*) AS BIGINT) AS n_valid, sum(v) AS sum_v
+         |FROM g WHERE v IS NOT NULL AND ($insides)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "r13_classify" ->
+      s"""WITH g AS ($demSql)
+         |SELECT CASE WHEN v IS NULL OR v < 50 THEN NULL
+         |            WHEN v < 100 THEN 1.0 WHEN v < 150 THEN 2.0
+         |            WHEN v < 200 THEN 3.0 ELSE 4.0 END AS class,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d1_dedup_sets" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,

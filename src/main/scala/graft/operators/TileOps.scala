@@ -393,3 +393,101 @@ object Bilinear {
       .withColumn("v", when(isnan($"v"), lit(null)).otherwise($"v"))
   }
 }
+
+/** clip-by-polygon (reference `Raster.clip`, Raster.py:235-275 =
+  * rasterio.mask.mask(crop=True)): a raster<->vector SEMI-JOIN — tiles
+  * whose cell cover intersects the polygons survive the cell_id filter
+  * (pruning BEFORE payload work), then a pixel-center PIP mask kernel sets
+  * outside-polygon cells to NaN; crop = drop tiles left with no valid
+  * pixel. Features broadcast (small side); a huge feature set would swap
+  * the semi-join build side. */
+object ClipPolygon {
+  import org.apache.spark.sql.Dataset
+  import graft.core._
+
+  def apply(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      features: Seq[Feature]): Dataset[Tile] = {
+    import tiles.sparkSession.implicits._
+    val cover = features
+      .flatMap(f => CellId.coverPolygon(ref, f.xs.zip(f.ys), res))
+      .toSet
+    val bc = tiles.sparkSession.sparkContext.broadcast(
+      features.map(f => (f.xs, f.ys)).toArray)
+    tiles
+      .filter($"cellId".isin(cover.toSeq: _*)) // semi-join prune
+      .map { t =>
+        val out = new Array[Double](t.payload.length)
+        var i = 0
+        while (i < out.length) {
+          val r = t.row0 + i / t.w
+          val c = t.col0 + i % t.w
+          val px = ref.left + (c + 0.5) * ref.cellsize
+          val py = ref.top - (r + 0.5) * ref.cellsize
+          var inside = false
+          val fs = bc.value
+          var k = 0
+          while (k < fs.length && !inside) {
+            inside = RefKernel.pointInPolygon(px, py, fs(k)._1, fs(k)._2)
+            k += 1
+          }
+          out(i) = if (inside) t.payload(i) else Double.NaN
+          i += 1
+        }
+        Tile(t.cellId, t.row0, t.col0, t.h, t.w, out)
+      }
+      .filter(_.validCount > 0) // crop: all-nodata tiles dropped
+  }
+}
+
+/** Scalar tile transforms (reference to_int Raster.py:152-165, rank
+  * classification grid_show.py:320-332, mapshow/rankshow rendering). */
+object TileFns {
+  import org.apache.spark.sql.Dataset
+  import graft.core._
+  import graft.codecs.ImageCodec
+
+  /** Round-half-even cast like the reference to_int (Math.rint = np.around). */
+  def toInt(tiles: Dataset[Tile]): Dataset[Tile] = {
+    import tiles.sparkSession.implicits._
+    tiles.map { t =>
+      val out = t.payload.map(v => if (v.isNaN) v else Math.rint(v))
+      Tile(t.cellId, t.row0, t.col0, t.h, t.w, out)
+    }
+  }
+
+  /** Rank classification (grid_show._set_color_rank): bucket k for
+    * breaks(k-1) <= v < breaks(k); v < breaks(0) -> NaN (nodata-classed);
+    * v >= last break -> open-ended top bucket. */
+  def classify(tiles: Dataset[Tile], breaks: Array[Double]): Dataset[Tile] = {
+    import tiles.sparkSession.implicits._
+    tiles.map { t =>
+      val out = t.payload.map { v =>
+        if (v.isNaN || v < breaks(0)) Double.NaN
+        else {
+          var k = breaks.length // open-ended top
+          var i = 1
+          var done = false
+          while (i < breaks.length && !done) {
+            if (v < breaks(i)) { k = i; done = true }
+            i += 1
+          }
+          k.toDouble
+        }
+      }
+      Tile(t.cellId, t.row0, t.col0, t.h, t.w, out)
+    }
+  }
+
+  /** Render a tile to a grayscale PNG (mapshow's pixel content without
+    * matplotlib styling): values scaled to [lo, hi] -> 16-bit gray. */
+  def renderPng(tiles: Dataset[Tile], lo: Double, hi: Double)
+      : Dataset[(Long, Array[Byte])] = {
+    import tiles.sparkSession.implicits._
+    val span = hi - lo
+    tiles.map { t =>
+      val scaled = t.payload.map(v =>
+        if (v.isNaN) Double.NaN else (v - lo) / span * 1000.0)
+      (t.cellId, ImageCodec.encodePng(scaled, t.w, t.h))
+    }
+  }
+}

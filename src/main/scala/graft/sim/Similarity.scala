@@ -1,0 +1,128 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search over an `Array[Float]` column.
+  *
+  * Two paths, shared scoring:
+  *  - brute-force exact top-k (the oracle; e1 query) — codegen'd
+  *    zip_with/aggregate dot product, no UDF;
+  *  - IVF-style ANN (e2): coarse quantizer = per-cluster centroid table
+  *    (tiny, broadcast), each query probes its nProbe nearest centroids and
+  *    searches exactly ONLY inside those inverted lists — the scale path:
+  *    the big side is partitioned by cluster id, per-query work drops from
+  *    O(N) to O(N * nProbe / nlist), recall measured vs brute in tests. */
+object Similarity {
+
+  /** dot(a, b) as a codegen'd expression (double accumulation). */
+  def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, z) -> acc + z)")
+
+  /** Exact cosine top-k for each query row (qid, qv) against (vid, v). */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = queries.join(corpus, col("vid") =!= col("qid"))
+      .withColumn("cos", dot("qv", "v") /
+        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"))
+  }
+
+  /** Deterministic Lloyd's k-means over an Array[Float] column — the IVF
+    * coarse quantizer. Init = the k lowest-id vectors (no RNG); distributed
+    * assign (broadcast centroids) + mean recompute per iteration.
+    * Returns (vid, cl). Recall of IVF is a property of the DATA's cluster
+    * structure: on uniform-random vectors no coarse quantizer can keep
+    * recall high at nProbe << nlist. */
+  def kmeansClusters(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])].cache()
+    var centroids: Array[Array[Double]] = base.orderBy($"vid").limit(k)
+      .collect().map(_._2.map(_.toDouble))
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = base.map { case (vid, v) =>
+        val cs = bc.value
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < cs.length) {
+          var d = 0.0
+          var j = 0
+          val cv = cs(ci)
+          while (j < cv.length) { val t = v(j) - cv(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        (vid, best, v)
+      }
+      centroids = assigned.groupByKey(_._2).mapGroups { (cl, it) =>
+        var n = 0L
+        var sum: Array[Double] = null
+        it.foreach { case (_, _, v) =>
+          if (sum == null) sum = new Array[Double](v.length)
+          var j = 0
+          while (j < v.length) { sum(j) += v(j); j += 1 }
+          n += 1
+        }
+        (cl, sum.map(_ / n))
+      }.collect().sortBy(_._1).map(_._2)
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val out = base.map { case (vid, v) =>
+      val cs = bc.value
+      var best = 0
+      var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        var d = 0.0
+        var j = 0
+        val cv = cs(ci)
+        while (j < cv.length) { val t = v(j) - cv(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      (vid, best)
+    }.toDF("vid", "cl")
+    base.unpersist()
+    out
+  }
+
+  /** IVF ANN: coarse cells from an existing cluster-id column (or any
+    * deterministic partitioner); probes the nProbe closest centroids. */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      col(clusterCol).as("cl"))
+    // centroid table: per-cluster mean vector (tiny -> broadcast)
+    val centroids = base
+      .select($"cl", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"cl", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"cl").agg(
+        array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cl", expr("transform(pm, p -> p.m)").as("cv"))
+    // probe assignment: nProbe nearest centroids per query (euclidean)
+    val qc = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0.0D, (acc, z) -> acc + z)"))
+    val wProbe = Window.partitionBy($"qid").orderBy($"d2", $"cl")
+    val probes = qc.withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= nProbe)
+      .select($"qid", $"qv", $"cl")
+    // exact search inside the probed inverted lists only
+    val cand = probes.join(base, Seq("cl")).filter($"vid" =!= $"qid")
+      .withColumn("cos", dot("qv", "v") /
+        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
+    cand.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank".cast("long").as("rank"), $"vid")
+  }
+}
