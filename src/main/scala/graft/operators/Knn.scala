@@ -107,3 +107,33 @@ object Knn {
     }.toDF("row", "col", "v", "pid")
   }
 }
+
+/** grid_interpolate (reference Raster.py:431-455): source GRID cells become
+  * the scattered points (NaN sources dropped, ids = row-major pixel index
+  * for the deterministic tie-break), then the same kNN machinery fills the
+  * target grid. */
+object GridInterpolate {
+  import org.apache.spark.sql.DataFrame
+  import graft.core._
+
+  def nearest(srcTiles: org.apache.spark.sql.Dataset[Tile], srcRef: GridRef,
+      targetRef: GridRef, res: Int): DataFrame = {
+    import srcTiles.sparkSession.implicits._
+    val pts = srcTiles.flatMap { t =>
+      val out = Iterator.newBuilder[PtRec]
+      var i = 0
+      while (i < t.payload.length) {
+        val v = t.payload(i)
+        if (!v.isNaN) {
+          val r = t.row0 + i / t.w
+          val c = t.col0 + i % t.w
+          val (x, y) = srcRef.sub2map(r, c)
+          out += PtRec(r.toLong * srcRef.ncols + c, x, y, v)
+        }
+        i += 1
+      }
+      out.result()
+    }
+    Knn.nearestBucketed(srcTiles.sparkSession, pts, targetRef, res, ringK = 1)
+  }
+}

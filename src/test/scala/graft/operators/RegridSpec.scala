@@ -45,6 +45,42 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("assign_to clamp: out-of-source targets take edge values (W4)") {
+    val src = TileOps.tileGrid(spark, Synth.gridARef, 6)(Synth.gridAValue)
+    val outside = GridRef(10, 10, Synth.gridARef.right + 100,
+      Synth.gridARef.top + 100, 5) // fully outside, clamps to NE corner area
+    val got = Gather.resampleNearest(src, Synth.gridARef, outside, 6, clamp = true)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val oracle = RefKernel.assignTo(F.gridA, outside)
+    assert(got.size == outside.numCells)
+    for (r <- 0 until outside.nrows; c <- 0 until outside.ncols) {
+      val w = oracle(r, c)
+      val g = got((r, c))
+      assert(g == w || (g.isNaN && w.isNaN), s"($r,$c)")
+    }
+  }
+
+  test("grid_interpolate nearest == point_interpolate over exploded cells (J6)") {
+    // sparse source grid: a handful of valid cells become the point cloud
+    val srcRef = GridRef(40, 40, 0, 0, 1)
+    def sparse(r: Int, c: Int): Double =
+      if ((r * 7 + c * 3) % 41 == 5) ((r * 29 + c) % 50).toDouble else Double.NaN
+    val src = TileOps.tileGrid(spark, srcRef, 5)(sparse)
+    val target = GridRef(20, 20, 0, 0, 2)
+    val got = GridInterpolate.nearest(src, srcRef, target, 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // oracle: brute nearest over the same exploded points
+    val pts = for {
+      r <- 0 until srcRef.nrows; c <- 0 until srcRef.ncols
+      v = sparse(r, c) if !v.isNaN
+    } yield (r.toLong * srcRef.ncols + c, srcRef.sub2map(r, c)._1, srcRef.sub2map(r, c)._2, v)
+    val oracle = RefKernel.nearestInterp(target,
+      pts.map(_._2).toArray, pts.map(_._3).toArray, pts.map(_._4).toArray)
+    for (r <- 0 until target.nrows; c <- 0 until target.ncols)
+      assert(got((r, c)) == oracle(r, c), s"($r,$c)")
+  }
+
   test("vectorize component stats match single-threaded BFS oracle") {
     val blocky = TileOps.tileGrid(spark, Synth.gridARef, 6)(Synth.blockyValue)
     val got = Vectorize.componentStats(blocky, Synth.gridARef, 6)
