@@ -281,6 +281,19 @@ object SparkEntry {
         .orderBy($"fmt")
     }),
 
+    // native Catalyst expressions (doGenCode): cell_of / cell_parent in SQL
+    "q5_cell_functions" -> ((s, _) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      s.range(5000)
+        .selectExpr("id % 300 AS row", "(id * 7) % 280 AS col")
+        .selectExpr("cell_of(row, col, 6) AS cell")
+        .selectExpr("cell", "cell_parent(cell) AS parent")
+        .groupBy($"cell", $"parent")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"cell")
+    }),
+
     // ---- training-data pipeline over the documents table ----
     // exact dedup by canonical token-set signature
     "d1_dedup_sets" -> ((s, dir) => {
@@ -699,6 +712,30 @@ object SparkEntry {
          |            WHEN v < 200 THEN 3.0 ELSE 4.0 END AS class,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q5_cell_functions" -> {
+      // Morton interleave replicated in pure bit-op SQL: a CTE chain of the
+      // 5-step spread over 4 lanes (cx/cy at res 6 and 7)
+      val masks = Seq(
+        (16, 281470681808895L), (8, 71777214294589695L),
+        (4, 1085102592571150095L), (2, 3689348814741910323L),
+        (1, 6148914691236517205L))
+      val lanes = Seq("x6", "y6", "x7", "y7")
+      val steps = masks.zipWithIndex.map { case ((sh, m), k) =>
+        val cols = lanes.map(l => s"(($l | ($l << $sh)) & $m) AS $l").mkString(", ")
+        s"s${k + 1} AS (SELECT $cols FROM s$k)"
+      }.mkString(",\n")
+      val res6 = 6L << 58
+      val res7 = 7L << 58
+      s"""WITH px AS (SELECT (i % 300) AS row, ((i * 7) % 280) AS col FROM range(5000) t(i)),
+         |s0 AS (SELECT (col >> 6) & 536870911 AS x6, (row >> 6) & 536870911 AS y6,
+         |  (col >> 7) & 536870911 AS x7, (row >> 7) & 536870911 AS y7 FROM px),
+         |$steps,
+         |cells AS (SELECT (x6 | (y6 << 1) | $res6) AS cell,
+         |  (x7 | (y7 << 1) | $res7) AS parent FROM s5)
+         |SELECT cell, parent, CAST(count(*) AS BIGINT) AS n
+         |FROM cells GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    },
 
     "d1_dedup_sets" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,
