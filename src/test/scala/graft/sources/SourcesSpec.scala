@@ -91,6 +91,39 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("GeoTIFF writer round-trips via the JDK TIFF reader (pixels + shape)") {
+    val dir = Files.createTempDirectory("gtiff")
+    val ref = GridRef(37, 23, 340760, 554667, 5, -9999)
+    val data = Array.tabulate(37 * 23)(i =>
+      if (i % 17 == 3) Double.NaN else ((i * 31) % 1000) / 4.0)
+    val p = dir.resolve("t.tif").toString
+    GeoTiffWriter.write(p, ref, data, epsg = 27700)
+    val img = javax.imageio.ImageIO.read(new java.io.File(p))
+    assert(img != null, "JDK TIFF reader rejected the file")
+    assert(img.getWidth == 37 && img.getHeight == 23)
+    val raster = img.getRaster
+    for (r <- 0 until 23; c <- 0 until 37) {
+      val want = data(r * 37 + c)
+      val got = raster.getSampleFloat(c, r, 0)
+      if (want.isNaN) assert(got == -9999.0f)
+      else assert(got == want.toFloat, s"($r,$c)")
+    }
+    // geo tags: parse our own IFD for pixel scale + tiepoint
+    val bytes = Files.readAllBytes(Paths.get(p))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nTags = bb.getShort(8) & 0xFFFF
+    var scaleOff = -1; var tieOff = -1
+    for (t <- 0 until nTags) {
+      val off = 10 + t * 12
+      val id = bb.getShort(off) & 0xFFFF
+      if (id == 33550) scaleOff = bb.getInt(off + 8)
+      if (id == 33922) tieOff = bb.getInt(off + 8)
+    }
+    assert(bb.getDouble(scaleOff) == 5.0)
+    assert(bb.getDouble(tieOff + 24) == ref.left)
+    assert(bb.getDouble(tieOff + 32) == ref.top)
+  }
+
   test("shapefile reader reproduces the embedded CA1 fixture exactly") {
     val path = "/root/reference/hydro_raster/sample/CA1_overhead_features.shp"
     assume(Files.exists(Paths.get(path)))
