@@ -281,6 +281,17 @@ object SparkEntry {
         .orderBy($"fmt")
     }),
 
+    // semi-structured: JSON props extraction + conditional agg
+    "q6_json_props" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count($"k").as("n"), sum($"k").as("sum_k"),
+          sum(when($"k" > 50, 1L).otherwise(0L)).as("n_gt50"))
+        .orderBy($"event_type")
+    }),
+
     // native Catalyst expressions (doGenCode): cell_of / cell_parent in SQL
     "q5_cell_functions" -> ((s, _) => {
       import s.implicits._
@@ -712,6 +723,13 @@ object SparkEntry {
          |            WHEN v < 200 THEN 3.0 ELSE 4.0 END AS class,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_json_props" ->
+      """SELECT event_type,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt50
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q5_cell_functions" -> {
       // Morton interleave replicated in pure bit-op SQL: a CTE chain of the
