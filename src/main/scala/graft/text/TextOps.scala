@@ -43,17 +43,22 @@ object TextOps {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
       .select($"doc_id", array_distinct(wordShingles($"w", shingleN)).as("sh"))
       .filter(size($"sh") > 0)
-    val sig = sh.select($"doc_id", $"sh", minhashSig($"sh", k).as("sig"))
-    val banded = sig.select($"doc_id", $"sh",
+    val sig = sh.select($"doc_id", minhashSig($"sh", k).as("sig"))
+    // band join on IDS ONLY (the shingle arrays would otherwise be
+    // replicated through every bucket collision); sets re-attached to the
+    // few surviving candidate pairs afterwards
+    val banded = sig.select($"doc_id",
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
-    val cand = banded.as("a").join(banded.as("b"),
+    val candIds = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bhash" === $"b.bhash" &&
           $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
-        $"a.sh".as("sha"), $"b.sh".as("shb"))
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
       .dropDuplicates("ia", "ib")
+    val cand = candIds
+      .join(sh.toDF("ia", "sha"), "ia")
+      .join(sh.toDF("ib", "shb"), "ib")
     cand
       .withColumn("inter", size(array_intersect($"sha", $"shb")))
       .withColumn("na", size($"sha"))
