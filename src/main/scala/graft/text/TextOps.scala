@@ -21,13 +21,14 @@ object TextOps {
       .otherwise(array())
   }
 
-  /** MinHash signature (k hashes) over a distinct-shingle array: hash i of
-    * shingle s = xxhash64(s, '#', i) — salted rehash, matching the classic
-    * (a*h+b) family in spirit while staying a single codegen'd expression.
-    */
+  /** MinHash signature (k hashes) over a distinct-shingle array: ONE string
+    * xxhash64 per shingle (the `hs` column), then k fixed-width
+    * xxhash64(long, i) rehashes — no string re-hashing, no allocation, and
+    * ANSI-safe (wrapping (a*h+b) arithmetic would trip Spark 4's overflow
+    * checks). All one codegen'd expression. */
   def minhashSig(shingles: Column, k: Int): Column =
     expr(s"transform(sequence(0, ${k - 1}), i -> " +
-      "array_min(transform(sh, s -> xxhash64(s, CAST(i AS STRING)))))")
+      "array_min(transform(hs, h -> xxhash64(h, i))))")
 
   /** LSH candidate pairs via banded minhash + exact-Jaccard verification.
     * Scale shape: explode (band, bandHash) -> self-join on band bucket ->
@@ -43,7 +44,9 @@ object TextOps {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
       .select($"doc_id", array_distinct(wordShingles($"w", shingleN)).as("sh"))
       .filter(size($"sh") > 0)
-    val sig = sh.select($"doc_id", minhashSig($"sh", k).as("sig"))
+    val sig = sh
+      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))")) // hash ONCE
+      .select($"doc_id", minhashSig($"sh", k).as("sig"))
     // band join on IDS ONLY (the shingle arrays would otherwise be
     // replicated through every bucket collision); sets re-attached to the
     // few surviving candidate pairs afterwards
