@@ -348,22 +348,16 @@ object SparkEntry {
         .orderBy($"ia", $"ib")
     }),
 
-    // SimHash fingerprints + hamming-near pairs (rows-only)
+    // SimHash fingerprints + hamming-near pairs via pigeonhole banding
+    // (7 chunks guarantee recall for hamming<=6; shuffled equi-join, not
+    // the O(N²) cartesian; banded==all-pairs is ScalaTest-gated)
     "d5_simhash" -> ((s, dir) => {
       import s.implicits._
       val hashed = table(s, dir, "documents").select($"doc_id", $"text")
         .as[(Long, String)]
         .map { case (id, t) => (id, graft.text.TextOps.simhash64(t)) }
         .toDF("doc_id", "simhash")
-      hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
-          $"a.simhash".as("ha"), $"b.simhash".as("hb"))
-        .as[(Long, Long, Long, Long)]
-        .map { case (ia, ib, ha, hb) =>
-          (ia, ib, graft.text.TextOps.hamming64(ha, hb))
-        }
-        .toDF("ia", "ib", "hamming")
-        .filter($"hamming" <= 6)
+      graft.text.TextOps.simhashNearPairs(hashed, maxHamming = 6)
         .orderBy($"ia", $"ib")
     }),
 
@@ -595,9 +589,11 @@ object SparkEntry {
         |FROM t ORDER BY row, col""".stripMargin,
 
     "r7_line2sub" ->
+      // every segment drops its last point (incl. the polyline endpoint):
+      // Raster.py:356's guard is always true between integer subscripts
       """SELECT j AS seq, 50 - j AS row, 10 AS col FROM range(10) t(j)
         |UNION ALL SELECT j + 10, 40 - j, 10 + j FROM range(10) t(j)
-        |UNION ALL SELECT j + 20, 30, 20 + j FROM range(41) t(j)
+        |UNION ALL SELECT j + 20, 30, 20 + j FROM range(40) t(j)
         |ORDER BY seq""".stripMargin,
 
     "e1_knn_cosine" ->

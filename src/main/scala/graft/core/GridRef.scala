@@ -92,9 +92,13 @@ final case class Extent(left: Double, right: Double, bottom: Double, top: Double
   def contains(o: Extent): Boolean =
     o.left >= left && o.right <= right && o.bottom >= bottom && o.top <= top
 
-  /** Classify this vs other: 0 = this contains other, 1 = this contained by
-    * other, 2 = partial/other. Reference `compare_extent`
-    * (spatial_analysis.py:416-441). */
+  /** Classify this vs other: 0 = this contains other (inclusive), 1 = this
+    * STRICTLY inside other on all four sides, 2 = partial/other. Reference
+    * `compare_extent` (spatial_analysis.py:416-441): branch 0 uses <=/>=,
+    * branch 1 requires all four inclusive comparisons FALSE, i.e. strict —
+    * a contained extent sharing an edge classifies 2, not 1. */
   def compare(o: Extent): Int =
-    if (contains(o)) 0 else if (o.contains(this)) 1 else 2
+    if (contains(o)) 0
+    else if (left > o.left && right < o.right && bottom > o.bottom && top < o.top) 1
+    else 2
 }

@@ -171,26 +171,35 @@ object RefKernel {
     out
   }
 
-  /** line2sub: rasterize a polyline to cell subscripts. Per segment,
-    * steps = max(|Δrow|, |Δcol|) + 1 linspace points, rounded half-even;
-    * the LAST point of each segment is dropped unless it is the final
-    * segment's end; out-of-grid points filtered. Reference `Raster.line2sub`
-    * (Raster.py:340-366). */
+  /** line2sub: rasterize a polyline to cell subscripts. Endpoints are
+    * rounded to INTEGER subscripts first (the reference's map2sub array
+    * path, np.round = rint), then per segment steps = max(|Δrow|, |Δcol|)+1
+    * linspace points between the integer subscripts, rounded half-even; the
+    * LAST point of EVERY segment is dropped — linspace between integer
+    * endpoints always lands exactly on p1, so the reference's
+    * `(seg_subs[-1]==subs_p1).all()` guard (Raster.py:356) is always true
+    * and the polyline's final endpoint is dropped too. Out-of-grid points
+    * filtered. Reference `Raster.line2sub` (Raster.py:340-366). */
   def line2sub(ref: GridRef, xs: Array[Double], ys: Array[Double]): Array[(Int, Int)] = {
     val buf = Array.newBuilder[(Int, Int)]
     val n = xs.length
+    val rs = new Array[Int](n)
+    val cs = new Array[Int](n)
     var i = 0
+    while (i < n) {
+      val (r, c) = ref.map2sub(xs(i), ys(i))
+      rs(i) = r; cs(i) = c
+      i += 1
+    }
+    i = 0
     while (i < n - 1) {
-      val (r0, c0) = ref.map2subFrac(xs(i), ys(i))
-      val (r1, c1) = ref.map2subFrac(xs(i + 1), ys(i + 1))
-      val steps = math.max(math.abs(Math.rint(r1) - Math.rint(r0)),
-        math.abs(Math.rint(c1) - Math.rint(c0))).toInt + 1
+      val steps = math.max(math.abs(rs(i + 1) - rs(i)),
+        math.abs(cs(i + 1) - cs(i))) + 1
       var j = 0
-      val last = if (i == n - 2) steps - 1 else steps - 2 // drop segment end unless final
-      while (j <= last) {
-        val t = if (steps == 1) 0.0 else j.toDouble / (steps - 1)
-        val r = Math.rint(r0 + t * (r1 - r0)).toInt
-        val c = Math.rint(c0 + t * (c1 - c0)).toInt
+      while (j <= steps - 2) { // drop each segment's last point
+        val t = j.toDouble / (steps - 1)
+        val r = Math.rint(rs(i) + t * (rs(i + 1) - rs(i))).toInt
+        val c = Math.rint(cs(i) + t * (cs(i + 1) - cs(i))).toInt
         if (r >= 0 && r < ref.nrows && c >= 0 && c < ref.ncols) buf += ((r, c))
         j += 1
       }

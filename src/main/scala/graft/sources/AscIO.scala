@@ -11,9 +11,10 @@ import graft.operators.TileOps
 /** ESRI ASCII-grid source/sink (reference `arc_header_read`/`arcgridread`/
   * `arcgridwrite`, spatial_analysis.py:38-172; byte_file_read :211-227).
   *
-  * Semantics preserved: 6 header lines, keys shorter than 12 chars
-  * lowercased on read (so the canonical `NODATA_value` spelling survives,
-  * :73-75), values parsed as float with ncols/nrows coerced int, NODATA ->
+  * Semantics preserved: 6 header lines, keys normalized to lowercase on
+  * read (the reference case-preserves the canonical `NODATA_value`
+  * spelling, :73-75, and looks it up case-preserved, :118 — we accept any
+  * case), values parsed as float with ncols/nrows coerced int, NODATA ->
   * NaN on ingest, NaN -> NODATA with %g formatting on egress, transparent
   * .gz. Distributed ingest path: `spark.read.format("binaryFile")` +
   * the same bytes decoder + tile split on executors. */
@@ -23,8 +24,11 @@ object AscIO {
   def parseHeader(lines: Seq[String]): GridRef = {
     val kv = lines.take(6).map { ln =>
       val parts = ln.trim.split("\\s+", 2)
-      val key = if (parts(0).length < 12) parts(0).toLowerCase else parts(0)
-      key -> parts(1).trim.toDouble
+      // normalize ALL keys to lowercase: the reference keeps the canonical
+      // 12-char 'NODATA_value' case-preserved (spatial_analysis.py:73-75)
+      // and looks it up case-preserved (:118); one lowercase key space on
+      // our side honors every spelling without a dual lookup.
+      parts(0).toLowerCase -> parts(1).trim.toDouble
     }.toMap
     GridRef(
       ncols = kv("ncols").toInt,

@@ -2,6 +2,8 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis operators for the training-data pipeline (dedup, quality,
   * language-id, fingerprinting) — all built from codegen'd built-ins
@@ -13,26 +15,94 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** n-word shingles as strings; empty array when fewer than n tokens. */
-  def wordShingles(words: Column, n: Int): Column = {
-    val parts = (1 to n).map(k => s"element_at(w, CAST(i + $k AS INT))").mkString(", ")
+  /** n-word shingles as strings over the PASSED column; empty array when
+    * fewer than n tokens. (Column-lambda form — no hard-coded names.) */
+  def wordShingles(words: Column, n: Int): Column =
     when(size(words) >= n,
-      expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts))"))
-      .otherwise(array())
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(words, (i + j).cast("int"))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature (k hashes) over a PRE-HASHED shingle column
+    * (array<bigint>, e.g. `transform(sh, s -> xxhash64(s))`): k fixed-width
+    * xxhash64(long, i) rehashes — no string re-hashing and ANSI-safe
+    * (wrapping (a*h+b) arithmetic would trip Spark 4's overflow checks).
+    * Column-lambda form over the passed column. Prefer
+    * [[minhashSignatures]] (typed kernel, zero per-slot allocation) on the
+    * hot path; this Column form exists for SQL-side composition. */
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleHashes, h => xxhash64(h, i))))
+
+  /** Per-doc distinct-shingle hash set + minhash signature. */
+  final case class DocSig(doc_id: Long, hs: Array[Long], sig: Array[Long])
+
+  /** Typed kernel: tokenize -> n-shingle -> xxhash64 each distinct shingle
+    * (bit-identical to SQL `xxhash64(s)`, seed 42) -> k-slot signature where
+    * slot i = min over shingles of `xxhash64(h, i)` = hashInt(i,
+    * hashLong(h, 42)). One tight loop per doc, no per-slot array churn —
+    * the SQL-expression form measured 41 s at sf0.1 (BENCH_r01) because
+    * each of the 64 slots materialized a rehash array per row; this kernel
+    * is the same math at O(1) allocation.
+    * Shingle identity is the 64-bit hash (collision odds ~2^-64): dedup,
+    * set intersection and Jaccard run on longs, never strings. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): Dataset[DocSig] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          // split(" ", -1) keeps interior AND trailing empties — matches
+          // Spark SQL split(text, ' ') exactly
+          val toks = text.split(" ", -1)
+          if (toks.length < shingleN) Iterator.empty
+          else {
+            val set = new java.util.HashSet[java.lang.Long]()
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i <= toks.length - shingleN) {
+              sb.setLength(0)
+              var j = 0
+              while (j < shingleN) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j))
+                j += 1
+              }
+              set.add(XXH64.hashUTF8String(
+                UTF8String.fromString(sb.toString), 42L))
+              i += 1
+            }
+            val hs = new Array[Long](set.size)
+            val itr = set.iterator()
+            var m = 0
+            while (itr.hasNext) { hs(m) = itr.next(); m += 1 }
+            java.util.Arrays.sort(hs)
+            val sig = new Array[Long](k)
+            java.util.Arrays.fill(sig, Long.MaxValue)
+            m = 0
+            while (m < hs.length) {
+              val base = XXH64.hashLong(hs(m), 42L)
+              var s = 0
+              while (s < k) {
+                val v = XXH64.hashInt(s, base)
+                if (v < sig(s)) sig(s) = v
+                s += 1
+              }
+              m += 1
+            }
+            Iterator.single(DocSig(id, hs, sig))
+          }
+        }
+      }
   }
 
-  /** MinHash signature (k hashes) over a distinct-shingle array: ONE string
-    * xxhash64 per shingle (the `hs` column), then k fixed-width
-    * xxhash64(long, i) rehashes — no string re-hashing, no allocation, and
-    * ANSI-safe (wrapping (a*h+b) arithmetic would trip Spark 4's overflow
-    * checks). All one codegen'd expression. */
-  def minhashSig(shingles: Column, k: Int): Column =
-    expr(s"transform(sequence(0, ${k - 1}), i -> " +
-      "array_min(transform(hs, h -> xxhash64(h, i))))")
-
   /** LSH candidate pairs via banded minhash + exact-Jaccard verification.
-    * Scale shape: explode (band, bandHash) -> self-join on band bucket ->
-    * distinct pairs -> verify with exact integer Jaccard (c, na, nb).
+    * Scale shape: ONE pass computes (hs, sig) per doc (persisted — at
+    * cluster scale this is a checkpoint table); band explode -> self-join
+    * on (band, bandHash) carrying IDS ONLY -> distinct pairs -> verify with
+    * exact integer Jaccard over the hashed shingle sets (c, na, nb).
     * threshold10 = Jaccard threshold in tenths (integer math, no float). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
@@ -40,28 +110,22 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rowsPerBand = k / bands
-    val sh = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
-      .select($"doc_id", array_distinct(wordShingles($"w", shingleN)).as("sh"))
-      .filter(size($"sh") > 0)
-    val sig = sh
-      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))")) // hash ONCE
-      .select($"doc_id", minhashSig($"sh", k).as("sig"))
-    // band join on IDS ONLY (the shingle arrays would otherwise be
-    // replicated through every bucket collision); sets re-attached to the
-    // few surviving candidate pairs afterwards
-    val banded = sig.select($"doc_id",
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
+      .toDF("doc_id", "hs", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select($"doc_id",
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
     val candIds = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bhash" === $"b.bhash" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
       .dropDuplicates("ia", "ib")
+    val sets = sigs.select($"doc_id", $"hs")
     val cand = candIds
-      .join(sh.toDF("ia", "sha"), "ia")
-      .join(sh.toDF("ib", "shb"), "ib")
+      .join(sets.toDF("ia", "sha"), "ia")
+      .join(sets.toDF("ib", "shb"), "ib")
     cand
       .withColumn("inter", size(array_intersect($"sha", $"shb")))
       .withColumn("na", size($"sha"))
@@ -109,6 +173,38 @@ object TextOps {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** All pairs with hamming(simhash) <= maxHamming via PIGEONHOLE banding:
+    * split the 64-bit hash into maxHamming+1 chunks — two hashes within
+    * maxHamming bits of each other must agree on >= 1 whole chunk — then
+    * equi-join on (chunk_idx, chunk_value), dedup, verify exact hamming.
+    * Scale shape: shuffled hash join on the chunk key (vs the O(N²)
+    * cartesian of the naive theta-join). Input: (doc_id, simhash). */
+  def simhashNearPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(j =>
+      64 / nChunks + (if (j < 64 % nChunks) 1 else 0))
+    val los = widths.scanLeft(0)(_ + _)
+    val chunks = (0 until nChunks).map { j =>
+      struct(lit(j).as("ci"),
+        (shiftrightunsigned($"simhash", los(j))
+          .bitwiseAND(lit((1L << widths(j)) - 1))).as("cv"))
+    }
+    val exploded = hashed
+      .select($"doc_id", $"simhash", explode(array(chunks: _*)).as("ch"))
+      .select($"doc_id", $"simhash", $"ch.ci".as("ci"), $"ch.cv".as("cv"))
+    exploded.as("a").join(exploded.as("b"),
+        $"a.ci" === $"b.ci" && $"a.cv" === $"b.cv" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        $"a.simhash".as("ha"), $"b.simhash".as("hb"))
+      .dropDuplicates("ia", "ib")
+      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("int"))
+      .filter($"hamming" <= maxHamming)
+      .select($"ia", $"ib", $"hamming")
+  }
 
   /** Rolling polynomial document fingerprint (mod 2^61-1): order-sensitive,
     * whitespace-normalized — equal iff texts equal up to runs of spaces. */

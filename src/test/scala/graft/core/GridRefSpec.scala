@@ -68,5 +68,11 @@ class GridRefSpec extends AnyFunSuite {
     assert(a.compare(Extent(2, 8, 2, 8)) == 0)
     assert(Extent(2, 8, 2, 8).compare(a) == 1)
     assert(a.compare(Extent(5, 15, 5, 15)) == 2)
+    // branch 0 is inclusive (<=/>=), branch 1 is STRICT: a contained
+    // extent sharing an edge classifies 2, not 1 (all four inclusive
+    // comparisons must be false for output 1, spatial_analysis.py:428-436)
+    assert(a.compare(Extent(2, 10, 2, 8)) == 0) // shared right edge: still 0
+    assert(Extent(2, 10, 2, 8).compare(a) == 2) // contained w/ shared edge: 2
+    assert(a.compare(a) == 0) // equal extents: 0, never 1
   }
 }

@@ -95,14 +95,26 @@ class RefKernelSpec extends AnyFunSuite {
 
   test("line2sub steps/drop-last semantics (Raster.py:340-366)") {
     val ref = GridRef(20, 20, 0, 0, 1)
-    // horizontal segment through centers of row 19 (y=0.5): x 0.5 -> 5.5
+    // horizontal segment through centers of row 19 (y=0.5): x 0.5 -> 5.5.
+    // linspace between integer subscripts lands exactly on p1, so the
+    // reference's guard (Raster.py:356) ALWAYS drops the segment end —
+    // including the polyline's final endpoint.
     val cells = line2sub(ref, Array(0.5, 5.5), Array(0.5, 0.5))
-    assert(cells.length == 6) // steps = |dc|+1 = 6, final point kept
-    assert(cells.map(_._2).sameElements(Array(0, 1, 2, 3, 4, 5)))
+    assert(cells.length == 5) // steps = |dc|+1 = 6, final point dropped
+    assert(cells.map(_._2).sameElements(Array(0, 1, 2, 3, 4)))
     assert(cells.forall(_._1 == 19))
-    // two segments: intermediate endpoint not duplicated
+    // two segments: intermediate endpoint appears once (as segment-2 start)
     val cells2 = line2sub(ref, Array(0.5, 5.5, 5.5), Array(0.5, 0.5, 3.5))
     assert(cells2.count(rc => rc == ((19, 5))) == 1)
+    assert(!cells2.contains((16, 5))) // final endpoint dropped
+    // interpolation runs between ROUNDED endpoints: off-center vertices
+    // snap first, so intermediate cells follow the integer-lattice line
+    val cells3 = line2sub(ref, Array(0.76, 4.76), Array(0.5, 2.6))
+    // endpoints round to (19,0) and (17,4): steps=5, rows linspace
+    // 19,18.5,18,17.5(,17) rint half-even -> 19,18,18,18; drop last
+    assert(cells3.sameElements(Array((19, 0), (18, 1), (18, 2), (18, 3))))
+    // degenerate segment (both ends in one cell) contributes nothing
+    assert(line2sub(ref, Array(0.5, 0.6), Array(0.5, 0.6)).isEmpty)
   }
 
   test("nearestInterp ties to lowest index, exact values") {

@@ -57,4 +57,41 @@ class KnnSpec extends AnyFunSuite {
       assert(v == oracle(r, c), s"cell ($r,$c)")
     }
   }
+
+  test("sparse points force the escalation loop; result still == brute") {
+    import spark.implicits._
+    // 3 points in one corner of a 120x60 grid: nearly every cell's ring-1
+    // halo is empty or unprovable, so the distributed query-replication
+    // escalation (incl. the doubling-ring boundless path) does all the work
+    val sparse = Array(
+      PtRec(0L, -4.75, 0.25, 1.0), PtRec(1L, -4.25, 0.75, 2.0),
+      PtRec(2L, -3.75, 0.25, 3.0))
+    val pts = spark.createDataset(sparse)
+    val brute = Knn.nearestBrute(spark, pts, Synth.knnRef)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val bucketed = Knn.nearestBucketed(spark, pts, Synth.knnRef, res = 5, ringK = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(bucketed.size == Synth.knnRef.numCells)
+    assert(bucketed == brute)
+  }
+
+  test("1e6 points complete without any driver collect of the point set") {
+    import spark.implicits._
+    val n = 1000000L
+    val ref = GridRef(ncols = 256, nrows = 128, xll = 0, yll = 0, cellsize = 1)
+    val pts = spark.range(n).map { i =>
+      PtRec(i, ((i * 2654435761L) % 25600L) / 100.0,
+        ((i * 1103515245L) % 12800L) / 100.0, (i % 1000L) / 4.0)
+    }
+    val got = Knn.nearestBucketed(spark, pts, ref, res = 5, ringK = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.size == ref.numCells)
+    // spot-check 64 cells against a driver-side exact scan
+    val all = pts.collect() // test-side oracle only
+    val tree = KdTree.build(all.map(p => (p.pid, p.x, p.y, p.v)))
+    for (r <- 0 until 128 by 16; c <- 0 until 256 by 16) {
+      val (pid, v, _) = tree.nearest(ref.left + (c + 0.5), ref.top - (r + 0.5))
+      assert(got((r, c)) == ((v, pid)), s"cell ($r,$c)")
+    }
+  }
 }

@@ -51,14 +51,31 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
-  test("uppercase header keys >= 12 chars survive; shorter are lowercased") {
-    val asc = golden.replace("NODATA_value", "NODATA_VALUE")
-    val (ref, _) = AscIO.decodeBytes(asc.getBytes("ASCII"), gzipped = false)
-    assert(ref.nodata == -9999.0) // NODATA_VALUE is 12 chars -> NOT lowercased
-    // reference behavior: 12+-char keys keep case, lookup is on the
-    // canonical lowercase name -> default nodata would apply. Our reader
-    // keys the map by the case-preserved name, so the default kicks in:
-    // spatial_analysis.py:73-75 semantics
+  test("NODATA_value honored regardless of header-key case") {
+    // the reference looks up the case-preserved canonical spelling
+    // (spatial_analysis.py:118); we normalize all keys to lowercase, so
+    // every spelling resolves to the declared nodata — NOT the default
+    for (spelling <- Seq("NODATA_value", "NODATA_VALUE", "nodata_value")) {
+      val asc = golden
+        .replace("NODATA_value    -9999", s"$spelling    -7")
+        .replace("5 -9999 7", "5 -7 7")
+      val (ref, data) = AscIO.decodeBytes(asc.getBytes("ASCII"), gzipped = false)
+      assert(ref.nodata == -7.0, spelling)
+      assert(data(1 * 4 + 1).isNaN, spelling) // nodata cell -> NaN
+    }
+  }
+
+  test("round trip preserves non-default nodata (!= -9999)") {
+    val dir = Files.createTempDirectory("asc-nd")
+    val ref = GridRef(5, 4, 10, 20, 2.5, nodata = -1.0)
+    val data = Array.tabulate(20)(i => if (i % 7 == 2) Double.NaN else i / 4.0)
+    val p = dir.resolve("nd.asc").toString
+    AscIO.writeFile(p, ref, data)
+    val (ref2, data2) = AscIO.readFile(p)
+    assert(ref2 == ref)
+    data.zip(data2).foreach { case (a, b) =>
+      assert(a == b || (a.isNaN && b.isNaN))
+    }
   }
 
   test("formatG matches python %g on representative values") {

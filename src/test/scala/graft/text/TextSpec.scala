@@ -39,6 +39,26 @@ class TextSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "und"))
   }
 
+  test("simhash pigeonhole banding == all-pairs hamming join (sf0.001)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hashed = docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) => (id, TextOps.simhash64(t)) }
+      .toDF("doc_id", "simhash")
+    val banded = TextOps.simhashNearPairs(hashed, maxHamming = 6)
+      .select("ia", "ib", "hamming").as[(Long, Long, Int)].collect().toSet
+    val all = hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id", $"a.simhash", $"b.simhash")
+      .as[(Long, Long, Long, Long)]
+      .map { case (ia, ib, ha, hb) => (ia, ib, TextOps.hamming64(ha, hb)) }
+      .filter(_._3 <= 6).collect().toSet
+    assert(banded == all)
+    assert(banded.nonEmpty) // fixture has near-dup pairs
+    // plan shape: no BroadcastNestedLoopJoin (the cartesian scale-killer)
+    val plan = TextOps.simhashNearPairs(hashed, 6).queryExecution.executedPlan
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("minhash LSH recall: candidates cover ALL exact-Jaccard>=0.8 pairs (sf0.001)") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
