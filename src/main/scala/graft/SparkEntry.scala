@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.corpus.{ImageCorpus, Synth}
-import graft.operators.{Bilinear, ClipPolygon, Gather, Knn, Line2Sub, PtRec, Rasterize, Stencil, TileFns, TileOps, Vectorize}
+import graft.operators.{Bilinear, ClipPolygon, Downsample, Gather, Knn, Line2Sub, PtRec, Rasterize, Stencil, TileFns, TileOps, Vectorize}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
@@ -421,6 +421,23 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // W2: window-agg downsample kernels (zero-shuffle per-tile windows)
+    "r14_resample_avg" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      Downsample.stats(dem, Synth.demRef, tileRes, factor = 4, "average")
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .orderBy($"row", $"col")
+    }),
+
+    "r15_resample_med" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      Downsample.stats(dem, Synth.demRef, tileRes, factor = 4, "med")
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .orderBy($"row", $"col")
+    }),
+
     // quality scoring: token/char/punct stats, pure arithmetic
     "d2_quality" -> ((s, dir) => {
       import s.implicits._
@@ -750,6 +767,16 @@ object SparkEntry {
          |SELECT cell, parent, CAST(count(*) AS BIGINT) AS n
          |FROM cells GROUP BY 1, 2 ORDER BY 1""".stripMargin
     },
+
+    "r14_resample_avg" ->
+      s"""WITH g AS ($demSql)
+         |SELECT r // 4 AS row, c // 4 AS col, avg(v) AS v
+         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "r15_resample_med" ->
+      s"""WITH g AS ($demSql)
+         |SELECT r // 4 AS row, c // 4 AS col, median(v) AS v
+         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d1_dedup_sets" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,

@@ -165,6 +165,35 @@ object CellId {
       }
   }
 
+  /** Compile a same-res cell set into a minimal list of inclusive
+    * [lo, hi] ranges over the RAW 64-bit ids: compact() S2-style, then
+    * each mixed-res parent at res R covers a CONTIGUOUS id range of its
+    * res-r descendants (z(child) = z(parent) << 2(R-r) | offset with
+    * offset in [0, 4^(R-r))), and adjacent ranges merge. A w x h tile
+    * window compiles to O(perimeter) BETWEEN predicates instead of w*h
+    * IN literals — plans stay small and Parquet min/max stats prune. */
+  def zRanges(ids: Array[Long]): Array[(Long, Long)] = {
+    if (ids.isEmpty) return Array.empty
+    val r = res(ids(0))
+    val ranges = compact(ids).map { id =>
+      val d = res(id) - r
+      val base = (r.toLong << 58) | (zPart(id) << (2 * d))
+      (base, base + (1L << (2 * d)) - 1)
+    }.sortBy(_._1)
+    val out = Array.newBuilder[(Long, Long)]
+    var lo = ranges(0)._1
+    var hi = ranges(0)._2
+    var i = 1
+    while (i < ranges.length) {
+      val (l2, h2) = ranges(i)
+      if (l2 <= hi + 1) hi = math.max(hi, h2)
+      else { out += ((lo, hi)); lo = l2; hi = h2 }
+      i += 1
+    }
+    out += ((lo, hi))
+    out.result()
+  }
+
   /** Compact a set of cells S2-style: replace any 4 complete siblings by
     * their parent, repeatedly, yielding a minimal mixed-res cover union. */
   def compact(ids: Array[Long]): Array[Long] = {

@@ -72,17 +72,32 @@ object TileOps {
       .withColumn("v", when(isnan($"v"), lit(null)).otherwise($"v"))
   }
 
+  /** Compile a same-res cell cover to a Z-range predicate on `cellId`:
+    * a handful of `BETWEEN lo AND hi` disjuncts (CellId.zRanges) instead
+    * of one literal per cell — a 10^5-tile window stays a small plan and
+    * the ranges hit Parquet min/max stats on the Z-ordered id. */
+  def coverPredicate(cover: Array[Long])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ranges = CellId.zRanges(cover)
+    if (ranges.isEmpty) lit(false)
+    else ranges.map { case (lo, hi) =>
+      if (lo == hi) col("cellId") === lit(lo)
+      else col("cellId").between(lit(lo), lit(hi))
+    }.reduce(_ || _)
+  }
+
   /** rect_clip as a cell-pruned filter + per-tile crop (Raster.py:185-233
-    * re-expressed): the cell_id predicate prunes whole tiles BEFORE any
-    * payload is touched (at scale: Parquet row-group pruning on the
+    * re-expressed): the cell_id RANGE predicate prunes whole tiles BEFORE
+    * any payload is touched (at scale: Parquet row-group pruning on the
     * Z-ordered cell_id), edge tiles are cropped in a payload kernel.
     * Returns tiles in GLOBAL pixel coordinates plus the snapped window. */
   def rectClip(tiles: Dataset[Tile], ref: GridRef, e: Extent, res: Int)
       : (Dataset[Tile], (Int, Int, Int, Int)) = {
     import tiles.sparkSession.implicits._
     val (r0, r1, c0, c1) = ref.clipWindow(e)
-    val keep = CellId.coverWindow(r0, r1, c0, c1, res).toSet
-    val kept = tiles.filter($"cellId".isin(keep.toSeq: _*))
+    val kept = tiles.filter(
+      coverPredicate(CellId.coverWindow(r0, r1, c0, c1, res)))
     val cropped = kept.map { t =>
       val nr0 = math.max(t.row0, r0)
       val nc0 = math.max(t.col0, c0)
@@ -276,50 +291,114 @@ object MosaicAgg extends Aggregator[TilePatch, MosaicBuf, Tile] {
 }
 
 /** Gather-style regrids (reference grid_resample_nearest / assign_to,
-  * Raster.py:457-515): every TARGET pixel pulls its source pixel via the
-  * map2sub index math, expressed as an equi-join between target pixels
-  * (keyed by the source cell they read) and source tiles — shuffle on the
-  * Z-ordered source cell id, broadcastable when the source is small. */
+  * Raster.py:457-515): requests are generated per target TILE — one row
+  * per (source cell, target tile) pair, NOT per pixel (a 10^13-pixel
+  * design-point regrid shuffles numTiles descriptor rows, each a few
+  * hundred bytes). The request side equi-joins source tiles on the
+  * Z-ordered source cell id, a cogroup keyed by target tile assembles the
+  * few source fragments, and the per-pixel map2sub gather runs INSIDE the
+  * payload kernel. Targets with no source coverage still emit (all-NaN)
+  * tiles via the cogroup's left side. */
 object Gather {
   import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   import org.apache.spark.sql.functions._
   import graft.core._
 
-  /** One target pixel's read request: which source cell, which source pixel. */
-  final case class GatherReq(srcCell: Long, tRow: Int, tCol: Int, sRow: Int, sCol: Int)
+  /** One target tile's read request for one source cell. */
+  final case class TileReq(srcCell: Long, tTile: Long)
+
+  /** Source cells covered by the target tile's pixel window mapped into
+    * source pixel space (bbox of the 4 corner pixel centers), padded by
+    * `halo` source pixels and clamped to the source grid. */
+  private[operators] def srcCover(srcRef: GridRef, targetRef: GridRef,
+      row0: Int, col0: Int, h: Int, w: Int, res: Int, halo: Int): Array[Long] = {
+    var rMin = Double.MaxValue; var rMax = Double.MinValue
+    var cMin = Double.MaxValue; var cMax = Double.MinValue
+    for (r <- Seq(row0, row0 + h - 1); c <- Seq(col0, col0 + w - 1)) {
+      val (x, y) = targetRef.sub2map(r, c)
+      val (fr, fc) = srcRef.map2subFrac(x, y)
+      if (fr < rMin) rMin = fr; if (fr > rMax) rMax = fr
+      if (fc < cMin) cMin = fc; if (fc > cMax) cMax = fc
+    }
+    // clamp BOTH ends into the grid: a tile mapping fully outside still
+    // covers the nearest edge cells (assign_to clamp mode reads them);
+    // non-clamp gathers just NaN those pixels in the kernel
+    def cl(v: Long, n: Int): Long = math.max(0L, math.min(n - 1L, v))
+    val r0 = cl(math.floor(rMin).toLong - halo, srcRef.nrows)
+    val r1 = cl(math.ceil(rMax).toLong + halo, srcRef.nrows)
+    val c0 = cl(math.floor(cMin).toLong - halo, srcRef.ncols)
+    val c1 = cl(math.ceil(cMax).toLong + halo, srcRef.ncols)
+    CellId.coverWindow(r0, r1, c0, c1, res)
+  }
+
+  /** Shared cogroup harness: target tiles x their source fragments ->
+    * per-tile gather kernel -> per-pixel rows (row, col, v-null). */
+  private[operators] def gatherTiles(srcTiles: Dataset[Tile], srcRef: GridRef,
+      targetRef: GridRef, res: Int, halo: Int)(
+      pixel: (Int, Int, scala.collection.mutable.LongMap[Tile]) => Double)
+      : DataFrame = {
+    val spark = srcTiles.sparkSession
+    import spark.implicits._
+    val size = 1 << res
+    val tilesX = (targetRef.ncols + size - 1) / size
+    val tilesY = (targetRef.nrows + size - 1) / size
+    val (tNrows, tNcols) = (targetRef.nrows, targetRef.ncols)
+
+    val targets = spark.range(tilesX.toLong * tilesY).map(_.toLong)
+    val reqs = targets.flatMap { i =>
+      val tx = (i % tilesX).toInt
+      val ty = (i / tilesX).toInt
+      val row0 = ty * size; val col0 = tx * size
+      val h = math.min(size, tNrows - row0)
+      val w = math.min(size, tNcols - col0)
+      srcCover(srcRef, targetRef, row0, col0, h, w, res, halo)
+        .iterator.map(c => TileReq(c, i))
+    }
+    val frags = reqs.joinWith(srcTiles, reqs("srcCell") === srcTiles("cellId"))
+      .map { case (req, tile) => (req.tTile, tile) }
+    targets.groupByKey(identity).cogroup(frags.groupByKey(_._1)) {
+      (i, _, fIt) =>
+        val tx = (i % tilesX).toInt
+        val ty = (i / tilesX).toInt
+        val row0 = ty * size; val col0 = tx * size
+        val h = math.min(size, tNrows - row0)
+        val w = math.min(size, tNcols - col0)
+        val byCell = new scala.collection.mutable.LongMap[Tile]()
+        fIt.foreach(f => byCell(f._2.cellId) = f._2)
+        val out = new Array[CellPx](h * w)
+        var k = 0
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            out(k) = CellPx(row0 + r, col0 + c, pixel(row0 + r, col0 + c, byCell))
+            k += 1; c += 1
+          }
+          r += 1
+        }
+        out.iterator
+    }.toDF("row", "col", "v")
+      .withColumn("v", when(isnan($"v"), lit(null)).otherwise($"v"))
+  }
 
   /** nearest regrid; `clamp=true` = assign_to edge clamping
     * (Raster.py:505-508), else out-of-source targets yield null. */
   def resampleNearest(srcTiles: Dataset[Tile], srcRef: GridRef,
       targetRef: GridRef, res: Int, clamp: Boolean): DataFrame = {
-    val spark = srcTiles.sparkSession
-    import spark.implicits._
     val (sNrows, sNcols) = (srcRef.nrows, srcRef.ncols)
-    val reqs = spark.range(targetRef.numCells).flatMap { id =>
-      val tr = (id / targetRef.ncols).toInt
-      val tc = (id % targetRef.ncols).toInt
+    gatherTiles(srcTiles, srcRef, targetRef, res, halo = 1) { (tr, tc, byCell) =>
       val (x, y) = targetRef.sub2map(tr, tc)
       val (sr0, sc0) = srcRef.map2sub(x, y)
       val (sr, sc) =
         if (clamp)
           (math.max(0, math.min(sNrows - 1, sr0)), math.max(0, math.min(sNcols - 1, sc0)))
         else (sr0, sc0)
-      if (sr < 0 || sr >= sNrows || sc < 0 || sc >= sNcols) Iterator.empty
-      else Iterator.single(GatherReq(
-        CellId.ofPixel(sr.toLong, sc.toLong, res), tr, tc, sr, sc))
+      if (sr < 0 || sr >= sNrows || sc < 0 || sc >= sNcols) Double.NaN
+      else byCell.get(CellId.ofPixel(sr.toLong, sc.toLong, res)) match {
+        case Some(t) => t.value(sr, sc)
+        case None => Double.NaN
+      }
     }
-    val joined = reqs.joinWith(srcTiles, reqs("srcCell") === srcTiles("cellId"))
-    val gathered = joined.map { case (req, tile) =>
-      (req.tRow, req.tCol, tile.value(req.sRow, req.sCol))
-    }.toDF("row", "col", "v")
-    // out-of-range targets reappear as null rows only in clamp=false mode if
-    // the caller outer-joins against the full target frame; resample keeps
-    // the reference behavior of NaN-out-of-range via left join:
-    val all = spark.range(targetRef.numCells).select(
-      ($"id" / targetRef.ncols).cast("int").as("row"),
-      ($"id" % targetRef.ncols).cast("int").as("col"))
-    all.join(gathered, Seq("row", "col"), "left")
-      .withColumn("v", when(isnan($"v"), lit(null)).otherwise($"v"))
   }
 }
 
@@ -345,52 +424,41 @@ object Line2Sub {
 
 /** Bilinear regrid (reference resample 'bilinear' kernel, Raster.py:382-384
   * via rasterio): each target pixel interpolates the 2x2 source-pixel-center
-  * neighborhood. Cross-tile corners are served by the SAME halo exchange as
-  * the stencils (Stencil.padded), so the join is a single equi-join of
-  * target read-requests against halo'd source tiles on cell id. NaN if any
-  * corner is NaN or outside the source grid. */
+  * neighborhood. Runs on the same tile-granular gather harness as the
+  * nearest regrid (halo = 1 source pixel so the 2x2 corners of edge target
+  * pixels are always in the fragment map). NaN if any corner is NaN or
+  * outside the source grid. */
 object Bilinear {
-  import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.{DataFrame, Dataset}
   import graft.core._
-
-  final case class BilReq(srcCell: Long, tRow: Int, tCol: Int,
-      fl: Int, cl: Int, dr: Double, dc: Double)
 
   def resample(srcTiles: Dataset[Tile], srcRef: GridRef, targetRef: GridRef,
       res: Int): DataFrame = {
-    val spark = srcTiles.sparkSession
-    import spark.implicits._
     val (sNrows, sNcols) = (srcRef.nrows, srcRef.ncols)
-    val reqs = spark.range(targetRef.numCells).flatMap { id =>
-      val tr = (id / targetRef.ncols).toInt
-      val tc = (id % targetRef.ncols).toInt
-      val (x, y) = targetRef.sub2map(tr, tc)
-      val (fr, fc) = srcRef.map2subFrac(x, y)
-      val fl = math.floor(fr).toInt
-      val cl = math.floor(fc).toInt
-      if (fl < 0 || cl < 0 || fl + 1 >= sNrows || cl + 1 >= sNcols) Iterator.empty
-      else Iterator.single(BilReq(CellId.ofPixel(fl.toLong, cl.toLong, res),
-        tr, tc, fl, cl, fr - fl, fc - cl))
+    Gather.gatherTiles(srcTiles, srcRef, targetRef, res, halo = 1) {
+      (tr, tc, byCell) =>
+        val (x, y) = targetRef.sub2map(tr, tc)
+        val (fr, fc) = srcRef.map2subFrac(x, y)
+        val fl = math.floor(fr).toInt
+        val cl = math.floor(fc).toInt
+        if (fl < 0 || cl < 0 || fl + 1 >= sNrows || cl + 1 >= sNcols) Double.NaN
+        else {
+          val dr = fr - fl
+          val dc = fc - cl
+          def at(r: Int, c: Int): Double =
+            byCell.get(CellId.ofPixel(r.toLong, c.toLong, res)) match {
+              case Some(t) => t.value(r, c)
+              case None => Double.NaN
+            }
+          val tl = at(fl, cl)
+          val tr2 = at(fl, cl + 1)
+          val bl = at(fl + 1, cl)
+          val br = at(fl + 1, cl + 1)
+          if (tl.isNaN || tr2.isNaN || bl.isNaN || br.isNaN) Double.NaN
+          else (1 - dr) * ((1 - dc) * tl + dc * tr2) +
+            dr * ((1 - dc) * bl + dc * br)
+        }
     }
-    val pads = Stencil.padded(srcTiles, srcRef, res)
-    val joined = reqs.joinWith(pads, reqs("srcCell") === pads("cellId"))
-    val vals = joined.map { case (q, pt) =>
-      val tl = pt.at(q.fl, q.cl)
-      val tr2 = pt.at(q.fl, q.cl + 1)
-      val bl = pt.at(q.fl + 1, q.cl)
-      val br = pt.at(q.fl + 1, q.cl + 1)
-      val v =
-        if (tl.isNaN || tr2.isNaN || bl.isNaN || br.isNaN) Double.NaN
-        else (1 - q.dr) * ((1 - q.dc) * tl + q.dc * tr2) +
-          q.dr * ((1 - q.dc) * bl + q.dc * br)
-      (q.tRow, q.tCol, v)
-    }.toDF("row", "col", "v")
-    val all = spark.range(targetRef.numCells).select(
-      ($"id" / targetRef.ncols).cast("int").as("row"),
-      ($"id" % targetRef.ncols).cast("int").as("col"))
-    all.join(vals, Seq("row", "col"), "left")
-      .withColumn("v", when(isnan($"v"), lit(null)).otherwise($"v"))
   }
 }
 
@@ -414,7 +482,7 @@ object ClipPolygon {
     val bc = tiles.sparkSession.sparkContext.broadcast(
       features.map(f => (f.xs, f.ys)).toArray)
     tiles
-      .filter($"cellId".isin(cover.toSeq: _*)) // semi-join prune
+      .filter(TileOps.coverPredicate(cover.toArray)) // semi-join Z-range prune
       .map { t =>
         val out = new Array[Double](t.payload.length)
         var i = 0

@@ -45,6 +45,49 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("downsample window-agg kernels match per-window direct computation (W2)") {
+    val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val f = 4
+    val ref = Synth.demRef
+    val tNrows = (ref.nrows + f - 1) / f
+    val tNcols = (ref.ncols + f - 1) / f
+    // independent per-window expected values straight off the fixture fn
+    def window(tr: Int, tc: Int): Array[Double] = (for {
+      r <- tr * f until math.min((tr + 1) * f, ref.nrows)
+      c <- tc * f until math.min((tc + 1) * f, ref.ncols)
+      v = Synth.demValue(r, c) if !v.isNaN
+    } yield v).toArray
+    def quant(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = p * (s.length - 1)
+      val lo = math.floor(pos).toInt
+      val frac = pos - lo
+      if (frac == 0) s(lo) else s(lo) + frac * (s(lo + 1) - s(lo))
+    }
+    val expect: String => (Array[Double] => Double) = {
+      case "average" => xs => xs.sum / xs.length
+      case "max" => xs => xs.max
+      case "min" => xs => xs.min
+      case "med" => xs => quant(xs, 0.5)
+      case "q1" => xs => quant(xs, 0.25)
+      case "q3" => xs => quant(xs, 0.75)
+      case "mode" => xs =>
+        xs.groupBy(identity).toSeq.map { case (v, g) => (-g.length, v) }.min._2
+    }
+    for (m <- Downsample.methods) {
+      val got = Downsample.stats(dem, ref, 6, f, m)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+      assert(got.size == tNrows * tNcols, m)
+      for (tr <- 0 until tNrows; tc <- 0 until tNcols) {
+        val w = window(tr, tc)
+        val e = if (w.isEmpty) Double.NaN else expect(m)(w)
+        val g = got((tr, tc))
+        assert(g == e || (g.isNaN && e.isNaN), s"$m ($tr,$tc): $g vs $e")
+      }
+    }
+  }
+
   test("assign_to clamp: out-of-source targets take edge values (W4)") {
     val src = TileOps.tileGrid(spark, Synth.gridARef, 6)(Synth.gridAValue)
     val outside = GridRef(10, 10, Synth.gridARef.right + 100,
