@@ -421,6 +421,24 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // S4: GeoTIFF ingest — pure-JVM tiled-layout reader -> distributed
+    // tile split (the reference's default .tif ingest path)
+    "r16_tif_ingest" -> ((s, _) => {
+      import s.implicits._
+      val ref = Synth.demRef
+      val tmp = "/tmp/graft_r16_dem.tif"
+      val data = Array.tabulate(ref.nrows * ref.ncols)(i =>
+        Synth.demValue(i / ref.ncols, i % ref.ncols))
+      graft.sources.GeoTiffWriter.write(tmp, ref, data, tileSize = 64)
+      val tiles = graft.sources.GeoTiffReader.readTiles(s, tmp, tileRes)
+        .map(_._2)
+      TileOps.cells(tiles)
+        .withColumn("band", floor($"row" / 16).cast("long"))
+        .groupBy($"band")
+        .agg(count($"v").as("n_valid"), sum($"v").as("sum_v"))
+        .orderBy($"band")
+    }),
+
     // W2: window-agg downsample kernels (zero-shuffle per-tile windows)
     "r14_resample_avg" -> ((s, _) => {
       import s.implicits._
@@ -767,6 +785,12 @@ object SparkEntry {
          |SELECT cell, parent, CAST(count(*) AS BIGINT) AS n
          |FROM cells GROUP BY 1, 2 ORDER BY 1""".stripMargin
     },
+
+    "r16_tif_ingest" ->
+      s"""WITH g AS ($demSql)
+         |SELECT CAST(r // 16 AS BIGINT) AS band,
+         |  CAST(count(v) AS BIGINT) AS n_valid, sum(v) AS sum_v
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "r14_resample_avg" ->
       s"""WITH g AS ($demSql)

@@ -170,9 +170,13 @@ object Rasterize {
 
   /** Burned-pixel DataFrame joined back as a mask/edit layer: the tutorial
     * "edit DEM by features" pipeline (demo/tutorial_edit_DEM.ipynb cells
-    * 4-12): burned value per pixel left-joined onto the DEM cells. */
+    * 4-12): burned value per pixel left-joined onto the DEM cells.
+    * NO broadcast hint: burned area is O(feature area in pixels) — GBs at
+    * scale — so this must stay a shuffled equi-join on (row, col); AQE
+    * still demotes it to broadcast adaptively when the burn layer happens
+    * to be small. */
   def editJoin(demCells: DataFrame, burned: Dataset[CellPx]): DataFrame = {
     val b = burned.toDF("row", "col", "burn")
-    demCells.join(broadcast(b), Seq("row", "col"), "left")
+    demCells.join(b, Seq("row", "col"), "left")
   }
 }

@@ -1,0 +1,262 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core._
+
+/** Minimal pure-JVM single-band GeoTIFF reader (reference `tif_read`,
+  * spatial_analysis.py:174-209 via rasterio — no GDAL in the sandbox, so
+  * the subset the reference relies on is implemented from the public
+  * TIFF 6.0 + GeoTIFF 1.1 specs): both byte orders, classic TIFF, strip-
+  * and tile-organized layouts, uncompressed, one sample/pixel, sample
+  * formats uint8/16/32, int16/32, float32/64, ModelPixelScale +
+  * ModelTiepoint georeferencing (north-up square pixels — all the
+  * reference supports), ProjectedCSTypeGeoKey, GDAL_NODATA -> NaN.
+  *
+  * `readWindow` mirrors the reference's extent window
+  * (spatial_analysis.py:188-204): map2sub of the extent corners, then the
+  * Python slice `[min, max)` — the max row/col is EXCLUDED (the quirk the
+  * oracle bakes in) — and only the strips/tiles intersecting the window
+  * are decoded (rasterio's windowed-read I/O shape). */
+object GeoTiffReader {
+
+  final case class Tiff(ref: GridRef, data: Array[Double], epsg: Int)
+
+  private final class Ifd(buf: ByteBuffer) {
+    // tag -> (type, count, valueFieldOffset)
+    private val entries: Map[Int, (Int, Int, Int)] = {
+      buf.position(4)
+      val ifdOff = buf.getInt
+      buf.position(ifdOff)
+      val n = buf.getShort & 0xFFFF
+      (0 until n).map { i =>
+        val base = ifdOff + 2 + i * 12
+        buf.position(base)
+        val tag = buf.getShort & 0xFFFF
+        val typ = buf.getShort & 0xFFFF
+        val count = buf.getInt
+        tag -> ((typ, count, base + 8))
+      }.toMap
+    }
+
+    private def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 6 | 7 => 1
+      case 3 | 8 => 2
+      case 4 | 9 | 11 => 4
+      case 5 | 10 | 12 => 8
+      case _ => throw new IllegalArgumentException(s"TIFF type $t")
+    }
+
+    def has(tag: Int): Boolean = entries.contains(tag)
+
+    /** Values of an integer-typed tag (SHORT/LONG, any count). */
+    def longs(tag: Int): Array[Long] = {
+      val (typ, count, off) = entries(tag)
+      val sz = typeSize(typ)
+      val at = if (sz * count <= 4) off else { buf.position(off); buf.getInt }
+      Array.tabulate(count) { i =>
+        buf.position(at + i * sz)
+        typ match {
+          case 3 => (buf.getShort & 0xFFFF).toLong
+          case 4 => buf.getInt.toLong & 0xFFFFFFFFL
+          case 8 => buf.getShort.toLong
+          case 9 => buf.getInt.toLong
+          case _ => throw new IllegalArgumentException(s"int tag $tag type $typ")
+        }
+      }
+    }
+
+    def long1(tag: Int, default: Long): Long =
+      if (has(tag)) longs(tag)(0) else default
+
+    def doubles(tag: Int): Array[Double] = {
+      val (typ, count, off) = entries(tag)
+      require(typ == 12, s"tag $tag: expected DOUBLE, got type $typ")
+      buf.position(off)
+      val at = buf.getInt
+      Array.tabulate(count) { i => buf.position(at + i * 8); buf.getDouble }
+    }
+
+    def ascii(tag: Int): String = {
+      val (_, count, off) = entries(tag)
+      val at = if (count <= 4) off else { buf.position(off); buf.getInt }
+      val bytes = new Array[Byte](count)
+      buf.position(at)
+      buf.get(bytes)
+      new String(bytes, "ASCII").takeWhile(_ != 0.toChar).trim
+    }
+  }
+
+  /** Decode header-only: georeference + layout (no pixel I/O). */
+  def decodeBytes(bytes: Array[Byte]): Tiff = decodeWindow(bytes, None)
+
+  def read(path: String): Tiff =
+    decodeBytes(Files.readAllBytes(Paths.get(path)))
+
+  /** Windowed read by map extent — reference slice semantics (max row/col
+    * EXCLUDED), window clamped to the grid. */
+  def readWindow(path: String, e: Extent): Tiff =
+    decodeWindow(Files.readAllBytes(Paths.get(path)), Some(e))
+
+  private def decodeWindow(bytes: Array[Byte], window: Option[Extent]): Tiff = {
+    val order = new String(bytes, 0, 2, "ASCII") match {
+      case "II" => ByteOrder.LITTLE_ENDIAN
+      case "MM" => ByteOrder.BIG_ENDIAN
+      case m => throw new IllegalArgumentException(s"not a TIFF: magic '$m'")
+    }
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    require((buf.getShort(2) & 0xFFFF) == 42, "not a classic TIFF")
+    val ifd = new Ifd(buf)
+
+    val ncols = ifd.long1(256, -1).toInt
+    val nrows = ifd.long1(257, -1).toInt
+    require(ncols > 0 && nrows > 0, "missing ImageWidth/ImageLength")
+    require(ifd.long1(259, 1) == 1, "compressed TIFF not supported")
+    require(ifd.long1(277, 1) == 1, "multi-sample TIFF not supported")
+    val bits = ifd.long1(258, 1).toInt
+    val fmt = ifd.long1(339, 1).toInt // 1 uint, 2 int, 3 ieee float
+    val bytesPerPx = bits / 8
+
+    val scale = ifd.doubles(33550)
+    require(scale(0) == scale(1),
+      s"non-square pixels (${scale(0)} x ${scale(1)}) — reference mandates square")
+    val cellsize = scale(0)
+    val tie = ifd.doubles(33922) // i, j, k, x, y, z
+    val left = tie(3) - tie(0) * cellsize
+    val top = tie(4) + tie(1) * cellsize
+
+    val nodata: Double =
+      if (ifd.has(42113)) {
+        val s = ifd.ascii(42113)
+        if (s.isEmpty || s == "nan") Double.NaN else s.toDouble
+      } else Double.NaN
+
+    val epsg: Int =
+      if (ifd.has(34735)) {
+        val keys = ifd.longs(34735)
+        // directory: groups of 4 shorts; key 3072 = ProjectedCSTypeGeoKey
+        (4 until keys.length by 4).collectFirst {
+          case i if keys(i) == 3072L => keys(i + 3).toInt
+        }.getOrElse(0)
+      } else 0
+
+    val fullRef = GridRef(ncols, nrows, left, top - nrows * cellsize,
+      cellsize, if (nodata.isNaN) -9999.0 else nodata)
+
+    // window in pixel space (reference: slice(min, max) — max EXCLUSIVE)
+    val (r0, r1ex, c0, c1ex) = window match {
+      case None => (0, nrows, 0, ncols)
+      case Some(e) =>
+        val (ra, ca) = fullRef.map2sub(e.left, e.bottom)
+        val (rb, cb) = fullRef.map2sub(e.right, e.top)
+        val rMin = math.max(0, math.min(ra, rb))
+        val rMax = math.min(nrows, math.max(ra, rb)) // exclusive
+        val cMin = math.max(0, math.min(ca, cb))
+        val cMax = math.min(ncols, math.max(ca, cb)) // exclusive
+        (rMin, rMax, cMin, cMax)
+    }
+    val wh = r1ex - r0
+    val ww = c1ex - c0
+    require(wh > 0 && ww > 0, "empty read window")
+
+    def pxAt(at: Int): Double = {
+      val raw = (bits, fmt) match {
+        case (8, 1) => (buf.get(at) & 0xFF).toDouble
+        case (16, 1) => (buf.getShort(at) & 0xFFFF).toDouble
+        case (16, 2) => buf.getShort(at).toDouble
+        case (32, 1) => (buf.getInt(at).toLong & 0xFFFFFFFFL).toDouble
+        case (32, 2) => buf.getInt(at).toDouble
+        case (32, 3) => buf.getFloat(at).toDouble
+        case (64, 3) => buf.getDouble(at)
+        case other => throw new IllegalArgumentException(
+          s"unsupported (bits, sampleFormat) $other")
+      }
+      if (!nodata.isNaN && raw == nodata) Double.NaN
+      else if (nodata.isNaN && raw.isNaN) Double.NaN
+      else raw
+    }
+
+    val out = new Array[Double](wh * ww)
+    if (ifd.has(322)) {
+      // tile-organized: TileWidth/TileLength/TileOffsets
+      val tw = ifd.long1(322, -1).toInt
+      val th = ifd.long1(323, -1).toInt
+      val offs = ifd.longs(324)
+      val tilesAcross = (ncols + tw - 1) / tw
+      val ty0 = r0 / th; val ty1 = (r1ex - 1) / th
+      val tx0 = c0 / tw; val tx1 = (c1ex - 1) / tw
+      for (ty <- ty0 to ty1; tx <- tx0 to tx1) {
+        val off = offs(ty * tilesAcross + tx).toInt
+        val rA = math.max(r0, ty * th); val rB = math.min(r1ex - 1, ty * th + th - 1)
+        val cA = math.max(c0, tx * tw); val cB = math.min(c1ex - 1, tx * tw + tw - 1)
+        var r = rA
+        while (r <= rB) {
+          var c = cA
+          while (c <= cB) {
+            val at = off + ((r - ty * th) * tw + (c - tx * tw)) * bytesPerPx
+            out((r - r0) * ww + (c - c0)) = pxAt(at)
+            c += 1
+          }
+          r += 1
+        }
+      }
+    } else {
+      // strip-organized
+      val rowsPerStrip = ifd.long1(278, nrows.toLong).toInt
+      val offs = ifd.longs(273)
+      val s0 = r0 / rowsPerStrip; val s1 = (r1ex - 1) / rowsPerStrip
+      for (s <- s0 to s1) {
+        val off = offs(s).toInt
+        val rA = math.max(r0, s * rowsPerStrip)
+        val rB = math.min(r1ex - 1, s * rowsPerStrip + rowsPerStrip - 1)
+        var r = rA
+        while (r <= rB) {
+          var c = c0
+          while (c < c1ex) {
+            val at = off + ((r - s * rowsPerStrip) * ncols + c) * bytesPerPx
+            out((r - r0) * ww + (c - c0)) = pxAt(at)
+            c += 1
+          }
+          r += 1
+        }
+      }
+    }
+
+    val winRef = GridRef(ww, wh, fullRef.xll + c0 * cellsize,
+      fullRef.yll + (nrows - r1ex) * cellsize, cellsize, fullRef.nodata)
+    Tiff(winRef, out, epsg)
+  }
+
+  /** Distributed ingest: binaryFile scan -> decode + tile split on
+    * executors (same contract as AscIO.readTiles). */
+  def readTiles(spark: SparkSession, pathGlob: String, res: Int)
+      : Dataset[(String, Tile)] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val t = decodeBytes(bytes)
+        val ref = t.ref
+        val size = 1 << res
+        val tilesX = (ref.ncols + size - 1) / size
+        val tilesY = (ref.nrows + size - 1) / size
+        for {
+          ty <- 0 until tilesY
+          tx <- 0 until tilesX
+        } yield {
+          val row0 = ty * size
+          val col0 = tx * size
+          val h = math.min(size, ref.nrows - row0)
+          val w = math.min(size, ref.ncols - col0)
+          val payload = new Array[Double](h * w)
+          var r = 0
+          while (r < h) {
+            System.arraycopy(t.data, (row0 + r) * ref.ncols + col0, payload, r * w, w)
+            r += 1
+          }
+          (path, Tile(CellId.encode(res, tx, ty), row0, col0, h, w, payload))
+        }
+      }
+  }
+}

@@ -141,6 +141,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(bb.getDouble(tieOff + 32) == ref.top)
   }
 
+  test("GeoTIFF write -> read round trip (strip AND tiled layouts)") {
+    val dir = Files.createTempDirectory("gtiffr")
+    val ref = GridRef(37, 23, 340760, 554667, 5, -9999)
+    // quarters < 250 are exactly representable in Float32 -> bit-exact trip
+    val data = Array.tabulate(37 * 23)(i =>
+      if (i % 17 == 3) Double.NaN else ((i * 31) % 1000) / 4.0)
+    for (ts <- Seq(0, 16)) {
+      val p = dir.resolve(s"t$ts.tif").toString
+      GeoTiffWriter.write(p, ref, data, epsg = 27700, tileSize = ts)
+      val t = GeoTiffReader.read(p)
+      assert(t.ref == ref, s"tileSize=$ts")
+      assert(t.epsg == 27700)
+      data.zip(t.data).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b || (a.isNaN && b.isNaN), s"ts=$ts px $i: $a vs $b")
+      }
+    }
+  }
+
+  test("GeoTIFF windowed read: reference slice semantics (max excluded)") {
+    val dir = Files.createTempDirectory("gtiffw")
+    val ref = GridRef(20, 30, 0, 0, 5, -9999)
+    val data = Array.tabulate(20 * 30)(i => (i % 97) / 4.0)
+    val p = dir.resolve("w.tif").toString
+    GeoTiffWriter.write(p, ref, data, tileSize = 16)
+    // extent corners at centers of (5,3) and (15,9): reference map2sub ->
+    // rows [5,15) cols [3,9) — slice EXCLUDES the max (py slice quirk,
+    // spatial_analysis.py:195-197)
+    val w = GeoTiffReader.readWindow(p, Extent(17.5, 47.5, 72.5, 122.5))
+    assert(w.ref.nrows == 10 && w.ref.ncols == 6)
+    assert(w.ref.xll == 15.0 && w.ref.yll == 75.0 && w.ref.cellsize == 5.0)
+    for (r <- 0 until 10; c <- 0 until 6)
+      assert(w.data(r * 6 + c) == data((r + 5) * 20 + (c + 3)), s"($r,$c)")
+  }
+
   test("shapefile reader reproduces the embedded CA1 fixture exactly") {
     val path = "/root/reference/hydro_raster/sample/CA1_overhead_features.shp"
     assume(Files.exists(Paths.get(path)))
