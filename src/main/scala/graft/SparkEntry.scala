@@ -404,12 +404,14 @@ object SparkEntry {
         .orderBy($"band")
     }),
 
-    // V1: vectorize — connected-component stats per value class
-    // (rows-only gate; exact parity vs RefKernel oracle in ScalaTest)
+    // V1: vectorize — per-component POLYGON geometry (exterior + holes,
+    // WKT) + value + pixel count, the reference's (geometry, value) stream
+    // (rows-only gate; geometry gated by the even-odd rasterization
+    // round-trip ScalaTest, stats by the BFS-parity ScalaTest)
     "r10_vectorize" -> ((s, _) => {
       import s.implicits._
       val blocky = TileOps.tileGrid(s, Synth.gridARef, tileRes)(Synth.blockyValue)
-      Vectorize.componentStats(blocky, Synth.gridARef, tileRes)
+      Vectorize.polygons(blocky, Synth.gridARef, tileRes)
     }),
 
     // W2: bilinear resample via halo'd gather join

@@ -15,7 +15,24 @@ final case class GridRef(
     xll: Double,
     yll: Double,
     cellsize: Double,
-    nodata: Double = -9999.0) {
+    nodata: Double = -9999.0,
+    crs: String = "") {
+
+  /** Set the CRS from an EPSG code (reference `set_crs(int)`,
+    * Raster.py:167-181; the WKT form passes a WKT string to `copy(crs=)`). */
+  def withEpsg(epsg: Int): GridRef = copy(crs = s"EPSG:$epsg")
+
+  /** EPSG code when the crs is the EPSG:<n> token (else 0). */
+  def epsg: Int =
+    if (crs.startsWith("EPSG:")) crs.drop(5).toInt else 0
+
+  /** Header summary incl. crs — reference `Raster.summary`
+    * (Raster.py:139-147). */
+  def summary: Map[String, String] = Map(
+    "ncols" -> ncols.toString, "nrows" -> nrows.toString,
+    "xllcorner" -> xll.toString, "yllcorner" -> yll.toString,
+    "cellsize" -> cellsize.toString, "nodata_value" -> nodata.toString) ++
+    (if (crs.nonEmpty) Map("crs" -> crs) else Map.empty)
 
   def left: Double = xll
   def bottom: Double = yll
@@ -80,7 +97,7 @@ final case class GridRef(
     val newNrows = maxRow - minRow + 1
     val newXll = xll + minCol * cellsize
     val newYll = yll + (nrows - 1 - maxRow) * cellsize
-    GridRef(newNcols, newNrows, newXll, newYll, cellsize, nodata)
+    GridRef(newNcols, newNrows, newXll, newYll, cellsize, nodata, crs)
   }
 }
 

@@ -132,6 +132,6 @@ object Downsample {
     val tNcols = (srcRef.ncols + factor - 1) / factor
     val cs = srcRef.cellsize * factor
     GridRef(tNcols, tNrows, srcRef.left, srcRef.top - tNrows * cs, cs,
-      srcRef.nodata)
+      srcRef.nodata, srcRef.crs)
   }
 }

@@ -332,11 +332,12 @@ object Gather {
   }
 
   /** Shared cogroup harness: target tiles x their source fragments ->
-    * per-tile gather kernel -> per-pixel rows (row, col, v-null). */
-  private[operators] def gatherTiles(srcTiles: Dataset[Tile], srcRef: GridRef,
+    * per-tile gather kernel -> target TILES (the unit every downstream
+    * operator consumes; explode to rows only at comparison boundaries). */
+  private[operators] def gatherTileDs(srcTiles: Dataset[Tile], srcRef: GridRef,
       targetRef: GridRef, res: Int, halo: Int)(
       pixel: (Int, Int, scala.collection.mutable.LongMap[Tile]) => Double)
-      : DataFrame = {
+      : Dataset[Tile] = {
     val spark = srcTiles.sparkSession
     import spark.implicits._
     val size = 1 << res
@@ -365,28 +366,39 @@ object Gather {
         val w = math.min(size, tNcols - col0)
         val byCell = new scala.collection.mutable.LongMap[Tile]()
         fIt.foreach(f => byCell(f._2.cellId) = f._2)
-        val out = new Array[CellPx](h * w)
+        val payload = new Array[Double](h * w)
         var k = 0
         var r = 0
         while (r < h) {
           var c = 0
           while (c < w) {
-            out(k) = CellPx(row0 + r, col0 + c, pixel(row0 + r, col0 + c, byCell))
+            payload(k) = pixel(row0 + r, col0 + c, byCell)
             k += 1; c += 1
           }
           r += 1
         }
-        out.iterator
-    }.toDF("row", "col", "v")
-      .withColumn("v", when(isnan($"v"), lit(null)).otherwise($"v"))
+        Iterator.single(Tile(CellId.encode(res, tx, ty), row0, col0, h, w, payload))
+    }
   }
+
+  /** Row-level variant of [[gatherTileDs]] (NaN -> null v). */
+  private[operators] def gatherTiles(srcTiles: Dataset[Tile], srcRef: GridRef,
+      targetRef: GridRef, res: Int, halo: Int)(
+      pixel: (Int, Int, scala.collection.mutable.LongMap[Tile]) => Double)
+      : DataFrame =
+    TileOps.cells(gatherTileDs(srcTiles, srcRef, targetRef, res, halo)(pixel))
 
   /** nearest regrid; `clamp=true` = assign_to edge clamping
     * (Raster.py:505-508), else out-of-source targets yield null. */
   def resampleNearest(srcTiles: Dataset[Tile], srcRef: GridRef,
-      targetRef: GridRef, res: Int, clamp: Boolean): DataFrame = {
+      targetRef: GridRef, res: Int, clamp: Boolean): DataFrame =
+    TileOps.cells(resampleNearestTiles(srcTiles, srcRef, targetRef, res, clamp))
+
+  /** Tile-level nearest regrid (feeds merge and further tile ops). */
+  def resampleNearestTiles(srcTiles: Dataset[Tile], srcRef: GridRef,
+      targetRef: GridRef, res: Int, clamp: Boolean): Dataset[Tile] = {
     val (sNrows, sNcols) = (srcRef.nrows, srcRef.ncols)
-    gatherTiles(srcTiles, srcRef, targetRef, res, halo = 1) { (tr, tc, byCell) =>
+    gatherTileDs(srcTiles, srcRef, targetRef, res, halo = 1) { (tr, tc, byCell) =>
       val (x, y) = targetRef.sub2map(tr, tc)
       val (sr0, sc0) = srcRef.map2sub(x, y)
       val (sr, sc) =
@@ -433,9 +445,14 @@ object Bilinear {
   import graft.core._
 
   def resample(srcTiles: Dataset[Tile], srcRef: GridRef, targetRef: GridRef,
-      res: Int): DataFrame = {
+      res: Int): DataFrame =
+    TileOps.cells(resampleTiles(srcTiles, srcRef, targetRef, res))
+
+  /** Tile-level bilinear regrid (feeds merge and further tile ops). */
+  def resampleTiles(srcTiles: Dataset[Tile], srcRef: GridRef,
+      targetRef: GridRef, res: Int): Dataset[Tile] = {
     val (sNrows, sNcols) = (srcRef.nrows, srcRef.ncols)
-    Gather.gatherTiles(srcTiles, srcRef, targetRef, res, halo = 1) {
+    Gather.gatherTileDs(srcTiles, srcRef, targetRef, res, halo = 1) {
       (tr, tc, byCell) =>
         val (x, y) = targetRef.sub2map(tr, tc)
         val (fr, fc) = srcRef.map2subFrac(x, y)
@@ -557,5 +574,54 @@ object TileFns {
         if (v.isNaN) Double.NaN else (v - lo) / span * 1000.0)
       (t.cellId, ImageCodec.encodePng(scaled, t.w, t.h))
     }
+  }
+}
+
+/** Cellsize-changing resample + cross-resolution merge (reference
+  * `Raster.resample` Raster.py:369-405 for nearest/bilinear at an
+  * arbitrary new cellsize, and module-level `merge` Raster.py:873-894). */
+object Regrid {
+  import org.apache.spark.sql.Dataset
+  import graft.core._
+
+  /** Resample to a new cellsize: dims = np.around(n * old/new) (the
+    * reference's rint), the origin's TOP-LEFT corner preserved (rasterio
+    * scales the transform about it). Window-agg methods live in
+    * [[Downsample]]; here nearest/bilinear cover the reference's
+    * up/downscale default paths. */
+  def resampleToCellsize(tiles: Dataset[Tile], srcRef: GridRef,
+      newCellsize: Double, method: String, res: Int)
+      : (Dataset[Tile], GridRef) = {
+    val ratio = srcRef.cellsize / newCellsize
+    val nr = Math.rint(srcRef.nrows * ratio).toInt
+    val nc = Math.rint(srcRef.ncols * ratio).toInt
+    require(nr > 0 && nc > 0, s"degenerate resample dims ($nr x $nc)")
+    val ref2 = GridRef(nc, nr, srcRef.left, srcRef.top - nr * newCellsize,
+      newCellsize, srcRef.nodata, srcRef.crs)
+    val out = method match {
+      case "bilinear" => Bilinear.resampleTiles(tiles, srcRef, ref2, res)
+      case "nearest" => Gather.resampleNearestTiles(tiles, srcRef, ref2, res,
+        clamp = false)
+      case other => throw new IllegalArgumentException(
+        s"resampleToCellsize supports nearest|bilinear, got $other " +
+          "(window-agg methods: Downsample.stats)")
+    }
+    (out, ref2)
+  }
+
+  /** merge (Raster.py:873-894): when cellsizes differ the origin raster is
+    * first resampled to the target's cellsize (default bilinear), then
+    * every non-NaN origin pixel overwrites the target pixel its center
+    * falls on (NaN-ignoring last-wins = alignedPatches(coverAll=false) +
+    * mosaic — one shuffle on the target tiling). */
+  def mergeInto(base: Dataset[Tile], baseRef: GridRef,
+      over: Dataset[Tile], overRef: GridRef, res: Int,
+      method: String = "bilinear"): Dataset[Tile] = {
+    val (ov, ovRef) =
+      if (overRef.cellsize == baseRef.cellsize) (over, overRef)
+      else resampleToCellsize(over, overRef, baseRef.cellsize, method, res)
+    TileOps.mosaic(TileOps.asPatches(base, seq = 0)
+      .union(TileOps.alignedPatches(ov, ovRef, baseRef, res, seq = 1,
+        coverAll = false)))
   }
 }

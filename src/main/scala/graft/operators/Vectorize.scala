@@ -6,24 +6,30 @@ import graft.core._
 import scala.collection.mutable
 
 /** Raster -> vector: connected-component labeling of equal-valued regions
-  * (reference `Raster.vectorize` = rasterio.features.shapes over the
-  * validity mask, Raster.py:735-778; 4-connectivity like GDAL polygonize).
+  * plus POLYGON GEOMETRY extraction (reference `Raster.vectorize` =
+  * rasterio.features.shapes over the validity mask, Raster.py:735-778;
+  * 4-connectivity like GDAL polygonize).
   *
-  * Distributed shape: per-tile local union-find labeling (one pass over the
-  * payload), then a SEAM exchange — only the 1-pixel border labels of each
-  * tile travel — grouped per seam to produce cross-tile label equivalences;
-  * the equivalence graph (O(perimeter), tiny vs area) is resolved by a
-  * driver union-find, and component stats aggregate by resolved root.
-  * Exact geometry extraction is out of scope for the parity gate (the
-  * reference gate is per-value region/row counts, SURVEY.md §2.9). */
+  * Distributed shape: tiles are halo'd (Stencil.padded — the 1-px border
+  * exchange), each tile labels its core with union-find and emits
+  *  (a) per-label pixel counts,
+  *  (b) 1-px border strips for the cross-tile seam join,
+  *  (c) directed BOUNDARY EDGES (pixel sides whose neighbor differs) —
+  *      O(perimeter) rows.
+  * Seam equivalences resolve in a driver union-find (O(total perimeter),
+  * tiny vs area; the 100TB upgrade is iterative min-label propagation),
+  * then edges group by resolved component and a ring-stitching kernel
+  * walks them into exterior + hole rings (even-odd semantics). Geometry
+  * parity gate: rasterizing each polygon back (even-odd PIP) recovers
+  * exactly the component's pixel set (VectorizeSpec). */
 object Vectorize {
 
-  /** Per-tile labeling output: pixel counts per (localLabel, value) plus
-    * border strips carrying labels for the seam join. */
-  final case class TileLabels(
+  /** Per-tile labeling output. */
+  final case class TileVec(
       cellId: Long,
-      counts: Array[(Long, Double, Long)], // (globalLabel, value, nPixels)
-      borders: Array[(Int, Int, Int, Long, Double)]) // (side, row, col, label, value)
+      counts: Array[(Long, Double, Long, Long)], // (label, value, nPix, minPixelIdx)
+      borders: Array[(Int, Int, Int, Long, Double)], // (side, row, col, label, value)
+      edges: Array[(Long, Int, Int, Byte)]) // (label, row, col, side 0=T 1=B 2=L 3=R)
 
   private def find(parent: mutable.LongMap[Long], x: Long): Long = {
     var r = x
@@ -33,10 +39,14 @@ object Vectorize {
     r
   }
 
-  /** Label one tile with 4-connectivity union-find; labels globalized as
-    * cellId-hash * 2^20 + local. */
-  private def labelTile(t: Tile): TileLabels = {
-    val n = t.h * t.w
+  /** Label one halo'd tile core with 4-connectivity union-find; labels
+    * globalized as cellId * 2^20 + local root. Boundary edges use the halo
+    * for neighbor values (grid edge / NaN / different value -> edge). */
+  private def labelPadded(pt: Stencil.Padded, ncols: Int): TileVec = {
+    val h = pt.h
+    val w = pt.w
+    val n = h * w
+    def v(r: Int, c: Int): Double = pt.at(pt.row0 + r, pt.col0 + c)
     val local = Array.fill(n)(-1)
     val parent = new Array[Int](n)
     var nextLabel = 0
@@ -49,12 +59,12 @@ object Vectorize {
     }
     var i = 0
     while (i < n) {
-      val v = t.payload(i)
-      if (!v.isNaN) {
-        val r = i / t.w
-        val c = i % t.w
-        val left = if (c > 0 && t.payload(i - 1) == v) findL(local(i - 1)) else -1
-        val up = if (r > 0 && t.payload(i - t.w) == v) findL(local(i - t.w)) else -1
+      val vv = v(i / w, i % w)
+      if (!vv.isNaN) {
+        val r = i / w
+        val c = i % w
+        val left = if (c > 0 && v(r, c - 1) == vv) findL(local(i - 1)) else -1
+        val up = if (r > 0 && v(r - 1, c) == vv) findL(local(i - w)) else -1
         val lbl =
           if (left >= 0 && up >= 0) {
             val a = math.min(left, up)
@@ -73,59 +83,80 @@ object Vectorize {
       }
       i += 1
     }
-    // resolve + globalize
-    def global(l: Int): Long = (t.cellId << 20) | findL(l).toLong
-    val cnt = new mutable.LongMap[(Double, Long)]()
+    def global(l: Int): Long = (pt.cellId << 20) | findL(l).toLong
+    // counts + deterministic min pixel index per label
+    val cnt = new mutable.LongMap[(Double, Long, Long)]()
     i = 0
     while (i < n) {
       if (local(i) >= 0) {
         val g = global(local(i))
-        val v = t.payload(i)
+        val vv = v(i / w, i % w)
+        val pix = (pt.row0 + i / w).toLong * ncols + (pt.col0 + i % w)
         cnt.get(g) match {
-          case Some((_, k)) => cnt(g) = (v, k + 1)
-          case None => cnt(g) = (v, 1L)
+          case Some((_, k, mp)) => cnt(g) = (vv, k + 1, math.min(mp, pix))
+          case None => cnt(g) = (vv, 1L, pix)
         }
       }
       i += 1
     }
+    // border strips (for the seam join)
     val borders = Array.newBuilder[(Int, Int, Int, Long, Double)]
     var c = 0
-    while (c < t.w) { // top (side 0) and bottom (side 1)
+    while (c < w) {
       if (local(c) >= 0)
-        borders += ((0, t.row0, t.col0 + c, global(local(c)), t.payload(c)))
-      val bi = (t.h - 1) * t.w + c
+        borders += ((0, pt.row0, pt.col0 + c, global(local(c)), v(0, c)))
+      val bi = (h - 1) * w + c
       if (local(bi) >= 0)
-        borders += ((1, t.row0 + t.h - 1, t.col0 + c, global(local(bi)), t.payload(bi)))
+        borders += ((1, pt.row0 + h - 1, pt.col0 + c, global(local(bi)), v(h - 1, c)))
       c += 1
     }
     var r = 0
-    while (r < t.h) { // left (2) and right (3)
-      if (local(r * t.w) >= 0)
-        borders += ((2, t.row0 + r, t.col0, global(local(r * t.w)), t.payload(r * t.w)))
-      val ri = r * t.w + t.w - 1
+    while (r < h) {
+      if (local(r * w) >= 0)
+        borders += ((2, pt.row0 + r, pt.col0, global(local(r * w)), v(r, 0)))
+      val ri = r * w + w - 1
       if (local(ri) >= 0)
-        borders += ((3, t.row0 + r, t.col0 + t.w - 1, global(local(ri)), t.payload(ri)))
+        borders += ((3, pt.row0 + r, pt.col0 + w - 1, global(local(ri)), v(r, w - 1)))
       r += 1
     }
-    TileLabels(t.cellId,
-      cnt.toArray.map { case (g, (v, k)) => (g, v, k) },
-      borders.result())
+    // boundary edges: neighbor (via halo) NaN or different value
+    val edges = Array.newBuilder[(Long, Int, Int, Byte)]
+    i = 0
+    while (i < n) {
+      if (local(i) >= 0) {
+        val r = i / w
+        val c2 = i % w
+        val vv = v(r, c2)
+        val g = global(local(i))
+        val gr = pt.row0 + r
+        val gc = pt.col0 + c2
+        if (pt.at(gr - 1, gc) != vv) edges += ((g, gr, gc, 0)) // top
+        if (pt.at(gr + 1, gc) != vv) edges += ((g, gr, gc, 1)) // bottom
+        if (pt.at(gr, gc - 1) != vv) edges += ((g, gr, gc, 2)) // left
+        if (pt.at(gr, gc + 1) != vv) edges += ((g, gr, gc, 3)) // right
+      }
+      i += 1
+    }
+    TileVec(pt.cellId, cnt.toArray.map { case (g, (vv, k, mp)) => (g, vv, k, mp) },
+      borders.result(), edges.result())
   }
 
-  /** Component stats per value class: (value, n_components, n_pixels).
-    * The driver-side union-find sees only seam equivalences —
-    * O(total tile perimeter), not O(pixels). */
-  def componentStats(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
-    val spark = tiles.sparkSession
-    import spark.implicits._
-    val labeled = tiles.map(labelTile).cache()
+  /** Label all tiles (halo'd) — shared by stats and polygons. */
+  def labeled(tiles: Dataset[Tile], ref: GridRef, res: Int): Dataset[TileVec] = {
+    import tiles.sparkSession.implicits._
+    val ncols = ref.ncols
+    Stencil.padded(tiles, ref, res).map(pt => labelPadded(pt, ncols))
+  }
 
-    // seam equivalences: adjacent border pixels with equal value
-    val bordersByPixel = labeled.flatMap { tl =>
+  /** Resolve cross-tile label equivalences: seam pairs -> driver
+    * union-find -> broadcast root map. O(total tile perimeter). */
+  private def resolveRoots(lab: Dataset[TileVec])
+      : org.apache.spark.broadcast.Broadcast[Map[Long, Long]] = {
+    val spark = lab.sparkSession
+    import spark.implicits._
+    val b = lab.flatMap { tl =>
       tl.borders.iterator.map { case (_, r, c, g, v) => (r, c, g, v) }
-    }
-    // pair (r, c) with (r+1, c) and (r, c+1) neighbors via two self-joins
-    val b = bordersByPixel.toDF("r", "c", "g", "v")
+    }.toDF("r", "c", "g", "v")
     val down = b.as("a").join(b.as("x"),
         $"a.r" + 1 === $"x.r" && $"a.c" === $"x.c" && $"a.v" === $"x.v" && $"a.g" =!= $"x.g")
       .select($"a.g".as("g1"), $"x.g".as("g2"))
@@ -133,7 +164,6 @@ object Vectorize {
         $"a.r" === $"x.r" && $"a.c" + 1 === $"x.c" && $"a.v" === $"x.v" && $"a.g" =!= $"x.g")
       .select($"a.g".as("g1"), $"x.g".as("g2"))
     val equivs = down.union(right).distinct().as[(Long, Long)].collect()
-
     val parent = new mutable.LongMap[Long]()
     equivs.foreach { case (a, b2) =>
       val ra = find(parent, a)
@@ -141,16 +171,153 @@ object Vectorize {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val roots = parent.keys.map(k => k -> find(parent, k)).toMap
-    val bc = spark.sparkContext.broadcast(roots)
+    spark.sparkContext.broadcast(roots)
+  }
 
-    val stats = labeled.flatMap { tl =>
-      tl.counts.iterator.map { case (g, v, k) =>
+  /** Component stats per value class: (value, n_components, n_pixels). */
+  def componentStats(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val lab = labeled(tiles, ref, res)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = resolveRoots(lab)
+    lab.flatMap { tl =>
+      tl.counts.iterator.map { case (g, v, k, _) =>
         (bc.value.getOrElse(g, g), v, k)
       }
     }.toDF("root", "v", "px")
       .groupBy($"v")
       .agg(countDistinct($"root").as("n_components"), sum($"px").as("n_pixels"))
       .orderBy($"v")
-    stats
+  }
+
+  /** Full vectorize: one row per connected component with its polygon
+    * geometry (exterior ring + holes, WKT, map coordinates), value and
+    * pixel count — the reference's (geometry, value) feature stream
+    * (Raster.py:767-777). feature_id = the component's minimum row-major
+    * pixel index (deterministic under any partitioning). */
+  def polygons(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val lab = labeled(tiles, ref, res)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = resolveRoots(lab)
+
+    val meta = lab.flatMap { tl =>
+      tl.counts.iterator.map { case (g, v, k, mp) =>
+        (bc.value.getOrElse(g, g), v, k, mp)
+      }
+    }.groupByKey(_._1).mapGroups { (root, it) =>
+      val rows = it.toArray
+      (root, rows.head._2, rows.map(_._3).sum, rows.map(_._4).min)
+    }.toDF("root", "v", "n_pixels", "feature_id")
+
+    val (left, top, cs) = (ref.left, ref.top, ref.cellsize)
+    val rings = lab.flatMap { tl =>
+      tl.edges.iterator.map { case (g, r, c, side) =>
+        (bc.value.getOrElse(g, g), r, c, side)
+      }
+    }.groupByKey(_._1).mapGroups { (root, it) =>
+      val segs = it.map(e => (e._2, e._3, e._4)).toArray
+      (root, assembleWkt(segs, left, top, cs))
+    }.toDF("root", "wkt")
+
+    meta.join(rings, "root")
+      .select($"feature_id", $"v", $"n_pixels", $"wkt")
+      .orderBy($"feature_id")
+  }
+
+  /** Stitch directed boundary edges into rings and render WKT.
+    * Edge direction convention (array coords, row = y down), interior kept
+    * on the side such that each vertex chains uniquely except at saddle
+    * corners, where the sharpest-left turn is taken (deterministic; ring
+    * decomposition differences are invisible to even-odd semantics):
+    *   top -> +x, bottom -> -x, left -> -y, right -> +y. */
+  private[operators] def assembleWkt(
+      segs: Array[(Int, Int, Byte)], left: Double, top: Double, cs: Double)
+      : String = {
+    // vertex = (x, y) pixel-corner ints; encode as Long for hashing
+    @inline def vtx(x: Int, y: Int): Long = (x.toLong << 32) | (y.toLong & 0xFFFFFFFFL)
+    @inline def vx(v: Long): Int = (v >> 32).toInt
+    @inline def vy(v: Long): Int = v.toInt
+    // directed edges: (from, to)
+    val dirs = segs.map { case (r, c, side) =>
+      side match {
+        case 0 => (vtx(c, r), vtx(c + 1, r)) // top: +x
+        case 1 => (vtx(c + 1, r + 1), vtx(c, r + 1)) // bottom: -x
+        case 2 => (vtx(c, r + 1), vtx(c, r)) // left: -y
+        case 3 => (vtx(c + 1, r), vtx(c + 1, r + 1)) // right: +y
+        case _ => throw new IllegalStateException
+      }
+    }
+    // from-vertex -> outgoing edge indices (<= 2 in 4-connectivity)
+    val out = new mutable.LongMap[List[Int]]()
+    dirs.zipWithIndex.foreach { case ((f, _), i) =>
+      out(f) = i :: out.getOrElse(f, Nil)
+    }
+    val used = new Array[Boolean](dirs.length)
+    // deterministic ring starts: smallest (y, x) from-vertex first
+    val order = dirs.indices.sortBy { i => (vy(dirs(i)._1), vx(dirs(i)._1)) }
+    val ringsB = mutable.ArrayBuffer[Array[Long]]()
+    for (start <- order if !used(start)) {
+      val ring = mutable.ArrayBuffer[Long]()
+      var cur = start
+      var incoming = (0, 0)
+      var done = false
+      while (!done) {
+        used(cur) = true
+        val (f, t) = dirs(cur)
+        ring += f
+        incoming = (vx(t) - vx(f), vy(t) - vy(f))
+        if (t == dirs(start)._1) done = true
+        else {
+          val cands = out(t).filter(!used(_))
+          cur = cands match {
+            case single :: Nil => single
+            case Nil => throw new IllegalStateException("open ring")
+            case many =>
+              // saddle: pick sharpest LEFT turn vs incoming (y-down coords:
+              // left turn = cross(in, out) < 0)
+              many.minBy { i =>
+                val (f2, t2) = dirs(i)
+                val d = (vx(t2) - vx(f2), vy(t2) - vy(f2))
+                val cross = incoming._1 * d._2 - incoming._2 * d._1
+                cross // most negative = sharpest left first
+              }
+          }
+        }
+      }
+      ringsB += ring.toArray
+    }
+    // canonicalize: drop collinear repeats? (keep unit steps — exact, hashable)
+    // order rings: exterior = positive shoelace area (in y-down coords the
+    // interior-left convention makes exteriors positive), then holes by
+    // first vertex
+    def area2(ring: Array[Long]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < ring.length) {
+        val a = ring(i)
+        val b = ring((i + 1) % ring.length)
+        s += vx(a).toLong * vy(b) - vx(b).toLong * vy(a)
+        i += 1
+      }
+      s
+    }
+    val (ext, holes) = ringsB.toArray.partition(r => area2(r) > 0)
+    val ordered = ext.sortBy(r => (vy(r(0)), vx(r(0)))) ++
+      holes.sortBy(r => (vy(r(0)), vx(r(0))))
+    def fmt(d: Double): String =
+      if (d == Math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    val body = ordered.map { ring =>
+      val closed = ring :+ ring(0)
+      closed.map { v =>
+        val x = left + vx(v) * cs
+        val y = top - vy(v) * cs
+        s"${fmt(x)} ${fmt(y)}"
+      }.mkString("(", ", ", ")")
+    }.mkString(", ")
+    s"POLYGON ($body)"
   }
 }

@@ -65,9 +65,22 @@ object AscIO {
     (ref, data)
   }
 
-  /** Driver-side single-file read. */
-  def readFile(path: String): (GridRef, Array[Double]) =
-    decodeBytes(Files.readAllBytes(Paths.get(path)), path.endsWith(".gz"))
+  /** The .prj sidecar path: strip .gz, swap the extension for .prj
+    * (reference arcgridread, spatial_analysis.py:120-124; standardized to
+    * strip .gz first — the reference's [:-4] slice garbles .asc.gz names). */
+  def prjPath(path: String): String = {
+    val base = path.stripSuffix(".gz")
+    val dot = base.lastIndexOf('.')
+    (if (dot >= 0) base.substring(0, dot) else base) + ".prj"
+  }
+
+  /** Driver-side single-file read; a .prj sidecar (WKT) populates crs. */
+  def readFile(path: String): (GridRef, Array[Double]) = {
+    val (ref, data) = decodeBytes(Files.readAllBytes(Paths.get(path)), path.endsWith(".gz"))
+    val prj = Paths.get(prjPath(path))
+    if (Files.exists(prj)) (ref.copy(crs = Files.readString(prj).trim), data)
+    else (ref, data)
+  }
 
   /** Distributed ingest: binaryFile scan -> decode + tile split on
     * executors. Each ASC becomes a tile set on ITS OWN grid; cross-file
@@ -148,6 +161,9 @@ object AscIO {
       out.write(bytes)
       out.close()
     } else Files.write(Paths.get(path), bytes)
+    // CRS travels as the .prj sidecar (reference write pairs the WKT file)
+    if (ref.crs.nonEmpty)
+      Files.writeString(Paths.get(prjPath(path)), ref.crs)
   }
 
   /** Export a tile dataset as one ASC: tiles are collected INTO the export

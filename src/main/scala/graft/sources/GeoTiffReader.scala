@@ -142,7 +142,8 @@ object GeoTiffReader {
       } else 0
 
     val fullRef = GridRef(ncols, nrows, left, top - nrows * cellsize,
-      cellsize, if (nodata.isNaN) -9999.0 else nodata)
+      cellsize, if (nodata.isNaN) -9999.0 else nodata,
+      if (epsg > 0) s"EPSG:$epsg" else "")
 
     // window in pixel space (reference: slice(min, max) — max EXCLUSIVE)
     val (r0, r1ex, c0, c1ex) = window match {
@@ -224,7 +225,8 @@ object GeoTiffReader {
     }
 
     val winRef = GridRef(ww, wh, fullRef.xll + c0 * cellsize,
-      fullRef.yll + (nrows - r1ex) * cellsize, cellsize, fullRef.nodata)
+      fullRef.yll + (nrows - r1ex) * cellsize, cellsize, fullRef.nodata,
+      fullRef.crs)
     Tiff(winRef, out, epsg)
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core._
 import graft.corpus.Synth
+import scala.collection.mutable
 
 /** Parity for the wave-4 operators: bilinear regrid, gather resample,
   * vectorize component stats — all vs the RefKernel oracle. */
@@ -143,6 +144,116 @@ class RegridSpec extends AnyFunSuite {
     val b = Vectorize.componentStats(blocky6, Synth.gridARef, 6)
       .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(a == b)
+  }
+
+  test("merge with cellsize mismatch: resample-to-target + NaN-skipping scatter (J2)") {
+    // origin: 10m grid overlapping the 5m gridA target (Raster.py:884-894)
+    val oRef = GridRef(45, 35, 250, 150, 10)
+    def oVal(r: Int, c: Int): Double =
+      if ((r * 45 + c) % 31 == 4) Double.NaN else ((r * 7 + c * 3) % 60) / 4.0
+    val base = TileOps.tileGrid(spark, Synth.gridARef, 6)(Synth.gridAValue)
+    val over = TileOps.tileGrid(spark, oRef, 6)(oVal)
+    val got = TileOps.cells(Regrid.mergeInto(base, Synth.gridARef, over, oRef, 6))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got.size == Synth.gridARef.numCells)
+    // oracle: single-threaded bilinear resample to 5m (dims = rint(n*2)),
+    // then per-cell map2sub scatter skipping NaN — the reference merge loop
+    val oGrid = RefKernel.Grid(oRef,
+      Array.tabulate(45 * 35)(i => oVal(i / 45, i % 45)))
+    val ref2 = GridRef(90, 70, 250, 150, 5)
+    val rs = RefKernel.resampleBilinear(oGrid, ref2)
+    val out = Array.tabulate(80 * 100)(i => Synth.gridAValue(i / 100, i % 100))
+    for (r <- 0 until 70; c <- 0 until 90) {
+      val v = rs(r, c)
+      if (!v.isNaN) {
+        val (x, y) = ref2.sub2map(r, c)
+        val (tr, tc) = Synth.gridARef.map2sub(x, y)
+        if (tr >= 0 && tr < 80 && tc >= 0 && tc < 100) out(tr * 100 + tc) = v
+      }
+    }
+    for (r <- 0 until 80; c <- 0 until 100) {
+      val e = out(r * 100 + c)
+      val g = got((r, c))
+      assert(g == e || (g.isNaN && e.isNaN), s"($r,$c): $g vs $e")
+    }
+  }
+
+  test("vectorize polygons: even-odd rasterization recovers each component's exact pixel set") {
+    import spark.implicits._
+    val ref = Synth.gridARef
+    val blocky = TileOps.tileGrid(spark, ref, 6)(Synth.blockyValue)
+    val polys = Vectorize.polygons(blocky, ref, 6)
+      .select("feature_id", "v", "n_pixels", "wkt")
+      .as[(Long, Double, Long, String)].collect()
+
+    // single-threaded BFS components straight off the fixture fn
+    val vals = Array.tabulate(ref.nrows, ref.ncols)(Synth.blockyValue)
+    val comp = Array.fill(ref.nrows, ref.ncols)(-1)
+    var nComp = 0
+    val compPixels = mutable.ArrayBuffer[mutable.Set[(Int, Int)]]()
+    for (r <- 0 until ref.nrows; c <- 0 until ref.ncols
+         if comp(r)(c) < 0 && !vals(r)(c).isNaN) {
+      val id = nComp; nComp += 1
+      val pix = mutable.Set[(Int, Int)]()
+      val q = mutable.Queue((r, c))
+      comp(r)(c) = id
+      while (q.nonEmpty) {
+        val (rr, cc) = q.dequeue()
+        pix += ((rr, cc))
+        for ((dr, dc) <- Seq((-1, 0), (1, 0), (0, -1), (0, 1))) {
+          val (r2, c2) = (rr + dr, cc + dc)
+          if (r2 >= 0 && r2 < ref.nrows && c2 >= 0 && c2 < ref.ncols &&
+            comp(r2)(c2) < 0 && vals(r2)(c2) == vals(rr)(cc)) {
+            comp(r2)(c2) = id
+            q += ((r2, c2))
+          }
+        }
+      }
+      compPixels += pix
+    }
+    assert(polys.length == nComp)
+
+    // parse WKT rings back to pixel-corner coords
+    def parse(wkt: String): Array[Array[(Double, Double)]] =
+      wkt.stripPrefix("POLYGON (").stripSuffix(")")
+        .split("\\), \\(").map(_.stripPrefix("(").stripSuffix(")")
+          .split(", ").map { p =>
+            val Array(x, y) = p.split(" ")
+            (x.toDouble, y.toDouble)
+          })
+    // even-odd PIP over all rings, in map coords
+    def inside(px: Double, py: Double, rings: Array[Array[(Double, Double)]]): Boolean = {
+      var crossings = 0
+      for (ring <- rings; i <- 1 until ring.length) {
+        val (x1, y1) = ring(i - 1)
+        val (x2, y2) = ring(i)
+        if ((y1 > py) != (y2 > py) &&
+          px < (x2 - x1) * (py - y1) / (y2 - y1) + x1) crossings += 1
+      }
+      crossings % 2 == 1
+    }
+    val byFeature = polys.map(p => p._1 -> p).toMap
+    for (pix <- compPixels) {
+      val fid = pix.map { case (r, c) => r.toLong * ref.ncols + c }.min
+      val (_, v, nPix, wkt) = byFeature(fid)
+      assert(nPix == pix.size, s"feature $fid")
+      assert(v == vals(pix.head._1)(pix.head._2), s"feature $fid")
+      val rings = parse(wkt)
+      // every pixel center of the component is inside; a ring-bbox sample
+      // of outside pixels is outside
+      for ((r, c) <- pix) {
+        val (x, y) = ref.sub2map(r, c)
+        assert(inside(x, y, rings), s"feature $fid pixel ($r,$c) not inside")
+      }
+      val rs = pix.map(_._1); val cs = pix.map(_._2)
+      for (r <- math.max(0, rs.min - 1) to math.min(ref.nrows - 1, rs.max + 1);
+           c <- math.max(0, cs.min - 1) to math.min(ref.ncols - 1, cs.max + 1)
+           if !pix.contains((r, c))) {
+        val (x, y) = ref.sub2map(r, c)
+        assert(!inside(x, y, rings), s"feature $fid pixel ($r,$c) wrongly inside")
+      }
+    }
   }
 
   test("hillshade runs end-to-end and is bounded [0,1]") {

@@ -65,6 +65,27 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("CRS round-trips: ASC .prj sidecar (WKT) and GeoTIFF GeoKey (P6)") {
+    val dir = Files.createTempDirectory("crs")
+    val wkt = """PROJCS["OSGB 1936 / British National Grid",GEOGCS["OSGB 1936"]]"""
+    val ref = GridRef(4, 3, 0, 0, 2, -9999, crs = wkt)
+    val data = Array.tabulate(12)(_ / 4.0)
+    val p = dir.resolve("c.asc").toString
+    AscIO.writeFile(p, ref, data)
+    assert(Files.exists(dir.resolve("c.prj")))
+    val (ref2, _) = AscIO.readFile(p)
+    assert(ref2 == ref) // crs included in equality
+    // GeoTIFF: an EPSG-coded crs wins over the writer's parameter default
+    val refE = GridRef(4, 3, 0, 0, 2, -9999).withEpsg(32630)
+    val pt = dir.resolve("c.tif").toString
+    GeoTiffWriter.write(pt, refE, data)
+    assert(GeoTiffReader.read(pt).ref == refE)
+    assert(GeoTiffReader.read(pt).epsg == 32630)
+    // windowRef carries crs through clips
+    val (r0, r1, c0, c1) = ref.clipWindow(Extent(0, 4, 0, 4))
+    assert(ref.windowRef(r0, r1, c0, c1).crs == wkt)
+  }
+
   test("round trip preserves non-default nodata (!= -9999)") {
     val dir = Files.createTempDirectory("asc-nd")
     val ref = GridRef(5, 4, 10, 20, 2.5, nodata = -1.0)
@@ -151,7 +172,7 @@ class SourcesSpec extends AnyFunSuite {
       val p = dir.resolve(s"t$ts.tif").toString
       GeoTiffWriter.write(p, ref, data, epsg = 27700, tileSize = ts)
       val t = GeoTiffReader.read(p)
-      assert(t.ref == ref, s"tileSize=$ts")
+      assert(t.ref == ref.withEpsg(27700), s"tileSize=$ts") // GeoKey -> crs
       assert(t.epsg == 27700)
       data.zip(t.data).zipWithIndex.foreach { case ((a, b), i) =>
         assert(a == b || (a.isNaN && b.isNaN), s"ts=$ts px $i: $a vs $b")
