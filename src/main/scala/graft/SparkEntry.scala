@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.corpus.{ImageCorpus, Synth}
-import graft.operators.{Bilinear, ClipPolygon, Downsample, Gather, Knn, Line2Sub, PtRec, Rasterize, Stencil, TileFns, TileOps, Vectorize}
+import graft.operators.{Bilinear, ClipPolygon, Downsample, Gather, Knn, Line2Sub, PtRec, Rasterize, Reproject, Stencil, TileFns, TileOps, Vectorize}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
@@ -435,6 +435,21 @@ object SparkEntry {
       val tiles = graft.sources.GeoTiffReader.readTiles(s, tmp, tileRes)
         .map(_._2)
       TileOps.cells(tiles)
+        .withColumn("band", floor($"row" / 16).cast("long"))
+        .groupBy($"band")
+        .agg(count($"v").as("n_valid"), sum($"v").as("sum_v"))
+        .orderBy($"band")
+    }),
+
+    // W5: reproject warp BNG -> UTM30N (rows-only: pixel placement is
+    // trig-dependent, not cross-engine hashable; parity vs the direct
+    // per-pixel transform is ScalaTest-gated)
+    "r17_reproject" -> ((s, _) => {
+      import s.implicits._
+      val ref = Synth.demRef.withEpsg(27700)
+      val dem = TileOps.tileGrid(s, ref, tileRes)(Synth.demValue)
+      val (warped, _) = Reproject.warp(dem, ref, 32630, tileRes)
+      TileOps.cells(warped)
         .withColumn("band", floor($"row" / 16).cast("long"))
         .groupBy($"band")
         .agg(count($"v").as("n_valid"), sum($"v").as("sum_v"))

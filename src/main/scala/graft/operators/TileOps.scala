@@ -337,6 +337,18 @@ object Gather {
   private[operators] def gatherTileDs(srcTiles: Dataset[Tile], srcRef: GridRef,
       targetRef: GridRef, res: Int, halo: Int)(
       pixel: (Int, Int, scala.collection.mutable.LongMap[Tile]) => Double)
+      : Dataset[Tile] =
+    gatherTileDsCover(srcTiles, targetRef, res)(
+      (row0, col0, h, w) => srcCover(srcRef, targetRef, row0, col0, h, w, res, halo))(
+      pixel)
+
+  /** Harness variant with a caller-supplied cover function (row0, col0,
+    * h, w of the target tile -> source cells it reads) — used by the
+    * nonlinear reproject warp where the affine corner bbox is not sound. */
+  private[operators] def gatherTileDsCover(srcTiles: Dataset[Tile],
+      targetRef: GridRef, res: Int)(
+      cover: (Int, Int, Int, Int) => Array[Long])(
+      pixel: (Int, Int, scala.collection.mutable.LongMap[Tile]) => Double)
       : Dataset[Tile] = {
     val spark = srcTiles.sparkSession
     import spark.implicits._
@@ -352,8 +364,7 @@ object Gather {
       val row0 = ty * size; val col0 = tx * size
       val h = math.min(size, tNrows - row0)
       val w = math.min(size, tNcols - col0)
-      srcCover(srcRef, targetRef, row0, col0, h, w, res, halo)
-        .iterator.map(c => TileReq(c, i))
+      cover(row0, col0, h, w).iterator.map(c => TileReq(c, i))
     }
     val frags = reqs.joinWith(srcTiles, reqs("srcCell") === srcTiles("cellId"))
       .map { case (req, tile) => (req.tTile, tile) }

@@ -179,6 +179,35 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("reproject warp (W5): distributed nearest gather == direct per-pixel transform") {
+    val ref = Synth.demRef.withEpsg(27700)
+    val dem = TileOps.tileGrid(spark, ref, 6)(Synth.demValue)
+    val (warped, dstRef) = Reproject.warp(dem, ref, 32630, 6)
+    assert(dstRef.epsg == 32630)
+    // cal_tsf-ish: similar pixel budget, square cells
+    assert(math.abs(dstRef.cellsize - ref.cellsize) / ref.cellsize < 0.05)
+    val got = TileOps.cells(warped)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got.size == dstRef.numCells)
+    val src = Proj.fromEpsg(27700)
+    val dst = Proj.fromEpsg(32630)
+    var valid = 0
+    for (r <- 0 until dstRef.nrows; c <- 0 until dstRef.ncols) {
+      val (x, y) = dstRef.sub2map(r, c)
+      val (sx, sy) = Proj.transform(dst, src, x, y)
+      val (sr, sc) = ref.map2sub(sx, sy)
+      val e =
+        if (sr >= 0 && sr < ref.nrows && sc >= 0 && sc < ref.ncols)
+          Synth.demValue(sr, sc)
+        else Double.NaN
+      val g = got((r, c))
+      assert(g == e || (g.isNaN && e.isNaN), s"($r,$c): $g vs $e")
+      if (!e.isNaN) valid += 1
+    }
+    assert(valid > dstRef.numCells / 2, s"only $valid valid pixels")
+  }
+
   test("vectorize polygons: even-odd rasterization recovers each component's exact pixel set") {
     import spark.implicits._
     val ref = Synth.gridARef
