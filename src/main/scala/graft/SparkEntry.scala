@@ -318,24 +318,13 @@ object SparkEntry {
         .orderBy($"sig")
     }),
 
-    // near-dup: exact 3-gram Jaccard >= 0.8 via inverted-index join
-    // (integer cross-multiplied threshold — no float compare)
+    // near-dup: exact 3-gram Jaccard >= 0.8 — inverted-index candidates
+    // with a document-frequency cap (stop-shingle O(df^2) guard), exact
+    // verify over the full hashed shingle sets
     "d3_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val sh = table(s, dir, "documents")
-        .select($"doc_id", graft.text.TextOps.tokens($"text").as("w"))
-        .select($"doc_id",
-          explode(array_distinct(graft.text.TextOps.wordShingles($"w", 3))).as("sh"))
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.as("a").join(sh.as("b"),
-          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.toDF("ia", "sza"), "ia")
-        .join(sizes.toDF("ib", "szb"), "ib")
-        .filter($"inter" * 10 >= lit(8) * ($"sza" + $"szb" - $"inter"))
-        .select($"ia", $"ib", $"inter", $"sza", $"szb")
+      graft.text.TextOps.jaccardPairs(table(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, threshold10 = 8, dfCap = 1000)
         .orderBy($"ia", $"ib")
     }),
 
@@ -439,6 +428,18 @@ object SparkEntry {
         .groupBy($"band")
         .agg(count($"v").as("n_valid"), sum($"v").as("sum_v"))
         .orderBy($"band")
+    }),
+
+    // J5 variant: IDW over the exact k nearest (rows-only: 1/d^2 weight
+    // sums are not cross-engine hashable; bucketed==brute is ScalaTest-
+    // gated bitwise)
+    "r18_idw" -> ((s, _) => {
+      import s.implicits._
+      val pts = s.createDataset(Synth.knnPoints.map(p => PtRec(p._1, p._2, p._3, p._4)))
+      Knn.idwBucketed(s, pts, Synth.knnRef, res = 5, k = 4)
+        .filter(($"row" * lit(Synth.knnRef.ncols) + $"col") % 13 === 2)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .orderBy($"row", $"col")
     }),
 
     // W5: reproject warp BNG -> UTM30N (rows-only: pixel placement is

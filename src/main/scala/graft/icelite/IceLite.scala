@@ -78,15 +78,20 @@ object IceLite {
     }
   }
 
-  /** Resumable ingest: write `tiles` bucketed by cell id in `buckets`
-    * independent chunk jobs, checkpointing a lineage row after each chunk;
-    * already-checkpointed buckets are SKIPPED (this is the kill/re-run
-    * resume path). `failAtBucket` injects a crash for tests. Returns the
-    * snapshot id once ALL buckets committed and metadata flipped.
+  /** Resumable ingest: ONE dynamic-partition write of every
+    * not-yet-committed bucket, ONE read-back aggregation for lineage
+    * checksums + manifest stats, then per-bucket lineage rows committed
+    * atomically in bucket order; already-checkpointed buckets are SKIPPED
+    * on re-run (the kill/resume contract — a killed job re-run on the same
+    * table redoes exactly the buckets whose lineage row is missing).
+    * `failAtBucket` injects a crash between lineage commits for tests.
+    * Returns the snapshot id once ALL buckets committed + metadata flipped.
     *
-    * Bucketing is on the Z-order cell id's high bits, so each bucket is a
-    * contiguous cell range — manifest min/max stats stay tight and reads
-    * prune by range. */
+    * Scale shape: 2 jobs total regardless of bucket count (the round-1
+    * version ran 2 jobs PER bucket over a cached full dataset — N
+    * sequential passes). Bucketing is on the Z-order cell id's high bits,
+    * so each bucket is a contiguous cell range — manifest min/max stats
+    * stay tight and reads prune by range. */
   def commitResumable(spark: SparkSession, tiles: Dataset[Tile], table: String,
       buckets: Int, snap: Long, failAtBucket: Option[Int] = None): Long = {
     import spark.implicits._
@@ -105,36 +110,53 @@ object IceLite {
       .withColumn("bucket",
         least(lit(buckets - 1),
           (($"cellId" - lit(zlo)) * lit(buckets.toLong) / lit(span)).cast("int")))
-      .cache()
+
+    val stageRoot = s"$table/data/$snap"
+    val todo = (0 until buckets).filterNot(done.contains)
+    if (todo.nonEmpty) {
+      // single write job: dynamic partition overwrite touches ONLY the
+      // re-written buckets, leaving committed ones' files intact
+      bucketed.filter($"bucket".isInCollection(todo))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(stageRoot)
+    }
+
+    // single read-back aggregation over the WRITTEN files: per-bucket rows,
+    // order-independent checksum, and cell min/max (lineage + manifest)
+    val stats = spark.read.parquet(stageRoot)
+      .select($"bucket".cast("int"), $"cellId", size($"payload"))
+      .as[(Int, Long, Int)]
+      .map { case (b, cid, n) => (b, cid, cid * 31 + n) }
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        var rows = 0L; var chk = 0L
+        var lo = Long.MaxValue; var hi = Long.MinValue
+        it.foreach { case (_, cid, c) =>
+          rows += 1; chk ^= c
+          if (cid < lo) lo = cid
+          if (cid > hi) hi = cid
+        }
+        (b, rows, chk, lo, hi)
+      }.collect().map(s => s._1 -> s).toMap
 
     (0 until buckets).foreach { b =>
       if (!done.contains(b)) {
         failAtBucket.filter(_ == b).foreach { _ =>
-          bucketed.unpersist()
           throw new RuntimeException(s"injected failure before bucket $b")
         }
-        val dir = s"$table/data/$snap/b-$b"
-        val part = bucketed.filter($"bucket" === b).drop("bucket").as[Tile]
-        part.write.mode("overwrite").parquet(dir)
-        // per-bucket lineage row: rows + order-independent checksum
-        val stats = part.map(t => (1L, t.cellId * 31 + t.payload.length))
-          .groupByKey(_ => 0)
-          .mapGroups((_, it) => it.foldLeft((0L, 0L)) { case ((n, c), (dn, dc)) => (n + dn, c ^ dc) })
-          .collect().headOption.getOrElse((0L, 0L))
+        val (rows, chk) = stats.get(b).map(s => (s._2, s._3)).getOrElse((0L, 0L))
         writeAtomic(Paths.get(table, "lineage", snap.toString, s"b-$b.json"),
-          s"""{"bucket": $b, "rows": ${stats._1}, "checksum": ${stats._2}}""")
+          s"""{"bucket": $b, "rows": $rows, "checksum": $chk}""")
       }
     }
-    bucketed.unpersist()
 
     // manifest: data files with cell min/max for pruning
     val entries = (0 until buckets).map { b =>
-      val dir = s"$table/data/$snap/b-$b"
-      val mm = spark.read.parquet(dir).agg(min($"cellId"), max($"cellId"), count(lit(1)))
-        .collect()(0)
-      val (lo, hi, n) =
-        if (mm.isNullAt(0)) (0L, 0L, 0L)
-        else (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+      val dir = s"$stageRoot/bucket=$b"
+      val (n, lo, hi) = stats.get(b).map(s => (s._2, s._4, s._5))
+        .getOrElse((0L, 0L, 0L))
       s"""{"path": ${q(dir)}, "bucket": $b, "rows": $n, "min_cell": $lo, "max_cell": $hi}"""
     }
     writeAtomic(Paths.get(table, "manifests", s"m-$snap.json"),

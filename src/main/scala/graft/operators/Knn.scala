@@ -189,6 +189,177 @@ object Knn {
     // caller's action; they evict LRU / die with the session
     out
   }
+
+  /** IDW interpolation over the EXACT k nearest points. The reference's
+    * point_interpolate non-nearest methods are Delaunay linear/cubic
+    * (scipy griddata, Raster.py:421-426) — triangulation does not
+    * distribute; IDW is the standardized scattered-field variant promised
+    * in SURVEY §2.3 J5. Weight 1/d^power; d == 0 snaps to that point's
+    * value (lowest pid on ties); the k-set boundary ties by (d2, pid).
+    * Same fully-distributed shape as [[nearestBucketed]]: halo cogroup,
+    * then query-replication escalation until the k-th distance is provably
+    * inside the searched ring. */
+  def idwBucketed(spark: SparkSession, points: Dataset[PtRec], ref: GridRef,
+      res: Int, k: Int, power: Double = 2.0, ringK: Int = 1): DataFrame = {
+    import spark.implicits._
+    val bucketPx = 1 << res
+    val bucketW = bucketPx * ref.cellsize
+    val guard2 = (ringK * bucketW) * (ringK * bucketW)
+    val nrows = ref.nrows
+    val ncols = ref.ncols
+    val (left, top, cs) = (ref.left, ref.top, ref.cellsize)
+    val maxRing = math.max((nrows + bucketPx - 1) / bucketPx,
+      (ncols + bucketPx - 1) / bucketPx)
+
+    def pointBucket(p: PtRec): Long = {
+      val r = math.max(0, math.min(nrows - 1, Math.rint((top - p.y) / cs - 0.5).toInt))
+      val c = math.max(0, math.min(ncols - 1, Math.rint((p.x - left) / cs - 0.5).toInt))
+      CellId.ofPixel(r.toLong, c.toLong, res)
+    }
+    /** combine a cell's (pid, v, d2) list -> IDW value. */
+    def idwOf(best: Array[(Long, Double, Double)]): Double = {
+      val zero = best.filter(_._3 == 0.0)
+      if (zero.nonEmpty) zero.minBy(_._1)._2
+      else {
+        var num = 0.0; var den = 0.0
+        best.foreach { case (_, v, d2) =>
+          val w = 1.0 / math.pow(d2, power / 2.0)
+          num += w * v; den += w
+        }
+        num / den
+      }
+    }
+
+    val candidates = points.flatMap { p =>
+      CellId.kRing(pointBucket(p), ringK).map(b => (b, p))
+    }.toDF("bucket", "p").as[(Long, PtRec)]
+    val cells = spark.range(ref.numCells).map { id =>
+      val row = (id / ncols).toInt
+      val col = (id % ncols).toInt
+      (CellId.ofPixel(row.toLong, col.toLong, res), row, col)
+    }.toDF("bucket", "row", "col").as[(Long, Int, Int)]
+
+    // pass 1: proven cells emit their IDW value; rest carry the k-th bound
+    val p1 = cells.groupByKey(_._1).cogroup(candidates.groupByKey(_._1)) {
+      (_, cellIt, candIt) =>
+        val cs0 = cellIt.toArray
+        if (cs0.isEmpty) Iterator.empty
+        else {
+          val pts = candIt.map(_._2).toArray.distinct
+          val tree =
+            if (pts.isEmpty) null
+            else KdTree.build(pts.map(p => (p.pid, p.x, p.y, p.v)))
+          cs0.iterator.map { case (_, r, c) =>
+            val cx = left + (c + 0.5) * cs
+            val cy = top - (r + 0.5) * cs
+            if (tree == null)
+              Hit(r, c, Double.NaN, -1L, Double.PositiveInfinity, proven = false)
+            else {
+              val best = tree.knn(cx, cy, k)
+              val dk = best.last._3
+              if (best.length == k && dk <= guard2)
+                Hit(r, c, idwOf(best), 0L, dk, proven = true)
+              else Hit(r, c, Double.NaN,
+                if (best.length == k) 0L else -1L,
+                if (best.length == k) dk else Double.PositiveInfinity,
+                proven = false)
+            }
+          }
+        }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var out: DataFrame = p1.filter(_.proven).toDF().select($"row", $"col", $"v")
+    lazy val ptsByBucket = points.map(p => (pointBucket(p), p))
+      .toDF("bucket", "p").as[(Long, PtRec)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var unresolved = p1.filter(h => !h.proven)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ring = math.max(2 * ringK, 2)
+    while (!unresolved.isEmpty) {
+      val ringUsed = ring
+      val exhaustive = ringUsed >= maxRing
+      val queries = unresolved.flatMap { h =>
+        val bkt = CellId.ofPixel(h.row.toLong, h.col.toLong, res)
+        val need =
+          if (h.pid >= 0) math.min(maxRing,
+            math.max(1, math.ceil(math.sqrt(h.d2) / bucketW).toInt))
+          else math.min(maxRing, ringUsed)
+        CellId.kRing(bkt, need).iterator.map(b => Query(b, h.row, h.col, need))
+      }
+      // per-bucket k-best partials (points keyed by OWN bucket: no dups)
+      val partials = queries.groupByKey(_.bucket)
+        .cogroup(ptsByBucket.groupByKey(_._1)) { (_, qIt, pIt) =>
+          val qs = qIt.toArray
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val pts = pIt.map(_._2).toArray
+            if (pts.isEmpty)
+              qs.iterator.map(q => (q.row, q.col, q.ring, -1L, Double.NaN,
+                Double.PositiveInfinity))
+            else {
+              val tree = KdTree.build(pts.map(p => (p.pid, p.x, p.y, p.v)))
+              qs.iterator.flatMap { q =>
+                val cx = left + (q.col + 0.5) * cs
+                val cy = top - (q.row + 0.5) * cs
+                tree.knn(cx, cy, k).iterator
+                  .map(b => (q.row, q.col, q.ring, b._1, b._2, b._3))
+              }
+            }
+          }
+        }
+      // merge partials per cell, prove, emit IDW
+      val merged = partials.groupByKey(t => (t._1, t._2)).mapGroups {
+        (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Double, Double)]) =>
+          val (r, c) = key
+          val all = it.toArray
+          val ringQ = all.head._3
+          val best = all.filter(_._4 >= 0).map(t => (t._4, t._5, t._6))
+            .sortBy(t => (t._3, t._1)).take(k)
+          val dk = if (best.length == k) best.last._3 else Double.PositiveInfinity
+          val g = ringQ.toDouble * bucketW
+          if (best.nonEmpty && (dk <= g * g || exhaustive))
+            (r, c, idwOf(best), 0L, dk, true)
+          else (r, c, Double.NaN, if (best.length == k) 0L else -1L, dk, false)
+      }.toDF("row", "col", "v", "pid", "d2", "proven")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out = out.unionByName(
+        merged.filter($"proven").select($"row", $"col", $"v"))
+      unresolved =
+        if (exhaustive) spark.emptyDataset[Hit]
+        else merged.filter(!$"proven").as[Hit]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ring = ring * 2
+    }
+    out
+  }
+
+  /** Brute-exact IDW (oracle path). */
+  def idwBrute(spark: SparkSession, points: Dataset[PtRec], ref: GridRef,
+      k: Int, power: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val pts = points.collect() // oracle path only — labeled as such
+    val bc = spark.sparkContext.broadcast(pts.map(p => (p.pid, p.x, p.y, p.v)))
+    spark.range(ref.numCells).map { id =>
+      val r = (id / ref.ncols).toInt
+      val c = (id % ref.ncols).toInt
+      val (cx, cy) = ref.sub2map(r, c)
+      val best = bc.value.map { case (pid, x, y, v) =>
+        (pid, v, (x - cx) * (x - cx) + (y - cy) * (y - cy))
+      }.sortBy(t => (t._3, t._1)).take(k)
+      val zero = best.filter(_._3 == 0.0)
+      val v =
+        if (zero.nonEmpty) zero.minBy(_._1)._2
+        else {
+          var num = 0.0; var den = 0.0
+          best.foreach { case (_, vv, d2) =>
+            val w = 1.0 / math.pow(d2, power / 2.0)
+            num += w * vv; den += w
+          }
+          num / den
+        }
+      (r, c, v)
+    }.toDF("row", "col", "v")
+  }
 }
 
 /** grid_interpolate (reference Raster.py:431-455): source GRID cells become

@@ -98,6 +98,42 @@ object TextOps {
       }
   }
 
+  /** Exact n-gram Jaccard pairs via an inverted-index join with a
+    * DOCUMENT-FREQUENCY CAP on the postings: a shingle appearing in more
+    * than `dfCap` docs is excluded from candidate generation (its posting
+    * list alone would create O(df^2) pairs — the classic stop-shingle
+    * explosion), but verification runs on the FULL hashed shingle sets so
+    * surviving pairs carry exact (inter, na, nb). A qualifying pair is
+    * missed only if EVERY shared shingle is ultra-common (df > dfCap) —
+    * at threshold >= 0.8 that needs a near-duplicate doc made entirely of
+    * stop-shingles; documented recall condition, same trade every
+    * production near-dup pipeline makes. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold10: Int = 8,
+      dfCap: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = minhashSignatures(docs, idCol, textCol, shingleN, k = 0)
+      .toDF("doc_id", "hs", "sig").drop("sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = sets.select($"doc_id", explode($"hs").as("h"))
+    val rare = postings.groupBy($"h").count()
+      .filter($"count" <= dfCap).select($"h")
+    val capped = postings.join(rare, "h")
+    val candIds = capped.as("a").join(capped.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+      .dropDuplicates("ia", "ib")
+    candIds
+      .join(sets.toDF("ia", "sha"), "ia")
+      .join(sets.toDF("ib", "shb"), "ib")
+      .withColumn("inter", size(array_intersect($"sha", $"shb")).cast("long"))
+      .withColumn("sza", size($"sha").cast("long"))
+      .withColumn("szb", size($"shb").cast("long"))
+      .filter($"inter" * 10 >= lit(threshold10) * ($"sza" + $"szb" - $"inter"))
+      .select($"ia", $"ib", $"inter", $"sza", $"szb")
+  }
+
   /** LSH candidate pairs via banded minhash + exact-Jaccard verification.
     * Scale shape: ONE pass computes (hs, sig) per doc (persisted — at
     * cluster scale this is a checkpoint table); band explode -> self-join

@@ -75,6 +75,23 @@ class KnnSpec extends AnyFunSuite {
     assert(bucketed == brute)
   }
 
+  test("IDW bucketed == brute (dense fixture AND sparse escalation path)") {
+    import spark.implicits._
+    for (ptsArr <- Seq(
+      fixturePts.map(p => PtRec(p._1, p._2, p._3, p._4)),
+      Array(PtRec(0L, -4.75, 0.25, 1.0), PtRec(1L, -4.25, 0.75, 2.0),
+        PtRec(2L, -3.75, 0.25, 3.0), PtRec(3L, 50.25, 25.25, 4.0)))) {
+      val pts = spark.createDataset(ptsArr.toSeq)
+      val brute = Knn.idwBrute(spark, pts, Synth.knnRef, k = 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val bucketed = Knn.idwBucketed(spark, pts, Synth.knnRef, res = 5, k = 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(bucketed.size == Synth.knnRef.numCells)
+      // identical summation order both paths -> bitwise-equal doubles
+      assert(bucketed == brute)
+    }
+  }
+
   test("1e6 points complete without any driver collect of the point set") {
     import spark.implicits._
     val n = 1000000L
