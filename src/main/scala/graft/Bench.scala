@@ -17,18 +17,19 @@ import graft.operators._
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private[graft] def session(cpus: Int, coalesce: Boolean = false): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString) // finer than cores: smooths straggler tails
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE coalescing is BYTE-based; burn/kNN shuffle rows are ~200B
-      // descriptors that expand into 2^16-pixel kernels, so at bench scale
-      // AQE folds them into ONE task (measured: 31/32 workers parked). At
-      // 100TB the descriptor side is TBs and coalescing never triggers;
-      // here it must be off for the cost model to match reality.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // AQE coalescing is BYTE-based; the PIPELINE's burn/kNN shuffle rows
+      // are ~200B descriptors that expand into 2^16-pixel kernels, so at
+      // bench scale AQE folds them into ONE task (measured: 31/32 workers
+      // parked) — coalescing stays OFF for pipeline sessions. The gated
+      // QUERIES have ordinary row-proportional shuffles where coalescing
+      // removes ~100 empty-partition task launches per stage — ON there.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", coalesce.toString)
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -59,27 +60,47 @@ object Bench {
     val corpus = spark.read.parquet(corpusPath).as[graft.corpus.ImageRow]
     val ref = ImageCorpus.corpusRef(n, gridW)
 
-    // mosaic, DEDUP-EARLY / DECODE-LATE: corpus rows are full-cover aligned
-    // tiles, so per-pixel last-wins degenerates to per-TILE max seq — the
-    // exchange moves the ~60KB ENCODED bytes, not 512KB decoded float64
-    // payloads (~8x less memory/shuffle traffic; the VM's shared memory bus
-    // is the local-mode scaling ceiling), and only WINNING rows are ever
-    // decoded. Partial-overlap mosaics still go through TileOps.mosaic.
-    val keyed = corpus.map { row =>
-      val i = row.image_id.stripPrefix("img-").toLong
+    // mosaic, DEDUP-EARLY / DECODE-LATE / SHUFFLE-NOTHING: corpus rows are
+    // full-cover aligned tiles, so per-pixel last-wins degenerates to
+    // per-TILE max seq. Round 1 shuffled the ~60KB ENCODED bytes through a
+    // reduceGroups exchange (~1GB at 16k tiles — the VM's shared memory
+    // bus is the local-mode scaling ceiling); now winner resolution runs
+    // over 24-byte DESCRIPTORS only, the sparse LOSER id set (duplicate
+    // fraction ~0.4%) broadcasts back, and the byte payloads never leave
+    // their scan partition — losers drop in a local filter and only
+    // winners decode. At a scale where the loser set outgrows a broadcast,
+    // the same plan becomes a shuffled left-anti join on image_id (the
+    // loser side stays the sparse one). Partial-overlap mosaics still go
+    // through TileOps.mosaic.
+    def cellOf(imageId: String): (Long, Long) = {
+      val i = imageId.stripPrefix("img-").toLong
       val src = if (i > 0 && i % 251 == 0) i - 1 else i
-      val tx = (src % gridW).toInt
-      val ty = (src / gridW).toInt
-      (CellId.encode(ImageCorpus.TileRes, tx, ty), i, row.bytes, row.fmt)
+      (CellId.encode(ImageCorpus.TileRes, (src % gridW).toInt,
+        (src / gridW).toInt), i)
     }
-    val winners = keyed.groupByKey(_._1).reduceGroups((a, b) => if (a._2 > b._2) a else b)
+    // project image_id BEFORE the typed map so the descriptor job reads
+    // ONLY that parquet column (a typed map on the full row would
+    // deserialize the byte payloads and defeat column pruning)
+    val desc = corpus.select("image_id").as[String].map { id =>
+      val (cid, seq) = cellOf(id)
+      (cid, seq, id)
+    }
+    val losers = desc.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val rows = it.toArray
+      if (rows.length <= 1) Iterator.empty
+      else rows.sortBy(-_._2).iterator.drop(1).map(_._3)
+    }.collect().toSet
+    val loserBc = spark.sparkContext.broadcast(losers)
 
     // decode winners + per-tile stats, FUSED into the codec domain (the
     // agg runs on the code plane; no 512KB double[] per tile)
-    val statsRows = winners.map { case (cid, (_, seq, bytes, fmt)) =>
-      val (valid, mx, px) = graft.codecs.ImageCodec.decodeStats(bytes, fmt)
-      (cid, seq, valid, mx, px)
-    }.toDF("cell_id", "seq", "valid", "max_v", "px")
+    val statsRows = corpus
+      .filter(row => !loserBc.value.contains(row.image_id))
+      .map { row =>
+        val (cid, seq) = cellOf(row.image_id)
+        val (valid, mx, px) = graft.codecs.ImageCodec.decodeStats(row.bytes, row.fmt)
+        (cid, seq, valid, mx, px)
+      }.toDF("cell_id", "seq", "valid", "max_v", "px")
 
     // rasterize: one quad per 2x2 tile block + 50x duplicated features on
     // tile row 0 (hot cells -> AQE skew path, FIXTURES.md §3)
@@ -114,6 +135,11 @@ object Bench {
 
     // ONE action for the whole pipeline: the three branches union into a
     // single job, so per-run fixed cost is one scheduling round, not three
+    if (debug) { // per-branch wall splits (not part of the measured path)
+      stage("stats")(statsRows.agg(count(lit(1))).collect())
+      stage("burn")(burned.agg(count(lit(1))).collect())
+      stage("knn")(knn.agg(count(lit(1))).collect())
+    }
     val summary = statsRows.agg(count(lit(1)).as("v"))
       .unionByName(burned.agg(count(lit(1)).as("v")))
       .unionByName(knn.agg(count(lit(1)).as("v")))
@@ -133,7 +159,7 @@ object Bench {
     val gridW = 32
 
     // (a) gated queries at the requested parallelism
-    val s1 = session(cpus)
+    val s1 = session(cpus, coalesce = true)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = time {
         try fn(s1, sfDir).count()
@@ -180,7 +206,11 @@ object Bench {
       val raw = allRuns(cpus)
       (raw.min, raw)
     }
-    lazy val allRuns = interleavedRuns(Seq(2, 8, 32), rounds = 5)
+    // 7 rounds: the sandbox host shows bursty multi-second CPU-steal
+    // windows (measured via /proc/stat under load); min-of-N needs enough
+    // samples per level to catch one steal-free window
+    lazy val allRuns = interleavedRuns(Seq(2, 8, 32),
+      rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "7").toInt)
     // Three parallelism levels. The north rule's N -> 4N EXECUTOR gate is
     // proxied by local[2] -> local[8]: per-"executor" resources stay
     // constant because total load is <= 25% of the host, exactly like

@@ -127,7 +127,9 @@ object Knn {
     var unresolved = p1.filter(h => !h.proven)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ring = math.max(2 * ringK, 2)
-    while (!unresolved.isEmpty) {
+    // count() (one job) not isEmpty (take(1) = staged multi-job scan
+    // when the set IS empty, the common dense case)
+    while (unresolved.count() > 0) {
       val ringUsed = ring
       val exhaustive = ringUsed >= maxRing
       // cells WITH a bound query exactly the ring their bound requires
@@ -275,7 +277,9 @@ object Knn {
     var unresolved = p1.filter(h => !h.proven)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ring = math.max(2 * ringK, 2)
-    while (!unresolved.isEmpty) {
+    // count() (one job) not isEmpty (take(1) = staged multi-job scan
+    // when the set IS empty, the common dense case)
+    while (unresolved.count() > 0) {
       val ringUsed = ring
       val exhaustive = ringUsed >= maxRing
       val queries = unresolved.flatMap { h =>

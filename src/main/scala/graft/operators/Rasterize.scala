@@ -42,12 +42,21 @@ object Rasterize {
     * background stays NaN implicitly (out array init, Raster.py:330).
     * The PIP is the same RefKernel.pointInPolygon the oracle uses — one
     * boundary convention everywhere. */
+  /** Collapse EXACT duplicates (same geometry + same burn value) to the
+    * max-seq representative: under sequential last-wins, re-burning an
+    * identical shape is a no-op, so this is semantics-preserving — and on
+    * skewed inputs (the same feature replicated many times onto one hot
+    * cell) it removes the duplicate factor from the kernel cost. */
+  private def dedupTasks(fs: Array[CoverTask]): Array[CoverTask] =
+    fs.groupBy(f => (f.value, f.xs.toSeq, f.ys.toSeq))
+      .map(_._2.maxBy(_.seq)).toArray.sortBy(_.seq)
+
   def burn(tasks: Dataset[CoverTask], ref: GridRef): Dataset[CellPx] = {
     import tasks.sparkSession.implicits._
     val nrows = ref.nrows
     val ncols = ref.ncols
     tasks.groupByKey(_.cellId).flatMapGroups { (cid, it) =>
-      val fs = it.toArray.sortBy(_.seq)
+      val fs = dedupTasks(it.toArray)
       val (r0L, c0L, size) = CellId.pixelWindow(cid)
       val r0 = r0L.toInt
       val c0 = c0L.toInt
@@ -119,7 +128,7 @@ object Rasterize {
       salted.groupByKey { case (s, t) => (t.cellId, s) }.flatMapGroups {
         (key: (Long, Int), it: Iterator[(Int, CoverTask)]) =>
           val (cid, s) = key
-          val fs = it.map(_._2).toArray.sortBy(_.seq)
+          val fs = dedupTasks(it.map(_._2).toArray)
           val (r0L, c0L, size) = CellId.pixelWindow(cid)
           val r0 = r0L.toInt
           val c0 = c0L.toInt

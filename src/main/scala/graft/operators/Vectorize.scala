@@ -148,9 +148,17 @@ object Vectorize {
     Stencil.padded(tiles, ref, res).map(pt => labelPadded(pt, ncols))
   }
 
-  /** Resolve cross-tile label equivalences: seam pairs -> driver
-    * union-find -> broadcast root map. O(total tile perimeter). */
-  private def resolveRoots(lab: Dataset[TileVec])
+  /** Resolve cross-tile label equivalences. The seam-equivalence edge set
+    * is O(total tile perimeter); below `driverLimit` edges a driver
+    * union-find resolves it in one collect, above it the resolution runs
+    * as ITERATIVE MIN-LABEL PROPAGATION fully on the cluster (label(n) :=
+    * min(label(n), min(label(neighbors))) to fixpoint — O(seam-graph
+    * diameter) shuffles, no driver materialization) and only the final
+    * (label -> root) pairs (same O(perimeter) size, but this path is for
+    * when even that must not hit one machine's RAM in raw edge form)
+    * come back for the broadcast map. */
+  private def resolveRoots(lab: Dataset[TileVec],
+      driverLimit: Long = 2000000L)
       : org.apache.spark.broadcast.Broadcast[Map[Long, Long]] = {
     val spark = lab.sparkSession
     import spark.implicits._
@@ -163,24 +171,55 @@ object Vectorize {
     val right = b.as("a").join(b.as("x"),
         $"a.r" === $"x.r" && $"a.c" + 1 === $"x.c" && $"a.v" === $"x.v" && $"a.g" =!= $"x.g")
       .select($"a.g".as("g1"), $"x.g".as("g2"))
-    val equivs = down.union(right).distinct().as[(Long, Long)].collect()
-    val parent = new mutable.LongMap[Long]()
-    equivs.foreach { case (a, b2) =>
-      val ra = find(parent, a)
-      val rb = find(parent, b2)
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val roots = parent.keys.map(k => k -> find(parent, k)).toMap
+    val edgeDf = down.union(right).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edgeDf.count()
+    val roots: Map[Long, Long] =
+      if (nEdges <= driverLimit) {
+        val equivs = edgeDf.as[(Long, Long)].collect()
+        val parent = new mutable.LongMap[Long]()
+        equivs.foreach { case (a, b2) =>
+          val ra = find(parent, a)
+          val rb = find(parent, b2)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.map(k => k -> find(parent, k)).toMap
+      } else {
+        // distributed min-label propagation over the UNDIRECTED seam graph
+        val sym = edgeDf.as[(Long, Long)]
+          .flatMap(e => Iterator(e, (e._2, e._1))).toDF("n", "m")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var labels = sym.select($"n").distinct()
+          .withColumn("lbl", $"n")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var changed = 1L
+        while (changed > 0) {
+          val next = sym.join(labels, sym("m") === labels("n"))
+            .groupBy(sym("n").as("node"))
+            .agg(min($"lbl").as("nbMin"))
+            .join(labels.withColumnRenamed("n", "node"), "node")
+            .select($"node".as("n"),
+              least($"nbMin", $"lbl").as("lbl"),
+              ($"nbMin" < $"lbl").cast("long").as("chg"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          changed = next.agg(sum($"chg")).collect()(0).getLong(0)
+          labels = next.select($"n", $"lbl")
+        }
+        labels.as[(Long, Long)].collect().toMap // (label -> root) pairs only
+      }
     spark.sparkContext.broadcast(roots)
   }
 
-  /** Component stats per value class: (value, n_components, n_pixels). */
-  def componentStats(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
+  /** Component stats per value class: (value, n_components, n_pixels).
+    * `driverLimit` caps the seam-edge count resolved on the driver; above
+    * it the distributed min-label propagation path runs (tests set 0). */
+  def componentStats(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      driverLimit: Long = 2000000L): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val lab = labeled(tiles, ref, res)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bc = resolveRoots(lab)
+    val bc = resolveRoots(lab, driverLimit)
     lab.flatMap { tl =>
       tl.counts.iterator.map { case (g, v, k, _) =>
         (bc.value.getOrElse(g, g), v, k)

@@ -179,6 +179,17 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("vectorize distributed min-label propagation == driver union-find") {
+    import spark.implicits._
+    val blocky = TileOps.tileGrid(spark, Synth.gridARef, 6)(Synth.blockyValue)
+    val viaDriver = Vectorize.componentStats(blocky, Synth.gridARef, 6)
+      .as[(Double, Long, Long)].collect().toSet
+    val viaPropagation = Vectorize
+      .componentStats(blocky, Synth.gridARef, 6, driverLimit = 0L)
+      .as[(Double, Long, Long)].collect().toSet
+    assert(viaPropagation == viaDriver)
+  }
+
   test("reproject warp (W5): distributed nearest gather == direct per-pixel transform") {
     val ref = Synth.demRef.withEpsg(27700)
     val dem = TileOps.tileGrid(spark, ref, 6)(Synth.demValue)
