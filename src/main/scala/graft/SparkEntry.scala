@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.corpus.{ImageCorpus, Synth}
-import graft.operators.{Bilinear, ClipPolygon, Downsample, Gather, Knn, Line2Sub, PtRec, Rasterize, Reproject, Stencil, TileFns, TileOps, Vectorize}
+import graft.operators.{Bilinear, ClipPolygon, Convolve, Downsample, Gather, Knn, Line2Sub, PtRec, Rasterize, Reproject, Stencil, TileFns, TileOps, Vectorize}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
@@ -211,20 +211,24 @@ object SparkEntry {
         .orderBy($"qid", $"rank")
     }),
 
-    // ANN scale path: IVF with a k-means coarse quantizer (rows-only;
+    // ANN scale path: IVF with a k-means coarse quantizer, nlist = sqrt(N)
+    // (the standard IVF sizing: per-query work O(N*nProbe/nlist) with
+    // exact cosine re-ranking inside the probed lists). Rows-only;
     // algorithm recall is ScalaTest-gated on a CLUSTERED fixture — the
     // driver embeddings are uniform-random, where low recall at
-    // nProbe << nlist is a property of the data, not the index)
+    // nProbe << nlist is a property of the data, not the index.
     "e2_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val e = table(s, dir, "embeddings")
+      val nlist = math.max(8, math.sqrt(e.count().toDouble).toInt)
+      val nProbe = math.max(3, nlist / 8)
       val clusters = graft.sim.Similarity.kmeansClusters(s, e, "vec_id",
-        "embedding", k = 8, iters = 4)
+        "embedding", k = nlist, iters = 4)
       val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
       graft.sim.Similarity.ivfTopK(s, withCl, "vec_id", "embedding", "cl",
-          q, k = 5, nProbe = 3)
+          q, k = 5, nProbe = nProbe)
         .orderBy($"qid", $"rank")
     }),
 
@@ -428,6 +432,18 @@ object SparkEntry {
         .groupBy($"band")
         .agg(count($"v").as("n_valid"), sum($"v").as("sum_v"))
         .orderBy($"band")
+    }),
+
+    // W2: cubic convolution resample (rows-only: masked-renormalized
+    // 4x4 kernel sums are not cross-engine hashable; all four convolution
+    // kernels are ScalaTest-gated vs direct computation)
+    "r19_resample_cubic" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      Convolve.resample(dem, Synth.demRef, Synth.resampleTargetRef, tileRes, "cubic")
+        .filter(($"row" * lit(Synth.resampleTargetRef.ncols) + $"col") % 11 === 3)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .orderBy($"row", $"col")
     }),
 
     // J5 variant: IDW over the exact k nearest (rows-only: 1/d^2 weight

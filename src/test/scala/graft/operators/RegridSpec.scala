@@ -190,6 +190,43 @@ class RegridSpec extends AnyFunSuite {
     assert(viaPropagation == viaDriver)
   }
 
+  test("convolution kernels (cubic/cubic_spline/lanczos/gauss) == direct computation") {
+    val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val src = Synth.demRef
+    val dst = Synth.resampleTargetRef
+    for (m <- Convolve.methods) {
+      val rad = Convolve.radius(m)
+      val got = Convolve.resample(dem, src, dst, 6, m)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+      assert(got.size == dst.numCells, m)
+      for (tr <- 0 until dst.nrows; tc <- 0 until dst.ncols) {
+        val (x, y) = dst.sub2map(tr, tc)
+        val (fr, fc) = src.map2subFrac(x, y)
+        val r0 = math.floor(fr).toInt - (rad - 1)
+        val c0 = math.floor(fc).toInt - (rad - 1)
+        var num = 0.0; var den = 0.0; var any = false
+        for (r <- r0 until r0 + 2 * rad; c <- c0 until c0 + 2 * rad
+             if r >= 0 && r < src.nrows && c >= 0 && c < src.ncols) {
+          val w = Convolve.weight(m, math.abs(fr - r)) *
+            Convolve.weight(m, math.abs(fc - c))
+          val v = Synth.demValue(r, c)
+          if (w != 0.0 && !v.isNaN) { num += w * v; den += w; any = true }
+        }
+        val e = if (!any || den == 0.0) Double.NaN else num / den
+        val g = got((tr, tc))
+        assert(g == e || (g.isNaN && e.isNaN) ||
+          math.abs(g - e) < 1e-9, s"$m ($tr,$tc): $g vs $e")
+      }
+    }
+    // kernel sanity: interpolating kernels reproduce constants exactly and
+    // hit the sample at integer offsets
+    assert(Convolve.weight("cubic", 0.0) == 1.0)
+    assert(Convolve.weight("cubic", 1.0) == 0.0)
+    assert(Convolve.weight("lanczos", 0.0) == 1.0)
+    assert(math.abs(Convolve.weight("lanczos", 1.0)) < 1e-15)
+  }
+
   test("reproject warp (W5): distributed nearest gather == direct per-pixel transform") {
     val ref = Synth.demRef.withEpsg(27700)
     val dem = TileOps.tileGrid(spark, ref, 6)(Synth.demValue)

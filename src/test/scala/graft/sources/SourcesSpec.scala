@@ -196,6 +196,27 @@ class SourcesSpec extends AnyFunSuite {
       assert(w.data(r * 6 + c) == data((r + 5) * 20 + (c + 3)), s"($r,$c)")
   }
 
+  test("animated GIF export: 3 frames, GIF89a, looping, round-readable") {
+    val dir = Files.createTempDirectory("gif")
+    val (w, h) = (40, 30)
+    val frames = (0 until 3).map(k =>
+      Array.tabulate(w * h)(i =>
+        if (i % 37 == 5) Double.NaN else ((i + k * 100) % 250).toDouble))
+    val p = dir.resolve("anim.gif").toString
+    GifWriter.writeAnimated(p, frames, w, h, lo = 0, hi = 250, delayCs = 20)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    assert(new String(bytes, 0, 6, "ASCII") == "GIF89a")
+    assert(new String(bytes, "ISO-8859-1").contains("NETSCAPE2.0"))
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.File(p)))
+    assert(rd.getNumImages(true) == 3)
+    val f0 = rd.read(0)
+    assert(f0.getWidth == w && f0.getHeight == h)
+    // NaN renders black (index/intensity 0)
+    assert((f0.getRGB(5, 0) & 0xFF) == 0) // pixel i=5: 5 % 37 == 5 -> NaN
+  }
+
   test("shapefile reader reproduces the embedded CA1 fixture exactly") {
     val path = "/root/reference/hydro_raster/sample/CA1_overhead_features.shp"
     assume(Files.exists(Paths.get(path)))
