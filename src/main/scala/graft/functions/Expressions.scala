@@ -75,7 +75,49 @@ case class ValidCountExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** cell_in_window(cell, minRow, maxRow, minCol, maxCol, res) -> true when
+  * `cell` is a res-`res` cell whose pixel block intersects the inclusive
+  * window. Deliberately OPAQUE to Catalyst as written (a black-box
+  * predicate can't prune scans); [[graft.functions.RewriteCellWindowPredicates]]
+  * rewrites it with literal bounds into the Z-range BETWEEN disjuncts that
+  * reach Parquet min/max stats — the engine's showcase of a custom
+  * logical-optimizer rule. The interpreted eval below is the correctness
+  * net when the rule is not installed. */
+case class CellInWindowExpr(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 6, "cell_in_window takes 6 args")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      def l(a: Any): Long = a match {
+        case x: java.lang.Long => x
+        case x: java.lang.Integer => x.toLong
+      }
+      GraftFunctions.cellInWindow(l(vs(0)), l(vs(1)), l(vs(2)), l(vs(3)),
+        l(vs(4)), l(vs(5)).toInt)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
 object GraftFunctions {
+
+  /** interpreted kernel for cell_in_window */
+  def cellInWindow(cell: Long, minRow: Long, maxRow: Long, minCol: Long,
+      maxCol: Long, res: Int): Boolean = {
+    if (CellId.res(cell) != res) false
+    else {
+      val (r0, c0, size) = CellId.pixelWindow(cell)
+      r0 <= maxRow && r0 + size - 1 >= minRow &&
+        c0 <= maxCol && c0 + size - 1 >= minCol
+    }
+  }
 
   /** static kernel shared by interpreted + generated code paths */
   def validCount(a: ArrayData): Long = {
@@ -101,5 +143,7 @@ object GraftFunctions {
       exprs => CellParentExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("valid_count",
       exprs => ValidCountExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("cell_in_window",
+      exprs => CellInWindowExpr(exprs), "built-in")
   }
 }
