@@ -74,15 +74,12 @@ object ImageCodec {
     * restored for PNG — JPEG NaN cells come back lossy, callers that need
     * the nodata mask must carry it out-of-band or use PNG). */
   def decode(bytes: Array[Byte], fmt: String): (Array[Double], Int, Int) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    val w = img.getWidth
-    val h = img.getHeight
+    val (codes, w, h) = allCodes(bytes)
     val out = new Array[Double](w * h)
-    val raster = img.getRaster
     val png = fmt == "png"
     var i = 0
     while (i < out.length) {
-      val code = raster.getSample(i % w, i / w, 0)
+      val code = codes(i)
       out(i) =
         if (png && code == PngNaN) Double.NaN
         else if (png) code / PngScale
@@ -93,50 +90,140 @@ object ImageCodec {
     (out, w, h)
   }
 
+  /** Minimal PNG decoder for the codec's OWN output shape — 16-bit gray,
+    * colorType 0, non-interlaced (public PNG spec: IHDR/IDAT chunks,
+    * zlib inflate, per-row filters 0-4) — skipping ImageIO's reader
+    * machinery costs ~2x less per 256x256 tile, and decode is the
+    * pipeline's wall-clock floor. Returns None for anything else (JPEG,
+    * foreign PNGs) and the caller falls back to ImageIO. */
+  private def fastPngCodes(bytes: Array[Byte]): Option[(Array[Int], Int, Int)] = {
+    if (bytes.length < 33 ||
+      bytes(0) != 0x89.toByte || bytes(1) != 'P' || bytes(2) != 'N') return None
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+        ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+    // IHDR is always first
+    if (new String(bytes, 12, 4, "ASCII") != "IHDR") return None
+    val w = be32(16)
+    val h = be32(20)
+    val bitDepth = bytes(24)
+    val colorType = bytes(25)
+    val interlace = bytes(28)
+    if (bitDepth != 16 || colorType != 0 || interlace != 0) return None
+    // concatenate IDAT payloads
+    val idat = new ByteArrayOutputStream()
+    var o = 8
+    var ok = true
+    while (o + 8 <= bytes.length && ok) {
+      val len = be32(o)
+      val typ = new String(bytes, o + 4, 4, "ASCII")
+      if (typ == "IDAT") idat.write(bytes, o + 8, len)
+      if (typ == "IEND") ok = false
+      o += 12 + len
+    }
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val stride = w * 2
+    val raw = new Array[Byte]((stride + 1) * h)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) return None // truncated
+      got += n
+    }
+    inf.end()
+    if (got != raw.length) return None
+    // unfilter rows (bpp = 2) in place into the code array
+    val out = new Array[Int](w * h)
+    val cur = new Array[Int](stride) // unfiltered byte values of this row
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      val ft = raw(base) & 0xFF
+      var x = 0
+      while (x < stride) {
+        val rawB = raw(base + 1 + x) & 0xFF
+        val a = if (x >= 2) cur(x - 2) else 0
+        val b = prev(x)
+        val c = if (x >= 2) prev(x - 2) else 0
+        cur(x) = ft match {
+          case 0 => rawB
+          case 1 => (rawB + a) & 0xFF
+          case 2 => (rawB + b) & 0xFF
+          case 3 => (rawB + ((a + b) >> 1)) & 0xFF
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (rawB + pred) & 0xFF
+          case _ => return None
+        }
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        out(y * w + px) = (cur(px * 2) << 8) | cur(px * 2 + 1)
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some((out, w, h))
+  }
+
+  /** Raw code plane as a flat int array, bypassing per-pixel SampleModel
+    * indirection when the decoded gray image is array-backed (it always is
+    * for ImageIO's gray PNG/JPEG outputs): ~5x over getSample loops. */
+  private def codesOf(img: BufferedImage): Array[Int] = {
+    import java.awt.image.{DataBufferByte, DataBufferUShort}
+    val raster = img.getRaster
+    val n = img.getWidth * img.getHeight
+    raster.getDataBuffer match {
+      case us: DataBufferUShort if us.getData.length == n =>
+        val d = us.getData
+        Array.tabulate(n)(i => d(i) & 0xFFFF)
+      case b: DataBufferByte if b.getData.length == n =>
+        val d = b.getData
+        Array.tabulate(n)(i => d(i) & 0xFF)
+      case _ =>
+        val w = img.getWidth
+        Array.tabulate(n)(i => raster.getSample(i % w, i / w, 0))
+    }
+  }
+
   /** Fused decode+stats: NaN-aware (validCount, max) computed directly on
     * the code plane — aggregation pushdown into the codec domain, so the
     * 512KB double[] per tile is never materialized when only stats are
     * needed (the decoded buffer lives only as the codec's short raster). */
   def decodeStats(bytes: Array[Byte], fmt: String): (Long, Double, Int) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    val w = img.getWidth
-    val h = img.getHeight
-    val raster = img.getRaster
     val png = fmt == "png"
     val nanCode = if (png) PngNaN else JpgNaN
     val scale = if (png) PngScale else JpgScale
+    val (codes, _, _) = allCodes(bytes)
     var maxCode = -1
     var valid = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val code = raster.getSample(x, y, 0)
-        if (code != nanCode) {
-          valid += 1
-          if (code > maxCode) maxCode = code
-        }
-        x += 1
+    var i = 0
+    while (i < codes.length) {
+      val code = codes(i)
+      if (code != nanCode) {
+        valid += 1
+        if (code > maxCode) maxCode = code
       }
-      y += 1
+      i += 1
     }
-    (valid, if (maxCode < 0) Double.NaN else maxCode / scale, w * h)
+    (valid, if (maxCode < 0) Double.NaN else maxCode / scale, codes.length)
   }
 
   /** Raw 8/16-bit code plane (for PSNR in code space). */
-  def decodeCodes(bytes: Array[Byte]): (Array[Int], Int, Int) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    val w = img.getWidth
-    val h = img.getHeight
-    val out = new Array[Int](w * h)
-    val raster = img.getRaster
-    var i = 0
-    while (i < out.length) {
-      out(i) = raster.getSample(i % w, i / w, 0)
-      i += 1
+  def decodeCodes(bytes: Array[Byte]): (Array[Int], Int, Int) = allCodes(bytes)
+
+  /** Code plane via the fast PNG path when applicable, else ImageIO. */
+  private def allCodes(bytes: Array[Byte]): (Array[Int], Int, Int) =
+    fastPngCodes(bytes).getOrElse {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      (codesOf(img), img.getWidth, img.getHeight)
     }
-    (out, w, h)
-  }
 
   /** PSNR in dB between two same-length planes; Infinity when identical.
     * The >= 40 dB invariant for lossy formats (BASELINE.json input_hint). */

@@ -25,6 +25,21 @@ class CodecSpec extends AnyFunSuite {
     assert(!decoded(18).isNaN)
   }
 
+  test("fast PNG path == ImageIO reader byte-for-byte (incl. odd sizes)") {
+    val rnd = new scala.util.Random(99)
+    for ((w, h) <- Seq((37, 23), (256, 256), (1, 1), (64, 3))) {
+      val vals = Array.tabulate(w * h)(i =>
+        if (i % 13 == 4) Double.NaN else rnd.nextInt(4000) / 4.0)
+      val png = ImageCodec.encodePng(vals, w, h)
+      // decodeCodes takes the fast path; reproduce the ImageIO loop here
+      val (fast, fw, fh) = ImageCodec.decodeCodes(png)
+      assert(fw == w && fh == h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      for (i <- 0 until w * h)
+        assert(fast(i) == img.getRaster.getSample(i % w, i / w, 0), s"($w x $h) px $i")
+    }
+  }
+
   test("JPEG PSNR >= 40 dB on smooth terrain (lossy gate)") {
     val bytes = ImageCodec.encodeJpg(payload, 256, 256)
     val (decoded, _, _) = ImageCodec.decode(bytes, "jpg")
