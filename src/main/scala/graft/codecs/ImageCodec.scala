@@ -218,10 +218,33 @@ object ImageCodec {
   /** Raw 8/16-bit code plane (for PSNR in code space). */
   def decodeCodes(bytes: Array[Byte]): (Array[Int], Int, Int) = allCodes(bytes)
 
-  /** Code plane via the fast PNG path when applicable, else ImageIO. */
+  // thread-local reader reuse: ImageIO.read scans the registry and
+  // instantiates a fresh reader per call — measurable per-tile overhead
+  // on small images; setInput resets reader state (the standard reuse
+  // pattern), one reader per executor thread.
+  private val jpegReader =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      ImageIO.getImageReadersByFormatName("jpeg").next())
+
+  private def readJpeg(bytes: Array[Byte]): BufferedImage = {
+    val r = jpegReader.get()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      r.setInput(iis, true, true)
+      r.read(0)
+    } finally iis.close()
+  }
+
+  private def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length > 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8
+
+  /** Code plane via the fast PNG path when applicable, then the reused
+    * JPEG reader, else generic ImageIO. */
   private def allCodes(bytes: Array[Byte]): (Array[Int], Int, Int) =
     fastPngCodes(bytes).getOrElse {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val img =
+        if (isJpeg(bytes)) readJpeg(bytes)
+        else ImageIO.read(new ByteArrayInputStream(bytes))
       (codesOf(img), img.getWidth, img.getHeight)
     }
 
