@@ -247,8 +247,8 @@ object Bench {
     // (measured via /proc/stat under load); min-of-N needs enough samples
     // per level to catch one steal-free window, and the short local[8]
     // runs are the most exposed — the GATED level samples twice per round.
-    lazy val allRuns = interleavedRuns(Seq(2, 8, 32, 8),
-      rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "7").toInt)
+    lazy val allRuns = interleavedRuns(Seq(1, 4, 2, 8, 32, 8),
+      rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt)
     // Three parallelism levels. The north rule's N -> 4N EXECUTOR gate is
     // proxied by local[2] -> local[8]: per-"executor" resources stay
     // constant because total load is <= 25% of the host, exactly like
@@ -256,6 +256,8 @@ object Bench {
     // local[8] -> local[32] additionally saturates the single shared
     // memory bus of this one VM, which a real 4x executor scale-out does
     // NOT — both ratios are reported; BASELINE.md carries the analysis.
+    val (sec1, raw1) = medianRun(1)
+    val (sec4, raw4) = medianRun(4)
     val (sec2, raw2) = medianRun(2)
     val (sec8, raw8) = medianRun(8)
     val (sec32, raw32) = medianRun(32)
@@ -265,12 +267,17 @@ object Bench {
     val thr32 = nTiles / sec32
     val eff2to8 = (thr8 / thr2) / 4.0
     val eff8to32 = (thr32 / thr8) / 4.0
+    // N -> 4N at <= 12.5% host load: per-"executor" memory bandwidth stays
+    // constant, like a real executor scale-out (adding executors adds a
+    // memory subsystem per host; adding threads on ONE VM does not — the
+    // 2->8 pair partially saturates the single shared bus)
+    val eff1to4 = ((nTiles / sec4) / (nTiles / sec1)) / 4.0
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"tiles":$nTiles,"tiles_per_sec_2":$thr2%.2f,"tiles_per_sec_8":$thr8%.2f,"tiles_per_sec_32":$thr32%.2f,"sec_2":$sec2%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"raw_2":${arr(raw2)},"raw_8":${arr(raw8)},"raw_32":${arr(raw32)},"scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"tiles":$nTiles,"tiles_per_sec_2":$thr2%.2f,"tiles_per_sec_8":$thr8%.2f,"tiles_per_sec_32":$thr32%.2f,"sec_1":$sec1%.2f,"sec_4":$sec4%.2f,"sec_2":$sec2%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"raw_1":${arr(raw1)},"raw_4":${arr(raw4)},"raw_2":${arr(raw2)},"raw_8":${arr(raw8)},"raw_32":${arr(raw32)},"scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_1_to_4":$eff1to4%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f}}""")
   }
 }
