@@ -394,4 +394,30 @@ object GridInterpolate {
     }
     Knn.nearestBucketed(srcTiles.sparkSession, pts, targetRef, res, ringK = 1)
   }
+
+  /** grid_interpolate with the IDW variant: same exploded-cell point feed
+    * through [[Knn.idwBucketed]] (the reference's method parameter,
+    * Raster.py:431-455 — 'linear'/'cubic' are Delaunay, IDW is the
+    * engine's standardized scattered-field interpolation, SURVEY §7.5). */
+  def idw(srcTiles: org.apache.spark.sql.Dataset[Tile], srcRef: GridRef,
+      targetRef: GridRef, res: Int, k: Int, power: Double = 2.0)
+      : org.apache.spark.sql.DataFrame = {
+    import srcTiles.sparkSession.implicits._
+    val pts = srcTiles.flatMap { t =>
+      val out = Iterator.newBuilder[PtRec]
+      var i = 0
+      while (i < t.payload.length) {
+        val v = t.payload(i)
+        if (!v.isNaN) {
+          val r = t.row0 + i / t.w
+          val c = t.col0 + i % t.w
+          val (x, y) = srcRef.sub2map(r, c)
+          out += PtRec(r.toLong * srcRef.ncols + c, x, y, v)
+        }
+        i += 1
+      }
+      out.result()
+    }
+    Knn.idwBucketed(srcTiles.sparkSession, pts, targetRef, res, k, power)
+  }
 }
