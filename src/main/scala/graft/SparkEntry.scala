@@ -285,6 +285,24 @@ object SparkEntry {
         .orderBy($"fmt")
     }),
 
+    // audio modality: opaque WAV binary column -> distributed PCM decode
+    // -> windowed integer features (energy, zero crossings); the encode ->
+    // REAL RIFF bytes -> decode round trip runs inside the task, and the
+    // integer-exact features hash-match the SQL oracle
+    "a1_audio_features" -> ((s, _) => {
+      import s.implicits._
+      s.range(100).flatMap { k =>
+        val samples = Array.tabulate(1000)(i =>
+          (((k * 7 + i * 31) % 2001) - 1000).toShort)
+        val bytes = graft.codecs.WavCodec.encode(samples, 16000)
+        val (dec, _) = graft.codecs.WavCodec.decode(bytes)
+        graft.codecs.WavCodec.windowFeatures(dec, 250).iterator.map {
+          case (w, n, ss, zc) => (k, w.toLong, n, ss, zc)
+        }
+      }.toDF("clip_id", "win", "n", "sum_sq", "zc")
+        .orderBy($"clip_id", $"win")
+    }),
+
     // semi-structured: JSON props extraction + conditional agg
     "q6_json_props" -> ((s, dir) => {
       import s.implicits._
@@ -788,6 +806,20 @@ object SparkEntry {
          |            WHEN v < 200 THEN 3.0 ELSE 4.0 END AS class,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a1_audio_features" ->
+      """WITH s AS (SELECT (i // 1000) AS clip, (i % 1000) AS idx,
+        |  ((i // 1000) * 7 + (i % 1000) * 31) % 2001 - 1000 AS v
+        |  FROM range(100000) t(i)),
+        |lagd AS (SELECT clip, idx // 250 AS win, v,
+        |  lag(v) OVER (PARTITION BY clip, idx // 250 ORDER BY idx) AS prev
+        |  FROM s)
+        |SELECT clip AS clip_id, CAST(win AS BIGINT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((v < 0) != (prev < 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        |FROM lagd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q6_json_props" ->
       """SELECT event_type,

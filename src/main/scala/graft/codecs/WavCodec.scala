@@ -1,0 +1,89 @@
+package graft.codecs
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM PCM WAV codec — the audio leg of the multimodal corpus
+  * (opaque `binary` column + typed metadata, decode + feature-extract as
+  * distributed kernels; public RIFF/WAVE format, PCM 16-bit mono).
+  * Features are INTEGER-exact (sum of squares, zero crossings) so the
+  * audio queries hash-match a SQL oracle bit-for-bit. */
+object WavCodec {
+
+  /** Encode 16-bit mono PCM samples at `rate` Hz. */
+  def encode(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("ASCII"))
+    buf.put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+    buf.put("data".getBytes("ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode: returns (samples, rate). Walks RIFF chunks (fmt before data),
+    * accepts PCM 16-bit mono only. */
+  def decode(bytes: Array[Byte]): (Array[Short], Int) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length > 44 &&
+      new String(bytes, 0, 4, "ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "ASCII") == "WAVE", "not a WAV")
+    var o = 12
+    var rate = -1
+    var samples: Array[Short] = null
+    while (o + 8 <= bytes.length && (rate < 0 || samples == null)) {
+      val id = new String(bytes, o, 4, "ASCII")
+      val len = buf.getInt(o + 4)
+      id match {
+        case "fmt " =>
+          require(buf.getShort(o + 8) == 1, "PCM only")
+          require(buf.getShort(o + 10) == 1, "mono only")
+          require(buf.getShort(o + 22) == 16, "16-bit only")
+          rate = buf.getInt(o + 12)
+        case "data" =>
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = buf.getShort(o + 8 + i * 2)
+            i += 1
+          }
+        case _ =>
+      }
+      o += 8 + len + (len & 1)
+    }
+    require(rate > 0 && samples != null, "missing fmt/data chunk")
+    (samples, rate)
+  }
+
+  /** Windowed integer features: per window of `win` samples (tail window
+    * may be short), (n, sumSq, zeroCrossings) — energy and ZCR are the
+    * classic audio-quality/VAD features; integer-exact for SQL oracles. */
+  def windowFeatures(samples: Array[Short], win: Int)
+      : Array[(Int, Long, Long, Long)] = {
+    val out = Array.newBuilder[(Int, Long, Long, Long)]
+    var w = 0
+    var i = 0
+    while (i < samples.length) {
+      val end = math.min(i + win, samples.length)
+      var sumSq = 0L
+      var zc = 0L
+      var j = i
+      while (j < end) {
+        val s = samples(j).toLong
+        sumSq += s * s
+        if (j > i && (samples(j) < 0) != (samples(j - 1) < 0)) zc += 1
+        j += 1
+      }
+      out += ((w, (end - i).toLong, sumSq, zc))
+      w += 1
+      i = end
+    }
+    out.result()
+  }
+}

@@ -25,6 +25,19 @@ class CodecSpec extends AnyFunSuite {
     assert(!decoded(18).isNaN)
   }
 
+  test("WAV PCM16 round trip exact; windowed features hand-checked") {
+    val rnd = new scala.util.Random(7)
+    val samples = Array.tabulate(777)(_ => (rnd.nextInt(65536) - 32768).toShort)
+    val bytes = WavCodec.encode(samples, 8000)
+    assert(new String(bytes, 0, 4, "ASCII") == "RIFF")
+    val (dec, rate) = WavCodec.decode(bytes)
+    assert(rate == 8000)
+    assert(dec.sameElements(samples))
+    // hand-checked features: [3, -4, 5] then tail [2]
+    val f = WavCodec.windowFeatures(Array[Short](3, -4, 5, 2), 3)
+    assert(f.sameElements(Array((0, 3L, 9L + 16L + 25L, 2L), (1, 1L, 4L, 0L))))
+  }
+
   test("fast PNG path == ImageIO reader byte-for-byte (incl. odd sizes)") {
     val rnd = new scala.util.Random(99)
     for ((w, h) <- Seq((37, 23), (256, 256), (1, 1), (64, 3))) {
