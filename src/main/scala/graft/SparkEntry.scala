@@ -728,6 +728,50 @@ object SparkEntry {
          |FROM sc ORDER BY doc_id""".stripMargin
     },
 
+    // d5: full SimHash recomputation in DuckDB — FNV-1a 64 per token via a
+    // HUGEINT wrapping-multiply fold, bit-majority vote, then the exact
+    // all-pairs hamming join (the ORACLE side may be quadratic; the engine
+    // side is the banded join). Constants: 2^64, 2^63, FNV prime/offset.
+    "d5_simhash" -> {
+      val P64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+      val P63 = "CAST(9223372036854775808 AS HUGEINT)" // 2^63
+      // (h XOR c) * FNV_PRIME mod 2^64, back to signed BIGINT
+      def u = s"(CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + $P64 ELSE CAST(xor(h, c) AS HUGEINT) END)"
+      def m = s"(($u * 1099511628211) % $P64)"
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |th AS (SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(-3750763034362895579 AS BIGINT),
+         |      list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS BIGINT))),
+         |    (h, c) -> CAST(CASE WHEN $m >= $P63 THEN $m - $P64 ELSE $m END AS BIGINT)
+         |  ) AS h FROM tok WHERE t <> ''),
+         |bits AS (SELECT b, CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |  ELSE CAST(1 AS BIGINT) << CAST(b AS INTEGER) END AS mask FROM range(64) r(b)),
+         |cnt AS (SELECT th.doc_id, bits.mask,
+         |  SUM(CASE WHEN (th.h & bits.mask) <> 0 THEN 1 ELSE 0 END) AS s, COUNT(*) AS t
+         |  FROM th CROSS JOIN bits GROUP BY 1, 2),
+         |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN 2 * s >= t THEN mask ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM cnt GROUP BY 1)
+         |SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY ia, ib""".stripMargin
+    },
+
+    // d7: rolling polynomial fingerprint mod 2^61-1; space-run collapse ==
+    // the kernel's skip-repeated-space rule, chars are ASCII so ord() ==
+    // the JVM's UTF-16 unit
+    "d7_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(string_split_regex(regexp_replace(text, ' +', ' ', 'g'), ''),
+        |        c -> CAST(ord(c) AS HUGEINT))),
+        |    (h, ch) -> (h * 131 + ch) % CAST(2305843009213693951 AS HUGEINT)
+        |  ) AS BIGINT) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "r8_gradient" -> {
       val nc = Synth.demRef.ncols
       def v(rr: String, cc: String): String =

@@ -110,12 +110,16 @@ object ImageCodec {
     val colorType = bytes(25)
     val interlace = bytes(28)
     if (bitDepth != 16 || colorType != 0 || interlace != 0) return None
-    // concatenate IDAT payloads
+    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 4) return None
+    // concatenate IDAT payloads; every chunk is bounds-checked (a corrupt
+    // length must yield None — the ImageIO fallback — not a throw or a
+    // backwards-walking offset loop)
     val idat = new ByteArrayOutputStream()
     var o = 8
     var ok = true
     while (o + 8 <= bytes.length && ok) {
       val len = be32(o)
+      if (len < 0 || o + 8 + len > bytes.length) return None // corrupt chunk
       val typ = new String(bytes, o + 4, 4, "ASCII")
       if (typ == "IDAT") idat.write(bytes, o + 8, len)
       if (typ == "IEND") ok = false
@@ -126,12 +130,14 @@ object ImageCodec {
     val stride = w * 2
     val raw = new Array[Byte]((stride + 1) * h)
     var got = 0
-    while (got < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) return None // truncated
-      got += n
-    }
-    inf.end()
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
     if (got != raw.length) return None
     // unfilter rows (bpp = 2) in place into the code array
     val out = new Array[Int](w * h)

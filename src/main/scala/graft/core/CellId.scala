@@ -87,6 +87,28 @@ object CellId {
     * lattice variant). */
   def kRing(id: Long, k: Int): Array[Long] = kRingAt(id, k, includeSelf = true)
 
+  /** kRing clamped to the valid bucket lattice [0, maxCx] x [0, maxCy].
+    * Escalation rings near the exhaustive bound otherwise emit
+    * O((2k+1)^2) queries mostly addressed to buckets OUTSIDE the grid —
+    * pure shuffle volume (empty buckets only return sentinels). */
+  def kRingClamped(id: Long, k: Int, maxCx: Long, maxCy: Long): Array[Long] = {
+    val r = res(id)
+    val x = cx(id)
+    val y = cy(id)
+    val x0 = math.max(0L, x - k); val x1 = math.min(maxCx, x + k)
+    val y0 = math.max(0L, y - k); val y1 = math.min(maxCy, y + k)
+    if (x0 > x1 || y0 > y1) return Array.empty
+    val buf = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var i = 0
+    var yy = y0
+    while (yy <= y1) {
+      var xx = x0
+      while (xx <= x1) { buf(i) = encode(r, xx, yy); i += 1; xx += 1 }
+      yy += 1
+    }
+    buf
+  }
+
   private def kRingAt(id: Long, k: Int, includeSelf: Boolean): Array[Long] = {
     val r = res(id)
     val x = cx(id)

@@ -75,6 +75,10 @@ object Knn {
     // the search is exhaustive and the best candidate is exact by fiat
     val maxRing = math.max((nrows + bucketPx - 1) / bucketPx,
       (ncols + bucketPx - 1) / bucketPx)
+    // valid bucket lattice — rings are clamped to it so escalation on
+    // sparse point sets never ships queries to nonexistent buckets
+    val maxCx = (ncols - 1).toLong >> res
+    val maxCy = (nrows - 1).toLong >> res
 
     def pointBucket(p: PtRec): Long = {
       val r = math.max(0, math.min(nrows - 1, Math.rint((top - p.y) / cs - 0.5).toInt))
@@ -84,7 +88,7 @@ object Knn {
 
     // ---- pass 1: point-replication halo cogroup --------------------------
     val candidates = points.flatMap { p =>
-      CellId.kRing(pointBucket(p), ringK).map(b => (b, p))
+      CellId.kRingClamped(pointBucket(p), ringK, maxCx, maxCy).map(b => (b, p))
     }.toDF("bucket", "p").as[(Long, PtRec)]
 
     val cells = spark.range(ref.numCells).map { id =>
@@ -126,21 +130,27 @@ object Knn {
 
     var unresolved = p1.filter(h => !h.proven)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var escalated = false
     var ring = math.max(2 * ringK, 2)
     // count() (one job) not isEmpty (take(1) = staged multi-job scan
     // when the set IS empty, the common dense case)
     while (unresolved.count() > 0) {
+      escalated = true
       val ringUsed = ring
       val exhaustive = ringUsed >= maxRing
       // cells WITH a bound query exactly the ring their bound requires
-      // (guaranteed proven this pass); boundless cells probe `ringUsed`
+      // (guaranteed proven this pass); boundless cells probe `ringUsed`.
+      // Rings clamp to the bucket lattice: near the exhaustive bound an
+      // unclamped ring is mostly out-of-grid addresses — shuffle volume
+      // that buys nothing (empty buckets return sentinels).
       val queries = unresolved.flatMap { h =>
         val bkt = CellId.ofPixel(h.row.toLong, h.col.toLong, res)
         val need =
           if (h.pid >= 0) math.min(maxRing,
             math.max(1, math.ceil(math.sqrt(h.d2) / bucketW).toInt))
           else math.min(maxRing, ringUsed)
-        CellId.kRing(bkt, need).iterator.map(b => Query(b, h.row, h.col, need))
+        CellId.kRingClamped(bkt, need, maxCx, maxCy).iterator
+          .map(b => Query(b, h.row, h.col, need))
       }
       // every query emits a row even when its bucket holds no points
       // (d2 = +Inf sentinel), so empty-ring cells stay in the loop
@@ -177,18 +187,27 @@ object Knn {
       val provenCond =
         ($"pid" >= 0) && ($"d2" <= ($"ring" * bucketW) * ($"ring" * bucketW) ||
           lit(exhaustive))
-      out = out.unionByName(
-        best.filter(provenCond).select($"row", $"col", $"v", $"pid"))
-      unresolved =
+      // Both derivations of `best` are materialized as lineage-cut local
+      // checkpoints, then the round's working caches are RELEASED — a long
+      // ring-doubling run otherwise fills executor storage with dead
+      // round-(N-1) frames and the final action replays a deep lazy union.
+      val provenInc = best.filter(provenCond)
+        .select($"row", $"col", $"v", $"pid").localCheckpoint(true)
+      val nextUnresolved =
         if (exhaustive) spark.emptyDataset[Hit]
         else best.filter(!provenCond && $"pid" >= 0 || $"pid" < 0)
           .select($"row", $"col", $"v", $"pid", $"d2")
-          .withColumn("proven", lit(false)).as[Hit]
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .withColumn("proven", lit(false)).as[Hit].localCheckpoint(true)
+      best.unpersist()
+      unresolved.unpersist()
+      out = out.unionByName(provenInc)
+      unresolved = nextUnresolved
       ring = ring * 2
     }
-    // caches stay live: `out` is returned lazily and re-reads them on the
-    // caller's action; they evict LRU / die with the session
+    unresolved.unpersist() // final (empty) round cache
+    if (escalated) ptsByBucket.unpersist() // loop-only input; increments are checkpointed
+    // p1 stays cached: the pass-1 proven leg of `out` reads it lazily on
+    // the caller's action; it evicts LRU / dies with the session
     out
   }
 
@@ -212,6 +231,8 @@ object Knn {
     val (left, top, cs) = (ref.left, ref.top, ref.cellsize)
     val maxRing = math.max((nrows + bucketPx - 1) / bucketPx,
       (ncols + bucketPx - 1) / bucketPx)
+    val maxCx = (ncols - 1).toLong >> res
+    val maxCy = (nrows - 1).toLong >> res
 
     def pointBucket(p: PtRec): Long = {
       val r = math.max(0, math.min(nrows - 1, Math.rint((top - p.y) / cs - 0.5).toInt))
@@ -233,7 +254,7 @@ object Knn {
     }
 
     val candidates = points.flatMap { p =>
-      CellId.kRing(pointBucket(p), ringK).map(b => (b, p))
+      CellId.kRingClamped(pointBucket(p), ringK, maxCx, maxCy).map(b => (b, p))
     }.toDF("bucket", "p").as[(Long, PtRec)]
     val cells = spark.range(ref.numCells).map { id =>
       val row = (id / ncols).toInt
@@ -276,10 +297,12 @@ object Knn {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var unresolved = p1.filter(h => !h.proven)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var escalated = false
     var ring = math.max(2 * ringK, 2)
     // count() (one job) not isEmpty (take(1) = staged multi-job scan
     // when the set IS empty, the common dense case)
     while (unresolved.count() > 0) {
+      escalated = true
       val ringUsed = ring
       val exhaustive = ringUsed >= maxRing
       val queries = unresolved.flatMap { h =>
@@ -288,7 +311,8 @@ object Knn {
           if (h.pid >= 0) math.min(maxRing,
             math.max(1, math.ceil(math.sqrt(h.d2) / bucketW).toInt))
           else math.min(maxRing, ringUsed)
-        CellId.kRing(bkt, need).iterator.map(b => Query(b, h.row, h.col, need))
+        CellId.kRingClamped(bkt, need, maxCx, maxCy).iterator
+          .map(b => Query(b, h.row, h.col, need))
       }
       // per-bucket k-best partials (points keyed by OWN bucket: no dups)
       val partials = queries.groupByKey(_.bucket)
@@ -326,14 +350,21 @@ object Knn {
           else (r, c, Double.NaN, if (best.length == k) 0L else -1L, dk, false)
       }.toDF("row", "col", "v", "pid", "d2", "proven")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out = out.unionByName(
-        merged.filter($"proven").select($"row", $"col", $"v"))
-      unresolved =
+      // materialize both derivations (lineage-cut), release round caches
+      // (same storage-hygiene contract as nearestBucketed)
+      val provenInc = merged.filter($"proven")
+        .select($"row", $"col", $"v").localCheckpoint(true)
+      val nextUnresolved =
         if (exhaustive) spark.emptyDataset[Hit]
-        else merged.filter(!$"proven").as[Hit]
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else merged.filter(!$"proven").as[Hit].localCheckpoint(true)
+      merged.unpersist()
+      unresolved.unpersist()
+      out = out.unionByName(provenInc)
+      unresolved = nextUnresolved
       ring = ring * 2
     }
+    unresolved.unpersist()
+    if (escalated) ptsByBucket.unpersist()
     out
   }
 

@@ -507,23 +507,52 @@ object ClipPolygon {
     val cover = features
       .flatMap(f => CellId.coverPolygon(ref, f.xs.zip(f.ys), res))
       .toSet
+    // geometry + precomputed bbox per feature: the mask kernel first
+    // selects ONLY the features whose bbox intersects the tile window
+    // (the burn kernel's trick, Rasterize cover/bbox restriction), so the
+    // per-pixel loop is bounded by the tile's OVERLAP count, not the total
+    // feature count F — at thousands of features the per-pixel O(F) scan
+    // was the kernel's scale hole.
     val bc = tiles.sparkSession.sparkContext.broadcast(
-      features.map(f => (f.xs, f.ys)).toArray)
+      features.map { f =>
+        var xmin = Double.MaxValue; var xmax = Double.MinValue
+        var ymin = Double.MaxValue; var ymax = Double.MinValue
+        var k = 0
+        while (k < f.xs.length) {
+          val x = f.xs(k); val y = f.ys(k)
+          if (x < xmin) xmin = x; if (x > xmax) xmax = x
+          if (y < ymin) ymin = y; if (y > ymax) ymax = y
+          k += 1
+        }
+        (f.xs, f.ys, xmin, xmax, ymin, ymax)
+      }.toArray)
+    val cs = ref.cellsize
+    val (gLeft, gTop) = (ref.left, ref.top)
     tiles
       .filter(TileOps.coverPredicate(cover.toArray)) // semi-join Z-range prune
       .map { t =>
+        // candidate features for THIS tile: bbox vs tile pixel-window extent
+        val txMin = gLeft + t.col0 * cs
+        val txMax = gLeft + (t.col0 + t.w) * cs
+        val tyMax = gTop - t.row0 * cs
+        val tyMin = gTop - (t.row0 + t.h) * cs
+        val cand = bc.value.filter { case (_, _, xmin, xmax, ymin, ymax) =>
+          xmax >= txMin && xmin <= txMax && ymax >= tyMin && ymin <= tyMax
+        }
         val out = new Array[Double](t.payload.length)
         var i = 0
         while (i < out.length) {
           val r = t.row0 + i / t.w
           val c = t.col0 + i % t.w
-          val px = ref.left + (c + 0.5) * ref.cellsize
-          val py = ref.top - (r + 0.5) * ref.cellsize
+          val px = gLeft + (c + 0.5) * cs
+          val py = gTop - (r + 0.5) * cs
           var inside = false
-          val fs = bc.value
           var k = 0
-          while (k < fs.length && !inside) {
-            inside = RefKernel.pointInPolygon(px, py, fs(k)._1, fs(k)._2)
+          while (k < cand.length && !inside) {
+            val f = cand(k)
+            // per-pixel bbox rejection before the O(vertices) PIP
+            if (px >= f._3 && px <= f._4 && py >= f._5 && py <= f._6)
+              inside = RefKernel.pointInPolygon(px, py, f._1, f._2)
             k += 1
           }
           out(i) = if (inside) t.payload(i) else Double.NaN

@@ -166,18 +166,83 @@ object AscIO {
       Files.writeString(Paths.get(prjPath(path)), ref.crs)
   }
 
-  /** Export a tile dataset as one ASC: tiles are collected INTO the export
-    * buffer per output grid (exports are by nature single-grid artifacts;
-    * the distributed form writes per-tile shards + a driver-side stitch). */
+  /** Export a tile dataset as one ASC — DISTRIBUTED: executors group the
+    * tiles by row band (same row0), format each band's text block, and
+    * write it as a shard file; the driver then stitches header + shards in
+    * row order with a streaming copy (and nodata lines for empty bands).
+    * The driver never materializes the pixel array — only O(bands)
+    * descriptors — so the exportable grid is bounded by the filesystem,
+    * not driver memory. The shard directory lives next to the output path;
+    * on a multi-host cluster that path is shared storage by nature (it is
+    * the export destination). Output is byte-identical to the previous
+    * whole-array writer (golden-gated). */
   def writeTiles(tiles: Dataset[Tile], ref: GridRef, path: String): Unit = {
-    val data = Array.fill(ref.ncols * ref.nrows)(Double.NaN)
-    tiles.collect().foreach { t =>
+    import tiles.sparkSession.implicits._
+    val shardDir = Paths.get(path + ".shards")
+    Files.createDirectories(shardDir)
+    val ncols = ref.ncols
+    val nodata = ref.nodata
+    val shardDirStr = shardDir.toString
+    // one shard per tile-row band, formatted and written on executors
+    val bands = tiles.groupByKey(_.row0).mapGroups { (row0, it) =>
+      val ts = it.toArray.sortBy(_.col0)
+      val h = ts.map(_.h).max
+      val sb = new StringBuilder(ncols * 8 * h)
+      val row = new Array[Double](ncols)
       var r = 0
-      while (r < t.h) {
-        System.arraycopy(t.payload, r * t.w, data, (t.row0 + r) * ref.ncols + t.col0, t.w)
+      while (r < h) {
+        java.util.Arrays.fill(row, Double.NaN)
+        ts.foreach { t =>
+          if (r < t.h) {
+            var c = 0
+            while (c < t.w) { row(t.col0 + c) = t.payload(r * t.w + c); c += 1 }
+          }
+        }
+        var c = 0
+        while (c < ncols) {
+          if (c > 0) sb.append(' ')
+          val v = row(c)
+          sb.append(formatG(if (v.isNaN) nodata else v))
+          c += 1
+        }
+        sb.append('\n')
         r += 1
       }
+      val f = Paths.get(shardDirStr, f"band-$row0%09d")
+      Files.write(f, sb.toString.getBytes(StandardCharsets.US_ASCII))
+      (row0, h, f.toString)
+    }.collect().sortBy(_._1) // O(bands) descriptors only
+    // driver stitch: header, then shards in row order; missing bands
+    // (sparse tile sets) become nodata rows
+    val header = new StringBuilder
+    header.append(s"ncols    ${ref.ncols}\n")
+    header.append(s"nrows    ${ref.nrows}\n")
+    header.append(s"xllcorner    ${formatG(ref.xll)}\n")
+    header.append(s"yllcorner    ${formatG(ref.yll)}\n")
+    header.append(s"cellsize    ${formatG(ref.cellsize)}\n")
+    header.append(s"NODATA_value    ${formatG(ref.nodata)}\n")
+    val nodataLine = {
+      val s = formatG(nodata)
+      (Seq.fill(ncols)(s).mkString(" ") + "\n").getBytes(StandardCharsets.US_ASCII)
     }
-    writeFile(path, ref, data)
+    val raw = Files.newOutputStream(Paths.get(path))
+    val out =
+      if (path.endsWith(".gz")) new GZIPOutputStream(raw, 1 << 16)
+      else new java.io.BufferedOutputStream(raw, 1 << 20)
+    try {
+      out.write(header.toString.getBytes(StandardCharsets.US_ASCII))
+      var nextRow = 0
+      bands.foreach { case (row0, h, f) =>
+        while (nextRow < row0) { out.write(nodataLine); nextRow += 1 }
+        val p = Paths.get(f)
+        Files.copy(p, out)
+        Files.delete(p)
+        nextRow = row0 + h
+      }
+      while (nextRow < ref.nrows) { out.write(nodataLine); nextRow += 1 }
+    } finally out.close()
+    Files.deleteIfExists(shardDir)
+    if (ref.crs.nonEmpty)
+      Files.writeString(Paths.get(prjPath(path)), ref.crs)
   }
 }

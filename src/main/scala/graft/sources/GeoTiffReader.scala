@@ -135,9 +135,12 @@ object GeoTiffReader {
     val epsg: Int =
       if (ifd.has(34735)) {
         val keys = ifd.longs(34735)
-        // directory: groups of 4 shorts; key 3072 = ProjectedCSTypeGeoKey
+        // directory: groups of 4 shorts; key 3072 = ProjectedCSTypeGeoKey.
+        // Only the INLINE form (TIFFTagLocation == 0) carries the EPSG code
+        // in the ValueOffset slot; a foreign file storing it out-of-line
+        // (location = another tag id) would otherwise yield a garbage code.
         (4 until keys.length by 4).collectFirst {
-          case i if keys(i) == 3072L => keys(i + 3).toInt
+          case i if keys(i) == 3072L && keys(i + 1) == 0L => keys(i + 3).toInt
         }.getOrElse(0)
       } else 0
 

@@ -215,8 +215,21 @@ object TextOps {
     * maxHamming bits of each other must agree on >= 1 whole chunk — then
     * equi-join on (chunk_idx, chunk_value), dedup, verify exact hamming.
     * Scale shape: shuffled hash join on the chunk key (vs the O(N²)
-    * cartesian of the naive theta-join). Input: (doc_id, simhash). */
-  def simhashNearPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    * cartesian of the naive theta-join). Input: (doc_id, simhash).
+    *
+    * `dfCap` guards the skew hole the banding alone leaves open: a chunk
+    * value shared by M docs (boilerplate-dominated hashes go exactly this
+    * degenerate on near-dup corpora) puts M²/2 candidate rows on ONE
+    * (ci, cv) key. Over-capped chunk values are excluded from candidate
+    * generation — same trade as [[jaccardPairs]]' stop-shingle cap. Recall
+    * bound: a qualifying pair is missed only if EVERY chunk the two hashes
+    * agree on is ultra-common (df > dfCap); each pair has >= 1 agreeing
+    * chunk by pigeonhole and typically several, so the loss condition is
+    * a corpus where > dfCap documents share whole hash chunks — at which
+    * point those documents are mutual near-dups and the capped key's pairs
+    * are derivable transitively. */
+  def simhashNearPairs(hashed: DataFrame, maxHamming: Int,
+      dfCap: Int = 1000): DataFrame = {
     val spark = hashed.sparkSession
     import spark.implicits._
     val nChunks = maxHamming + 1
@@ -228,9 +241,12 @@ object TextOps {
         (shiftrightunsigned($"simhash", los(j))
           .bitwiseAND(lit((1L << widths(j)) - 1))).as("cv"))
     }
-    val exploded = hashed
+    val postings = hashed
       .select($"doc_id", $"simhash", explode(array(chunks: _*)).as("ch"))
       .select($"doc_id", $"simhash", $"ch.ci".as("ci"), $"ch.cv".as("cv"))
+    val rare = postings.groupBy($"ci", $"cv").count()
+      .filter($"count" <= dfCap).select($"ci", $"cv")
+    val exploded = postings.join(rare, Seq("ci", "cv"))
     exploded.as("a").join(exploded.as("b"),
         $"a.ci" === $"b.ci" && $"a.cv" === $"b.cv" &&
           $"a.doc_id" < $"b.doc_id")

@@ -92,6 +92,31 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("escalation loop releases superseded caches (storage stays bounded)") {
+    import spark.implicits._
+    // 2 points on a 120x60 grid: nearly every cell escalates and the
+    // boundless doubling-ring path runs to the exhaustive bound — multiple
+    // rounds. Pre-fix, every round persisted best+unresolved and never
+    // released them; the gate is that persistent-RDD growth after a full
+    // materialization is bounded by the per-round lineage-cut increments
+    // (which ARE the result), not 3 frames per round.
+    val sparse = Array(PtRec(0L, -4.75, 0.25, 1.0), PtRec(1L, 55.25, 29.75, 2.0))
+    val pts = spark.createDataset(sparse)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = Knn.nearestBucketed(spark, pts, Synth.knnRef, res = 5, ringK = 1)
+    assert(got.count() == Synth.knnRef.numCells)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // p1 + one checkpointed increment per escalation round (<= log2(maxRing)
+    // + 2 rounds); superseded best/unresolved/ptsByBucket must be gone
+    assert(after - before <= 8, s"persistent RDDs grew $before -> $after")
+    // and the result is still exact
+    val brute = Knn.nearestBrute(spark, pts, Synth.knnRef)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val bucketed = got.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(bucketed == brute)
+  }
+
   test("1e6 points complete without any driver collect of the point set") {
     import spark.implicits._
     val n = 1000000L

@@ -59,6 +59,31 @@ class TextSpec extends AnyFunSuite {
     assert(!plan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("simhash df-cap defuses a degenerate shared-chunk key (1e4 docs)") {
+    import spark.implicits._
+    // 100 groups x 100 docs; every doc's LOW chunk (bits 0..9) is zero —
+    // one (ci, cv) key shared by ALL 1e4 docs, which uncapped would put
+    // C(1e4,2) ~ 5e7 candidate rows on a single join key. Group hashes are
+    // splitmix-scrambled so distinct groups are FAR apart (asserted), and
+    // within-group docs are identical: every true pair agrees on the
+    // group's (rare, df=100) high chunks, so the cap costs zero recall.
+    def scramble(g: Long): Long = {
+      var z = g * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)) & ~0x3FFL // clear bits 0..9 -> shared hot chunk
+    }
+    val groupHash = (0 until 100).map(g => scramble(g.toLong)).toArray
+    for (i <- 0 until 100; j <- i + 1 until 100)
+      assert(TextOps.hamming64(groupHash(i), groupHash(j)) > 6)
+    val hashed = spark.range(10000)
+      .select($"id".as("doc_id"))
+      .as[Long].map(i => (i, groupHash((i / 100).toInt)))
+      .toDF("doc_id", "simhash")
+    val n = TextOps.simhashNearPairs(hashed, maxHamming = 6, dfCap = 1000).count()
+    assert(n == 100L * (100L * 99L / 2L)) // within-group pairs only
+  }
+
   test("minhash LSH recall: candidates cover ALL exact-Jaccard>=0.8 pairs (sf0.001)") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
