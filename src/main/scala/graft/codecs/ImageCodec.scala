@@ -201,24 +201,138 @@ object ImageCodec {
   /** Fused decode+stats: NaN-aware (validCount, max) computed directly on
     * the code plane — aggregation pushdown into the codec domain, so the
     * 512KB double[] per tile is never materialized when only stats are
-    * needed (the decoded buffer lives only as the codec's short raster). */
+    * needed. For the engine's own 16-bit-gray PNGs the stats run FULLY
+    * STREAMING over thread-local row scratch (~3KB live per thread): no
+    * IDAT copy, no whole-image inflate buffer, no code-plane array. At
+    * 16k tiles the eager path allocated ~450KB/tile (7+ GB of traffic on
+    * the shared memory bus — the measured local[32] scaling ceiling); the
+    * streaming path is cache-resident. */
   def decodeStats(bytes: Array[Byte], fmt: String): (Long, Double, Int) = {
     val png = fmt == "png"
     val nanCode = if (png) PngNaN else JpgNaN
     val scale = if (png) PngScale else JpgScale
-    val (codes, _, _) = allCodes(bytes)
-    var maxCode = -1
-    var valid = 0L
-    var i = 0
-    while (i < codes.length) {
-      val code = codes(i)
-      if (code != nanCode) {
-        valid += 1
-        if (code > maxCode) maxCode = code
+    val streamed = if (png) fastPngStats(bytes, nanCode) else None
+    val (valid, maxCode, npx) = streamed.getOrElse {
+      val (codes, _, _) = allCodes(bytes)
+      var mx = -1
+      var v = 0L
+      var i = 0
+      while (i < codes.length) {
+        val code = codes(i)
+        if (code != nanCode) {
+          v += 1
+          if (code > mx) mx = code
+        }
+        i += 1
       }
-      i += 1
+      (v, mx, codes.length)
     }
-    (valid, if (maxCode < 0) Double.NaN else maxCode / scale, codes.length)
+    (valid, if (maxCode < 0) Double.NaN else maxCode / scale, npx)
+  }
+
+  /** Per-thread row scratch for the streaming PNG stats path. */
+  private final class PngScratch {
+    var rowRaw: Array[Byte] = new Array[Byte](0) // filter byte + one filtered row
+    var cur: Array[Int] = new Array[Int](0) // unfiltered bytes, this row
+    var prev: Array[Int] = new Array[Int](0)
+    def ensure(stride: Int): Unit = {
+      if (rowRaw.length < stride + 1) {
+        rowRaw = new Array[Byte](stride + 1)
+        cur = new Array[Int](stride)
+        prev = new Array[Int](stride)
+      }
+      java.util.Arrays.fill(prev, 0, stride, 0)
+    }
+  }
+  private val pngScratch = ThreadLocal.withInitial[PngScratch](() => new PngScratch)
+
+  /** Streaming (valid, maxCode, npx) over a 16-bit-gray non-interlaced PNG:
+    * the Inflater is fed IDAT chunk REGIONS of the source array directly
+    * (no concatenation copy) and pulled one scanline at a time; rows
+    * unfilter into reused thread-local scratch and fold straight into the
+    * stats. None for foreign/corrupt PNGs -> caller falls back to the
+    * materializing path. */
+  private def fastPngStats(bytes: Array[Byte], nanCode: Int): Option[(Long, Int, Int)] = {
+    if (bytes.length < 33 ||
+      bytes(0) != 0x89.toByte || bytes(1) != 'P' || bytes(2) != 'N') return None
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+        ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+    if (new String(bytes, 12, 4, "ASCII") != "IHDR") return None
+    val w = be32(16)
+    val h = be32(20)
+    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 4) return None
+    if (bytes(24) != 16 || bytes(25) != 0 || bytes(28) != 0) return None
+    val stride = w * 2
+    val s = pngScratch.get()
+    s.ensure(stride)
+    val rowRaw = s.rowRaw
+    var cur = s.cur
+    var prev = s.prev
+    val inf = new java.util.zip.Inflater()
+    // walk chunks lazily; o points at the next unread chunk header
+    var o = 8
+    def feed(): Boolean = {
+      while (o + 8 <= bytes.length) {
+        val len = be32(o)
+        if (len < 0 || o + 8 + len > bytes.length) return false // corrupt
+        val typ = new String(bytes, o + 4, 4, "ASCII")
+        if (typ == "IDAT") { inf.setInput(bytes, o + 8, len); o += 12 + len; return true }
+        if (typ == "IEND") return false
+        o += 12 + len
+      }
+      false
+    }
+    try {
+      var valid = 0L
+      var maxCode = -1
+      var y = 0
+      while (y < h) {
+        // pull exactly one scanline (filter byte + stride)
+        var got = 0
+        while (got < stride + 1) {
+          val n = inf.inflate(rowRaw, got, stride + 1 - got)
+          got += n
+          if (n == 0) {
+            if (inf.finished() || (inf.needsInput() && !feed())) return None // truncated
+          }
+        }
+        val ft = rowRaw(0) & 0xFF
+        if (ft > 4) return None
+        var x = 0
+        while (x < stride) {
+          val rawB = rowRaw(1 + x) & 0xFF
+          val a = if (x >= 2) cur(x - 2) else 0
+          val b = prev(x)
+          val un = ft match {
+            case 0 => rawB
+            case 1 => (rawB + a) & 0xFF
+            case 2 => (rawB + b) & 0xFF
+            case 3 => (rawB + ((a + b) >> 1)) & 0xFF
+            case _ =>
+              val c = if (x >= 2) prev(x - 2) else 0
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              (rawB + pred) & 0xFF
+          }
+          cur(x) = un
+          if ((x & 1) == 1) { // low byte closes one 16-bit sample
+            val code = (cur(x - 1) << 8) | un
+            if (code != nanCode) {
+              valid += 1
+              if (code > maxCode) maxCode = code
+            }
+          }
+          x += 1
+        }
+        val t = prev; prev = cur; cur = t // rotate row buffers, no copy
+        y += 1
+      }
+      Some((valid, maxCode, w * h))
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
   }
 
   /** Raw 8/16-bit code plane (for PSNR in code space). */

@@ -66,10 +66,18 @@ object Rasterize {
       val w = c1 - c0 + 1
       if (h <= 0 || w <= 0) Iterator.empty
       else {
-        val vals = Array.fill(h * w)(Double.NaN)
-        fs.foreach { f =>
-          // restrict the scan to the feature bbox ∩ cell window: pixel
-          // centers at left+(c+0.5)cs are >= xmin iff c >= (xmin-left)/cs-0.5
+        // per-feature pixel windows (bbox ∩ cell window): pixel centers at
+        // left+(c+0.5)cs are >= xmin iff c >= (xmin-left)/cs-0.5. The burn
+        // buffer is allocated over the UNION of these windows, not the full
+        // cell — a feature rarely fills its cell, so this cuts the 512KB
+        // cell buffer (pure allocation-bandwidth, the local-mode scaling
+        // ceiling) to the burnable sub-window.
+        val wins = new Array[Int](fs.length * 4)
+        var ur0 = Int.MaxValue; var ur1 = Int.MinValue
+        var uc0 = Int.MaxValue; var uc1 = Int.MinValue
+        var fi = 0
+        while (fi < fs.length) {
+          val f = fs(fi)
           var xmin = Double.MaxValue; var xmax = Double.MinValue
           var ymin = Double.MaxValue; var ymax = Double.MinValue
           var k = 0
@@ -83,26 +91,46 @@ object Rasterize {
           val fr1 = math.min(r1, math.floor((ref.top - ymin) / ref.cellsize - 0.5).toInt)
           val fc0 = math.max(c0, math.ceil((xmin - ref.left) / ref.cellsize - 0.5).toInt)
           val fc1 = math.min(c1, math.floor((xmax - ref.left) / ref.cellsize - 0.5).toInt)
-          var r = fr0
-          while (r <= fr1) {
-            val py = ref.top - (r + 0.5) * ref.cellsize
-            var c = fc0
-            while (c <= fc1) {
-              val px = ref.left + (c + 0.5) * ref.cellsize
-              if (RefKernel.pointInPolygon(px, py, f.xs, f.ys))
-                vals((r - r0) * w + (c - c0)) = f.value
-              c += 1
-            }
-            r += 1
+          wins(fi * 4) = fr0; wins(fi * 4 + 1) = fr1
+          wins(fi * 4 + 2) = fc0; wins(fi * 4 + 3) = fc1
+          if (fr0 <= fr1 && fc0 <= fc1) {
+            if (fr0 < ur0) ur0 = fr0
+            if (fr1 > ur1) ur1 = fr1
+            if (fc0 < uc0) uc0 = fc0
+            if (fc1 > uc1) uc1 = fc1
           }
+          fi += 1
         }
-        val out = Array.newBuilder[CellPx]
-        var i = 0
-        while (i < vals.length) {
-          if (!vals(i).isNaN) out += CellPx(r0 + i / w, c0 + i % w, vals(i))
-          i += 1
+        if (ur0 > ur1 || uc0 > uc1) Iterator.empty
+        else {
+          val bw = uc1 - uc0 + 1
+          val bh = ur1 - ur0 + 1
+          val vals = Array.fill(bh * bw)(Double.NaN)
+          fi = 0
+          while (fi < fs.length) {
+            val f = fs(fi)
+            val fr1 = wins(fi * 4 + 1)
+            val fc0 = wins(fi * 4 + 2)
+            val fc1 = wins(fi * 4 + 3)
+            var r = wins(fi * 4)
+            while (r <= fr1) {
+              val py = ref.top - (r + 0.5) * ref.cellsize
+              var c = fc0
+              while (c <= fc1) {
+                val px = ref.left + (c + 0.5) * ref.cellsize
+                if (RefKernel.pointInPolygon(px, py, f.xs, f.ys))
+                  vals((r - ur0) * bw + (c - uc0)) = f.value
+                c += 1
+              }
+              r += 1
+            }
+            fi += 1
+          }
+          // lazy emission: no intermediate CellPx array per cell
+          Iterator.range(0, bh * bw)
+            .filter(i => !vals(i).isNaN)
+            .map(i => CellPx(ur0 + i / bw, uc0 + i % bw, vals(i)))
         }
-        out.result().iterator
       }
     }
   }

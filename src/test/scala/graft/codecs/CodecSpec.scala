@@ -53,6 +53,28 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decodeStats == eager code-plane scan (incl. NaN, odd sizes, reps)") {
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((37, 23), (256, 256), (1, 1), (64, 3), (255, 255))) {
+      val vals = Array.tabulate(w * h)(i =>
+        if (i % 11 == 2) Double.NaN else rnd.nextInt(4000) / 4.0)
+      val png = ImageCodec.encodePng(vals, w, h)
+      // run TWICE per shape on the same thread: the streaming path reuses
+      // thread-local scratch — a stale-state bug would show on the rerun
+      for (_ <- 1 to 2) {
+        val (valid, mx, px) = ImageCodec.decodeStats(png, "png")
+        val clean = vals.filter(v => !v.isNaN)
+        assert(px == w * h)
+        assert(valid == clean.length.toLong, s"($w x $h) valid")
+        assert(mx == clean.max, s"($w x $h) max")
+      }
+      // all-NaN tile -> max is NaN, valid 0
+      val allNaN = ImageCodec.encodePng(Array.fill(w * h)(Double.NaN), w, h)
+      val (v0, m0, p0) = ImageCodec.decodeStats(allNaN, "png")
+      assert(v0 == 0L && m0.isNaN && p0 == w * h)
+    }
+  }
+
   test("JPEG PSNR >= 40 dB on smooth terrain (lossy gate)") {
     val bytes = ImageCodec.encodeJpg(payload, 256, 256)
     val (decoded, _, _) = ImageCodec.decode(bytes, "jpg")
