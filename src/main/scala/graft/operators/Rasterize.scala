@@ -135,10 +135,34 @@ object Rasterize {
     }
   }
 
-  /** End-to-end rasterize: features -> cover -> burn -> burned pixels. */
+  /** Skew statistic -> salt factor: max number of DISTINCT (value,
+    * geometry) tasks landing on one cell (exact duplicates collapse in the
+    * kernel, so they are not skew), computed driver-side from the feature
+    * seq — no extra Spark job. A cell with F distinct features costs
+    * F x cellArea in the PIP kernel; salting by ~F/8 splits that one hot
+    * task into row-interleaved shards while last-wins stays exact. */
+  private[operators] def autoSalt(features: Seq[Feature], ref: GridRef,
+      res: Int, useAttr: Boolean): Int = {
+    val perCell = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+    val seen = scala.collection.mutable.Set[(Long, Double, Seq[Double], Seq[Double])]()
+    features.foreach { f =>
+      val burnValue = if (useAttr) f.attr else f.seq.toDouble // kernel's dedup key
+      CellId.coverPolygon(ref, f.xs.zip(f.ys), res).foreach { cid =>
+        if (seen.add((cid, burnValue, f.xs.toSeq, f.ys.toSeq))) perCell(cid) += 1
+      }
+    }
+    val hot = if (perCell.isEmpty) 0 else perCell.values.max
+    math.max(1, math.min(16, hot / 8))
+  }
+
+  /** End-to-end rasterize: features -> cover -> burn -> burned pixels.
+    * Salt is selected AUTOMATICALLY from the hot-cell distinct-task max
+    * (autoSalt); homogeneous covers take the plain single-task-per-cell
+    * path (salt = 1). */
   def apply(spark: SparkSession, features: Seq[Feature], ref: GridRef,
       res: Int, useAttr: Boolean): Dataset[CellPx] =
-    burn(cover(spark, features, ref, res, useAttr), ref)
+    burnSalted(cover(spark, features, ref, res, useAttr), ref,
+      autoSalt(features, ref, res, useAttr))
 
   /** Explicitly SALTED burn for hot cells (many features on one cell id —
     * the skew the north rule calls out): every cover task is replicated to

@@ -125,6 +125,62 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("skewed cover auto-selects the salted path; result == plain burn") {
+    // 50 DISTINCT features (distinct burn values -> no exact-dup collapse)
+    // piled onto one cell: the skew the north rule calls out
+    val ref = Synth.demRef
+    val hot = (0 until 50).map { i =>
+      val cx = ref.left + 20.0 + i * 0.01
+      val cy = ref.top - 20.0 - i * 0.01
+      graft.core.Feature(i.toLong, "polygon",
+        Array(cx, cx + 5.0, cx + 5.0, cx, cx),
+        Array(cy - 5.0, cy - 5.0, cy, cy, cy - 5.0),
+        attr = i.toDouble, seq = i)
+    }
+    assert(Rasterize.autoSalt(hot, ref, res, useAttr = true) > 1, "salted path not chosen")
+    // homogeneous covers stay on the plain path
+    assert(Rasterize.autoSalt(Synth.ca1Features, ref, res, useAttr = true) == 1)
+    val auto = Rasterize(spark, hot, ref, res, useAttr = true)
+      .collect().map(p => (p.row, p.col) -> p.v).toMap
+    val plain = Rasterize.burn(
+      Rasterize.cover(spark, hot, ref, res, useAttr = true), ref)
+      .collect().map(p => (p.row, p.col) -> p.v).toMap
+    assert(auto == plain)
+    assert(auto.nonEmpty)
+  }
+
+  test("ClipPolygon with 1000 features == brute per-pixel mask (bbox prefilter is exact)") {
+    import spark.implicits._
+    val ref = Synth.demRef
+    // 1000 small axis-aligned boxes scattered over the grid
+    val feats = (0 until 1000).map { i =>
+      val x0 = ref.left + ((i * 37) % 745) * 1.0 + 0.2
+      val y0 = ref.bottom + ((i * 53) % 985) * 1.0 + 0.2
+      graft.core.Feature(i.toLong, "polygon",
+        Array(x0, x0 + 15.0, x0 + 15.0, x0, x0),
+        Array(y0, y0, y0 + 15.0, y0 + 15.0, y0),
+        attr = 1.0, seq = i)
+    }
+    val dem = TileOps.tileGrid(spark, ref, res)(Synth.demValue)
+    val got = ClipPolygon(dem, ref, res, feats)
+    val cells = TileOps.cells(got).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .filterNot(_._2.isNaN).toMap
+    // brute oracle: PIP over ALL features per sampled pixel
+    var checkedIn = 0
+    var checkedOut = 0
+    for (r <- 0 until ref.nrows by 7; c <- 0 until ref.ncols by 5) {
+      val px = ref.left + (c + 0.5) * ref.cellsize
+      val py = ref.top - (r + 0.5) * ref.cellsize
+      val inside = feats.exists(f => graft.core.RefKernel.pointInPolygon(px, py, f.xs, f.ys))
+      val v = Synth.demValue(r, c)
+      if (inside && !v.isNaN) { assert(cells.get((r, c)).contains(v), s"($r,$c)"); checkedIn += 1 }
+      else { assert(!cells.contains((r, c)), s"($r,$c) should be masked"); checkedOut += 1 }
+    }
+    assert(checkedIn > 100 && checkedOut > 300, s"in=$checkedIn out=$checkedOut")
+  }
+
   test("mosaic is deterministic under different partitioning (seam rule)") {
     val a = TileOps.tileGrid(spark, Synth.gridARef, res)(Synth.gridAValue)
     val b = TileOps.tileGrid(spark, Synth.gridBRef, res)(Synth.gridBValue)

@@ -110,6 +110,73 @@ class SourcesSpec extends AnyFunSuite {
     assert(AscIO.formatG(0.00001) == "1e-05")
   }
 
+  test("distributed ASC export == single-buffer writer byte-for-byte; sparse bands -> nodata rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ascexp")
+    val ref = GridRef(100, 80, 340760, 554667, 5, -9999)
+    val data = Array.tabulate(100 * 80)(i =>
+      if (i % 7 == 3) Double.NaN else ((i * 31) % 997) / 4.0)
+    def tileSeq(dropBand: Int): Seq[graft.core.Tile] = {
+      val size = 32
+      for {
+        ty <- 0 until 3 if ty != dropBand
+        tx <- 0 until 4
+      } yield {
+        val row0 = ty * size; val col0 = tx * size
+        val h = math.min(size, 80 - row0); val w = math.min(size, 100 - col0)
+        val payload = Array.tabulate(h * w)(i =>
+          data((row0 + i / w) * 100 + col0 + i % w))
+        graft.core.Tile(graft.core.CellId.encode(5, tx, ty), row0, col0, h, w, payload)
+      }
+    }
+    val golden = dir.resolve("golden.asc").toString
+    AscIO.writeFile(golden, ref, data)
+    val dist = dir.resolve("dist.asc").toString
+    AscIO.writeTiles(spark.createDataset(tileSeq(-1)), ref, dist)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(java.nio.file.Paths.get(golden)),
+      Files.readAllBytes(java.nio.file.Paths.get(dist))), "distributed export differs")
+    // sparse: drop tile band 1 (rows 32..63) -> those rows read back as NaN
+    val sparse = dir.resolve("sparse.asc").toString
+    AscIO.writeTiles(spark.createDataset(tileSeq(1)), ref, sparse)
+    val (sref, sdata) = AscIO.readFile(sparse)
+    assert(sref == ref)
+    for (r <- 0 until 80; c <- 0 until 100) {
+      val want = if (r >= 32 && r < 64) Double.NaN else data(r * 100 + c)
+      val got = sdata(r * 100 + c)
+      assert(got == want || (got.isNaN && want.isNaN), s"($r,$c)")
+    }
+  }
+
+  test("distributed ASC export scales past the driver-array comfort zone (4096x4096)") {
+    import spark.implicits._
+    // the WRITE side never materializes the 16.7M-cell grid on the driver:
+    // 16 row bands are formatted and written by executors, the driver only
+    // stitches streams (readFile below is the test oracle, not the sink)
+    val dir = Files.createTempDirectory("ascbig")
+    val n = 4096
+    val ref = GridRef(n, n, 0, 0, 1, -9999)
+    def v(r: Int, c: Int): Double = ((r.toLong * 31 + c.toLong * 17) % 1000) / 4.0
+    val size = 256
+    val tiles = spark.range(((n / size) * (n / size)).toLong).map { id =>
+      val ty = (id / (n / size)).toInt; val tx = (id % (n / size)).toInt
+      val row0 = ty * size; val col0 = tx * size
+      val payload = Array.tabulate(size * size)(i => v(row0 + i / size, col0 + i % size))
+      graft.core.Tile(graft.core.CellId.encode(8, tx, ty), row0, col0, size, size, payload)
+    }
+    val p = dir.resolve("big.asc").toString
+    AscIO.writeTiles(tiles, ref, p)
+    val (ref2, data2) = AscIO.readFile(p)
+    assert(ref2 == ref)
+    var checked = 0
+    for (r <- 0 until n by 127; c <- 0 until n by 131) {
+      assert(data2(r * n + c) == v(r, c), s"($r,$c)")
+      checked += 1
+    }
+    assert(checked > 900)
+    Files.delete(java.nio.file.Paths.get(p))
+  }
+
   test("distributed binaryFile ingest tiles an ASC identically to local read") {
     val dir = Files.createTempDirectory("ascdist")
     val ref = Synth.demRef
