@@ -20,6 +20,24 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The DEM fixture served from an ICELITE-BACKED Parquet table (written
+    * once, resumable commit), not from in-memory `spark.range` tiles — so
+    * the correctness run exercises the engine's real scan path: manifest
+    * min/max file pruning + pushed cellId range predicates on the Parquet
+    * scan (the scale story's load-bearing machinery, PLANS.md r2). */
+  private val demTableDir =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_icelite_dem_v1"
+  private def demTiles(s: SparkSession): org.apache.spark.sql.Dataset[Tile] =
+    SparkEntry.synchronized {
+      val existing = graft.icelite.IceLite.currentSnapshot(demTableDir)
+      val snap = existing.getOrElse {
+        graft.icelite.IceLite.commitResumable(s,
+          TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue),
+          demTableDir, buckets = 4, snap = 1L)
+      }
+      graft.icelite.IceLite.read(s, demTableDir, snap)
+    }
+
   /** Cents helper: exact integer money (round-half-away on positives in
     * both engines). */
   private def cents(c: org.apache.spark.sql.Column) =
@@ -123,16 +141,17 @@ object SparkEntry {
     }),
 
     // ---- raster operators (distributed tile path; SURVEY.md §2) ----
-    // A1/A2: NaN-ignoring stats over the tiled DEM
+    // A1/A2: NaN-ignoring stats over the tiled DEM (icelite-backed scan)
     "r1_grid_stats" -> ((s, _) => {
-      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
-      TileOps.stats(dem)
+      TileOps.stats(demTiles(s))
     }),
 
-    // P1: rect_clip with snap (tutorial extent), banded checksum
+    // P1: rect_clip with snap (tutorial extent), banded checksum — reads
+    // the icelite table, so the Z-range cover predicate pushes into a real
+    // Parquet scan (PushedFilters on cellId)
     "r2_rect_clip" -> ((s, _) => {
       import s.implicits._
-      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      val dem = demTiles(s)
       val (clipped, (r0, _, _, _)) =
         TileOps.rectClip(dem, Synth.demRef, Synth.tutorialClip, tileRes)
       TileOps.cells(clipped)
@@ -235,7 +254,7 @@ object SparkEntry {
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
-      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      val dem = demTiles(s) // icelite scan; semi-join prune hits PushedFilters
       val masked = ClipPolygon(dem, Synth.demRef, tileRes, Synth.ca1Features)
       TileOps.cells(masked)
         .filter($"v".isNotNull)
