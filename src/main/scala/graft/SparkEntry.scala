@@ -483,6 +483,18 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // J5 point_interpolate method='linear': distributed Delaunay linear
+    // with circumcircle-containment exactness proof per cell (rows-only:
+    // barycentric doubles are not cross-engine hashable; distributed ==
+    // driver-global-Delaunay is ScalaTest-gated)
+    "r20_delaunay" -> ((s, _) => {
+      import s.implicits._
+      val pts = s.createDataset(Synth.knnPoints.map(p => PtRec(p._1, p._2, p._3, p._4)))
+      graft.operators.Delaunay.linearBucketed(s, pts, Synth.knnRef, res = 5)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .orderBy($"row", $"col")
+    }),
+
     // J5 variant: IDW over the exact k nearest (rows-only: 1/d^2 weight
     // sums are not cross-engine hashable; bucketed==brute is ScalaTest-
     // gated bitwise)

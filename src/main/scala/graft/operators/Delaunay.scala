@@ -1,0 +1,392 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.core._
+
+/** Delaunay `linear` scattered->grid interpolation — the reference
+  * `point_interpolate(method='linear')` (Raster.py:421-426, scipy
+  * griddata = Qhull Delaunay + barycentric interpolation), re-expressed
+  * distributed with EXACTNESS restored by a circumcircle-containment
+  * proof:
+  *
+  * A triangle of a LOCAL Delaunay triangulation (built over the points
+  * gathered from a k-ring of buckets) is also a triangle of the GLOBAL
+  * triangulation whenever its circumcircle lies entirely inside the
+  * gathered region — no ungathered point can sit inside that circle, and
+  * Delaunay triangles are exactly the empty-circumcircle triangles. So a
+  * cell whose containing triangle passes the containment test is EXACT;
+  * cells that fail (or fall outside the local hull) escalate with a
+  * doubled ring, and at the exhaustive ring every point is present so the
+  * result (value, or NaN outside the global hull) is exact by
+  * construction. Same bucket/halo shape as [[Knn.nearestBucketed]].
+  *
+  * Grid edges: points outside the grid clamp into edge buckets
+  * ([[Knn]]'s pointBucket rule), so when a ring reaches the lattice edge
+  * the gathered region extends to infinity on that side — the
+  * containment proof stays sound for out-of-grid points.
+  *
+  * Determinism: barycentric weights are evaluated with the triangle's
+  * vertices sorted by point id, so local and global triangulations of the
+  * same (non-degenerate) point set produce bit-identical values.
+  *
+  * Degeneracy handling (documented accuracy bound, SURVEY §7.5): inputs
+  * with 4+ cocircular or 3+ collinear points (regular lattices!) have
+  * non-unique / degenerate triangulations, which would both corrupt
+  * Bowyer-Watson cavities and break the local==global proof (a local
+  * tie could resolve differently from the global one). Both paths
+  * therefore apply a deterministic symbolic-perturbation jitter of
+  * |delta| <= 1e-6*cellsize keyed ONLY by each point's global pid
+  * ([[jitterOf]]), which makes the triangulation unique and gives every
+  * predicate a margin ~1e7x above double rounding noise; the containment
+  * proof shrinks the gathered region by 2*delta to cover perturbed
+  * boundary points. The interpolant differs from the unperturbed ideal
+  * (scipy's) by O(delta * local gradient) — values may also differ from
+  * scipy's Qhull tie-break on formerly-ambiguous diagonals (both are
+  * valid piecewise-linear interpolants). Fewer than 3 points or a fully
+  * collinear set yield all-NaN.
+  */
+object Delaunay {
+
+  /** Triangle by vertex INDEX + precomputed circumcircle. */
+  final case class Tri(a: Int, b: Int, c: Int, ccx: Double, ccy: Double, rr: Double)
+
+  private def circum(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): (Double, Double, Double) = {
+    val d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if (d == 0.0) (Double.NaN, Double.NaN, Double.PositiveInfinity) // collinear
+    else {
+      val a2 = ax * ax + ay * ay
+      val b2 = bx * bx + by * by
+      val c2 = cx * cx + cy * cy
+      val ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+      val uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+      val dx = ux - ax; val dy = uy - ay
+      (ux, uy, dx * dx + dy * dy)
+    }
+  }
+
+  /** Robust strict in-circumcircle predicate: is (qx, qy) STRICTLY inside
+    * the circumcircle of triangle (a, b, c)? The determinant is evaluated
+    * with coordinates translated to the query point (the classic
+    * well-conditioned form) instead of comparing distance-to-precomputed-
+    * center against r^2, which cancels catastrophically for the huge,
+    * nearly-degenerate triangles touching super-triangle vertices.
+    * Within rounding noise of zero (cocircular, e.g. the 4 corners of a
+    * square) counts as NOT inside, so ties deterministically keep the
+    * already-built diagonal; [[jitterOf]] makes true ties measure-zero. */
+  def inCircum(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, qx: Double, qy: Double): Boolean = {
+    val adx = ax - qx; val ady = ay - qy
+    val bdx = bx - qx; val bdy = by - qy
+    val cdx = cx - qx; val cdy = cy - qy
+    val ad = adx * adx + ady * ady
+    val bd = bdx * bdx + bdy * bdy
+    val cd = cdx * cdx + cdy * cdy
+    val det = adx * (bdy * cd - bd * cdy) -
+      ady * (bdx * cd - bd * cdx) +
+      ad * (bdx * cdy - bdy * cdx)
+    // rounding-noise bound from the permanent (sum of |term|s): the fast
+    // double evaluation is sign-exact whenever |det| exceeds ~machine-eps
+    // times the permanent; jittered inputs keep genuine margins far above
+    val perm = math.abs(adx) * (math.abs(bdy) * cd + bd * math.abs(cdy)) +
+      math.abs(ady) * (math.abs(bdx) * cd + bd * math.abs(cdx)) +
+      ad * (math.abs(bdx) * math.abs(cdy) + math.abs(bdy) * math.abs(cdx))
+    val eps = 1e-13 * perm
+    val orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val oeps = 1e-13 * (math.abs(bx - ax) * math.abs(cy - ay) +
+      math.abs(by - ay) * math.abs(cx - ax))
+    if (orient > oeps) det > eps
+    else if (orient < -oeps) det < -eps
+    else false // zero-area sliver: empty interior, never eaten
+  }
+
+  /** Deterministic symbolic-perturbation jitter, keyed ONLY by the point's
+    * global pid (splitmix64), so every partition of the data perturbs a
+    * given point identically — the property the local==global triangle
+    * proof rests on. Returns (ux, uy) in [-1, 1). */
+  def jitterOf(pid: Long): (Double, Double) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val u = (mix(pid) >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+    val w = (mix(pid ^ 0x6A09E667F3BCC909L) >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+    (u, w)
+  }
+
+  /** Jittered coordinate arrays for a pid-sorted, deduplicated point set.
+    * delta is an absolute displacement bound (callers use 1e-6 * cellsize):
+    * large enough that formerly-degenerate configurations get predicate
+    * margins ~1e7x above double rounding noise, small enough that the
+    * interpolant moves by O(delta * gradient) — far below any consumer's
+    * tolerance. */
+  def jittered(ps: Array[PtRec], delta: Double): (Array[Double], Array[Double]) = {
+    val xs = new Array[Double](ps.length)
+    val ys = new Array[Double](ps.length)
+    var i = 0
+    while (i < ps.length) {
+      val (u, w) = jitterOf(ps(i).pid)
+      xs(i) = ps(i).x + delta * u
+      ys(i) = ps(i).y + delta * w
+      i += 1
+    }
+    (xs, ys)
+  }
+
+  /** Exact-ish collinearity test on the ORIGINAL coordinates (before
+    * jitter): a fully collinear input has no 2D interpolant and yields
+    * all-NaN, matching the documented reference semantics. */
+  def allCollinear(ps: Array[PtRec]): Boolean = {
+    if (ps.length < 3) return true
+    val ax = ps(0).x; val ay = ps(0).y
+    var i = 1
+    var bx = 0.0; var by = 0.0; var found = false
+    while (i < ps.length && !found) { // first point distinct from ps(0)
+      if (ps(i).x != ax || ps(i).y != ay) { bx = ps(i).x; by = ps(i).y; found = true }
+      i += 1
+    }
+    if (!found) return true
+    var j = 1
+    while (j < ps.length) {
+      val cross = (bx - ax) * (ps(j).y - ay) - (by - ay) * (ps(j).x - ax)
+      if (cross != 0.0) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Bowyer-Watson over (x, y) arrays; returns triangles over the input
+    * indices (super-triangle artifacts removed). Duplicate coordinates
+    * must be pre-deduplicated by the caller. O(n^2) — run per bucket
+    * group, never over the global set except in tiny-oracle tests.
+    * Deterministic for a fixed input order (callers sort by pid). */
+  def triangulate(xs: Array[Double], ys: Array[Double]): Array[Tri] = {
+    val n = xs.length
+    if (n < 3) return Array.empty
+    // super-triangle enclosing everything
+    var xmin = xs(0); var xmax = xs(0); var ymin = ys(0); var ymax = ys(0)
+    var i = 1
+    while (i < n) {
+      if (xs(i) < xmin) xmin = xs(i); if (xs(i) > xmax) xmax = xs(i)
+      if (ys(i) < ymin) ymin = ys(i); if (ys(i) > ymax) ymax = ys(i)
+      i += 1
+    }
+    val dmax = math.max(xmax - xmin, ymax - ymin) max 1.0
+    val mx = (xmin + xmax) / 2; val my = (ymin + ymax) / 2
+    val px = Array.copyOf(xs, n + 3)
+    val py = Array.copyOf(ys, n + 3)
+    // The super vertices must lie OUTSIDE every circumcircle of the true
+    // DT of the data, else genuine (sliver) triangles get destroyed and
+    // the cavity invariant breaks. Jittered near-collinear triples have
+    // circumradii up to ~L^2/jitter ~ 1e10 * dmax, so the super triangle
+    // sits at ~1e14 * dmax: far beyond any real circumdisk, while the
+    // translated incircle determinant stays sign-stable at that scale
+    // (it degrades gracefully into a side-of-line test). Offsets are
+    // asymmetric and exact binary fractions.
+    val big = 1.0e14 * dmax
+    px(n) = mx - big; py(n) = my - 0.5 * big
+    px(n + 1) = mx + 0.25 * big; py(n + 1) = my + 1.25 * big
+    px(n + 2) = mx + 1.5 * big; py(n + 2) = my - 0.75 * big
+
+    var tris = List(mkTri(px, py, n, n + 1, n + 2))
+    i = 0
+    while (i < n) {
+      val x = px(i); val y = py(i)
+      val (bad, good) = tris.partition { t =>
+        inCircum(px(t.a), py(t.a), px(t.b), py(t.b), px(t.c), py(t.c), x, y)
+      }
+      // cavity boundary: edges of bad triangles not shared by two bad ones
+      val edgeCount = scala.collection.mutable.Map[(Int, Int), Int]()
+      def key(u: Int, v: Int) = if (u < v) (u, v) else (v, u)
+      bad.foreach { t =>
+        Seq((t.a, t.b), (t.b, t.c), (t.c, t.a)).foreach { case (u, v) =>
+          val k = key(u, v)
+          edgeCount(k) = edgeCount.getOrElse(k, 0) + 1
+        }
+      }
+      // NB: .iterator first — Map.collect over pair values would rebuild
+      // a Map keyed by the edge's first vertex, silently dropping any
+      // second boundary edge that shares it (and corrupting the cavity)
+      val boundary = edgeCount.iterator.collect { case (e, 1) => e }.toArray
+      // zero-area cavity slivers are KEPT (dropping them would punch a
+      // hole in the mesh and corrupt later cavities); their empty interior
+      // means inCircum never eats through them and barycentric location
+      // skips them (det == 0)
+      tris = good ++ boundary.map { case (u, v) => mkTri(px, py, u, v, i) }
+      i += 1
+    }
+    tris.filter(t => t.a < n && t.b < n && t.c < n).toArray
+  }
+
+  private def mkTri(px: Array[Double], py: Array[Double],
+      a: Int, b: Int, c: Int): Tri = {
+    val (ccx, ccy, rr) = circum(px(a), py(a), px(b), py(b), px(c), py(c))
+    Tri(a, b, c, ccx, ccy, rr)
+  }
+
+  /** Locate + barycentric-interpolate (x, y); also reports the containing
+    * triangle's circumcircle for the exactness proof. Returns
+    * (value, ccx, ccy, rr) or None when outside the hull. Vertices are
+    * evaluated in ascending pid order (determinism across local/global). */
+  def interpolate(tris: Array[Tri], pid: Array[Long], px: Array[Double],
+      py: Array[Double], pv: Array[Double], x: Double, y: Double)
+      : Option[(Double, Double, Double, Double)] = {
+    val eps = 1e-12
+    var k = 0
+    while (k < tris.length) {
+      val t = tris(k)
+      // sort the triangle's vertices by point id before evaluating
+      val vs = Array(t.a, t.b, t.c).sortBy(pid(_))
+      val (a, b, c) = (vs(0), vs(1), vs(2))
+      val det = (py(b) - py(c)) * (px(a) - px(c)) + (px(c) - px(b)) * (py(a) - py(c))
+      if (det != 0.0) {
+        val l1 = ((py(b) - py(c)) * (x - px(c)) + (px(c) - px(b)) * (y - py(c))) / det
+        val l2 = ((py(c) - py(a)) * (x - px(c)) + (px(a) - px(c)) * (y - py(c))) / det
+        val l3 = 1.0 - l1 - l2
+        if (l1 >= -eps && l2 >= -eps && l3 >= -eps)
+          return Some((l1 * pv(a) + l2 * pv(b) + l3 * pv(c), t.ccx, t.ccy, t.rr))
+      }
+      k += 1
+    }
+    None
+  }
+
+  /** Driver-side global oracle (tests + tiny point sets): triangulate ALL
+    * points once, interpolate every cell center. */
+  def interpolateGridLocal(points: Array[PtRec], ref: GridRef): Array[Double] = {
+    val ps = dedup(points)
+    if (allCollinear(ps)) return Array.fill(ref.nrows * ref.ncols)(Double.NaN)
+    val (xs, ys) = jittered(ps, 1e-6 * ref.cellsize)
+    val vs = ps.map(_.v); val ids = ps.map(_.pid)
+    val tris = triangulate(xs, ys)
+    val out = Array.fill(ref.nrows * ref.ncols)(Double.NaN)
+    var r = 0
+    while (r < ref.nrows) {
+      var c = 0
+      while (c < ref.ncols) {
+        val (cx, cy) = ref.sub2map(r, c)
+        interpolate(tris, ids, xs, ys, vs, cx, cy)
+          .foreach { case (v, _, _, _) => out(r * ref.ncols + c) = v }
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Duplicate coordinates keep the LOWEST pid (deterministic; matches the
+    * kNN tie rule's spirit). */
+  private def dedup(points: Array[PtRec]): Array[PtRec] =
+    points.groupBy(p => (p.x, p.y)).map(_._2.minBy(_.pid)).toArray.sortBy(_.pid)
+
+  /** Distributed exact Delaunay-linear interpolation onto `ref`'s cells.
+    * `res` = bucket resolution in pixels (bucket side = 2^res px).
+    * Output: (row, col, v) with v NULL/NaN outside the global hull. */
+  def linearBucketed(spark: SparkSession, points: Dataset[PtRec], ref: GridRef,
+      res: Int): DataFrame = {
+    import spark.implicits._
+    val bucketPx = 1 << res
+    val bucketW = bucketPx * ref.cellsize
+    val nrows = ref.nrows
+    val ncols = ref.ncols
+    val (left, top, cs) = (ref.left, ref.top, ref.cellsize)
+    val maxCx = (ncols - 1).toLong >> res
+    val maxCy = (nrows - 1).toLong >> res
+    val maxRing = (math.max(maxCx, maxCy) + 1).toInt
+
+    def pointBucket(p: PtRec): Long = {
+      val r = math.max(0, math.min(nrows - 1, Math.rint((top - p.y) / cs - 0.5).toInt))
+      val c = math.max(0, math.min(ncols - 1, Math.rint((p.x - left) / cs - 0.5).toInt))
+      CellId.ofPixel(r.toLong, c.toLong, res)
+    }
+
+    val pts = points.map(p => (pointBucket(p), p))
+      .toDF("bucket", "p").as[(Long, PtRec)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var unresolved: Dataset[(Int, Int)] = spark.range(ref.numCells).map { id =>
+      ((id / ncols).toInt, (id % ncols).toInt)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var out: DataFrame = Seq.empty[(Int, Int, Double)].toDF("row", "col", "v")
+    var ring = 2
+    var escalated = false
+
+    while (unresolved.count() > 0) {
+      escalated = true
+      val ringUsed = ring
+      val exhaustive = ringUsed >= maxRing
+      // points replicated to every bucket within the ring (clamped lattice)
+      val gathered = pts.flatMap { case (b, p) =>
+        CellId.kRingClamped(b, ringUsed, maxCx, maxCy).iterator.map(g => (g, p))
+      }.toDF("bucket", "p").as[(Long, PtRec)]
+      val cellsByBucket = unresolved.map { case (r, c) =>
+        (CellId.ofPixel(r.toLong, c.toLong, res), r, c)
+      }.toDF("bucket", "row", "col").as[(Long, Int, Int)]
+
+      val resolvedRound = cellsByBucket.groupByKey(_._1)
+        .cogroup(gathered.groupByKey(_._1)) { (bucket, cellIt, ptIt) =>
+          val cells = cellIt.toArray
+          if (cells.isEmpty) Iterator.empty
+          else {
+            val ps = dedup(ptIt.map(_._2).toArray)
+            // gathered region of this bucket at ringUsed; rings touching
+            // the lattice edge extend to infinity (clamped points live in
+            // edge buckets, so everything beyond the edge was gathered)
+            val bx = CellId.cx(bucket); val by = CellId.cy(bucket)
+            val rxMin = if (bx - ringUsed <= 0) Double.NegativeInfinity
+              else left + (bx - ringUsed) * bucketW
+            val rxMax = if (bx + ringUsed >= maxCx) Double.PositiveInfinity
+              else left + (bx + ringUsed + 1) * bucketW
+            val ryMax = if (by - ringUsed <= 0) Double.PositiveInfinity
+              else top - (by - ringUsed) * bucketW
+            val ryMin = if (by + ringUsed >= maxCy) Double.NegativeInfinity
+              else top - (by + ringUsed + 1) * bucketW
+            if (ps.length < 3 || allCollinear(ps)) {
+              // no 2D interpolant from this gather; exact (all-NaN) only
+              // once every point has been seen
+              cells.iterator.map { case (_, r, c) => (r, c, Double.NaN, exhaustive) }
+            } else {
+              val delta = 1e-6 * cs
+              val (xs, ys) = jittered(ps, delta)
+              val vs = ps.map(_.v); val ids = ps.map(_.pid)
+              val tris = triangulate(xs, ys)
+              cells.iterator.map { case (_, r, c) =>
+                val cx = left + (c + 0.5) * cs
+                val cy = top - (r + 0.5) * cs
+                interpolate(tris, ids, xs, ys, vs, cx, cy) match {
+                  case Some((v, ccx, ccy, rr)) =>
+                    val rad = math.sqrt(rr)
+                    // region shrunk by 2*delta: an ungathered point just
+                    // outside the region may have been jittered inward
+                    val proven = exhaustive ||
+                      (ccx - rad >= rxMin + 2 * delta && ccx + rad <= rxMax - 2 * delta &&
+                        ccy - rad >= ryMin + 2 * delta && ccy + rad <= ryMax - 2 * delta)
+                    (r, c, v, proven)
+                  case None => (r, c, Double.NaN, exhaustive)
+                }
+              }
+            }
+          }
+        }.toDF("row", "col", "v", "proven")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      import org.apache.spark.sql.functions._
+      val provenInc = resolvedRound.filter($"proven")
+        .select($"row", $"col", $"v").localCheckpoint(true)
+      val nextUnresolved =
+        if (exhaustive) spark.emptyDataset[(Int, Int)]
+        else resolvedRound.filter(!$"proven")
+          .select($"row", $"col").as[(Int, Int)].localCheckpoint(true)
+      resolvedRound.unpersist()
+      unresolved.unpersist()
+      out = out.unionByName(provenInc)
+      unresolved = nextUnresolved
+      ring = ring * 2
+    }
+    unresolved.unpersist()
+    pts.unpersist()
+    out
+  }
+}
