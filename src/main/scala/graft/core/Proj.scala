@@ -14,7 +14,25 @@ package graft.core
   *    PROJ's towgs84 path without grid files — documented approximation).
   *
   * Supported EPSG: 27700 (BNG/Airy1830), 326xx / 327xx (UTM north/south,
-  * WGS84), 4326 (geographic pass-through, degrees). */
+  * WGS84), 4326 (geographic pass-through, degrees).
+  *
+  * == Accuracy bound (the API contract) ==
+  *
+  * | conversion                     | method                  | accuracy |
+  * |--------------------------------|-------------------------|----------|
+  * | 27700 <-> 27700 grid resample  | no datum change         | exact    |
+  * | 326xx/327xx <-> 4326 (WGS84)   | TM series, same datum   | < 1 mm   |
+  * | 27700 <-> 4326 / UTM           | TM series + 7-param Helmert | ~5 m absolute (OSGB's own stated bound for the single Helmert set) |
+  * | anything else                  | rejected (IllegalArgumentException) | — |
+  *
+  * The ~5 m class on cross-datum UK conversions is why the r17 reproject
+  * query is gated rows-only plus ScalaTest (warp == direct-transform
+  * bitwise; OSGB worked example < 5 mm in TM, < 5 m after Helmert):
+  * OSTN15 grid-shift files (the route to cm-level BNG accuracy) are
+  * deliberately out of scope — they are a ~20 MB external artifact, not
+  * a formula. Workflows needing survey-grade BNG should pre-transform
+  * coordinates upstream; everything the reference's own test workflows
+  * do stays well inside the 5 m class. */
 object Proj {
 
   final case class Ellipsoid(a: Double, b: Double) {
