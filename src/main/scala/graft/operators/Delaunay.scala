@@ -317,9 +317,21 @@ object Delaunay {
       escalated = true
       val ringUsed = ring
       val exhaustive = ringUsed >= maxRing
-      // points replicated to every bucket within the ring (clamped lattice)
+      // Only buckets that still hold unresolved cells need a gather this
+      // round. Without this filter every round replicates every point
+      // (2*ring+1)^2 times — quadrupling shuffle volume per escalation
+      // while the unresolved set shrinks. The distinct-bucket collect is
+      // O(#buckets with unresolved cells), bounded by the grid's bucket
+      // count (not by data volume) and monotonically shrinking.
+      val needBuckets: Array[Long] = unresolved.map { case (r, c) =>
+        CellId.ofPixel(r.toLong, c.toLong, res)
+      }.distinct().collect().sorted
+      val bcNeed = spark.sparkContext.broadcast(needBuckets)
+      // points replicated to every needed bucket within the ring (clamped)
       val gathered = pts.flatMap { case (b, p) =>
-        CellId.kRingClamped(b, ringUsed, maxCx, maxCy).iterator.map(g => (g, p))
+        CellId.kRingClamped(b, ringUsed, maxCx, maxCy).iterator
+          .filter(g => java.util.Arrays.binarySearch(bcNeed.value, g) >= 0)
+          .map(g => (g, p))
       }.toDF("bucket", "p").as[(Long, PtRec)]
       val cellsByBucket = unresolved.map { case (r, c) =>
         (CellId.ofPixel(r.toLong, c.toLong, res), r, c)
@@ -381,6 +393,7 @@ object Delaunay {
           .select($"row", $"col").as[(Int, Int)].localCheckpoint(true)
       resolvedRound.unpersist()
       unresolved.unpersist()
+      bcNeed.destroy()
       out = out.unionByName(provenInc)
       unresolved = nextUnresolved
       ring = ring * 2
