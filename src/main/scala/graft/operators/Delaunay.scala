@@ -237,16 +237,31 @@ object Delaunay {
     var k = 0
     while (k < tris.length) {
       val t = tris(k)
-      // sort the triangle's vertices by point id before evaluating
-      val vs = Array(t.a, t.b, t.c).sortBy(pid(_))
-      val (a, b, c) = (vs(0), vs(1), vs(2))
-      val det = (py(b) - py(c)) * (px(a) - px(c)) + (px(c) - px(b)) * (py(a) - py(c))
-      if (det != 0.0) {
-        val l1 = ((py(b) - py(c)) * (x - px(c)) + (px(c) - px(b)) * (y - py(c))) / det
-        val l2 = ((py(c) - py(a)) * (x - px(c)) + (px(a) - px(c)) * (y - py(c))) / det
-        val l3 = 1.0 - l1 - l2
-        if (l1 >= -eps && l2 >= -eps && l3 >= -eps)
-          return Some((l1 * pv(a) + l2 * pv(b) + l3 * pv(c), t.ccx, t.ccy, t.rr))
+      // allocation-free bbox reject (with a margin covering the
+      // barycentric tolerance) — prunes the O(T) walk to near-hits
+      val x0 = px(t.a); val y0 = py(t.a)
+      val x1 = px(t.b); val y1 = py(t.b)
+      val x2 = px(t.c); val y2 = py(t.c)
+      val mnx = math.min(x0, math.min(x1, x2)); val mxx = math.max(x0, math.max(x1, x2))
+      val mny = math.min(y0, math.min(y1, y2)); val mxy = math.max(y0, math.max(y1, y2))
+      val m = 1e-9 * (mxx - mnx + mxy - mny + 1.0)
+      if (x >= mnx - m && x <= mxx + m && y >= mny - m && y <= mxy + m) {
+        // inline sort of the vertex triple by point id (determinism
+        // across local/global evaluation order, no per-pair allocation)
+        var a = t.a; var b = t.b; var c = t.c
+        if (pid(b) < pid(a)) { val u = a; a = b; b = u }
+        if (pid(c) < pid(b)) {
+          val u = b; b = c; c = u
+          if (pid(b) < pid(a)) { val w = a; a = b; b = w }
+        }
+        val det = (py(b) - py(c)) * (px(a) - px(c)) + (px(c) - px(b)) * (py(a) - py(c))
+        if (det != 0.0) {
+          val l1 = ((py(b) - py(c)) * (x - px(c)) + (px(c) - px(b)) * (y - py(c))) / det
+          val l2 = ((py(c) - py(a)) * (x - px(c)) + (px(a) - px(c)) * (y - py(c))) / det
+          val l3 = 1.0 - l1 - l2
+          if (l1 >= -eps && l2 >= -eps && l3 >= -eps)
+            return Some((l1 * pv(a) + l2 * pv(b) + l3 * pv(c), t.ccx, t.ccy, t.rr))
+        }
       }
       k += 1
     }
@@ -310,22 +325,28 @@ object Delaunay {
       ((id / ncols).toInt, (id % ncols).toInt)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var out: DataFrame = Seq.empty[(Int, Int, Double)].toDF("row", "col", "v")
-    var ring = 2
+    // tiny lattices (reference-scale grids) skip escalation entirely:
+    // one exhaustive round costs less than the proof/escalate machinery
+    var ring = if ((maxCx + 1) * (maxCy + 1) <= 16) maxRing else 2
     var escalated = false
 
-    while (unresolved.count() > 0) {
-      escalated = true
-      val ringUsed = ring
-      val exhaustive = ringUsed >= maxRing
+    var done = false
+    while (!done) {
       // Only buckets that still hold unresolved cells need a gather this
       // round. Without this filter every round replicates every point
       // (2*ring+1)^2 times — quadrupling shuffle volume per escalation
       // while the unresolved set shrinks. The distinct-bucket collect is
       // O(#buckets with unresolved cells), bounded by the grid's bucket
-      // count (not by data volume) and monotonically shrinking.
+      // count (not by data volume) and monotonically shrinking; it also
+      // doubles as the loop's emptiness test (no separate count() job).
       val needBuckets: Array[Long] = unresolved.map { case (r, c) =>
         CellId.ofPixel(r.toLong, c.toLong, res)
       }.distinct().collect().sorted
+      if (needBuckets.isEmpty) { done = true }
+      else {
+      escalated = true
+      val ringUsed = ring
+      val exhaustive = ringUsed >= maxRing
       val bcNeed = spark.sparkContext.broadcast(needBuckets)
       // points replicated to every needed bucket within the ring (clamped)
       val gathered = pts.flatMap { case (b, p) =>
@@ -397,6 +418,7 @@ object Delaunay {
       out = out.unionByName(provenInc)
       unresolved = nextUnresolved
       ring = ring * 2
+      }
     }
     unresolved.unpersist()
     pts.unpersist()

@@ -405,10 +405,12 @@ object GridInterpolate {
   import org.apache.spark.sql.DataFrame
   import graft.core._
 
-  def nearest(srcTiles: org.apache.spark.sql.Dataset[Tile], srcRef: GridRef,
-      targetRef: GridRef, res: Int): DataFrame = {
+  /** Non-NaN source cells as scattered points; pid = row-major pixel
+    * index (the deterministic tie-break shared by every variant). */
+  def explodeCells(srcTiles: org.apache.spark.sql.Dataset[Tile],
+      srcRef: GridRef): org.apache.spark.sql.Dataset[PtRec] = {
     import srcTiles.sparkSession.implicits._
-    val pts = srcTiles.flatMap { t =>
+    srcTiles.flatMap { t =>
       val out = Iterator.newBuilder[PtRec]
       var i = 0
       while (i < t.payload.length) {
@@ -423,32 +425,27 @@ object GridInterpolate {
       }
       out.result()
     }
-    Knn.nearestBucketed(srcTiles.sparkSession, pts, targetRef, res, ringK = 1)
   }
 
+  def nearest(srcTiles: org.apache.spark.sql.Dataset[Tile], srcRef: GridRef,
+      targetRef: GridRef, res: Int): DataFrame =
+    Knn.nearestBucketed(srcTiles.sparkSession,
+      explodeCells(srcTiles, srcRef), targetRef, res, ringK = 1)
+
+  /** grid_interpolate method='linear' (Raster.py:431-455): the source
+    * grid's cells become the Delaunay sites; same exactness machinery as
+    * [[Delaunay.linearBucketed]]. */
+  def linear(srcTiles: org.apache.spark.sql.Dataset[Tile], srcRef: GridRef,
+      targetRef: GridRef, res: Int): DataFrame =
+    Delaunay.linearBucketed(srcTiles.sparkSession,
+      explodeCells(srcTiles, srcRef), targetRef, res)
+
   /** grid_interpolate with the IDW variant: same exploded-cell point feed
-    * through [[Knn.idwBucketed]] (the reference's method parameter,
-    * Raster.py:431-455 — 'linear'/'cubic' are Delaunay, IDW is the
-    * engine's standardized scattered-field interpolation, SURVEY §7.5). */
+    * through [[Knn.idwBucketed]] (the engine's standardized scattered-
+    * field alternative alongside nearest/linear, SURVEY §7.5). */
   def idw(srcTiles: org.apache.spark.sql.Dataset[Tile], srcRef: GridRef,
       targetRef: GridRef, res: Int, k: Int, power: Double = 2.0)
-      : org.apache.spark.sql.DataFrame = {
-    import srcTiles.sparkSession.implicits._
-    val pts = srcTiles.flatMap { t =>
-      val out = Iterator.newBuilder[PtRec]
-      var i = 0
-      while (i < t.payload.length) {
-        val v = t.payload(i)
-        if (!v.isNaN) {
-          val r = t.row0 + i / t.w
-          val c = t.col0 + i % t.w
-          val (x, y) = srcRef.sub2map(r, c)
-          out += PtRec(r.toLong * srcRef.ncols + c, x, y, v)
-        }
-        i += 1
-      }
-      out.result()
-    }
-    Knn.idwBucketed(srcTiles.sparkSession, pts, targetRef, res, k, power)
-  }
+      : org.apache.spark.sql.DataFrame =
+    Knn.idwBucketed(srcTiles.sparkSession,
+      explodeCells(srcTiles, srcRef), targetRef, res, k, power)
 }

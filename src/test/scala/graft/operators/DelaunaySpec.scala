@@ -72,6 +72,30 @@ class DelaunaySpec extends AnyFunSuite {
     }
   }
 
+  test("5k-point stress: distributed == driver-global on a 200x200 grid") {
+    import spark.implicits._
+    val ref = GridRef(ncols = 200, nrows = 200, xll = 0, yll = 0, cellsize = 1)
+    // deterministic scatter with clumps, exact-lattice coordinates (the
+    // degeneracy-heavy regime) and a NaN-free value field
+    val pts = Array.tabulate(5000) { i =>
+      val x = ((i * 193) % 3200) * 0.0625
+      val y = ((i * 389) % 3200) * 0.0625
+      PtRec(i.toLong, x, y, ((i * 31) % 977) / 8.0)
+    }
+    val want = Delaunay.interpolateGridLocal(pts, ref)
+    val got = Delaunay.linearBucketed(spark, spark.createDataset(pts.toSeq), ref, res = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == ref.numCells)
+    var inHull = 0
+    for (r <- 0 until ref.nrows; c <- 0 until ref.ncols) {
+      val w = want(r * ref.ncols + c)
+      val g = got((r, c))
+      if (w.isNaN) assert(g.isNaN, s"($r,$c): want NaN got $g")
+      else { assert(math.abs(g - w) < 1e-9, s"($r,$c): want $w got $g"); inHull += 1 }
+    }
+    assert(inHull > 30000, s"hull too small: $inHull")
+  }
+
   test("degenerate inputs: <3 points and collinear sets yield all-NaN") {
     import spark.implicits._
     for (pts <- Seq(
