@@ -159,9 +159,16 @@ object Delaunay {
 
   /** Bowyer-Watson over (x, y) arrays; returns triangles over the input
     * indices (super-triangle artifacts removed). Duplicate coordinates
-    * must be pre-deduplicated by the caller. O(n^2) — run per bucket
-    * group, never over the global set except in tiny-oracle tests.
-    * Deterministic for a fixed input order (callers sort by pid). */
+    * must be pre-deduplicated by the caller.
+    *
+    * Points are inserted in ascending-x sweep order, which lets a
+    * triangle RETIRE once its circumcircle lies entirely left of the
+    * sweep line (no future point can invalidate it) — the classic
+    * x-sorted optimization that turns the naive O(n^2) full-mesh scan
+    * into ~O(n * active-stripe) (near O(n log n) on uniform inputs).
+    * Because the jittered point set has a UNIQUE Delaunay triangulation,
+    * the insertion order cannot change the result, so the local and
+    * global paths still produce identical triangle sets. */
   def triangulate(xs: Array[Double], ys: Array[Double]): Array[Tri] = {
     val n = xs.length
     if (n < 3) return Array.empty
@@ -190,11 +197,34 @@ object Delaunay {
     px(n + 1) = mx + 0.25 * big; py(n + 1) = my + 1.25 * big
     px(n + 2) = mx + 1.5 * big; py(n + 2) = my - 0.75 * big
 
-    var tris = List(mkTri(px, py, n, n + 1, n + 2))
-    i = 0
-    while (i < n) {
-      val x = px(i); val y = py(i)
-      val (bad, good) = tris.partition { t =>
+    // ascending-x insertion order (ties by index; with pid-jittered
+    // coordinates exact ties are measure-zero anyway)
+    val order = Array.range(0, n)
+    val orderBoxed = order.map(Integer.valueOf)
+    java.util.Arrays.sort(orderBoxed, (a: Integer, b: Integer) => {
+      val c = java.lang.Double.compare(px(a), px(b))
+      if (c != 0) c else Integer.compare(a, b)
+    })
+
+    var active = List(mkTri(px, py, n, n + 1, n + 2))
+    val retired = scala.collection.mutable.ArrayBuffer[Tri]()
+    var oi = 0
+    while (oi < n) {
+      val idx = orderBoxed(oi).intValue()
+      val x = px(idx); val y = py(idx)
+      // retire triangles whose circumcircle is safely left of the sweep:
+      // no point at x' >= x can ever lie inside them again. The margin
+      // covers float error in the cached center/radius (which is only a
+      // retirement BOUND — badness itself uses the robust determinant);
+      // NaN/huge-radius slivers simply never retire.
+      var stillActive = List.empty[Tri]
+      active.foreach { t =>
+        val rad = math.sqrt(t.rr)
+        val margin = 1e-6 * (rad + math.abs(t.ccx - x) + dmax)
+        if (t.ccx + rad + margin < x) retired += t
+        else stillActive = t :: stillActive
+      }
+      val (bad, good) = stillActive.partition { t =>
         inCircum(px(t.a), py(t.a), px(t.b), py(t.b), px(t.c), py(t.c), x, y)
       }
       // cavity boundary: edges of bad triangles not shared by two bad ones
@@ -214,10 +244,11 @@ object Delaunay {
       // hole in the mesh and corrupt later cavities); their empty interior
       // means inCircum never eats through them and barycentric location
       // skips them (det == 0)
-      tris = good ++ boundary.map { case (u, v) => mkTri(px, py, u, v, i) }
-      i += 1
+      active = good ++ boundary.map { case (u, v) => mkTri(px, py, u, v, idx) }
+      oi += 1
     }
-    tris.filter(t => t.a < n && t.b < n && t.c < n).toArray
+    (retired.iterator ++ active.iterator)
+      .filter(t => t.a < n && t.b < n && t.c < n).toArray
   }
 
   private def mkTri(px: Array[Double], py: Array[Double],
