@@ -192,12 +192,19 @@ object Bench {
     sorted.foreach { case (_, fn) =>
       try fn(s1, sfDir).count() catch { case _: Throwable => }
     }
+    // min of two timed executions per query: co-tenant load on this host
+    // is bursty and one-sided (stalls only ever ADD time), so a single
+    // sample can catch a multi-second steal window; the min estimates
+    // steady-state operator cost
     val results = sorted.map { case (name, fn) =>
-      val (_, sec) = time {
-        try fn(s1, sfDir).count()
-        catch { case _: Throwable => -1L }
+      val secs = (1 to 2).map { _ =>
+        val (_, sec) = time {
+          try fn(s1, sfDir).count()
+          catch { case _: Throwable => -1L }
+        }
+        sec
       }
-      name -> sec
+      name -> secs.min
     }
     // pre-write the input corpus table once (untimed — the job under the
     // scaling gate SCANS an existing table; generation is fixture setup)
@@ -217,6 +224,11 @@ object Bench {
     // INTERLEAVED rounds (2, 8, 32, 2, 8, ...): host-noise windows (other
     // tenants, page-cache churn) hit every level equally instead of biasing
     // whichever level happened to run during a stall.
+    def loadAvg1m(): Double = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val loadSamples = scala.collection.mutable.Map[Int, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
     def interleavedRuns(levels: Seq[Int], rounds: Int): Map[Int, Seq[Double]] = {
       val acc = scala.collection.mutable.Map[Int, Vector[Double]]()
         .withDefaultValue(Vector.empty)
@@ -231,9 +243,11 @@ object Bench {
         // level's ratio)
         s.read.parquet(corpusPath).schema
         System.gc()
+        val ambient = loadAvg1m() // co-tenant load DURING this rep
         val (_, sec) = time(pipeline(s, corpusPath, nTiles, gridW))
         s.stop()
         acc(cpus) = acc(cpus) :+ sec
+        loadSamples(cpus) = loadSamples(cpus) :+ ambient
       }
       acc.toMap
     }
@@ -277,7 +291,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    // ambient host load (1-min avg): the sandbox shares its cores with
+    // co-tenant processes, and a reader comparing rounds needs to know
+    // whether a slow number was measured under external load — load_raw_*
+    // pairs with raw_* per rep
+    val loadAvg = loadAvg1m()
+    def larr(cpus: Int) = arr(loadSamples(cpus))
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"tiles":$nTiles,"tiles_per_sec_2":$thr2%.2f,"tiles_per_sec_8":$thr8%.2f,"tiles_per_sec_32":$thr32%.2f,"sec_1":$sec1%.2f,"sec_4":$sec4%.2f,"sec_2":$sec2%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"raw_1":${arr(raw1)},"raw_4":${arr(raw4)},"raw_2":${arr(raw2)},"raw_8":${arr(raw8)},"raw_32":${arr(raw32)},"scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_1_to_4":$eff1to4%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_1m":$loadAvg%.2f,"pipeline":{"tiles":$nTiles,"tiles_per_sec_2":$thr2%.2f,"tiles_per_sec_8":$thr8%.2f,"tiles_per_sec_32":$thr32%.2f,"sec_1":$sec1%.2f,"sec_4":$sec4%.2f,"sec_2":$sec2%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"raw_1":${arr(raw1)},"raw_4":${arr(raw4)},"raw_2":${arr(raw2)},"raw_8":${arr(raw8)},"raw_32":${arr(raw32)},"load_raw_1":${larr(1)},"load_raw_4":${larr(4)},"load_raw_2":${larr(2)},"load_raw_8":${larr(8)},"load_raw_32":${larr(32)},"scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_1_to_4":$eff1to4%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f}}""")
   }
 }
