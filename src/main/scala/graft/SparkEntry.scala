@@ -495,6 +495,18 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // J5 point_interpolate method='cubic': distributed reduced
+    // Clough-Tocher C1 cubic with per-vertex 1-ring exactness proof
+    // (rows-only: CT doubles are not cross-engine hashable; distributed ==
+    // driver-global CT is ScalaTest-gated)
+    "r21_delaunay_cubic" -> ((s, _) => {
+      import s.implicits._
+      val pts = s.createDataset(Synth.knnPoints.map(p => PtRec(p._1, p._2, p._3, p._4)))
+      graft.operators.Delaunay.cubicBucketed(s, pts, Synth.knnRef, res = 5)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .orderBy($"row", $"col")
+    }),
+
     // J5 variant: IDW over the exact k nearest (rows-only: 1/d^2 weight
     // sums are not cross-engine hashable; bucketed==brute is ScalaTest-
     // gated bitwise)

@@ -440,6 +440,13 @@ object GridInterpolate {
     Delaunay.linearBucketed(srcTiles.sparkSession,
       explodeCells(srcTiles, srcRef), targetRef, res)
 
+  /** grid_interpolate method='cubic' (Raster.py:431-455): reduced
+    * Clough-Tocher C1 cubic over the exploded-cell sites. */
+  def cubic(srcTiles: org.apache.spark.sql.Dataset[Tile], srcRef: GridRef,
+      targetRef: GridRef, res: Int): DataFrame =
+    Delaunay.cubicBucketed(srcTiles.sparkSession,
+      explodeCells(srcTiles, srcRef), targetRef, res)
+
   /** grid_interpolate with the IDW variant: same exploded-cell point feed
     * through [[Knn.idwBucketed]] (the engine's standardized scattered-
     * field alternative alongside nearest/linear, SURVEY §7.5). */
