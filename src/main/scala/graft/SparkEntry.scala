@@ -409,6 +409,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Embedding-cosine near-dup dedup: 50 deterministic planted twins
+    // (0.9*v + 0.1*partner) over the embeddings table; sign-LSH banded
+    // candidates + exact cosine verify. Threshold margins are huge by
+    // construction (planted ~0.994, background <= ~0.52 vs tau 0.95), so
+    // the integer pair set is engine-independent and DuckDB-hashable.
+    "d8_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val base = e.select($"vec_id".as("vid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val twins = e.as("a").filter($"vec_id" < 50)
+        .join(e.as("b"), expr("b.vec_id = a.vec_id + 50"))
+        .select(($"a.vec_id" + 1000000L).as("vid"),
+          expr("zip_with(a.embedding, b.embedding, (x, y) -> 0.9D * CAST(x AS DOUBLE) + 0.1D * CAST(y AS DOUBLE))").as("v"))
+      graft.sim.Similarity.nearDupPairs(base.unionByName(twins), threshold = 0.95)
+        .orderBy($"ia", $"ib")
+    }),
+
     // W1: Horn gradient via distributed halo exchange (sampled pixels)
     "r8_gradient" -> ((s, _) => {
       import s.implicits._
@@ -814,6 +832,21 @@ object SparkEntry {
         |    (h, ch) -> (h * 131 + ch) % CAST(2305843009213693951 AS HUGEINT)
         |  ) AS BIGINT) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // d8: exact all-pairs cosine over the same planted-twin augmentation
+    // (the ORACLE side may be quadratic; the engine side is the banded
+    // sign-LSH join). Threshold margins make the float path irrelevant to
+    // the integer pair set.
+    "d8_embed_neardup" ->
+      """WITH base AS (SELECT vec_id AS vid, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |tw AS (SELECT a.vec_id + 1000000 AS vid,
+        |  list_transform(range(1, 65), i -> 0.9 * a.embedding[i]::DOUBLE + 0.1 * b.embedding[i]::DOUBLE) AS v
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 50 WHERE a.vec_id < 50),
+        |aug AS (SELECT * FROM base UNION ALL SELECT * FROM tw)
+        |SELECT a.vid AS ia, b.vid AS ib
+        |FROM aug a JOIN aug b ON a.vid < b.vid
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        |ORDER BY ia, ib""".stripMargin,
 
     "r8_gradient" -> {
       val nc = Synth.demRef.ncols

@@ -52,6 +52,42 @@ class SimSpec extends AnyFunSuite {
     assert(ivfr.count() == 50) // mechanism: full top-5 per query
   }
 
+  test("nearDupPairs: banded sign-LSH == brute all-pairs on planted twins") {
+    import spark.implicits._
+    // deterministic pseudo-random base vectors + 20 planted twins
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val dim = 64
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        (mix(i.toLong * 131 + d) >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0))
+    }
+    val twins = (0 until 20).map { i =>
+      val v = base(i)._2; val w = base(i + 20)._2
+      (1000L + i, Array.tabulate(dim)(d => 0.9 * v(d) + 0.1 * w(d)))
+    }
+    val vecs = spark.createDataset(base ++ twins).toDF("vid", "v")
+    val got = Similarity.nearDupPairs(vecs, threshold = 0.95)
+      .as[(Long, Long)].collect().toSet
+    // brute oracle
+    val all = (base ++ twins).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val want = (for {
+      i <- all.indices; j <- all.indices
+      if all(i)._1 < all(j)._1 && cos(all(i)._2, all(j)._2) >= 0.95
+    } yield (all(i)._1, all(j)._1)).toSet
+    assert(want.size == 20, s"fixture should plant exactly 20 pairs, got ${want.size}")
+    assert(got == want)
+  }
+
   test("classify: break semantics incl. below-first -> nodata and open top") {
     import spark.implicits._
     import graft.core._
