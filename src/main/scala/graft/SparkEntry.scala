@@ -427,6 +427,23 @@ object SparkEntry {
         .orderBy($"ia", $"ib")
     }),
 
+    // Video modality: deterministic synthetic clips as REAL GIF89a binary
+    // columns (8 clips x 12 frames), frame-sampled every 3rd frame and
+    // reduced to integer stats on the executor (rows-only: no SQL-engine
+    // GIF decode; encode->decode round trip is ScalaTest-gated)
+    "v1_video_frames" -> ((s, _) => {
+      import s.implicits._
+      val clips = s.range(8).map { cid =>
+        val frames = (0 until 12).map { f =>
+          Array.tabulate(48 * 32)(i => ((cid * 37 + f * 11 + i) % 251).toDouble)
+        }
+        (cid.toLong, graft.sources.GifWriter.writeAnimatedBytes(
+          frames, 48, 32, lo = 0, hi = 250, delayCs = 10))
+      }
+      graft.codecs.VideoOps.frameStats(clips, every = 3)
+        .orderBy($"clip_id", $"frame_idx")
+    }),
+
     // W1: Horn gradient via distributed halo exchange (sampled pixels)
     "r8_gradient" -> ((s, _) => {
       import s.implicits._

@@ -1,0 +1,51 @@
+package graft.codecs
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Video-modality plumbing for the training-data pipeline: clips are
+  * opaque BINARY columns (here real GIF89a containers — the one video
+  * container a bare JVM can both write and decode; MP4/H.264 would slot
+  * into the same kernel but no codec ships in this sandbox, same
+  * constraint that keeps the reference's `make_mp4` shelling to ffmpeg).
+  *
+  * The Spark-side shape is the part that matters at 100 TB: one typed
+  * `flatMap` per clip (no shuffle, no driver involvement), a per-TASK
+  * reader instance (ImageIO readers are stateful and not thread-safe),
+  * frame decode ON the executor, and only tiny per-frame feature rows
+  * leave the task — the decoded pixel planes never enter a shuffle. */
+object VideoOps {
+
+  /** Per-sampled-frame features: every `every`-th frame of each clip is
+    * decoded and reduced to integer stats (8-bit gray intensities):
+    * (clip_id, frame_idx, w, h, sum_intensity, nonblack) — integer-exact,
+    * so any two engines that decode the same frames agree bit-for-bit. */
+  def frameStats(clips: Dataset[(Long, Array[Byte])], every: Int): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.flatMap { case (clipId, bytes) =>
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val n = rd.getNumImages(true)
+        (0 until n by every).iterator.map { f =>
+          val img = rd.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L; var nonblack = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = img.getRGB(x, y) & 0xFF
+              sum += g
+              if (g != 0) nonblack += 1
+              x += 1
+            }
+            y += 1
+          }
+          (clipId, f, w, h, sum, nonblack)
+        }.toArray.iterator
+      } finally rd.dispose()
+    }.toDF("clip_id", "frame_idx", "w", "h", "sum_intensity", "nonblack")
+  }
+}

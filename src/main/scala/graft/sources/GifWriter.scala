@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.awt.image.BufferedImage
-import java.io.File
 import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
 import javax.imageio.metadata.IIOMetadataNode
 
@@ -34,10 +33,18 @@ object GifWriter {
 
   /** Write `frames` (row-major grids, all w x h) as one looping GIF. */
   def writeAnimated(path: String, frames: Seq[Array[Double]], w: Int, h: Int,
-      lo: Double, hi: Double, delayCs: Int = 50): Unit = {
+      lo: Double, hi: Double, delayCs: Int = 50): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      writeAnimatedBytes(frames, w, h, lo, hi, delayCs))
+
+  /** Same GIF89a stream as [[writeAnimated]] but in memory — the video
+    * binary-column producer (clips-as-bytes tables). */
+  def writeAnimatedBytes(frames: Seq[Array[Double]], w: Int, h: Int,
+      lo: Double, hi: Double, delayCs: Int = 50): Array[Byte] = {
     require(frames.nonEmpty)
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
-    val ios = ImageIO.createImageOutputStream(new File(path))
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     frames.zipWithIndex.foreach { case (data, idx) =>
@@ -79,5 +86,7 @@ object GifWriter {
     }
     writer.endWriteSequence()
     ios.close()
+    writer.dispose()
+    bos.toByteArray
   }
 }

@@ -284,6 +284,32 @@ class SourcesSpec extends AnyFunSuite {
     assert((f0.getRGB(5, 0) & 0xFF) == 0) // pixel i=5: 5 % 37 == 5 -> NaN
   }
 
+  test("video frame-sampling: GIF clip round trip is integer-exact, sampled frames only") {
+    import spark.implicits._
+    val (w, h, nf) = (48, 32, 12)
+    def px(cid: Long, f: Int, i: Int): Int = ((cid * 37 + f * 11 + i) % 251).toInt
+    val clips = spark.createDataset(Seq(0L, 1L).map { cid =>
+      val frames = (0 until nf).map(f =>
+        Array.tabulate(w * h)(i => px(cid, f, i).toDouble))
+      (cid, graft.sources.GifWriter.writeAnimatedBytes(frames, w, h, 0, 250, 10))
+    })
+    val got = graft.codecs.VideoOps.frameStats(clips, every = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == (for (c <- 0L to 1L; f <- 0 until nf by 3) yield (c, f)).toSet)
+    for (((cid, f), (gw, gh, sum, nonblack)) <- got) {
+      assert(gw == w && gh == h)
+      // the writer's quantization: g = clamp((v - lo)/(hi - lo) * 255)
+      var wantSum = 0L; var wantNb = 0L
+      for (i <- 0 until w * h) {
+        val g = math.max(0, math.min(255, (px(cid, f, i) / 250.0 * 255.0).toInt))
+        wantSum += g; if (g != 0) wantNb += 1
+      }
+      assert(sum == wantSum, s"clip $cid frame $f sum")
+      assert(nonblack == wantNb, s"clip $cid frame $f nonblack")
+    }
+  }
+
   test("shapefile reader reproduces the embedded CA1 fixture exactly") {
     val path = "/root/reference/hydro_raster/sample/CA1_overhead_features.shp"
     assume(Files.exists(Paths.get(path)))
