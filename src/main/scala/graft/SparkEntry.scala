@@ -597,6 +597,21 @@ object SparkEntry {
         .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"),
           $"avg_tok_len")
         .orderBy($"doc_id")
+    }),
+
+    // Token counting, whitespace + BPE-ish regex (letter runs / single
+    // digits / single punctuation — the GPT-2-style pre-tokenizer shape):
+    // pure codegen'd regexp built-ins, one pass, no shuffle beyond sort
+    "d9_token_stats" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .withColumn("ws_tokens",
+          ((length($"text") - length(regexp_replace($"text", " ", ""))) + 1).cast("long"))
+        .withColumn("bpe_tokens",
+          size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+        .withColumn("tok_ratio", $"bpe_tokens".cast("double") / $"ws_tokens")
+        .select($"doc_id", $"ws_tokens", $"bpe_tokens", $"tok_ratio")
+        .orderBy($"doc_id")
     })
   )
 
@@ -1015,6 +1030,14 @@ object SparkEntry {
         | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
         | CAST(n_chars - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
         |   / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d9_token_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS DOUBLE)
+        |   / (length(text) - length(replace(text, ' ', '')) + 1) AS tok_ratio
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
