@@ -108,6 +108,29 @@ object TextOps {
     * at threshold >= 0.8 that needs a near-duplicate doc made entirely of
     * stop-shingles; documented recall condition, same trade every
     * production near-dup pipeline makes. */
+  /** Exact set-overlap verify over SORTED hash arrays: two-pointer merge
+    * intersection in a typed kernel — `array_intersect` builds a hash set
+    * per candidate row, which dominated the d3/d4 verify stage; the
+    * signature kernel already emits `hs` sorted so the merge is O(n+m)
+    * with zero allocation. Input columns (ia, ib, sha, shb); output
+    * (ia, ib, inter, na, nb) filtered to Jaccard*10 >= threshold10. */
+  private def verifySortedOverlap(cand: DataFrame, threshold10: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    cand.select(col("ia"), col("ib"), col("sha"), col("shb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (ia, ib, a, b) =>
+        var i = 0; var j = 0; var inter = 0L
+        while (i < a.length && j < b.length) {
+          if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+          else if (a(i) < b(j)) i += 1
+          else j += 1
+        }
+        (ia, ib, inter, a.length.toLong, b.length.toLong)
+      }.toDF("ia", "ib", "inter", "na", "nb")
+      .filter(col("inter") * 10 >= lit(threshold10) * (col("na") + col("nb") - col("inter")))
+  }
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold10: Int = 8,
       dfCap: Int = 1000): DataFrame = {
@@ -124,14 +147,11 @@ object TextOps {
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
       .dropDuplicates("ia", "ib")
-    candIds
-      .join(sets.toDF("ia", "sha"), "ia")
-      .join(sets.toDF("ib", "shb"), "ib")
-      .withColumn("inter", size(array_intersect($"sha", $"shb")).cast("long"))
-      .withColumn("sza", size($"sha").cast("long"))
-      .withColumn("szb", size($"shb").cast("long"))
-      .filter($"inter" * 10 >= lit(threshold10) * ($"sza" + $"szb" - $"inter"))
-      .select($"ia", $"ib", $"inter", $"sza", $"szb")
+    verifySortedOverlap(candIds
+        .join(sets.toDF("ia", "sha"), "ia")
+        .join(sets.toDF("ib", "shb"), "ib"), threshold10)
+      .select($"ia", $"ib", $"inter",
+        $"na".as("sza"), $"nb".as("szb"))
   }
 
   /** LSH candidate pairs via banded minhash + exact-Jaccard verification.
@@ -159,16 +179,10 @@ object TextOps {
       .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
       .dropDuplicates("ia", "ib")
     val sets = sigs.select($"doc_id", $"hs")
-    val cand = candIds
-      .join(sets.toDF("ia", "sha"), "ia")
-      .join(sets.toDF("ib", "shb"), "ib")
-    cand
-      .withColumn("inter", size(array_intersect($"sha", $"shb")))
-      .withColumn("na", size($"sha"))
-      .withColumn("nb", size($"shb"))
-      .filter($"inter" * 10 >= lit(threshold10) * ($"na" + $"nb" - $"inter"))
-      .select($"ia", $"ib", $"inter".cast("long").as("inter"),
-        $"na".cast("long").as("na"), $"nb".cast("long").as("nb"))
+    verifySortedOverlap(candIds
+        .join(sets.toDF("ia", "sha"), "ia")
+        .join(sets.toDF("ib", "shb"), "ib"), threshold10)
+      .select($"ia", $"ib", $"inter", $"na", $"nb")
   }
 
   /** 64-bit SimHash over whitespace tokens (kernel; ties at bit-sum 0 set
