@@ -255,9 +255,13 @@ object TextOps {
         (shiftrightunsigned($"simhash", los(j))
           .bitwiseAND(lit((1L << widths(j)) - 1))).as("cv"))
     }
+    // persisted: feeds the df-cap aggregate AND both self-join sides —
+    // without it the document scan + simhash kernel + explode recompute
+    // once per consumer (the same one-pass rule as jaccardPairs' sets)
     val postings = hashed
       .select($"doc_id", $"simhash", explode(array(chunks: _*)).as("ch"))
       .select($"doc_id", $"simhash", $"ch.ci".as("ci"), $"ch.cv".as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = postings.groupBy($"ci", $"cv").count()
       .filter($"count" <= dfCap).select($"ci", $"cv")
     val exploded = postings.join(rare, Seq("ci", "cv"))
