@@ -96,6 +96,23 @@ class DelaunaySpec extends AnyFunSuite {
     assert(inHull > 30000, s"hull too small: $inHull")
   }
 
+  test("30k-point scale smoke: bucketed escalation holds at 100 buckets") {
+    import spark.implicits._
+    val ref = GridRef(ncols = 300, nrows = 300, xll = 0, yll = 0, cellsize = 1)
+    val pts = spark.range(30000).map { i =>
+      PtRec(i, ((i * 193) % 4800) * 0.0625, ((i * 389) % 4800) * 0.0625,
+        ((i * 31) % 977) / 8.0)
+    }
+    val out = Delaunay.linearBucketed(spark, pts, ref, res = 5)
+      .select($"row", $"col", $"v")
+    val n = out.count()
+    assert(n == ref.numCells)
+    // the hull covers nearly the whole grid at this density: almost every
+    // cell interpolates (points span the full extent)
+    val valid = out.filter(!org.apache.spark.sql.functions.isnan($"v")).count()
+    assert(valid > ref.numCells * 9 / 10, s"valid=$valid of ${ref.numCells}")
+  }
+
   test("CT element: quadratic precision with exact gradients; C0/C1 across edges") {
     // mesh of 4 points -> 2-3 triangles; f = x^2 + xy - 2y^2 with exact grads
     def fq(x: Double, y: Double) = x * x + x * y - 2 * y * y
