@@ -427,6 +427,28 @@ object SparkEntry {
         .orderBy($"ia", $"ib")
     }),
 
+    // Image resize pipeline op: decode -> bilinear half-resolution resize
+    // (per-image kernel, no shuffle) -> deterministic integer stats of the
+    // resized plane (rows-only: no SQL-engine image decode; kernel parity
+    // is ScalaTest-gated against linear-ramp/constant/hand oracles)
+    "i2_image_resize" -> ((s, _) => {
+      import s.implicits._
+      val corpus = ImageCorpus.generate(s, 64L, 8)
+      ImageCorpus.decodeTiles(corpus, 8).map { t =>
+        val w2 = t.w / 2; val h2 = t.h / 2
+        val rs = graft.codecs.ImageCodec.resizeBilinear(t.payload, t.w, t.h, w2, h2)
+        var qsum = 0L; var nan = 0L
+        var i = 0
+        while (i < rs.length) {
+          if (rs(i).isNaN) nan += 1
+          else qsum += Math.rint(rs(i) * 1000.0).toLong
+          i += 1
+        }
+        (t.imageId, w2, h2, qsum, nan)
+      }.toDF("image_id", "w2", "h2", "qsum", "nan_px")
+        .orderBy($"image_id")
+    }),
+
     // Video modality: deterministic synthetic clips as REAL GIF89a binary
     // columns (8 clips x 12 frames), frame-sampled every 3rd frame and
     // reduced to integer stats on the executor (rows-only: no SQL-engine

@@ -387,6 +387,42 @@ object ImageCodec {
     else 10.0 * math.log10(maxVal * maxVal / (se / n))
   }
 
+  /** Bilinear resize of a row-major plane with pixel-center alignment
+    * (output pixel (r, c) samples the source at
+    * ((r+0.5)*h/h2 - 0.5, (c+0.5)*w/w2 - 0.5), edges clamped) — the image
+    * `resize` feature-pipeline op; a purely per-image kernel, so the
+    * Spark shape is one map over decoded rows (no shuffle). Any NaN
+    * among the four taps propagates (sentinel pixels stay sentinels). */
+  def resizeBilinear(src: Array[Double], w: Int, h: Int,
+      w2: Int, h2: Int): Array[Double] = {
+    require(src.length == w * h && w2 > 0 && h2 > 0)
+    val out = new Array[Double](w2 * h2)
+    val sx = w.toDouble / w2
+    val sy = h.toDouble / h2
+    var r = 0
+    while (r < h2) {
+      val fy = (r + 0.5) * sy - 0.5
+      val y0 = math.max(0, math.min(h - 1, math.floor(fy).toInt))
+      val y1 = math.min(h - 1, y0 + 1)
+      val wy = math.max(0.0, math.min(1.0, fy - y0))
+      var c = 0
+      while (c < w2) {
+        val fx = (c + 0.5) * sx - 0.5
+        val x0 = math.max(0, math.min(w - 1, math.floor(fx).toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val wx = math.max(0.0, math.min(1.0, fx - x0))
+        val v00 = src(y0 * w + x0); val v01 = src(y0 * w + x1)
+        val v10 = src(y1 * w + x0); val v11 = src(y1 * w + x1)
+        out(r * w2 + c) =
+          (v00 * (1 - wx) + v01 * wx) * (1 - wy) +
+            (v10 * (1 - wx) + v11 * wx) * wy
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** 64-bit average-hash: 8x8 block-mean downsample thresholded at the
     * global mean (FIXTURES.md §3 phash spec). NaN cells excluded. */
   def phash64(values: Array[Double], w: Int, h: Int): Long = {

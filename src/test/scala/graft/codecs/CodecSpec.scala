@@ -99,4 +99,27 @@ class CodecSpec extends AnyFunSuite {
     val b = ImageCorpus.rowOf(251, 8)
     assert(java.util.Arrays.equals(a.bytes, b.bytes))
   }
+
+  test("resizeBilinear: constant preserved, linear ramp exact, hand case, NaN propagates") {
+    import graft.codecs.ImageCodec.resizeBilinear
+    // constant plane stays constant at any scale
+    val const = resizeBilinear(Array.fill(12 * 8)(7.5), 12, 8, 5, 3)
+    assert(const.forall(_ == 7.5))
+    // a linear field v = 2x + 3y is reproduced exactly at the sample points
+    // (bilinear has linear precision; pixel-center alignment)
+    val (w, h, w2, h2) = (16, 12, 8, 6)
+    val ramp = Array.tabulate(w * h)(i => 2.0 * (i % w) + 3.0 * (i / w))
+    val rs = resizeBilinear(ramp, w, h, w2, h2)
+    for (r <- 1 until h2 - 1; c <- 1 until w2 - 1) { // interior (no edge clamp)
+      val fx = (c + 0.5) * w.toDouble / w2 - 0.5
+      val fy = (r + 0.5) * h.toDouble / h2 - 0.5
+      assert(math.abs(rs(r * w2 + c) - (2 * fx + 3 * fy)) < 1e-12, s"($r,$c)")
+    }
+    // 2x2 -> 1x1: plain average of the four pixels
+    val one = resizeBilinear(Array(1.0, 2.0, 3.0, 4.0), 2, 2, 1, 1)
+    assert(math.abs(one(0) - 2.5) < 1e-12)
+    // NaN taps propagate
+    val withNaN = resizeBilinear(Array(1.0, Double.NaN, 3.0, 4.0), 2, 2, 1, 1)
+    assert(withNaN(0).isNaN)
+  }
 }
