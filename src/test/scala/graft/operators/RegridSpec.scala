@@ -150,6 +150,31 @@ class RegridSpec extends AnyFunSuite {
     assert(inHull > 100, s"hull too small: $inHull")
   }
 
+  test("grid_interpolate cubic == driver-global Clough-Tocher over exploded cells (J6)") {
+    val srcRef = GridRef(40, 40, 0, 0, 1)
+    def sparse(r: Int, c: Int): Double =
+      if ((r * 7 + c * 3) % 41 == 5) ((r * 29 + c) % 50).toDouble else Double.NaN
+    val src = TileOps.tileGrid(spark, srcRef, 5)(sparse)
+    val target = GridRef(20, 20, 0, 0, 2)
+    val got = GridInterpolate.cubic(src, srcRef, target, 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val pts = (for {
+      r <- 0 until srcRef.nrows; c <- 0 until srcRef.ncols
+      v = sparse(r, c) if !v.isNaN
+    } yield PtRec(r.toLong * srcRef.ncols + c,
+      srcRef.sub2map(r, c)._1, srcRef.sub2map(r, c)._2, v)).toArray
+    val want = Delaunay.interpolateGridLocalCubic(pts, target)
+    assert(got.size == target.numCells)
+    var inHull = 0
+    for (r <- 0 until target.nrows; c <- 0 until target.ncols) {
+      val w = want(r * target.ncols + c)
+      val g = got((r, c))
+      if (w.isNaN) assert(g.isNaN, s"($r,$c): want NaN got $g")
+      else { assert(math.abs(g - w) < 1e-9, s"($r,$c): want $w got $g"); inHull += 1 }
+    }
+    assert(inHull > 100, s"hull too small: $inHull")
+  }
+
   test("vectorize component stats match single-threaded BFS oracle") {
     val blocky = TileOps.tileGrid(spark, Synth.gridARef, 6)(Synth.blockyValue)
     val got = Vectorize.componentStats(blocky, Synth.gridARef, 6)
