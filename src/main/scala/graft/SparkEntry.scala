@@ -241,13 +241,13 @@ object SparkEntry {
       val e = table(s, dir, "embeddings")
       val nlist = math.max(8, math.sqrt(e.count().toDouble).toInt)
       val nProbe = math.max(3, nlist / 8)
-      val clusters = graft.sim.Similarity.kmeansClusters(s, e, "vec_id",
-        "embedding", k = nlist, iters = 4)
+      val (clusters, centroids) = graft.sim.Similarity.kmeansWithCentroids(
+        s, e, "vec_id", "embedding", k = nlist, iters = 4)
       val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
       graft.sim.Similarity.ivfTopK(s, withCl, "vec_id", "embedding", "cl",
-          q, k = 5, nProbe = nProbe)
+          q, k = 5, nProbe = nProbe, centroidTable = Some(centroids))
         .orderBy($"qid", $"rank")
     }),
 

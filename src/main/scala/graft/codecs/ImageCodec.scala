@@ -133,7 +133,9 @@ object ImageCodec {
     try {
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated
+        // needsDictionary (FDICT zlib streams) also yields n == 0 with
+        // finished() false — treat as corrupt, never spin
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return None }
@@ -294,7 +296,10 @@ object ImageCodec {
           val n = inf.inflate(rowRaw, got, stride + 1 - got)
           got += n
           if (n == 0) {
-            if (inf.finished() || (inf.needsInput() && !feed())) return None // truncated
+            // finished-early, FDICT dictionary request, or input exhausted:
+            // all corrupt/foreign streams -> None (fall back to ImageIO)
+            if (inf.finished() || inf.needsDictionary() ||
+                (inf.needsInput() && !feed())) return None
           }
         }
         val ft = rowRaw(0) & 0xFF

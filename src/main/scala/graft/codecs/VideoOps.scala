@@ -20,6 +20,7 @@ object VideoOps {
     * (clip_id, frame_idx, w, h, sum_intensity, nonblack) — integer-exact,
     * so any two engines that decode the same frames agree bit-for-bit. */
   def frameStats(clips: Dataset[(Long, Array[Byte])], every: Int): DataFrame = {
+    require(every > 0, s"frameStats: `every` must be positive, got $every")
     val spark = clips.sparkSession
     import spark.implicits._
     clips.flatMap { case (clipId, bytes) =>

@@ -38,7 +38,17 @@ object Similarity {
     * structure: on uniform-random vectors no coarse quantizer can keep
     * recall high at nProbe << nlist. */
   def kmeansClusters(spark: SparkSession, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, iters: Int): DataFrame = {
+      vecCol: String, k: Int, iters: Int): DataFrame =
+    kmeansWithCentroids(spark, corpus, idCol, vecCol, k, iters)._1
+
+  /** Like [[kmeansClusters]] but also returns the final centroid table
+    * (cl, cv: array<double>) so downstream consumers (ivfTopK) can reuse
+    * it instead of recomputing per-cluster means with a full posexplode
+    * shuffle of every vector component. The centroid table is tiny
+    * (nlist ~ sqrt(N) rows) — driver-materialized and re-broadcast. */
+  def kmeansWithCentroids(spark: SparkSession, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .as[(Long, Array[Float])].cache()
@@ -90,24 +100,32 @@ object Similarity {
       (vid, best)
     }.toDF("vid", "cl")
     base.unpersist()
-    out
+    val centroidDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centroids.zipWithIndex.map { case (cv, i) => org.apache.spark.sql.Row(i, cv.toSeq) }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cl", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cv", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+    (out, centroidDf)
   }
 
   /** IVF ANN: coarse cells from an existing cluster-id column (or any
     * deterministic partitioner); probes the nProbe closest centroids. */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, queries: DataFrame, k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, centroidTable: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
       col(clusterCol).as("cl"))
-    // centroid table: per-cluster mean vector (tiny -> broadcast)
-    val centroids = base
+    // centroid table: per-cluster mean vector (tiny -> broadcast). Reuse
+    // the table k-means already computed when given — recomputing it here
+    // is a full posexplode shuffle of every vector component.
+    val centroids = centroidTable.getOrElse(base
       .select($"cl", posexplode($"v").as(Seq("pos", "x")))
       .groupBy($"cl", $"pos").agg(avg($"x").as("m"))
       .groupBy($"cl").agg(
         array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-      .select($"cl", expr("transform(pm, p -> p.m)").as("cv"))
+      .select($"cl", expr("transform(pm, p -> p.m)").as("cv")))
     // probe assignment: nProbe nearest centroids per query (euclidean)
     val qc = queries.crossJoin(broadcast(centroids))
       .withColumn("d2", expr(
@@ -161,14 +179,24 @@ object Similarity {
     * Input: (vid: long, v: array<double>). Output: (ia, ib) with
     * ia < ib and cosine(a, b) >= threshold. */
   def nearDupPairs(vecs: DataFrame, threshold: Double,
-      bits: Int = 12, bands: Int = 32): DataFrame = {
+      bits: Int = 12, bands: Int = 32, dim: Int = -1): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val base = vecs.select(col("vid"), col("v")).as[(Long, Array[Double])]
-    val dim = 64
-    val bcH = spark.sparkContext.broadcast(hyperplanes(bands, bits, dim))
+    // Hyperplanes must span the FULL embedding width or LSH recall silently
+    // degrades (signatures would only see a prefix). Derive dim from the
+    // data when not given — an O(1) first-row peek, not a scan.
+    val planeDim =
+      if (dim > 0) dim
+      else vecs.select(size(col("v"))).limit(1).collect() match {
+        case Array(r) => r.getInt(0)
+        case _ => 0
+      }
+    val bcH = spark.sparkContext.broadcast(hyperplanes(bands, bits, planeDim))
     val sigs = base.flatMap { case (vid, v) =>
       val h = bcH.value
+      require(v.length <= h(0).length,
+        s"embedding width ${v.length} exceeds hyperplane dim ${h(0).length}; pass dim explicitly")
       (0 until bands).iterator.map { b =>
         var sig = 0L
         var k = 0

@@ -233,12 +233,18 @@ object AscIO {
       out.write(header.toString.getBytes(StandardCharsets.US_ASCII))
       var nextRow = 0
       bands.foreach { case (row0, h, f) =>
+        // bands must be disjoint and row-aligned; overlapping/staggered
+        // tile sets would silently shift rows — fail loudly instead
+        require(row0 >= nextRow,
+          s"writeTiles: tile band starting at row $row0 overlaps previous band ending at $nextRow — tiles must be row-band aligned")
         while (nextRow < row0) { out.write(nodataLine); nextRow += 1 }
         val p = Paths.get(f)
         Files.copy(p, out)
         Files.delete(p)
         nextRow = row0 + h
       }
+      require(nextRow <= ref.nrows,
+        s"writeTiles: tile bands extend to row $nextRow past nrows ${ref.nrows}")
       while (nextRow < ref.nrows) { out.write(nodataLine); nextRow += 1 }
     } finally out.close()
     Files.deleteIfExists(shardDir)

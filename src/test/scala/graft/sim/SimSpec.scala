@@ -88,6 +88,35 @@ class SimSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("nearDupPairs: non-64-dim embeddings get full-width hyperplanes") {
+    import spark.implicits._
+    // dim=96 fixture where ALL discriminating signal lives in components
+    // 64..95: each pair shares a large upper-band signal, prefixes are
+    // independent tiny noise. Truncated-to-64 hyperplanes would see only
+    // the noise -> bands match with P ~ 2^-12 -> recall ~ 0. Full-width
+    // planes see the dominant signal -> recall 1.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def rnd(seed: Long): Double =
+      (mix(seed) >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+    val dim = 96
+    val vecs = spark.createDataset((0 until 30).flatMap { p =>
+      def member(side: Int): Array[Double] = Array.tabulate(dim) { d =>
+        if (d < 64) 0.01 * rnd(p.toLong * 1000 + side * 100 + d) // noise prefix
+        else rnd(p.toLong * 7919 + d) // shared per-pair signal
+      }
+      Seq((p.toLong * 2, member(0)), (p.toLong * 2 + 1, member(1)))
+    }).toDF("vid", "v")
+    val got = Similarity.nearDupPairs(vecs, threshold = 0.95)
+      .as[(Long, Long)].collect().toSet
+    val want = (0 until 30).map(p => (p.toLong * 2, p.toLong * 2 + 1)).toSet
+    assert(got == want, s"missed ${(want -- got).size} of 30 upper-band pairs")
+  }
+
   test("classify: break semantics incl. below-first -> nodata and open top") {
     import spark.implicits._
     import graft.core._
