@@ -230,24 +230,34 @@ object SparkEntry {
         .orderBy($"qid", $"rank")
     }),
 
-    // ANN scale path: IVF with a k-means coarse quantizer, nlist = sqrt(N)
-    // (the standard IVF sizing: per-query work O(N*nProbe/nlist) with
-    // exact cosine re-ranking inside the probed lists). Rows-only;
-    // algorithm recall is ScalaTest-gated on a CLUSTERED fixture — the
-    // driver embeddings are uniform-random, where low recall at
-    // nProbe << nlist is a property of the data, not the index.
-    "e2_ann_ivf" -> ((s, dir) => {
+    // ANN scale path: IVF with a k-means coarse quantizer over a
+    // deterministic CLUSTERED fixture (16 orthogonal centers x 30 members,
+    // dyadic perturbations) — the regime IVF exists for, and the regime
+    // where it is oracle-checkable: k-means init (lowest 16 vids = one
+    // member per true cluster) provably recovers the clusters, every
+    // query's exact top-5 lives in its probed lists, so the IVF rank rows
+    // EQUAL DuckDB's exact-cosine top-5 (recall 1.0 by construction; any
+    // index bug breaks the hash). All coordinates are dyadic -> cosines
+    // are bit-identical across engines and rank gaps are ~1e-3, far above
+    // ULP. Recall-vs-brute on a clustered fixture also stays in SimSpec.
+    "e2_ann_ivf" -> ((s, _) => {
       import s.implicits._
-      val e = table(s, dir, "embeddings")
-      val nlist = math.max(8, math.sqrt(e.count().toDouble).toInt)
-      val nProbe = math.max(3, nlist / 8)
+      val C = 16; val M = 30; val dim = 16
+      val e = s.range(C.toLong * M).map { vid =>
+        val cl = (vid % C).toInt; val m = (vid / C).toInt
+        val v = Array.tabulate(dim) { d =>
+          val center = if (d == cl) 8.0f else 0.0f
+          center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
+        }
+        (vid, v)
+      }.toDF("vec_id", "embedding")
       val (clusters, centroids) = graft.sim.Similarity.kmeansWithCentroids(
-        s, e, "vec_id", "embedding", k = nlist, iters = 4)
+        s, e, "vec_id", "embedding", k = C, iters = 4)
       val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
       graft.sim.Similarity.ivfTopK(s, withCl, "vec_id", "embedding", "cl",
-          q, k = 5, nProbe = nProbe, centroidTable = Some(centroids))
+          q, k = 5, nProbe = 2, centroidTable = Some(centroids))
         .orderBy($"qid", $"rank")
     }),
 
@@ -433,7 +443,12 @@ object SparkEntry {
     // is ScalaTest-gated against linear-ramp/constant/hand oracles)
     "i2_image_resize" -> ((s, _) => {
       import s.implicits._
-      val corpus = ImageCorpus.generate(s, 64L, 8)
+      // Oracle-gated: the exact corpus's decoded pixels are code/64 with
+      // integer codes, so half-res bilinear output * 256 is EXACTLY the
+      // 2x2 code-block sum — an integer reproducible by formula in DuckDB
+      // without any image codec. The PNG encode -> decode -> resize path
+      // on the Spark side is still the real one.
+      val corpus = ImageCorpus.generateExact(s, 64L, 8)
       ImageCorpus.decodeTiles(corpus, 8).map { t =>
         val w2 = t.w / 2; val h2 = t.h / 2
         val rs = graft.codecs.ImageCodec.resizeBilinear(t.payload, t.w, t.h, w2, h2)
@@ -441,7 +456,7 @@ object SparkEntry {
         var i = 0
         while (i < rs.length) {
           if (rs(i).isNaN) nan += 1
-          else qsum += Math.rint(rs(i) * 1000.0).toLong
+          else qsum += Math.rint(rs(i) * 256.0).toLong
           i += 1
         }
         (t.imageId, w2, h2, qsum, nan)
@@ -541,38 +556,53 @@ object SparkEntry {
     }),
 
     // J5 point_interpolate method='linear': distributed Delaunay linear
-    // with circumcircle-containment exactness proof per cell (rows-only:
-    // barycentric doubles are not cross-engine hashable; distributed ==
-    // driver-global-Delaunay is ScalaTest-gated)
+    // with circumcircle-containment exactness proof per cell. Oracle-gated
+    // via LINEAR PRECISION: points sample a dyadic plane (hull corners
+    // included so all 7200 cells resolve), barycentric interpolation must
+    // reproduce it, and the DuckDB oracle is the closed-form polynomial at
+    // cell centers quantized to round(v*10^4) (Synth.delaunayPlanePoints
+    // scaladoc carries the error budget). distributed == driver-global
+    // Delaunay stays ScalaTest-gated on the non-polynomial knnPoints.
     "r20_delaunay" -> ((s, _) => {
       import s.implicits._
-      val pts = s.createDataset(Synth.knnPoints.map(p => PtRec(p._1, p._2, p._3, p._4)))
+      val pts = s.createDataset(Synth.delaunayPlanePoints(2.0, 0.5, 0.25)
+        .map(p => PtRec(p._1, p._2, p._3, p._4)).toSeq)
       graft.operators.Delaunay.linearBucketed(s, pts, Synth.knnRef, res = 5)
-        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
+          expr("CAST(round(v * 10000) AS BIGINT)").as("vq"))
         .orderBy($"row", $"col")
     }),
 
     // J5 point_interpolate method='cubic': distributed reduced
-    // Clough-Tocher C1 cubic with per-vertex 1-ring exactness proof
-    // (rows-only: CT doubles are not cross-engine hashable; distributed ==
-    // driver-global CT is ScalaTest-gated)
+    // Clough-Tocher C1 cubic with per-vertex 1-ring exactness proof.
+    // Oracle-gated via the CT linear-precision property (WLS 1-ring
+    // gradients are exact on linear fields — DelaunaySpec): a different
+    // dyadic plane than r20, same round(v*10^4) quantization. The full
+    // C1/quadratic-with-exact-gradients behavior stays ScalaTest-gated.
     "r21_delaunay_cubic" -> ((s, _) => {
       import s.implicits._
-      val pts = s.createDataset(Synth.knnPoints.map(p => PtRec(p._1, p._2, p._3, p._4)))
+      val pts = s.createDataset(Synth.delaunayPlanePoints(-1.0, 0.75, -0.5)
+        .map(p => PtRec(p._1, p._2, p._3, p._4)).toSeq)
       graft.operators.Delaunay.cubicBucketed(s, pts, Synth.knnRef, res = 5)
-        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
+          expr("CAST(round(v * 10000) AS BIGINT)").as("vq"))
         .orderBy($"row", $"col")
     }),
 
-    // J5 variant: IDW over the exact k nearest (rows-only: 1/d^2 weight
-    // sums are not cross-engine hashable; bucketed==brute is ScalaTest-
-    // gated bitwise)
+    // J5 variant: IDW over the exact k nearest. Oracle-gated: the fixture
+    // coords are dyadic so every candidate d2 is EXACT in both engines
+    // (identical (d2, pid) neighbor ranking); the 1/d2-weighted mean then
+    // differs only in final-ULP summation order, absorbed by the
+    // round(v*10^4) quantization. DuckDB replicates the full kernel:
+    // top-4 by (d2, pid), w = 1/d2, sum(w*v)/sum(w). bucketed==brute
+    // stays ScalaTest-gated bitwise.
     "r18_idw" -> ((s, _) => {
       import s.implicits._
       val pts = s.createDataset(Synth.knnPoints.map(p => PtRec(p._1, p._2, p._3, p._4)))
       Knn.idwBucketed(s, pts, Synth.knnRef, res = 5, k = 4)
         .filter(($"row" * lit(Synth.knnRef.ncols) + $"col") % 13 === 2)
-        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
+          expr("CAST(round(v * 10000) AS BIGINT)").as("vq"))
         .orderBy($"row", $"col")
     }),
 
@@ -1060,6 +1090,158 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS DOUBLE)
         |   / (length(text) - length(replace(text, ' ', '')) + 1) AS tok_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // d4: the engine's output is the EXACT-verified (inter, na, nb) over
+    // distinct 3-shingle sets (hash identity ~ string identity at 2^-64
+    // collision odds), so the oracle recomputes it from string shingles —
+    // identical shape to d3 at threshold 0.8. The minhash-LSH banding is
+    // thereby recall-GATED: any qualifying pair the bands miss breaks the
+    // hash.
+    "d4_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3) t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ia, ib, CAST(c AS BIGINT) AS inter,
+        |  CAST(sa.sz AS BIGINT) AS na, CAST(sb.sz AS BIGINT) AS nb
+        |FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |WHERE c * 10 >= 8 * (sa.sz + sb.sz - c)
+        |ORDER BY ia, ib""".stripMargin,
+
+    // r20/r21: closed-form plane at cell centers (linear precision of the
+    // Delaunay/CT interpolants; see Synth.delaunayPlanePoints scaladoc for
+    // the quantization error budget). knnRef: x = -5 + (col+0.5)*0.5,
+    // y = 30 - (row+0.5)*0.5.
+    "r20_delaunay" ->
+      """SELECT CAST(r.a AS BIGINT) AS row, CAST(c.b AS BIGINT) AS col,
+        |  CAST(round((2.0 + 0.5 * (-5.0 + (c.b + 0.5) * 0.5)
+        |    + 0.25 * (30.0 - (r.a + 0.5) * 0.5)) * 10000) AS BIGINT) AS vq
+        |FROM range(60) r(a), range(120) c(b) ORDER BY row, col""".stripMargin,
+
+    "r21_delaunay_cubic" ->
+      """SELECT CAST(r.a AS BIGINT) AS row, CAST(c.b AS BIGINT) AS col,
+        |  CAST(round((-1.0 + 0.75 * (-5.0 + (c.b + 0.5) * 0.5)
+        |    - 0.5 * (30.0 - (r.a + 0.5) * 0.5)) * 10000) AS BIGINT) AS vq
+        |FROM range(60) r(a), range(120) c(b) ORDER BY row, col""".stripMargin,
+
+    // r18: full IDW kernel replication — dyadic coords make every d2 exact
+    // in both engines (identical (d2, pid) ranking); the 1/d2-weighted
+    // mean differs only in final-ULP summation order, absorbed by the
+    // 1e-4 quantum.
+    "r18_idw" ->
+      """WITH pts AS (
+        |  SELECT i AS pid,
+        |    -5.0 + ((i*37) % 113) * 0.5 + 0.125 AS px,
+        |    ((i*53) % 107) * 0.25 + 0.0625 AS py,
+        |    ((i*29) % 400) / 4.0 AS pv
+        |  FROM range(60) t(i)),
+        |cells AS (
+        |  SELECT (id // 120) AS row, (id % 120) AS col FROM range(7200) t(id)
+        |  WHERE id % 13 = 2),
+        |d AS (
+        |  SELECT c.row, c.col, p.pid, p.pv,
+        |    (p.px - (-5.0 + (c.col + 0.5) * 0.5)) * (p.px - (-5.0 + (c.col + 0.5) * 0.5))
+        |    + (p.py - (30.0 - (c.row + 0.5) * 0.5)) * (p.py - (30.0 - (c.row + 0.5) * 0.5)) AS d2
+        |  FROM cells c, pts p),
+        |rk AS (
+        |  SELECT row, col, pid, pv, d2,
+        |    row_number() OVER (PARTITION BY row, col ORDER BY d2, pid) AS rn
+        |  FROM d)
+        |SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+        |  CAST(round(sum((1.0/d2) * pv) / sum(1.0/d2) * 10000) AS BIGINT) AS vq
+        |FROM rk WHERE rn <= 4 GROUP BY row, col ORDER BY row, col""".stripMargin,
+
+    // r19: the 4x4 Keys cubic (a=-0.5) at the fixed .25/.75 fractional
+    // offsets of the resample target — every weight, product and partial
+    // sum is an exact dyadic rational, so the masked-renormalized result
+    // is BIT-identical across engines (no quantization needed). Weight
+    // literals are w(1.25), w(0.25), w(0.75), w(1.75) per tap index.
+    "r19_resample_cubic" ->
+      """WITH cells AS (
+        |  SELECT (id // 77) AS trow, (id % 77) AS tcol FROM range(7777) t(id)
+        |  WHERE id % 11 = 3),
+        |taps AS (
+        |  SELECT c.trow, c.tcol,
+        |    2*c.trow + dr.k AS sr, 2*c.tcol - 1 + dc.k AS sc,
+        |    (CASE dr.k WHEN 0 THEN -0.0703125 WHEN 1 THEN 0.8671875
+        |               WHEN 2 THEN 0.2265625 ELSE -0.0234375 END)
+        |    * (CASE dc.k WHEN 0 THEN -0.0234375 WHEN 1 THEN 0.2265625
+        |                 WHEN 2 THEN 0.8671875 ELSE -0.0703125 END) AS w
+        |  FROM cells c, range(4) dr(k), range(4) dc(k)
+        |  WHERE 2*c.trow + dr.k BETWEEN 0 AND 202
+        |    AND 2*c.tcol - 1 + dc.k BETWEEN 0 AND 153),
+        |tv AS (
+        |  SELECT trow, tcol, w,
+        |    CASE WHEN (sr*154 + sc) % 97 = 13 THEN NULL
+        |         ELSE ((sr*31 + sc*17) % 1000) / 4.0 END AS v
+        |  FROM taps),
+        |agg AS (
+        |  SELECT trow, tcol,
+        |    sum(w*v) FILTER (v IS NOT NULL) AS num,
+        |    sum(w) FILTER (v IS NOT NULL) AS den
+        |  FROM tv GROUP BY 1, 2)
+        |SELECT CAST(trow AS BIGINT) AS row, CAST(tcol AS BIGINT) AS col,
+        |  CASE WHEN den IS NULL OR den = 0 THEN 'NaN'::DOUBLE ELSE num/den END AS v
+        |FROM agg ORDER BY row, col""".stripMargin,
+
+    // i2: decoded exact-corpus pixels are code/64 with integer codes, so
+    // the half-res bilinear output * 256 is exactly the 2x2 code-block
+    // sum — regenerated here by formula, no image codec needed.
+    "i2_image_resize" ->
+      """WITH px AS (
+        |  SELECT t.i AS i,
+        |    (((t.i // 8) * 256 + 2 * r.r + dr.d) * 31
+        |     + ((t.i % 8) * 256 + 2 * c.c + dc.d) * 17) % 1000 AS code
+        |  FROM range(64) t(i), range(128) r(r), range(128) c(c),
+        |       range(2) dr(d), range(2) dc(d))
+        |SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        |  128 AS w2, 128 AS h2,
+        |  CAST(sum(code) AS BIGINT) AS qsum, CAST(0 AS BIGINT) AS nan_px
+        |FROM px GROUP BY i ORDER BY image_id""".stripMargin,
+
+    // v1: the GIF frame gray code is trunc((v-0)/250*255) of the integer
+    // frame formula — identical IEEE double arithmetic in both engines
+    // (including the v=150 -> 152 floor glitch), and the GIF89a round
+    // trip is code-exact (ScalaTest-gated), so frame stats regenerate by
+    // formula.
+    "v1_video_frames" ->
+      """WITH px AS (
+        |  SELECT t1.cid AS cid, t2.f AS f,
+        |    CAST((t1.cid*37 + t2.f*11 + t3.i) % 251 AS DOUBLE) AS v
+        |  FROM range(8) t1(cid), (VALUES (0),(3),(6),(9)) t2(f), range(1536) t3(i))
+        |SELECT cid AS clip_id, CAST(f AS INT) AS frame_idx, 48 AS w, 32 AS h,
+        |  CAST(sum(CAST(trunc(v / 250.0 * 255.0) AS BIGINT)) AS BIGINT) AS sum_intensity,
+        |  CAST(sum(CASE WHEN trunc(v / 250.0 * 255.0) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonblack
+        |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // e2: exact cosine top-5 on the clustered fixture — equal to the IVF
+    // result by construction (every query's true top-5 lives in its
+    // probed lists; dyadic coords make cosines bit-identical and rank
+    // gaps ~1e-3).
+    "e2_ann_ivf" ->
+      """WITH v AS (
+        |  SELECT t.vid AS vid, d.d AS d,
+        |    (CASE WHEN d.d = t.vid % 16 THEN 8.0 ELSE 0.0 END)
+        |      + (((t.vid // 16) * 31 + d.d * 17 + (t.vid % 16) * 7) % 13 - 6) * 0.125 AS x
+        |  FROM range(480) t(vid), range(16) d(d)),
+        |norms AS (SELECT vid, sqrt(sum(x*x)) AS n FROM v GROUP BY vid),
+        |pairs AS (
+        |  SELECT q.vid AS qid, c.vid AS vid, sum(q.x * c.x) AS dot
+        |  FROM v q JOIN v c ON q.d = c.d AND q.vid < 10 AND c.vid <> q.vid
+        |  GROUP BY q.vid, c.vid),
+        |cs AS (
+        |  SELECT p.qid, p.vid, p.dot / (nq.n * nc.n) AS cos
+        |  FROM pairs p JOIN norms nq ON nq.vid = p.qid
+        |              JOIN norms nc ON nc.vid = p.vid),
+        |rk AS (SELECT qid, vid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+        |  FROM cs)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid
+        |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

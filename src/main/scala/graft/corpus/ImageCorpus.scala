@@ -100,6 +100,42 @@ object ImageCorpus {
     spark.range(n).mapPartitions(_.map(i => rowOf(i, gridW)))
   }
 
+  /** Pixel value of the EXACT (oracle-grade) corpus: integer-derived code
+    * divided by PngScale, so the 16-bit PNG encode->decode round trip is
+    * bit-identity and any SQL engine can regenerate the decoded plane from
+    * the closed-form formula without an image codec. */
+  def exactValue(gr: Int, gc: Int): Double =
+    ((gr * 31 + gc * 17) % 1000) / ImageCodec.PngScale
+
+  /** PNG-only corpus variant with [[exactValue]] payloads — same schema and
+    * decode path as [[generate]], but every decoded pixel is a dyadic
+    * rational reproducible by formula (the i2 resize oracle's input). */
+  def generateExact(spark: SparkSession, n: Long, gridW: Int): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val tx = (i % gridW).toInt
+      val ty = (i / gridW).toInt
+      val payload = new Array[Double](TileSize * TileSize)
+      var r = 0
+      while (r < TileSize) {
+        var c = 0
+        while (c < TileSize) {
+          payload(r * TileSize + c) = exactValue(ty * TileSize + r, tx * TileSize + c)
+          c += 1
+        }
+        r += 1
+      }
+      ImageRow(
+        image_id = f"img-$i%08d",
+        bytes = ImageCodec.encodePng(payload, TileSize, TileSize),
+        w = TileSize,
+        h = TileSize,
+        fmt = "png",
+        caption = s"tile $tx,$ty of exact ramp; seed=42; fmt=png",
+        phash = ImageCodec.phash64(payload, TileSize, TileSize))
+    })
+  }
+
   /** Decode join key + payload: each image row becomes one engine tile keyed
     * by its Z-order cell id at res 8, carrying image_id + caption lineage.
     * The tile position comes from the CAPTION-INDEPENDENT source index

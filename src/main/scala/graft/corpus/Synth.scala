@@ -96,6 +96,24 @@ object Synth {
     (xs, ys)
   }
 
+  /** Linear-precision fixture for the Delaunay oracles: the knnPoints
+    * scatter re-valued by a dyadic linear polynomial a + bx*x + cy*y, plus
+    * the 4 exact hull corners of knnRef so every cell center is strictly
+    * inside the convex hull (no NaN mask to replicate in SQL). Barycentric
+    * interpolation reproduces a plane exactly (linear precision), and the
+    * reduced-HCT cubic does too (its WLS gradients are exact on linear
+    * fields — DelaunaySpec gates this), so the DuckDB oracle is the
+    * closed-form polynomial at cell centers; the deterministic 1e-6*cs
+    * coordinate jitter perturbs values by <= |grad f| * delta * sqrt(2)
+    * ~ 1e-6 — four orders below the round(v*10^4) quantum, whose lattice
+    * the polynomial values land exactly on (multiples of 625e-4). */
+  def delaunayPlanePoints(a: Double, bx: Double, cy: Double): Array[(Long, Double, Double, Double)] = {
+    val corners = Array((-5.0, 0.0), (55.0, 0.0), (-5.0, 30.0), (55.0, 30.0))
+    knnPoints.map { case (id, x, y, _) => (id, x, y, a + bx * x + cy * y) } ++
+      corners.zipWithIndex.map { case ((x, y), i) =>
+        (60L + i, x, y, a + bx * x + cy * y) }
+  }
+
   def knnPoints: Array[(Long, Double, Double, Double)] =
     (0 until 60).map { i =>
       val px = -5.0 + ((i * 37) % 113) * 0.5 + 0.125 // off-center -> no PIP ties
