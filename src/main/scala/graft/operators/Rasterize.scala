@@ -27,9 +27,17 @@ object Rasterize {
     * feature seq/index (the reference's `attribute=None` default,
     * Raster.py:316-330). */
   def cover(spark: SparkSession, features: Seq[Feature], ref: GridRef,
+      res: Int, useAttr: Boolean): Dataset[CoverTask] =
+    coverDs(spark.createDataset(features)(org.apache.spark.sql.Encoders.product[Feature]),
+      ref, res, useAttr)
+
+  /** Fully distributed cover explode over a feature DATASET — the scale
+    * ingestion path: with millions of features the driver never sees a
+    * geometry or a cover cell; the explode runs where the features live. */
+  def coverDs(features: Dataset[Feature], ref: GridRef,
       res: Int, useAttr: Boolean): Dataset[CoverTask] = {
-    import spark.implicits._
-    spark.createDataset(features).flatMap { f =>
+    import features.sparkSession.implicits._
+    features.flatMap { f =>
       val burn = if (useAttr) f.attr else f.seq.toDouble
       CellId.coverPolygon(ref, f.xs.zip(f.ys), res)
         .map(cid => CoverTask(cid, f.seq, burn, f.xs, f.ys))
@@ -155,14 +163,42 @@ object Rasterize {
     math.max(1, math.min(16, hot / 8))
   }
 
+  /** The same skew statistic as [[autoSalt]], computed as a cheap
+    * DISTRIBUTED aggregate over the already-exploded cover: max over cells
+    * of distinct (value, geometry) tasks. No driver geometry walk — at
+    * 100 TB the cover is exploded exactly once (persisted by the caller)
+    * and this agg shuffles only (cellId, task-hash) pairs. */
+  private[operators] def autoSaltFromCover(cover: Dataset[CoverTask]): Int = {
+    import cover.sparkSession.implicits._
+    val hotRow = cover
+      .groupBy($"cellId")
+      .agg(countDistinct(struct($"value", $"xs", $"ys")).as("n"))
+      .agg(max($"n")).collect()
+    val hot =
+      if (hotRow.isEmpty || hotRow(0).isNullAt(0)) 0L else hotRow(0).getLong(0)
+    math.max(1, math.min(16, (hot / 8).toInt))
+  }
+
   /** End-to-end rasterize: features -> cover -> burn -> burned pixels.
     * Salt is selected AUTOMATICALLY from the hot-cell distinct-task max
     * (autoSalt); homogeneous covers take the plain single-task-per-cell
-    * path (salt = 1). */
+    * path (salt = 1). The driver-Seq form delegates to the Dataset form —
+    * one distributed cover explode feeds both the skew agg and the burn. */
   def apply(spark: SparkSession, features: Seq[Feature], ref: GridRef,
       res: Int, useAttr: Boolean): Dataset[CellPx] =
-    burnSalted(cover(spark, features, ref, res, useAttr), ref,
-      autoSalt(features, ref, res, useAttr))
+    apply(spark.createDataset(features)(org.apache.spark.sql.Encoders.product[Feature]),
+      ref, res, useAttr)
+
+  /** Dataset[Feature] rasterize — the 100 TB ingestion API: cover explode,
+    * skew statistic and burn are all executor-side; the cover is computed
+    * once and persisted across the salt agg and the burn shuffle. */
+  def apply(features: Dataset[Feature], ref: GridRef,
+      res: Int, useAttr: Boolean): Dataset[CellPx] = {
+    val cov = coverDs(features, ref, res, useAttr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val salt = autoSaltFromCover(cov)
+    burnSalted(cov, ref, salt)
+  }
 
   /** Explicitly SALTED burn for hot cells (many features on one cell id —
     * the skew the north rule calls out): every cover task is replicated to

@@ -147,6 +147,22 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(p => (p.row, p.col) -> p.v).toMap
     assert(auto == plain)
     assert(auto.nonEmpty)
+
+    // Dataset[Feature] ingestion path: the distributed skew agg must equal
+    // the driver-computed statistic on both fixtures, and the end-to-end
+    // result must match the driver-Seq path exactly
+    import spark.implicits._
+    for (fixture <- Seq(hot, Synth.ca1Features)) {
+      val ds = spark.createDataset(fixture)
+      val covDs = Rasterize.coverDs(ds, ref, res, useAttr = true)
+      assert(Rasterize.autoSaltFromCover(covDs) ==
+        Rasterize.autoSalt(fixture, ref, res, useAttr = true))
+      val viaDs = Rasterize(ds, ref, res, useAttr = true)
+        .collect().map(p => (p.row, p.col) -> p.v).toMap
+      val viaSeq = Rasterize(spark, fixture, ref, res, useAttr = true)
+        .collect().map(p => (p.row, p.col) -> p.v).toMap
+      assert(viaDs == viaSeq)
+    }
   }
 
   test("ClipPolygon with 1000 features == brute per-pixel mask (bbox prefilter is exact)") {
