@@ -99,13 +99,51 @@ object GeoTiffReader {
   def readWindow(path: String, e: Extent): Tiff =
     decodeWindow(Files.readAllBytes(Paths.get(path)), Some(e))
 
+  /** Parsed header + the (absolute-indexed) pixel buffer — everything a
+    * row-band decode task needs. Never serialized: each task parses its
+    * own mapped buffer. */
+  private final case class Header(buf: ByteBuffer, ifd: Ifd, ncols: Int,
+      nrows: Int, bits: Int, fmt: Int, bytesPerPx: Int, cellsize: Double,
+      nodata: Double, epsg: Int, fullRef: GridRef)
+
+  /** Memory-map a local file read-only: header parsing touches only the
+    * IFD pages, a row-band decode touches only its strips'/tiles' pages —
+    * the ranged-read I/O shape of a windowed ingest. */
+  private def mmap(path: String): ByteBuffer = {
+    val ch = java.nio.channels.FileChannel.open(Paths.get(path),
+      java.nio.file.StandardOpenOption.READ)
+    try ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size())
+    finally ch.close()
+  }
+
+  private def toLocalPath(uri: String): String =
+    if (uri.startsWith("file:")) new java.net.URI(uri).getPath else uri
+
   private def decodeWindow(bytes: Array[Byte], window: Option[Extent]): Tiff = {
-    val order = new String(bytes, 0, 2, "ASCII") match {
+    val h = parseHeader(ByteBuffer.wrap(bytes))
+    // window in pixel space (reference: slice(min, max) — max EXCLUSIVE)
+    val (r0, r1ex, c0, c1ex) = window match {
+      case None => (0, h.nrows, 0, h.ncols)
+      case Some(e) =>
+        val (ra, ca) = h.fullRef.map2sub(e.left, e.bottom)
+        val (rb, cb) = h.fullRef.map2sub(e.right, e.top)
+        val rMin = math.max(0, math.min(ra, rb))
+        val rMax = math.min(h.nrows, math.max(ra, rb)) // exclusive
+        val cMin = math.max(0, math.min(ca, cb))
+        val cMax = math.min(h.ncols, math.max(ca, cb)) // exclusive
+        (rMin, rMax, cMin, cMax)
+    }
+    decodeRows(h, r0, r1ex, c0, c1ex)
+  }
+
+  private def parseHeader(buf0: ByteBuffer): Header = {
+    val magic = s"${(buf0.get(0) & 0xFF).toChar}${(buf0.get(1) & 0xFF).toChar}"
+    val order = magic match {
       case "II" => ByteOrder.LITTLE_ENDIAN
       case "MM" => ByteOrder.BIG_ENDIAN
       case m => throw new IllegalArgumentException(s"not a TIFF: magic '$m'")
     }
-    val buf = ByteBuffer.wrap(bytes).order(order)
+    val buf = buf0.duplicate().order(order)
     require((buf.getShort(2) & 0xFFFF) == 42, "not a classic TIFF")
     val ifd = new Ifd(buf)
 
@@ -147,19 +185,16 @@ object GeoTiffReader {
     val fullRef = GridRef(ncols, nrows, left, top - nrows * cellsize,
       cellsize, if (nodata.isNaN) -9999.0 else nodata,
       if (epsg > 0) s"EPSG:$epsg" else "")
+    Header(buf, ifd, ncols, nrows, bits, fmt, bytesPerPx, cellsize,
+      nodata, epsg, fullRef)
+  }
 
-    // window in pixel space (reference: slice(min, max) — max EXCLUSIVE)
-    val (r0, r1ex, c0, c1ex) = window match {
-      case None => (0, nrows, 0, ncols)
-      case Some(e) =>
-        val (ra, ca) = fullRef.map2sub(e.left, e.bottom)
-        val (rb, cb) = fullRef.map2sub(e.right, e.top)
-        val rMin = math.max(0, math.min(ra, rb))
-        val rMax = math.min(nrows, math.max(ra, rb)) // exclusive
-        val cMin = math.max(0, math.min(ca, cb))
-        val cMax = math.min(ncols, math.max(ca, cb)) // exclusive
-        (rMin, rMax, cMin, cMax)
-    }
+  /** Decode the pixel window [r0, r1ex) x [c0, c1ex) — only the strips or
+    * layout tiles intersecting it are touched. */
+  private def decodeRows(h: Header, r0: Int, r1ex: Int,
+      c0: Int, c1ex: Int): Tiff = {
+    val Header(buf, ifd, ncols, nrows, bits, fmt, bytesPerPx, cellsize,
+      nodata, epsg, fullRef) = h
     val wh = r1ex - r0
     val ww = c1ex - c0
     require(wh > 0 && ww > 0, "empty read window")
@@ -233,34 +268,75 @@ object GeoTiffReader {
     Tiff(winRef, out, epsg)
   }
 
-  /** Distributed ingest: binaryFile scan -> decode + tile split on
-    * executors (same contract as AscIO.readTiles). */
-  def readTiles(spark: SparkSession, pathGlob: String, res: Int)
-      : Dataset[(String, Tile)] = {
+  /** Header-only read: georeference, dims, CRS — no pixel I/O beyond the
+    * IFD pages of the mapped file. */
+  def readHeaderRef(path: String): GridRef = parseHeader(mmap(path)).fullRef
+
+  /** Decode one row band [r0, r1ex) of a file via a ranged mapped read. */
+  def readRowBand(path: String, r0: Int, r1ex: Int): Tiff = {
+    val h = parseHeader(mmap(path))
+    decodeRows(h, math.max(0, r0), math.min(h.nrows, r1ex), 0, h.ncols)
+  }
+
+  /** Distributed ingest: file discovery (no content read) -> header pass
+    * -> tile-aligned ROW-BAND tasks, each decoding only its strip/tile
+    * byte ranges via [[readRowBand]] -> tile split (same contract as
+    * AscIO.readTiles). One large file spreads across ceil(nrows/band)
+    * tasks instead of one task decoding the whole raster — the windowed
+    * reader IS the task body, so a multi-GB strip-organized file never
+    * materializes in a single executor. Paths are local/POSIX (this
+    * engine's FS); on a cluster store the identical two-pass shape runs
+    * on ranged opens. Bands are tile-aligned (bandTiles * 2^res source
+    * rows) so the emitted tile set is byte-identical to a whole-file
+    * decode. */
+  def readTiles(spark: SparkSession, pathGlob: String, res: Int,
+      bandTiles: Int = 4): Dataset[(String, Tile)] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val t = decodeBytes(bytes)
-        val ref = t.ref
-        val size = 1 << res
-        val tilesX = (ref.ncols + size - 1) / size
-        val tilesY = (ref.nrows + size - 1) / size
+    require(bandTiles > 0, s"bandTiles must be positive, got $bandTiles")
+    val size = 1 << res
+    val bandRows = bandTiles * size
+    val bands = spark.read.format("binaryFile").load(pathGlob)
+      .select("path").as[String]
+      .flatMap { uri =>
+        val p = toLocalPath(uri)
+        val nrows = parseHeader(mmap(p)).nrows
+        (0 until nrows by bandRows).iterator.map(r0 =>
+          (p, r0, math.min(nrows, r0 + bandRows)))
+      }
+    // Exact round-robin by band index: a column repartition here is a
+    // shuffle of tiny descriptors that AQE coalesces by BYTES into one
+    // task even though each descriptor expands into a heavy decode — the
+    // explicit partitioner pins one band per task slot.
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    val spread = bands.rdd
+      .map(b => (b._2 / bandRows, b))
+      .partitionBy(new org.apache.spark.HashPartitioner(parallelism))
+      .values
+    spark.createDataset(spread)
+      .flatMap { case (p, r0, r1ex) =>
+        val h = parseHeader(mmap(p))
+        val band = decodeRows(h, r0, r1ex, 0, h.ncols)
+        val nrows = h.nrows
+        val ncols = h.ncols
+        val tilesX = (ncols + size - 1) / size
+        val ty0 = r0 / size
+        val ty1 = (r1ex - 1) / size
         for {
-          ty <- 0 until tilesY
+          ty <- ty0 to ty1
           tx <- 0 until tilesX
         } yield {
           val row0 = ty * size
           val col0 = tx * size
-          val h = math.min(size, ref.nrows - row0)
-          val w = math.min(size, ref.ncols - col0)
-          val payload = new Array[Double](h * w)
+          val th = math.min(size, nrows - row0)
+          val tw = math.min(size, ncols - col0)
+          val payload = new Array[Double](th * tw)
           var r = 0
-          while (r < h) {
-            System.arraycopy(t.data, (row0 + r) * ref.ncols + col0, payload, r * w, w)
+          while (r < th) {
+            System.arraycopy(band.data, (row0 + r - r0) * ncols + col0,
+              payload, r * tw, tw)
             r += 1
           }
-          (path, Tile(CellId.encode(res, tx, ty), row0, col0, h, w, payload))
+          (p, Tile(CellId.encode(res, tx, ty), row0, col0, th, tw, payload))
         }
       }
   }

@@ -263,6 +263,37 @@ class SourcesSpec extends AnyFunSuite {
       assert(w.data(r * 6 + c) == data((r + 5) * 20 + (c + 3)), s"($r,$c)")
   }
 
+  test("distributed GeoTIFF ingest: multi-strip file decodes across >1 task; tiles == whole-file decode") {
+    import spark.implicits._
+    val ref = Synth.demRef // 203 x 154, strip-organized by default
+    val p = Files.createTempDirectory("gtiffband").resolve("band.tif").toString
+    val data = Array.tabulate(ref.nrows * ref.ncols)(i =>
+      Synth.demValue(i / ref.ncols, i % ref.ncols))
+    GeoTiffWriter.write(p, ref, data)
+    // res 5 (32-px tiles), 2-tile bands -> 64-row bands -> 4 band tasks
+    val tiles = GeoTiffReader.readTiles(spark, p, res = 5, bandTiles = 2)
+    val partIds = tiles.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.nonEmpty) Iterator.single(pid) else Iterator.empty
+    }.distinct().collect()
+    assert(partIds.length > 1,
+      s"one file must decode across >1 task, got partitions ${partIds.toSeq}")
+    val collected = tiles.collect()
+    // each tile exactly once, full cover
+    val ids = collected.map(_._2.cellId)
+    assert(ids.length == ids.distinct.length)
+    assert(ids.length == ((ref.nrows + 31) / 32) * ((ref.ncols + 31) / 32))
+    // stitched tiles == whole-file decode, bit for bit (incl. NaN holes)
+    val whole = GeoTiffReader.read(p)
+    val rebuilt = Array.fill(ref.nrows * ref.ncols)(Double.NaN)
+    collected.foreach { case (_, t) =>
+      for (r <- 0 until t.h; c <- 0 until t.w)
+        rebuilt((t.row0 + r) * ref.ncols + (t.col0 + c)) = t.payload(r * t.w + c)
+    }
+    assert(java.util.Arrays.equals(rebuilt, whole.data))
+    assert(GeoTiffReader.readHeaderRef(p) == whole.ref)
+  }
+
   test("animated GIF export: 3 frames, GIF89a, looping, round-readable") {
     val dir = Files.createTempDirectory("gif")
     val (w, h) = (40, 30)
