@@ -153,13 +153,14 @@ object Vectorize {
     * union-find resolves it in one collect, above it the resolution runs
     * as ITERATIVE MIN-LABEL PROPAGATION fully on the cluster (label(n) :=
     * min(label(n), min(label(neighbors))) to fixpoint — O(seam-graph
-    * diameter) shuffles, no driver materialization) and only the final
-    * (label -> root) pairs (same O(perimeter) size, but this path is for
-    * when even that must not hit one machine's RAM in raw edge form)
-    * come back for the broadcast map. */
+    * diameter) shuffles, no driver materialization). The result is a
+    * (g, root) TABLE consumed by JOIN: in the distributed path the
+    * mapping NEVER lands on the driver, so there is no label-count
+    * ceiling anywhere; in the driver-UF path the table is tiny and AQE
+    * broadcasts the join side adaptively. Labels without seam edges are
+    * absent — consumers default root = g via a left join + coalesce. */
   private def resolveRoots(lab: Dataset[TileVec],
-      driverLimit: Long = 2000000L)
-      : org.apache.spark.broadcast.Broadcast[Map[Long, Long]] = {
+      driverLimit: Long = 2000000L): DataFrame = {
     val spark = lab.sparkSession
     import spark.implicits._
     val b = lab.flatMap { tl =>
@@ -174,8 +175,7 @@ object Vectorize {
     val edgeDf = down.union(right).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edgeDf.count()
-    val roots: Map[Long, Long] =
-      if (nEdges <= driverLimit) {
+    if (nEdges <= driverLimit) {
         val equivs = edgeDf.as[(Long, Long)].collect()
         val parent = new mutable.LongMap[Long]()
         equivs.foreach { case (a, b2) =>
@@ -183,7 +183,8 @@ object Vectorize {
           val rb = find(parent, b2)
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
-        parent.keys.map(k => k -> find(parent, k)).toMap
+        spark.createDataset(parent.keys.map(k => (k, find(parent, k))).toSeq)
+          .toDF("g", "root")
       } else {
         // distributed min-label propagation over the UNDIRECTED seam graph
         val sym = edgeDf.as[(Long, Long)]
@@ -205,9 +206,8 @@ object Vectorize {
           changed = next.agg(sum($"chg")).collect()(0).getLong(0)
           labels = next.select($"n", $"lbl")
         }
-        labels.as[(Long, Long)].collect().toMap // (label -> root) pairs only
+        labels.select($"n".as("g"), $"lbl".as("root")) // stays distributed
       }
-    spark.sparkContext.broadcast(roots)
   }
 
   /** Component stats per value class: (value, n_components, n_pixels).
@@ -219,12 +219,12 @@ object Vectorize {
     import spark.implicits._
     val lab = labeled(tiles, ref, res)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bc = resolveRoots(lab, driverLimit)
+    val roots = resolveRoots(lab, driverLimit)
     lab.flatMap { tl =>
-      tl.counts.iterator.map { case (g, v, k, _) =>
-        (bc.value.getOrElse(g, g), v, k)
-      }
-    }.toDF("root", "v", "px")
+      tl.counts.iterator.map { case (g, v, k, _) => (g, v, k) }
+    }.toDF("g", "v", "px")
+      .join(roots, Seq("g"), "left")
+      .select(coalesce($"root", $"g").as("root"), $"v", $"px")
       .groupBy($"v")
       .agg(countDistinct($"root").as("n_components"), sum($"px").as("n_pixels"))
       .orderBy($"v")
@@ -235,28 +235,34 @@ object Vectorize {
     * pixel count — the reference's (geometry, value) feature stream
     * (Raster.py:767-777). feature_id = the component's minimum row-major
     * pixel index (deterministic under any partitioning). */
-  def polygons(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
+  def polygons(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      driverLimit: Long = 2000000L): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val lab = labeled(tiles, ref, res)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bc = resolveRoots(lab)
+    val roots = resolveRoots(lab, driverLimit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val meta = lab.flatMap { tl =>
-      tl.counts.iterator.map { case (g, v, k, mp) =>
-        (bc.value.getOrElse(g, g), v, k, mp)
-      }
-    }.groupByKey(_._1).mapGroups { (root, it) =>
+      tl.counts.iterator.map { case (g, v, k, mp) => (g, v, k, mp) }
+    }.toDF("g", "v", "px", "mp")
+      .join(roots, Seq("g"), "left")
+      .select(coalesce($"root", $"g").as("root"), $"v", $"px", $"mp")
+      .as[(Long, Double, Long, Long)]
+      .groupByKey(_._1).mapGroups { (root, it) =>
       val rows = it.toArray
       (root, rows.head._2, rows.map(_._3).sum, rows.map(_._4).min)
     }.toDF("root", "v", "n_pixels", "feature_id")
 
     val (left, top, cs) = (ref.left, ref.top, ref.cellsize)
     val rings = lab.flatMap { tl =>
-      tl.edges.iterator.map { case (g, r, c, side) =>
-        (bc.value.getOrElse(g, g), r, c, side)
-      }
-    }.groupByKey(_._1).mapGroups { (root, it) =>
+      tl.edges.iterator.map { case (g, r, c, side) => (g, r, c, side) }
+    }.toDF("g", "r", "c", "side")
+      .join(roots, Seq("g"), "left")
+      .select(coalesce($"root", $"g").as("root"), $"r", $"c", $"side")
+      .as[(Long, Int, Int, Byte)]
+      .groupByKey(_._1).mapGroups { (root, it) =>
       val segs = it.map(e => (e._2, e._3, e._4)).toArray
       (root, assembleWkt(segs, left, top, cs))
     }.toDF("root", "wkt")

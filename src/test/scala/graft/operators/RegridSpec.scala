@@ -238,6 +238,16 @@ class RegridSpec extends AnyFunSuite {
       .componentStats(blocky, Synth.gridARef, 6, driverLimit = 0L)
       .as[(Double, Long, Long)].collect().toSet
     assert(viaPropagation == viaDriver)
+
+    // full polygons under driverLimit=0: the (g -> root) mapping is joined
+    // (never collected), on a fixture with a few hundred seam labels —
+    // result must equal the driver-UF path row for row (WKT included)
+    val polyDriver = Vectorize.polygons(blocky, Synth.gridARef, 6)
+      .collect().map(_.toSeq).toSet
+    val polyJoin = Vectorize.polygons(blocky, Synth.gridARef, 6, driverLimit = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(polyJoin == polyDriver)
+    assert(polyJoin.nonEmpty)
   }
 
   test("convolution kernels (cubic/cubic_spline/lanczos/gauss) == direct computation") {
