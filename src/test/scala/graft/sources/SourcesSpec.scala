@@ -294,6 +294,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(GeoTiffReader.readHeaderRef(p) == whole.ref)
   }
 
+  test("MJPEG-AVI export (make_mp4 analog): RIFF structure + every frame ImageIO-decodable") {
+    val (w, h, n) = (48, 32, 5)
+    val frames = (0 until n).map(k =>
+      Array.tabulate(w * h)(i => ((k * 37 + i) % 251).toDouble))
+    val avi = MjpegAvi.writeAnimatedBytes(frames, w, h, lo = 0, hi = 250, fps = 8)
+    assert(new String(avi, 0, 4, "ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "ASCII") == "AVI ")
+    assert(new String(avi.takeRight(16 * n + 8).take(4), "ASCII") == "idx1")
+    val jpegs = MjpegAvi.readFrameJpegs(avi)
+    assert(jpegs.length == n)
+    for ((j, k) <- jpegs.zipWithIndex) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+      assert(img != null, s"frame $k not a decodable JPEG")
+      assert(img.getWidth == w && img.getHeight == h)
+      // lossy codec: mean intensity must track the source ramp closely
+      // (raw raster samples: getRGB would gamma-convert TYPE_BYTE_GRAY)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) sum += img.getRaster.getSample(x, y, 0)
+      val mean = sum.toDouble / (w * h)
+      val want = frames(k).map(v => math.max(0,
+        math.min(255, (v / 250.0 * 255.0).toInt))).sum.toDouble / (w * h)
+      assert(math.abs(mean - want) < 4.0, s"frame $k mean $mean vs $want")
+    }
+    // file form round-trips through the same parser
+    val dir = Files.createTempDirectory("avi")
+    val p = dir.resolve("clip.avi").toString
+    MjpegAvi.writeAnimated(p, frames, w, h, 0, 250, fps = 8)
+    assert(MjpegAvi.readFrameJpegs(Files.readAllBytes(Paths.get(p))).length == n)
+  }
+
   test("animated GIF export: 3 frames, GIF89a, looping, round-readable") {
     val dir = Files.createTempDirectory("gif")
     val (w, h) = (40, 30)
