@@ -30,6 +30,15 @@ object Bench {
       // QUERIES have ordinary row-proportional shuffles where coalescing
       // removes ~100 empty-partition task launches per stage — ON there.
       .config("spark.sql.adaptive.coalescePartitions.enabled", coalesce.toString)
+      // payload-heavy scans: the vectorized reader's DEFAULT 4096-row batch
+      // holds ~4096 x 65KB binary payloads = ~270MB of contiguous byte[]
+      // PER TASK on the corpus table — at 10x tiles that OOMs an 8-thread
+      // 16g heap before a single row reaches the operator (measured:
+      // FAILED_READ_FILE + heap OOM at 163k tiles). 256-row batches bound
+      // scan memory at ~17MB/task with no measurable scan-throughput cost;
+      // at 100TB this is the difference between scans sized by ROW COUNT
+      // and scans sized by BYTES.
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
       // FAIR so concurrently-submitted pipeline branches share slots
       // instead of queueing behind the first job's task set
       .config("spark.scheduler.mode", "FAIR")
@@ -276,6 +285,44 @@ object Bench {
     val (sec8, raw8) = medianRun(8)
     val (sec32, raw32) = medianRun(32)
 
+    // (c) 10x-scale smoke: the SAME pipeline at ~163k tiles (~11 GB corpus
+    // in /dev/shm — 10x the gated input) at two parallelism levels. What
+    // this evidences: descriptor-sized shuffles and the Dataset rasterize/
+    // burn/kNN paths hold at 10x input with NO driver materialization
+    // growing in n (driver stays flat; a driver-side cover walk or collect
+    // would OOM or serialize here), and per-tile cost stays ~constant
+    // (scale-up efficiency vs the 1x run). min-of-2 per level, ambient
+    // load recorded per rep — same telemetry discipline as (b).
+    val tiles10x = sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_TILES", "163840").toLong
+    val corpus10x = s"/dev/shm/graft_bench_corpus_$tiles10x"
+    if (tiles10x > 0) {
+      val sGen = session(32)
+      if (!new java.io.File(corpus10x + "/_SUCCESS").exists())
+        ImageCorpus.generate(sGen, tiles10x, gridW)
+          .write.mode("overwrite").parquet(corpus10x)
+      sGen.stop()
+    }
+    val acc10 = scala.collection.mutable.Map[Int, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val load10 = scala.collection.mutable.Map[Int, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    if (tiles10x > 0)
+      for (_ <- 1 to 2; c <- Seq(8, 32)) {
+        val s = session(c)
+        s.read.parquet(corpus10x).schema
+        System.gc()
+        val ambient = loadAvg1m()
+        val (_, sec) = time(pipeline(s, corpus10x, tiles10x, gridW))
+        s.stop()
+        acc10(c) = acc10(c) :+ sec
+        load10(c) = load10(c) :+ ambient
+      }
+    val sec10_8 = if (acc10(8).nonEmpty) acc10(8).min else -1.0
+    val sec10_32 = if (acc10(32).nonEmpty) acc10(32).min else -1.0
+    val thr10_8 = if (sec10_8 > 0) tiles10x / sec10_8 else 0.0
+    val thr10_32 = if (sec10_32 > 0) tiles10x / sec10_32 else 0.0
+    val eff10_8to32 = if (thr10_8 > 0) (thr10_32 / thr10_8) / 4.0 else 0.0
+
     val thr2 = nTiles / sec2
     val thr8 = nTiles / sec8
     val thr32 = nTiles / sec32
@@ -297,7 +344,10 @@ object Bench {
     // pairs with raw_* per rep
     val loadAvg = loadAvg1m()
     def larr(cpus: Int) = arr(loadSamples(cpus))
+    // scale-up efficiency: per-tile throughput at 10x input vs 1x, same
+    // local[32] level — ~1.0 means per-tile cost is flat in n
+    val scaleUp32 = if (thr10_32 > 0 && sec32 > 0) thr10_32 / (nTiles / sec32) else 0.0
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_1m":$loadAvg%.2f,"pipeline":{"tiles":$nTiles,"tiles_per_sec_2":$thr2%.2f,"tiles_per_sec_8":$thr8%.2f,"tiles_per_sec_32":$thr32%.2f,"sec_1":$sec1%.2f,"sec_4":$sec4%.2f,"sec_2":$sec2%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"raw_1":${arr(raw1)},"raw_4":${arr(raw4)},"raw_2":${arr(raw2)},"raw_8":${arr(raw8)},"raw_32":${arr(raw32)},"load_raw_1":${larr(1)},"load_raw_4":${larr(4)},"load_raw_2":${larr(2)},"load_raw_8":${larr(8)},"load_raw_32":${larr(32)},"scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_1_to_4":$eff1to4%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_1m":$loadAvg%.2f,"pipeline":{"tiles":$nTiles,"tiles_per_sec_2":$thr2%.2f,"tiles_per_sec_8":$thr8%.2f,"tiles_per_sec_32":$thr32%.2f,"sec_1":$sec1%.2f,"sec_4":$sec4%.2f,"sec_2":$sec2%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"raw_1":${arr(raw1)},"raw_4":${arr(raw4)},"raw_2":${arr(raw2)},"raw_8":${arr(raw8)},"raw_32":${arr(raw32)},"load_raw_1":${larr(1)},"load_raw_4":${larr(4)},"load_raw_2":${larr(2)},"load_raw_8":${larr(8)},"load_raw_32":${larr(32)},"scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_1_to_4":$eff1to4%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f},"pipeline10x":{"tiles":$tiles10x,"sec_8":$sec10_8%.2f,"sec_32":$sec10_32%.2f,"tiles_per_sec_8":$thr10_8%.2f,"tiles_per_sec_32":$thr10_32%.2f,"raw_8":${arr(acc10(8))},"raw_32":${arr(acc10(32))},"load_raw_8":${arr(load10(8))},"load_raw_32":${arr(load10(32))},"scaling_efficiency_8_to_32":$eff10_8to32%.3f,"scaleup_throughput_ratio_32":$scaleUp32%.3f}}""")
   }
 }
