@@ -677,6 +677,55 @@ object SparkEntry {
        |      ELSE (((i // ${Synth.demRef.ncols}) * 31 + (i % ${Synth.demRef.ncols}) * 17) % 1000) / 4.0 END AS v
        |FROM range(${Synth.demRef.nrows.toLong * Synth.demRef.ncols}) t(i)""".stripMargin
 
+  /** r17 oracle: full replication of the reproject warp in DuckDB — the
+    * target-grid derivation (boundary-ring transform, cal_tsf cellsize/
+    * dims), the per-pixel inverse transform (TM inverse w/ 20 guarded
+    * footpoint iterations, Helmert datum shift, 10-iteration ECEF ->
+    * geodetic, TM forward) and the nearest gather + band sums. The TM/
+    * Helmert arithmetic is generated by [[ProjSql]] with every derived
+    * constant interpolated as the exact engine-computed double; the
+    * fixture's nearest-pixel rint margins (>= 1e-5 px, measured over all
+    * 30,954 target pixels) absorb cross-engine libm ULP divergence. */
+  private def r17Sql: String = {
+    val src = graft.core.Proj.fromEpsg(27700)
+    val dst = graft.core.Proj.fromEpsg(32630)
+    val (fwdCtes, fwdOut) = ProjSql.transformCtes("fw", "ring", Seq(), "rx", "ry", src, dst)
+    val (invCtes, invOut) = ProjSql.transformCtes("pv", "px", Seq("pr", "pc"), "qx", "qy", dst, src)
+    s"""WITH ring AS (
+       |  SELECT 340760.0e0 + 770.0e0 * t1.i / 21 AS rx,
+       |         554667.0e0 + 1015.0e0 * t2.j / 21 AS ry
+       |  FROM range(22) t1(i), range(22) t2(j)
+       |  WHERE t1.i = 0 OR t1.i = 21 OR t2.j = 0 OR t2.j = 21),
+       |$fwdCtes,
+       |bbox AS (SELECT min(ox) AS xmin, max(ox) AS xmax,
+       |                min(oy) AS ymin, max(oy) AS ymax FROM $fwdOut),
+       |hdr AS (SELECT xmin,
+       |  greatest((xmax - xmin) / 154, (ymax - ymin) / 203) AS cs,
+       |  greatest(1, CAST(round((xmax - xmin) / cs) AS BIGINT)) AS w,
+       |  greatest(1, CAST(round((ymax - ymin) / cs) AS BIGINT)) AS h,
+       |  ymax - h * cs AS yll,
+       |  yll + h * cs AS top
+       |  FROM bbox),
+       |px AS (SELECT r.r AS pr, c.c AS pc,
+       |  hdr.xmin + (c.c + 0.5e0) * hdr.cs AS qx,
+       |  hdr.top - (r.r + 0.5e0) * hdr.cs AS qy
+       |  FROM hdr, range(1024) r(r), range(1024) c(c)
+       |  WHERE r.r < hdr.h AND c.c < hdr.w),
+       |$invCtes,
+       |gath AS (SELECT pr, pc,
+       |  CAST(round((555679.5e0 - oy) / 5.0e0) AS BIGINT) AS sr,
+       |  CAST(round((ox - 340762.5e0) / 5.0e0) AS BIGINT) AS sc
+       |  FROM $invOut),
+       |vals AS (SELECT pr,
+       |  CASE WHEN sr < 0 OR sr >= 203 OR sc < 0 OR sc >= 154 THEN NULL
+       |       WHEN (sr * 154 + sc) % 97 = 13 THEN NULL
+       |       ELSE ((sr * 31 + sc * 17) % 1000) / 4.0e0 END AS v
+       |  FROM gath)
+       |SELECT CAST(pr // 16 AS BIGINT) AS band,
+       |  CAST(count(v) AS BIGINT) AS n_valid, sum(v) AS sum_v
+       |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Ray-casting point-in-polygon as SQL, bit-identical to
     * RefKernel.pointInPolygon (same operand order in the cross test). */
   private def pipSql(xs: Array[Double], ys: Array[Double]): String = {
@@ -1218,6 +1267,9 @@ object SparkEntry {
         |  CAST(sum(CAST(trunc(v / 250.0 * 255.0) AS BIGINT)) AS BIGINT) AS sum_intensity,
         |  CAST(sum(CASE WHEN trunc(v / 250.0 * 255.0) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonblack
         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // r17: full reproject replication — see r17Sql scaladoc
+    "r17_reproject" -> r17Sql,
 
     // e2: exact cosine top-5 on the clustered fixture — equal to the IVF
     // result by construction (every query's true top-5 lives in its

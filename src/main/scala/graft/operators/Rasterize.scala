@@ -190,14 +190,16 @@ object Rasterize {
       ref, res, useAttr)
 
   /** Dataset[Feature] rasterize — the 100 TB ingestion API: cover explode,
-    * skew statistic and burn are all executor-side; the cover is computed
-    * once and persisted across the salt agg and the burn shuffle. */
+    * skew statistic and burn are all executor-side. The cover is exploded
+    * twice (salt agg + burn) rather than persisted: coverPolygon is cheap
+    * next to the PIP burn, recomputation is deterministic, and a persist
+    * here would leak one cached dataset per rasterize call (callers can
+    * still persist `coverDs(...)` themselves and use `burnSalted` +
+    * `autoSaltFromCover` directly when the explode dominates). */
   def apply(features: Dataset[Feature], ref: GridRef,
       res: Int, useAttr: Boolean): Dataset[CellPx] = {
-    val cov = coverDs(features, ref, res, useAttr)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val salt = autoSaltFromCover(cov)
-    burnSalted(cov, ref, salt)
+    val salt = autoSaltFromCover(coverDs(features, ref, res, useAttr))
+    burnSalted(coverDs(features, ref, res, useAttr), ref, salt)
   }
 
   /** Explicitly SALTED burn for hot cells (many features on one cell id —
