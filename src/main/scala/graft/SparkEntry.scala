@@ -516,6 +516,17 @@ object SparkEntry {
       Vectorize.polygons(blocky, Synth.gridARef, tileRes)
     }),
 
+    // V1 stats form: per-value connected-component count + pixel count —
+    // hash-gated against a DuckDB RECURSIVE-CTE oracle (transitive
+    // closure of the same-value 4-adjacency, min label per cell), so the
+    // distributed label/seam machinery is oracle-checked; the geometry
+    // form stays r10 + the rasterization round-trip ScalaTest.
+    "r22_component_stats" -> ((s, _) => {
+      import s.implicits._
+      val blocky = TileOps.tileGrid(s, Synth.gridARef, tileRes)(Synth.blockyValue)
+      Vectorize.componentStats(blocky, Synth.gridARef, tileRes)
+    }),
+
     // W2: bilinear resample via halo'd gather join
     "r11_bilinear" -> ((s, _) => {
       import s.implicits._
@@ -1270,6 +1281,30 @@ object SparkEntry {
 
     // r17: full reproject replication — see r17Sql scaladoc
     "r17_reproject" -> r17Sql,
+
+    // r22: connected components by transitive closure over the same-value
+    // 4-adjacency (closure rows bounded by sum of component-size^2 — the
+    // blocky fixture's 8x8 blocks keep that ~500k), min label per cell =
+    // the component root, then per-value distinct-root/pixel counts.
+    "r22_component_stats" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT (id // 100) AS r, (id % 100) AS c, id AS cell,
+        |    CAST(((id // 100) // 8 * 31 + (id % 100) // 8 * 17) % 5 AS DOUBLE) AS v
+        |  FROM range(8000) t(id)
+        |  WHERE id % 53 <> 11),
+        |adj AS (
+        |  SELECT a.cell AS c1, b.cell AS c2 FROM g a JOIN g b
+        |  ON a.v = b.v AND ((abs(a.r - b.r) = 1 AND a.c = b.c)
+        |                 OR (a.r = b.r AND abs(a.c - b.c) = 1))),
+        |reach(cell, lbl) AS (
+        |  SELECT cell, cell FROM g
+        |  UNION
+        |  SELECT a.c2, reach.lbl FROM reach JOIN adj a ON a.c1 = reach.cell),
+        |lab AS (SELECT cell, min(lbl) AS root FROM reach GROUP BY cell)
+        |SELECT g.v, CAST(count(DISTINCT lab.root) AS BIGINT) AS n_components,
+        |  CAST(count(*) AS BIGINT) AS n_pixels
+        |FROM g JOIN lab ON g.cell = lab.cell
+        |GROUP BY g.v ORDER BY g.v""".stripMargin,
 
     // e2: exact cosine top-5 on the clustered fixture — equal to the IVF
     // result by construction (every query's true top-5 lives in its
