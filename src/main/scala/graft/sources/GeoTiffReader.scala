@@ -303,14 +303,24 @@ object GeoTiffReader {
         (0 until nrows by bandRows).iterator.map(r0 =>
           (p, r0, math.min(nrows, r0 + bandRows)))
       }
-    // Exact round-robin by band index: a column repartition here is a
+    // Exact spread of decode tasks: a column repartition here is a
     // shuffle of tiny descriptors that AQE coalesces by BYTES into one
-    // task even though each descriptor expands into a heavy decode — the
-    // explicit partitioner pins one band per task slot.
+    // task even though each descriptor expands into a heavy decode. The
+    // partitioner strides one FILE's bands round-robin across distinct
+    // partitions (guaranteed: k bands -> min(k, N) tasks) and offsets
+    // different files by their path hash so a glob of many small
+    // single-band files also spreads.
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val spread = bands.rdd
-      .map(b => (b._2 / bandRows, b))
-      .partitionBy(new org.apache.spark.HashPartitioner(parallelism))
+      .map(b => ((b._1.hashCode, b._2 / bandRows), b))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = parallelism
+        def getPartition(key: Any): Int = key match {
+          case (pathHash: Int, bandIdx: Int) =>
+            math.floorMod(pathHash + bandIdx, parallelism)
+          case _ => 0
+        }
+      })
       .values
     spark.createDataset(spread)
       .flatMap { case (p, r0, r1ex) =>
