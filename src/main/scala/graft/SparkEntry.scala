@@ -699,7 +699,13 @@ object SparkEntry {
     * Helmert arithmetic is generated by [[ProjSql]] with every derived
     * constant interpolated as the exact engine-computed double; the
     * fixture's nearest-pixel rint margins (>= 1e-5 px, measured over all
-    * 30,954 target pixels) absorb cross-engine libm ULP divergence. */
+    * 30,954 target pixels) absorb cross-engine libm ULP divergence.
+    *
+    * Scope note: SQL and engine share the OSGB/Snyder series FORMULAS, so
+    * this oracle gates the warp machinery (target-grid derivation, cover,
+    * per-pixel gather, band aggregation) rather than the series itself —
+    * the series is anchored to external truth by the ProjSpec OSGB
+    * worked-example test (< 5 mm vs the published TM coordinates). */
   private def r17Sql: String = {
     val src = graft.core.Proj.fromEpsg(27700)
     val dst = graft.core.Proj.fromEpsg(32630)
