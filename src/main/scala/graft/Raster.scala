@@ -1,0 +1,283 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.core._
+import graft.operators._
+import graft.sources.{AscIO, GeoTiffReader, GeoTiffWriter, GifWriter, MjpegAvi}
+
+/** User-facing facade mirroring the reference `hydro_raster.Raster` API
+  * surface over the engine's distributed tile model — the "switch your
+  * imports, keep your workflow" entry point. Each method cites the
+  * reference operation it re-expresses and delegates to the Spark-first
+  * operator that implements it (all correctness gates live on those
+  * operators: DuckDB oracles + ScalaTest parity, SURVEY.md §8).
+  *
+  * A `Raster` is (tiles, header): a `Dataset[Tile]` of fixed-size payload
+  * tiles plus the `GridRef` georeference — the distributed analogue of
+  * the reference's (array, header) pair (Raster.py:59-97). `res` is the
+  * tile resolution exponent (2^res-pixel tiles; default 6 = 64 px).
+  *
+  * Methods returning `Raster` stay distributed end to end. Methods that
+  * mirror reference calls returning per-pixel structures return the cell
+  * DataFrame (row, col, v). Driver-convenience constructors read one
+  * file on the driver exactly like the reference; the distributed ingest
+  * paths are `AscIO.readTiles` / `GeoTiffReader.readTiles`. */
+final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
+
+  private def spark: SparkSession = tiles.sparkSession
+
+  /** Cell-level view (row, col, v) with NODATA as null (Raster.py:104-109
+    * NaN canonicalization at the column boundary). */
+  def cells: DataFrame = TileOps.cells(tiles)
+
+  /** NaN-ignoring max/min/median/valid-count (Raster.py:844-854). */
+  def stats: DataFrame = TileOps.stats(tiles)
+
+  /** Header summary (Raster.py:134-150 `_summary`). */
+  def summary: Map[String, String] = ref.summary
+
+  /** `set_crs` (Raster.py:167-183). */
+  def setCrs(epsg: Int): Raster = copy(ref = ref.withEpsg(epsg))
+
+  /** `rect_clip` (Raster.py:218-240): snap the extent to the grid, prune
+    * tiles, and rebase onto the clipped header (one aligned-mosaic
+    * shuffle — the crop the reference does with array slicing). */
+  def rectClip(e: Extent): Raster = {
+    val (clipped, (r0, r1, c0, c1)) = TileOps.rectClip(tiles, ref, e, res)
+    val winRef = ref.windowRef(r0, r1, c0, c1)
+    val rebased = TileOps.mosaic(
+      TileOps.alignedPatches(clipped, ref, winRef, res, seq = 0, coverAll = true))
+    Raster(rebased, winRef, res)
+  }
+
+  /** `clip` by polygon features (Raster.py:242-275, rasterio.mask
+    * semantics): PIP mask, then crop to the features' bounds. */
+  def clip(features: Seq[Feature]): Raster = {
+    val masked = Raster(ClipPolygon(tiles, ref, res, features), ref, res)
+    val xs = features.flatMap(_.xs); val ys = features.flatMap(_.ys)
+    masked.rectClip(Extent(xs.min, xs.max, ys.min, ys.max))
+  }
+
+  /** `assign_to` (Raster.py:500-515): nearest regrid with out-of-range
+    * clamp onto `target`. */
+  def assignTo(target: GridRef): Raster =
+    Raster(Gather.resampleNearestTiles(tiles, ref, target, res, clamp = true),
+      target, res)
+
+  /** `grid_resample_nearest` (Raster.py:407-417). */
+  def gridResampleNearest(target: GridRef): Raster =
+    Raster(Gather.resampleNearestTiles(tiles, ref, target, res, clamp = false),
+      target, res)
+
+  /** `to_int` (Raster.py:152-165): round-half-even, NODATA refill. */
+  def toInt: Raster = Raster(TileFns.toInt(tiles), ref, res)
+
+  /** `rankshow` classification (grid_show.py:96-135 break semantics). */
+  def classify(breaks: Array[Double]): Raster =
+    Raster(TileFns.classify(tiles, breaks), ref, res)
+
+  /** `rasterize` burn layer (Raster.py:277-338): burned pixels only,
+    * sequential last-wins, automatic hot-cell salting. */
+  def rasterize(features: Seq[Feature], useAttr: Boolean = false): Dataset[CellPx] =
+    Rasterize(spark, features, ref, res, useAttr)
+
+  /** `rasterize` from a distributed feature table — the 100 TB form. */
+  def rasterize(features: Dataset[Feature], useAttr: Boolean): Dataset[CellPx] =
+    Rasterize(features, ref, res, useAttr)
+
+  /** The tutorial's "edit DEM by features" join (demo/tutorial_edit_DEM
+    * cells 4-12): burn layer left-joined onto the cells. */
+  def editBy(features: Seq[Feature], useAttr: Boolean = true): DataFrame =
+    Rasterize.editJoin(cells, rasterize(features, useAttr))
+
+  /** `merge` (Raster.py:873-894): non-NaN pixels of `origin` overwrite
+    * this raster's pixels; cross-cellsize origins resample first. */
+  def merge(origin: Raster, method: String = "bilinear"): Raster =
+    Raster(Regrid.mergeInto(tiles, ref, origin.tiles, origin.ref, res, method),
+      ref, res)
+
+  /** `combine_raster` (spatial_analysis.py:244-298): union-extent mosaic,
+    * later arguments win on overlap (sequential combine order). */
+  def combine(others: Raster*): Raster = {
+    val all = this +: others
+    require(all.forall(_.ref.cellsize == ref.cellsize),
+      "combine requires equal cellsize (resample first)")
+    val xmin = all.map(_.ref.left).min
+    val xmax = all.map(_.ref.right).max
+    val ymin = all.map(_.ref.bottom).min
+    val ymax = all.map(_.ref.top).max
+    val u = GridRef(Math.rint((xmax - xmin) / ref.cellsize).toInt,
+      Math.rint((ymax - ymin) / ref.cellsize).toInt,
+      xmin, ymin, ref.cellsize, ref.nodata, ref.crs)
+    val patches = all.zipWithIndex.map { case (r, i) =>
+      TileOps.alignedPatches(r.tiles, r.ref, u, res, seq = i, coverAll = true)
+    }.reduce(_ union _)
+    Raster(TileOps.mosaic(patches), u, res)
+  }
+
+  /** `point_interpolate` (Raster.py:419-498): scattered points -> this
+    * grid. Methods: nearest (exact 1-NN), linear (distributed Delaunay),
+    * cubic (reduced Clough-Tocher C1), idw (exact-k inverse distance). */
+  def pointInterpolate(points: Dataset[PtRec], method: String = "nearest",
+      k: Int = 4, power: Double = 2.0): DataFrame = method match {
+    case "nearest" => Knn.nearestBucketed(spark, points, ref, res)
+    case "linear" => Delaunay.linearBucketed(spark, points, ref, res)
+    case "cubic" => Delaunay.cubicBucketed(spark, points, ref, res)
+    case "idw" => Knn.idwBucketed(spark, points, ref, res, k, power)
+    case other => throw new IllegalArgumentException(
+      s"point_interpolate method '$other' (nearest|linear|cubic|idw)")
+  }
+
+  /** `grid_interpolate` (Raster.py:431-455): this grid's non-NaN cells as
+    * sites, interpolated onto `target`. */
+  def gridInterpolate(target: GridRef, method: String = "nearest",
+      k: Int = 4, power: Double = 2.0): DataFrame = method match {
+    case "nearest" => GridInterpolate.nearest(tiles, ref, target, res)
+    case "linear" => GridInterpolate.linear(tiles, ref, target, res)
+    case "cubic" => GridInterpolate.cubic(tiles, ref, target, res)
+    case "idw" => GridInterpolate.idw(tiles, ref, target, res, k, power)
+    case other => throw new IllegalArgumentException(
+      s"grid_interpolate method '$other' (nearest|linear|cubic|idw)")
+  }
+
+  /** `resample` to a new cellsize (Raster.py:369-405), nearest|bilinear:
+    * returns the resampled raster on the derived header. */
+  def resampleToCellsize(newCellsize: Double,
+      method: String = "bilinear"): Raster = {
+    val (out, ref2) = Regrid.resampleToCellsize(tiles, ref, newCellsize, method, res)
+    Raster(out, ref2, res)
+  }
+
+  /** `resample` onto an explicit target grid with an interpolating kernel
+    * (bilinear / cubic / cubic_spline / lanczos / gauss — the rasterio
+    * kernel set, Raster.py:382-384). Returns target cells (row, col, v). */
+  def resampleTo(target: GridRef, method: String): DataFrame = method match {
+    case "nearest" => Gather.resampleNearest(tiles, ref, target, res, clamp = false)
+    case "bilinear" => Bilinear.resample(tiles, ref, target, res)
+    case m if Convolve.methods.contains(m) => Convolve.resample(tiles, ref, target, res, m)
+    case other => throw new IllegalArgumentException(
+      s"resample kernel '$other' (nearest|bilinear|${Convolve.methods.mkString("|")})")
+  }
+
+  /** Integer-factor window-aggregate `resample` (average/max/min/median/
+    * q1/q3/mode — the zero-shuffle downsample family). */
+  def resampleWindow(factor: Int, method: String): DataFrame =
+    Downsample.stats(tiles, ref, res, factor, method)
+
+  /** `reproject` (Raster.py:695-733): cal_tsf-style target grid + nearest
+    * warp; see core/Proj for the supported EPSG registry and the
+    * documented Helmert accuracy bound. */
+  def reproject(dstEpsg: Int): Raster = {
+    val (out, dstRef) = Reproject.warp(tiles, ref, dstEpsg, res)
+    Raster(out, dstRef, res)
+  }
+
+  /** Horn gradient (grid_show.py hillshade's first stage). */
+  def gradient: DataFrame = Stencil.hornGradient(tiles, ref, res)
+
+  /** `hillshade` (grid_show.py:138-160, matplotlib LightSource
+    * convention). */
+  def hillshade(azdeg: Double = 315.0, altdeg: Double = 45.0): DataFrame =
+    Stencil.hillshade(tiles, ref, res, azdeg, altdeg)
+
+  /** `vectorize` (Raster.py:745-777): one row per connected component
+    * with POLYGON WKT (exterior + holes), value and pixel count. */
+  def vectorize: DataFrame = Vectorize.polygons(tiles, ref, res)
+
+  /** Per-value component stats (the r22 oracle-gated form). */
+  def componentStats: DataFrame = Vectorize.componentStats(tiles, ref, res)
+
+  /** `line2sub` (Raster.py:340-367): polyline -> traversed cells in
+    * sequence (endpoint-drop quirk preserved). */
+  def line2sub(xs: Array[Double], ys: Array[Double]): DataFrame =
+    Line2Sub.cells(spark.createDataset(Seq(Line2Sub.LineRec(0L, xs, ys)))(
+      org.apache.spark.sql.Encoders.product[Line2Sub.LineRec]), ref)
+
+  /** Pair this raster's cells with another same-grid raster (the
+    * vectorshow pairing; J7 zip join). Columns (row, col, v, u). */
+  def zipJoin(other: Raster): DataFrame =
+    cells.join(other.cells.withColumnRenamed("v", "u"), Seq("row", "col"))
+
+  /** `write_asc` (spatial_analysis.py:130-170): distributed row-band
+    * export, %g formatting, NaN -> NODATA, optional .gz by extension. */
+  def writeAsc(path: String): Unit = AscIO.writeTiles(tiles, ref, path)
+
+  /** `write_tif` (Raster.py:605-651): single-file GeoTIFF — collects to
+    * the driver like the reference's single-array write; bounded by one
+    * raster's size, not the dataset's. */
+  def writeTif(path: String, tileSize: Int = 64): Unit =
+    GeoTiffWriter.write(path, ref, toArray, tileSize = tileSize)
+
+  /** `mapshow` pixel content (grid_show.py:33-94 without matplotlib
+    * styling): per-tile 16-bit grayscale PNGs. */
+  def renderPng(lo: Double, hi: Double): Dataset[(Long, Array[Byte])] =
+    TileFns.renderPng(tiles, lo, hi)
+
+  /** Driver-side dense array (row-major, NaN holes) — the reference's
+    * `array` view; driver-bounded by construction. */
+  def toArray: Array[Double] = {
+    val arr = Array.fill(ref.nrows * ref.ncols)(Double.NaN)
+    tiles.collect().foreach { t =>
+      var r = 0
+      while (r < t.h) {
+        var c = 0
+        while (c < t.w) {
+          arr((t.row0 + r) * ref.ncols + (t.col0 + c)) = t.payload(r * t.w + c)
+          c += 1
+        }
+        r += 1
+      }
+    }
+    arr
+  }
+}
+
+object Raster {
+
+  /** Read one ASC (+.gz) file — driver-convenience mirror of the
+    * reference ctor (spatial_analysis.py:38-96); distributed ingest:
+    * `AscIO.readTiles`. */
+  def fromAsc(spark: SparkSession, path: String, res: Int = 6): Raster = {
+    val (ref, data) = AscIO.readFile(path)
+    fromArray(spark, ref, data, res)
+  }
+
+  /** Read one GeoTIFF — driver-convenience mirror of `from_tif`
+    * (spatial_analysis.py:174-209); distributed ingest:
+    * `GeoTiffReader.readTiles` (windowed row-band tasks). */
+  def fromTif(spark: SparkSession, path: String, res: Int = 6): Raster = {
+    val t = GeoTiffReader.read(path)
+    fromArray(spark, t.ref, t.data, res)
+  }
+
+  /** Build from a driver array (row-major, NaN holes). */
+  def fromArray(spark: SparkSession, ref: GridRef, data: Array[Double],
+      res: Int = 6): Raster = {
+    require(data.length == ref.nrows.toLong * ref.ncols, "array/header shape")
+    Raster(TileOps.tileGrid(spark, ref, res)((r, c) => data(r * ref.ncols + c)),
+      ref, res)
+  }
+
+  /** Build from a value function (fixtures, synthetic fields). */
+  def fromGrid(spark: SparkSession, ref: GridRef, res: Int = 6)(
+      f: (Int, Int) => Double): Raster =
+    Raster(TileOps.tileGrid(spark, ref, res)(f), ref, res)
+
+  /** `make_gif` (grid_show.py:187-215): looping GIF89a of a raster
+    * sequence (frames collect to the driver, like the reference). */
+  def makeGif(path: String, frames: Seq[Raster], lo: Double, hi: Double,
+      delayCs: Int = 50): Unit = {
+    require(frames.nonEmpty)
+    val w = frames.head.ref.ncols; val h = frames.head.ref.nrows
+    GifWriter.writeAnimated(path, frames.map(_.toArray), w, h, lo, hi, delayCs)
+  }
+
+  /** `make_mp4` analog (grid_show.py:217-237): Motion-JPEG-in-AVI — the
+    * most widely decodable container+codec the JVM produces unaided. */
+  def makeMp4(path: String, frames: Seq[Raster], lo: Double, hi: Double,
+      fps: Int = 10): Unit = {
+    require(frames.nonEmpty)
+    val w = frames.head.ref.ncols; val h = frames.head.ref.nrows
+    MjpegAvi.writeAnimated(path, frames.map(_.toArray), w, h, lo, hi, fps)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.corpus.Synth
+import graft.operators.PtRec
+
+/** End-to-end exercise of the user-facing Raster facade: every method
+  * routes to an operator that carries its own correctness gate, so these
+  * tests pin the WIRING (refs, windows, delegation) plus a few
+  * closed-form results. */
+class RasterApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val dem: Raster = Raster.fromGrid(spark, Synth.demRef)(Synth.demValue)
+
+  test("rect_clip rebases onto the clipped header exactly") {
+    val clipped = dem.rectClip(Synth.tutorialClip)
+    val (r0, r1, c0, c1) = Synth.demRef.clipWindow(Synth.tutorialClip)
+    assert(clipped.ref == Synth.demRef.windowRef(r0, r1, c0, c1))
+    val arr = clipped.toArray
+    var checked = 0
+    for (r <- r0 to r1; c <- c0 to c1) {
+      val e = Synth.demValue(r, c)
+      val g = arr((r - r0) * clipped.ref.ncols + (c - c0))
+      assert(g == e || (g.isNaN && e.isNaN), s"($r,$c)")
+      checked += 1
+    }
+    assert(checked == clipped.ref.numCells)
+  }
+
+  test("combine: union extent, later raster wins; merge keeps base header") {
+    val a = Raster.fromGrid(spark, Synth.gridARef)(Synth.gridAValue)
+    val b = Raster.fromGrid(spark, Synth.gridBRef)(Synth.gridBValue)
+    val m = a.combine(b)
+    assert(m.ref.left == 0 && m.ref.bottom == 0)
+    assert(m.ref.right == Synth.gridBRef.right && m.ref.top == Synth.gridBRef.top)
+    // overlap cell: B (seq 1) wins where both valid
+    val arr = m.toArray
+    val (bx, by) = Synth.gridBRef.sub2map(10, 10)
+    val (mr, mc) = m.ref.map2sub(bx, by)
+    assert(arr(mr * m.ref.ncols + mc) == Synth.gridBValue(10, 10))
+    val merged = a.merge(b)
+    assert(merged.ref == a.ref)
+  }
+
+  test("point_interpolate linear reproduces a plane through the facade") {
+    val pts = spark.createDataset(
+      Synth.delaunayPlanePoints(2.0, 0.5, 0.25).toSeq.map(p =>
+        PtRec(p._1, p._2, p._3, p._4)))(
+      org.apache.spark.sql.Encoders.product[PtRec])
+    val knn = Raster(spark.emptyDataset(
+      org.apache.spark.sql.Encoders.product[Tile]), Synth.knnRef, 5)
+    val got = knn.pointInterpolate(pts, "linear").collect()
+    assert(got.length == Synth.knnRef.numCells)
+    got.foreach { row =>
+      val r = row.getInt(0); val c = row.getInt(1); val v = row.getDouble(2)
+      val (x, y) = Synth.knnRef.sub2map(r, c)
+      assert(math.abs(v - (2.0 + 0.5 * x + 0.25 * y)) < 1e-5, s"($r,$c)")
+    }
+  }
+
+  test("write_asc / from_asc and write_tif / from_tif round-trip") {
+    val dir = Files.createTempDirectory("rasterapi")
+    val asc = dir.resolve("d.asc").toString
+    dem.writeAsc(asc)
+    val back = Raster.fromAsc(spark, asc)
+    assert(back.ref.ncols == dem.ref.ncols && back.ref.nrows == dem.ref.nrows)
+    assert(java.util.Arrays.equals(back.toArray, dem.toArray))
+    val tif = dir.resolve("d.tif").toString
+    dem.writeTif(tif)
+    val back2 = Raster.fromTif(spark, tif)
+    // GeoTIFF payload is Float32 — compare at float precision
+    back2.toArray.zip(dem.toArray).zipWithIndex.foreach { case ((g, e), i) =>
+      assert((g.isNaN && e.isNaN) || math.abs(g - e) <= math.ulp(e.toFloat.toDouble),
+        s"px $i")
+    }
+  }
+
+  test("rasterize/editBy, classify, toInt, zipJoin, line2sub, stats wiring") {
+    val burned = dem.rasterize(Synth.ca1Features, useAttr = true)
+    assert(burned.count() > 0)
+    val edited = dem.editBy(Synth.ca1Features)
+    assert(edited.columns.toSeq == Seq("row", "col", "v", "burn"))
+    assert(edited.count() == dem.ref.numCells)
+    assert(dem.classify(Array(50.0, 100.0)).cells.count() == dem.ref.numCells)
+    assert(dem.toInt.cells.count() == dem.ref.numCells)
+    assert(dem.zipJoin(dem).count() == dem.ref.numCells)
+    val (lx, ly) = Synth.fixtureLine
+    val knnGrid = Raster.fromGrid(spark, Synth.knnRef, 5)((_, _) => 1.0)
+    assert(knnGrid.line2sub(lx, ly).count() == 60) // r7's gated cell count
+    val st = dem.stats.collect()(0)
+    assert(st.getLong(3) > 0) // valid count
+  }
+
+  test("reproject via facade matches the operator; renderPng/makeGif/makeMp4 produce media") {
+    val bng = dem.setCrs(27700)
+    val warped = bng.reproject(32630)
+    assert(warped.ref.epsg == 32630 && warped.ref.ncols > 0)
+    assert(warped.cells.count() == warped.ref.numCells)
+    val pngs = dem.renderPng(0, 250).collect()
+    assert(pngs.nonEmpty && pngs.forall(_._2.length > 8))
+    val dir = Files.createTempDirectory("rastermedia")
+    val small = Raster.fromGrid(spark,
+      GridRef(48, 32, 0, 0, 1), 5)((r, c) => ((r * 31 + c * 17) % 251).toDouble)
+    Raster.makeGif(dir.resolve("m.gif").toString, Seq(small, small), 0, 250)
+    Raster.makeMp4(dir.resolve("m.avi").toString, Seq(small, small), 0, 250)
+    assert(Files.size(dir.resolve("m.gif")) > 100)
+    assert(graft.sources.MjpegAvi.readFrameJpegs(
+      Files.readAllBytes(dir.resolve("m.avi"))).length == 2)
+  }
+
+  test("resample family wiring: cellsize, window agg, convolution kernels") {
+    val half = dem.resampleToCellsize(10.0, "nearest")
+    assert(half.ref.cellsize == 10.0)
+    assert(half.cells.count() == half.ref.numCells)
+    assert(dem.resampleWindow(4, "average").count() > 0)
+    assert(dem.resampleTo(Synth.resampleTargetRef, "cubic").count() ==
+      Synth.resampleTargetRef.numCells)
+    val vect = Raster.fromGrid(spark, Synth.gridARef)(Synth.blockyValue)
+    assert(vect.componentStats.count() == 5)
+    assert(vect.vectorize.count() > 0)
+  }
+}
