@@ -71,7 +71,7 @@ object Similarity {
         }
         (vid, best, v)
       }
-      centroids = assigned.groupByKey(_._2).mapGroups { (cl, it) =>
+      val updated = assigned.groupByKey(_._2).mapGroups { (cl, it) =>
         var n = 0L
         var sum: Array[Double] = null
         it.foreach { case (_, _, v) =>
@@ -81,7 +81,12 @@ object Similarity {
           n += 1
         }
         (cl, sum.map(_ / n))
-      }.collect().sortBy(_._1).map(_._2)
+      }.collect().toMap
+      // a cluster that lost every member keeps its previous centroid —
+      // dropping it would SHIFT every later cluster's index and silently
+      // remap assignments
+      centroids = Array.tabulate(centroids.length)(i =>
+        updated.getOrElse(i, centroids(i)))
     }
     val bc = spark.sparkContext.broadcast(centroids)
     val out = base.map { case (vid, v) =>

@@ -88,6 +88,24 @@ class SimSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("kmeans: an emptied cluster keeps its centroid (no index shift)") {
+    import spark.implicits._
+    // duplicate init points: vids 0 and 1 share a position, so init
+    // centroids 0 and 1 coincide and the strict-< argmin sends every
+    // member to centroid 0 — centroid 1 EMPTIES. Dropping it would shift
+    // centroid 2's id and remap the far cluster's assignments.
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.0f)),
+      (2L, Array(10.0f, 0.0f)), (3L, Array(10.1f, 0.0f)))
+    val df = spark.createDataset(pts).toDF("vec_id", "embedding")
+    val (assign, centroids) = Similarity.kmeansWithCentroids(
+      spark, df, "vec_id", "embedding", k = 3, iters = 5)
+    val cl = assign.as[(Long, Int)].collect().toMap
+    assert(cl(0) == cl(1) && cl(0) == 0)
+    assert(cl(2) == cl(3) && cl(2) == 2) // far cluster keeps id 2, no shift
+    assert(centroids.count() == 3) // all 3 ids survive, none dropped
+  }
+
   test("nearDupPairs: non-64-dim embeddings get full-width hyperplanes") {
     import spark.implicits._
     // dim=96 fixture where ALL discriminating signal lives in components
