@@ -185,6 +185,8 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tMain0 = System.nanoTime()
+    def elapsedMainSec: Double = (System.nanoTime() - tMain0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nTiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_TILES", "16384").toLong
@@ -293,7 +295,16 @@ object Bench {
     // would OOM or serialize here), and per-tile cost stays ~constant
     // (scale-up efficiency vs the 1x run). min-of-2 per level, ambient
     // load recorded per rep — same telemetry discipline as (b).
-    val tiles10x = sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_TILES", "163840").toLong
+    // Soft deadline: if the query + scaling sections already consumed an
+    // unusual amount of wall (pathological co-tenant load), skip the 10x
+    // section rather than risk the whole run against an external timeout
+    // — a lost JSON line loses EVERYTHING; a skipped 10x row (-1 sentinel)
+    // still ships the gated numbers, and BASELINE.md carries the
+    // independently measured 10x evidence.
+    val budget10x = sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_DEADLINE_S", "1500").toDouble
+    val tiles10x =
+      if (elapsedMainSec > budget10x) 0L
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_TILES", "163840").toLong
     val corpus10x = s"/dev/shm/graft_bench_corpus_$tiles10x"
     if (tiles10x > 0) {
       val sGen = session(32)
@@ -307,7 +318,9 @@ object Bench {
     val load10 = scala.collection.mutable.Map[Int, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     if (tiles10x > 0)
-      for (_ <- 1 to 2; c <- Seq(8, 32)) {
+      // level 32 first and twice (the headline + JIT-warm pair); one rep
+      // at 8 for the second load point
+      for (c <- Seq(32, 32, 8)) {
         val s = session(c)
         s.read.parquet(corpus10x).schema
         System.gc()
