@@ -310,9 +310,16 @@ object SparkEntry {
         val captionOk = t.caption == s"tile $tx,$ty of synthetic terrain; seed=42; fmt=$fmt"
         (fmt, p, captionOk)
       }.toDF("fmt", "psnr", "caption_ok")
+      // Oracle-gated as the north-star INVARIANTS: every row must clear
+      // PSNR >= 40 dB (lossy gate), every png must round-trip exactly
+      // (psnr = inf), every caption must propagate byte-equal — the raw
+      // PSNR value itself is decoder-specific (JVM JPEG) and excluded;
+      // the DuckDB side derives the fmt layout from the corpus rules and
+      // asserts the invariant counts equal n per fmt.
       checks.groupBy($"fmt").agg(
         count(lit(1)).as("n"),
-        min($"psnr").as("min_psnr"),
+        sum(when($"psnr" >= 40.0, 1L).otherwise(0L)).as("n_psnr40_ok"),
+        sum(when($"psnr" === Double.PositiveInfinity, 1L).otherwise(0L)).as("n_exact"),
         sum(when($"caption_ok", 1L).otherwise(0L)).as("n_caption_ok"))
         .orderBy($"fmt")
     }),
@@ -1272,6 +1279,22 @@ object SparkEntry {
         |  128 AS w2, 128 AS h2,
         |  CAST(sum(code) AS BIGINT) AS qsum, CAST(0 AS BIGINT) AS nan_px
         |FROM px GROUP BY i ORDER BY image_id""".stripMargin,
+
+    // i1: north-star invariant counts regenerated from the corpus layout
+    // rules (ImageCorpus.rowOf): fmt cycles jpg on i % 4 == 3 (the
+    // duplicate rule i % 251 == 0 never fires below i = 251, so src = i
+    // for n = 64). The invariants themselves — every row PSNR >= 40 dB,
+    // every png round-trips bit-exactly (psnr = inf), every caption
+    // propagates byte-equal — are what the engine must prove; raw PSNR
+    // values are decoder-specific and deliberately excluded.
+    "i1_image_invariants" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN t.i % 4 = 3 THEN 'jpg' ELSE 'png' END AS fmt
+        |  FROM range(64) t(i))
+        |SELECT fmt, count(*) AS n, count(*) AS n_psnr40_ok,
+        |  CAST(CASE WHEN fmt = 'png' THEN count(*) ELSE 0 END AS BIGINT) AS n_exact,
+        |  count(*) AS n_caption_ok
+        |FROM r GROUP BY fmt ORDER BY fmt""".stripMargin,
 
     // v1: the GIF frame gray code is trunc((v-0)/250*255) of the integer
     // frame formula — identical IEEE double arithmetic in both engines
