@@ -66,8 +66,13 @@ object Bench {
     * input image+caption table — pre-written, like the Iceberg table the
     * north rule scans; generation/encode is NOT part of the measured job).
     * Every stage is the real operator: scan -> decode -> cell-keyed mosaic
-    * (dup resolution by seq) -> rasterize burn join -> kNN slab. */
-  def pipeline(spark: SparkSession, corpusPath: String, n: Long, gridW: Int): Long = {
+    * (dup resolution by seq) -> rasterize burn join -> kNN slab.
+    * `metrics` (optional) wires accumulator-backed counters into the
+    * decode and burn closures — the north rule's live-progress metrics
+    * next to icelite's durable lineage rows. Timed reps pass None so the
+    * measured path carries zero instrumentation. */
+  def pipeline(spark: SparkSession, corpusPath: String, n: Long, gridW: Int,
+      metrics: Option[graft.metrics.PipelineMetrics] = None): Long = {
     import spark.implicits._
     val corpus = spark.read.parquet(corpusPath).as[graft.corpus.ImageRow]
     val ref = ImageCorpus.corpusRef(n, gridW)
@@ -115,6 +120,7 @@ object Bench {
     val statsRows = winners.map { row =>
       val (cid, seq) = cellOf(row.image_id)
       val (valid, mx, px) = graft.codecs.ImageCodec.decodeStats(row.bytes, row.fmt)
+      metrics.foreach { m => m.tilesDecoded.add(1L); m.pixelsDecoded.add(px.toLong) }
       (cid, seq, valid, mx, px)
     }.toDF("cell_id", "seq", "valid", "max_v", "px")
 
@@ -135,7 +141,8 @@ object Bench {
           .map(y => math.max(ref.bottom + 1, math.min(ref.top - 1, y))),
         attr = (tx + ty).toDouble, seq = ty * gridW + tx)
     }
-    val burned = Rasterize(spark, quads, ref, ImageCorpus.TileRes, useAttr = true)
+    val burned = Rasterize(spark, quads, ref, ImageCorpus.TileRes, useAttr = true,
+        burnedPx = metrics.map(_.cellsBurned))
       .groupBy($"v").count()
 
     // kNN slab: one 256px-tall band across the full corpus width (scales
@@ -226,6 +233,12 @@ object Bench {
       ImageCorpus.generate(s1, nTiles, gridW).write.mode("overwrite").parquet(corpusPath)
     if (!new java.io.File(warmPath + "/_SUCCESS").exists())
       ImageCorpus.generate(s1, warmTiles, gridW).write.mode("overwrite").parquet(warmPath)
+    // accumulator-backed metrics: one UNTIMED instrumented pass on the
+    // warm corpus — demonstrates the counters roll up through the real
+    // decode/burn tasks; timed reps below stay uninstrumented
+    val pm = graft.metrics.PipelineMetrics.register(s1)
+    pipeline(s1, warmPath, warmTiles, gridW, Some(pm))
+    val pmJson = pm.json
     s1.stop()
 
     // (b) scaling: same pipeline, same input, local[8] vs local[32].
@@ -361,6 +374,6 @@ object Bench {
     // local[32] level — ~1.0 means per-tile cost is flat in n
     val scaleUp32 = if (thr10_32 > 0 && sec32 > 0) thr10_32 / (nTiles / sec32) else 0.0
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_1m":$loadAvg%.2f,"pipeline":{"tiles":$nTiles,"tiles_per_sec_2":$thr2%.2f,"tiles_per_sec_8":$thr8%.2f,"tiles_per_sec_32":$thr32%.2f,"sec_1":$sec1%.2f,"sec_4":$sec4%.2f,"sec_2":$sec2%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"raw_1":${arr(raw1)},"raw_4":${arr(raw4)},"raw_2":${arr(raw2)},"raw_8":${arr(raw8)},"raw_32":${arr(raw32)},"load_raw_1":${larr(1)},"load_raw_4":${larr(4)},"load_raw_2":${larr(2)},"load_raw_8":${larr(8)},"load_raw_32":${larr(32)},"scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_1_to_4":$eff1to4%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f},"pipeline10x":{"tiles":$tiles10x,"sec_8":$sec10_8%.2f,"sec_32":$sec10_32%.2f,"tiles_per_sec_8":$thr10_8%.2f,"tiles_per_sec_32":$thr10_32%.2f,"raw_8":${arr(acc10(8))},"raw_32":${arr(acc10(32))},"load_raw_8":${arr(load10(8))},"load_raw_32":${arr(load10(32))},"scaling_efficiency_8_to_32":$eff10_8to32%.3f,"scaleup_throughput_ratio_32":$scaleUp32%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_1m":$loadAvg%.2f,"pipeline":{"tiles":$nTiles,"tiles_per_sec_2":$thr2%.2f,"tiles_per_sec_8":$thr8%.2f,"tiles_per_sec_32":$thr32%.2f,"sec_1":$sec1%.2f,"sec_4":$sec4%.2f,"sec_2":$sec2%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,"raw_1":${arr(raw1)},"raw_4":${arr(raw4)},"raw_2":${arr(raw2)},"raw_8":${arr(raw8)},"raw_32":${arr(raw32)},"load_raw_1":${larr(1)},"load_raw_4":${larr(4)},"load_raw_2":${larr(2)},"load_raw_8":${larr(8)},"load_raw_32":${larr(32)},"scaling_efficiency":$eff2to8%.3f,"scaling_efficiency_1_to_4":$eff1to4%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f},"pipeline10x":{"tiles":$tiles10x,"sec_8":$sec10_8%.2f,"sec_32":$sec10_32%.2f,"tiles_per_sec_8":$thr10_8%.2f,"tiles_per_sec_32":$thr10_32%.2f,"raw_8":${arr(acc10(8))},"raw_32":${arr(acc10(32))},"load_raw_8":${arr(load10(8))},"load_raw_32":${arr(load10(32))},"scaling_efficiency_8_to_32":$eff10_8to32%.3f,"scaleup_throughput_ratio_32":$scaleUp32%.3f},"metrics":$pmJson}""")
   }
 }

@@ -474,6 +474,29 @@ object SparkEntry {
         .orderBy($"image_id")
     }),
 
+    // Phash-bucketed exact-duplicate detection over the image+caption
+    // corpus — the north-star table's phash:int64 column as the candidate
+    // key. Candidate pairs come from an equi-join on the 8-byte perceptual
+    // hash carrying only (image_id, phash, md5-of-bytes); the encoded
+    // payloads never shuffle, and a pair survives only on exact content
+    // equality (md5 digest match). At 10^12 rows the plan holds: the join
+    // key is fixed-width, hot phash buckets are bounded by the true
+    // duplicate rate, and perceptual-but-not-byte collisions drop in the
+    // digest predicate instead of surfacing as false duplicates.
+    // Oracle: the planted duplicates are closed-form (ImageCorpus.rowOf
+    // re-emits payload i-1 when i % 251 == 0), so DuckDB regenerates the
+    // expected pair list from the rule alone.
+    "i3_phash_dedup" -> ((s, _) => {
+      import s.implicits._
+      val corpus = ImageCorpus.generate(s, 1024L, 8)
+      val sig = corpus.select($"image_id", $"phash", md5($"bytes").as("digest"))
+      sig.as("a").join(sig.as("b"),
+          $"a.phash" === $"b.phash" && $"a.digest" === $"b.digest" &&
+            $"a.image_id" < $"b.image_id")
+        .select($"a.image_id".as("id_a"), $"b.image_id".as("id_b"))
+        .orderBy($"id_a")
+    }),
+
     // Video modality: deterministic synthetic clips as REAL GIF89a binary
     // columns (8 clips x 12 frames), frame-sampled every 3rd frame and
     // reduced to integer stats on the executor (rows-only: no SQL-engine
@@ -1295,6 +1318,18 @@ object SparkEntry {
         |  CAST(CASE WHEN fmt = 'png' THEN count(*) ELSE 0 END AS BIGINT) AS n_exact,
         |  count(*) AS n_caption_ok
         |FROM r GROUP BY fmt ORDER BY fmt""".stripMargin,
+
+    // i3: the planted byte-identical duplicates are exactly the rows where
+    // the corpus duplicate rule fired (i % 251 == 0, i > 0 — each re-emits
+    // payload i-1 under a new id, same fmt), so the expected pair list is
+    // closed-form; distinct tile payloads never byte-collide (the terrain
+    // field's periods are irrational in pixel units) and perceptual-only
+    // phash collisions are filtered by the digest predicate engine-side.
+    "i3_phash_dedup" ->
+      """SELECT 'img-' || lpad(CAST(i - 1 AS VARCHAR), 8, '0') AS id_a,
+        |  'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS id_b
+        |FROM range(1024) t(i) WHERE i > 0 AND i % 251 = 0
+        |ORDER BY id_a""".stripMargin,
 
     // v1: the GIF frame gray code is trunc((v-0)/250*255) of the integer
     // frame formula — identical IEEE double arithmetic in both engines

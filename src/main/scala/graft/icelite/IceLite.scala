@@ -3,6 +3,7 @@ package graft.icelite
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 import graft.core.Tile
 
 /** icelite — an Iceberg-SHAPED snapshot/manifest layer over Parquet, built
@@ -93,7 +94,8 @@ object IceLite {
     * so each bucket is a contiguous cell range — manifest min/max stats
     * stay tight and reads prune by range. */
   def commitResumable(spark: SparkSession, tiles: Dataset[Tile], table: String,
-      buckets: Int, snap: Long, failAtBucket: Option[Int] = None): Long = {
+      buckets: Int, snap: Long, failAtBucket: Option[Int] = None,
+      rowsCommitted: Option[LongAccumulator] = None): Long = {
     import spark.implicits._
     mkdirs(Paths.get(table, "metadata"))
     mkdirs(Paths.get(table, "manifests"))
@@ -125,10 +127,17 @@ object IceLite {
 
     // single read-back aggregation over the WRITTEN files: per-bucket rows,
     // order-independent checksum, and cell min/max (lineage + manifest)
+    // rowsCommitted (accumulator-backed metric) counts alongside the
+    // lineage aggregation: one increment per written row, rolled up by
+    // Spark per task — the live-progress view of the same totals the
+    // per-bucket lineage rows record durably.
     val stats = spark.read.parquet(stageRoot)
       .select($"bucket".cast("int"), $"cellId", size($"payload"))
       .as[(Int, Long, Int)]
-      .map { case (b, cid, n) => (b, cid, cid * 31 + n) }
+      .map { case (b, cid, n) =>
+        rowsCommitted.foreach(_.add(1L))
+        (b, cid, cid * 31 + n)
+      }
       .groupByKey(_._1)
       .mapGroups { (b, it) =>
         var rows = 0L; var chk = 0L

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 import graft.core._
 
 /** Raster←vector burn join — the flagship operator (reference
@@ -59,7 +60,8 @@ object Rasterize {
     fs.groupBy(f => (f.value, f.xs.toSeq, f.ys.toSeq))
       .map(_._2.maxBy(_.seq)).toArray.sortBy(_.seq)
 
-  def burn(tasks: Dataset[CoverTask], ref: GridRef): Dataset[CellPx] = {
+  def burn(tasks: Dataset[CoverTask], ref: GridRef,
+      burnedPx: Option[LongAccumulator] = None): Dataset[CellPx] = {
     import tasks.sparkSession.implicits._
     val nrows = ref.nrows
     val ncols = ref.ncols
@@ -135,9 +137,10 @@ object Rasterize {
             fi += 1
           }
           // lazy emission: no intermediate CellPx array per cell
-          Iterator.range(0, bh * bw)
+          val emit = Iterator.range(0, bh * bw)
             .filter(i => !vals(i).isNaN)
             .map(i => CellPx(ur0 + i / bw, uc0 + i % bw, vals(i)))
+          burnedPx.fold(emit)(acc => emit.map { p => acc.add(1L); p })
         }
       }
     }
@@ -186,8 +189,13 @@ object Rasterize {
     * one distributed cover explode feeds both the skew agg and the burn. */
   def apply(spark: SparkSession, features: Seq[Feature], ref: GridRef,
       res: Int, useAttr: Boolean): Dataset[CellPx] =
+    apply(spark, features, ref, res, useAttr, burnedPx = None)
+
+  def apply(spark: SparkSession, features: Seq[Feature], ref: GridRef,
+      res: Int, useAttr: Boolean,
+      burnedPx: Option[LongAccumulator]): Dataset[CellPx] =
     apply(spark.createDataset(features)(org.apache.spark.sql.Encoders.product[Feature]),
-      ref, res, useAttr)
+      ref, res, useAttr, burnedPx)
 
   /** Dataset[Feature] rasterize — the 100 TB ingestion API: cover explode,
     * skew statistic and burn are all executor-side. The cover is exploded
@@ -197,9 +205,10 @@ object Rasterize {
     * still persist `coverDs(...)` themselves and use `burnSalted` +
     * `autoSaltFromCover` directly when the explode dominates). */
   def apply(features: Dataset[Feature], ref: GridRef,
-      res: Int, useAttr: Boolean): Dataset[CellPx] = {
+      res: Int, useAttr: Boolean,
+      burnedPx: Option[LongAccumulator] = None): Dataset[CellPx] = {
     val salt = autoSaltFromCover(coverDs(features, ref, res, useAttr))
-    burnSalted(coverDs(features, ref, res, useAttr), ref, salt)
+    burnSalted(coverDs(features, ref, res, useAttr), ref, salt, burnedPx)
   }
 
   /** Explicitly SALTED burn for hot cells (many features on one cell id —
@@ -208,9 +217,10 @@ object Rasterize {
     * with `row % salt == salt_id`, so one hot cell's work spreads across
     * `salt` tasks while last-wins stays exact (each pixel still sees ALL
     * its features, in seq order). salt=1 degenerates to the plain burn. */
-  def burnSalted(tasks: Dataset[CoverTask], ref: GridRef, salt: Int): Dataset[CellPx] = {
+  def burnSalted(tasks: Dataset[CoverTask], ref: GridRef, salt: Int,
+      burnedPx: Option[LongAccumulator] = None): Dataset[CellPx] = {
     import tasks.sparkSession.implicits._
-    if (salt <= 1) burn(tasks, ref)
+    if (salt <= 1) burn(tasks, ref, burnedPx)
     else {
       val nrows = ref.nrows
       val ncols = ref.ncols
@@ -261,7 +271,9 @@ object Rasterize {
               }
               r += salt
             }
-            out.result().iterator
+            val emit = out.result()
+            burnedPx.foreach(_.add(emit.length.toLong))
+            emit.iterator
           }
       }
     }
