@@ -482,7 +482,11 @@ object SparkEntry {
     // equality (md5 digest match). At 10^12 rows the plan holds: the join
     // key is fixed-width, hot phash buckets are bounded by the true
     // duplicate rate, and perceptual-but-not-byte collisions drop in the
-    // digest predicate instead of surfacing as false duplicates.
+    // digest predicate instead of surfacing as false duplicates. (At that
+    // scale, first materialize the narrow (id, phash, digest) projection
+    // so the binary column is scanned/hashed once, then self-join the
+    // signature table — here the self-join re-derives it, which is fine
+    // for a generated fixture.)
     // Oracle: the planted duplicates are closed-form (ImageCorpus.rowOf
     // re-emits payload i-1 when i % 251 == 0), so DuckDB regenerates the
     // expected pair list from the rule alone.
