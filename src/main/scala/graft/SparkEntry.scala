@@ -517,6 +517,52 @@ object SparkEntry {
         .orderBy($"id_a")
     }),
 
+    // Vectorize GEOMETRY hash gate: the engine's own WKT polygons (r10's
+    // output — distributed label + seam merge + ring assembly) are parsed
+    // back and decomposed into their canonical unit boundary edges in
+    // pixel-corner units. That edge multiset is exactly the boundary of
+    // each component's pixel set (outer ring + holes together, every unit
+    // edge once), so DuckDB regenerates it from the mask rule + the
+    // recursive-CTE component closure — the polygon geometry itself is
+    // hash-verified, not just its stats (r22). Ring-assembly choices at
+    // saddle corners don't affect the edge set, so the gate is exact and
+    // representation-independent.
+    "r23_vectorize_edges" -> ((s, _) => {
+      import s.implicits._
+      val blocky = TileOps.tileGrid(s, Synth.gridARef, tileRes)(Synth.blockyValue)
+      val polys = Vectorize.polygons(blocky, Synth.gridARef, tileRes)
+      val left = Synth.gridARef.left
+      val top = Synth.gridARef.top
+      val cs = Synth.gridARef.cellsize
+      polys.select($"feature_id", $"wkt").as[(Long, String)].flatMap {
+        case (fid, wkt) =>
+          val body = wkt.trim.stripPrefix("POLYGON").trim
+            .stripPrefix("(").stripSuffix(")")
+          body.split("\\)\\s*,\\s*\\(").iterator.flatMap { ringStr =>
+            val pts = ringStr.replace("(", "").replace(")", "")
+              .split(",").map { p =>
+                val xy = p.trim.split("\\s+")
+                (Math.rint((xy(0).toDouble - left) / cs).toLong,
+                  Math.rint((top - xy(1).toDouble) / cs).toLong)
+              }
+            pts.iterator.sliding(2).withPartial(false).flatMap { pair =>
+              val (x0, y0) = pair.head
+              val (x1, y1) = pair.last
+              val dx = java.lang.Long.signum(x1 - x0)
+              val dy = java.lang.Long.signum(y1 - y0)
+              val len = math.max(math.abs(x1 - x0), math.abs(y1 - y0))
+              (0L until len).iterator.map { k =>
+                val ax = x0 + dx * k; val ay = y0 + dy * k
+                val bx = ax + dx; val by = ay + dy
+                if (bx < ax || (bx == ax && by < ay)) (fid, bx, by, ax, ay)
+                else (fid, ax, ay, bx, by)
+              }
+            }
+          }
+      }.toDF("feature_id", "x0", "y0", "x1", "y1")
+        .orderBy($"feature_id", $"x0", $"y0", $"x1", $"y1")
+    }),
+
     // Video modality: deterministic synthetic clips as REAL GIF89a binary
     // columns (8 clips x 12 frames), frame-sampled every 3rd frame and
     // reduced to integer stats on the executor (rows-only: no SQL-engine
@@ -1392,6 +1438,46 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_pixels
         |FROM g JOIN lab ON g.cell = lab.cell
         |GROUP BY g.v ORDER BY g.v""".stripMargin,
+
+    // r23: the canonical unit-edge decomposition of the vectorized
+    // polygons — a boundary edge is any pixel side whose 4-neighbor is
+    // missing from the mask (NaN / off-grid) or carries a different
+    // value; the component label (feature_id) is the min global pixel
+    // index from the same recursive closure r22 uses. Side -> normalized
+    // pixel-corner edge: top (c,r)-(c+1,r), bottom (c,r+1)-(c+1,r+1),
+    // left (c,r)-(c,r+1), right (c+1,r)-(c+1,r+1).
+    "r23_vectorize_edges" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT (id // 100) AS r, (id % 100) AS c, id AS cell,
+        |    CAST(((id // 100) // 8 * 31 + (id % 100) // 8 * 17) % 5 AS DOUBLE) AS v
+        |  FROM range(8000) t(id)
+        |  WHERE id % 53 <> 11),
+        |adj AS (
+        |  SELECT a.cell AS c1, b.cell AS c2 FROM g a JOIN g b
+        |  ON a.v = b.v AND ((abs(a.r - b.r) = 1 AND a.c = b.c)
+        |                 OR (a.r = b.r AND abs(a.c - b.c) = 1))),
+        |reach(cell, lbl) AS (
+        |  SELECT cell, cell FROM g
+        |  UNION
+        |  SELECT a.c2, reach.lbl FROM reach JOIN adj a ON a.c1 = reach.cell),
+        |lab AS (SELECT cell, min(lbl) AS root FROM reach GROUP BY cell),
+        |cells AS (
+        |  SELECT g.r, g.c, g.v, lab.root FROM g JOIN lab ON g.cell = lab.cell),
+        |cand AS (
+        |  SELECT x.root, x.r, x.c, x.v, s.s,
+        |    x.r + CASE s.s WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS nr,
+        |    x.c + CASE s.s WHEN 2 THEN -1 WHEN 3 THEN 1 ELSE 0 END AS nc
+        |  FROM cells x, (VALUES (0), (1), (2), (3)) s(s)),
+        |bdry AS (
+        |  SELECT cand.root, cand.r, cand.c, cand.s
+        |  FROM cand LEFT JOIN g nb ON nb.r = cand.nr AND nb.c = cand.nc
+        |  WHERE nb.cell IS NULL OR nb.v <> cand.v)
+        |SELECT CAST(root AS BIGINT) AS feature_id,
+        |  CAST(CASE WHEN s = 3 THEN c + 1 ELSE c END AS BIGINT) AS x0,
+        |  CAST(CASE WHEN s = 1 THEN r + 1 ELSE r END AS BIGINT) AS y0,
+        |  CAST(CASE WHEN s = 2 THEN c ELSE c + 1 END AS BIGINT) AS x1,
+        |  CAST(CASE WHEN s = 0 THEN r ELSE r + 1 END AS BIGINT) AS y1
+        |FROM bdry ORDER BY feature_id, x0, y0, x1, y1""".stripMargin,
 
     // e2: exact cosine top-5 on the clustered fixture — equal to the IVF
     // result by construction (every query's true top-5 lives in its
