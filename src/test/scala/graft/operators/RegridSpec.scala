@@ -393,6 +393,52 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("r23 edge decomposition: WKT-parsed unit edges == mask boundary edges") {
+    val ref = Synth.gridARef
+    val got = graft.SparkEntry.queries("r23_vectorize_edges")(spark, "")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // direct oracle off the fixture fn: BFS component roots (min global
+    // pixel index) + every pixel side whose 4-neighbor is NaN/off-grid or
+    // a different value, normalized min-endpoint-first
+    val vals = Array.tabulate(ref.nrows, ref.ncols)(Synth.blockyValue)
+    val root = Array.fill(ref.nrows, ref.ncols)(-1L)
+    for (r <- 0 until ref.nrows; c <- 0 until ref.ncols
+         if root(r)(c) < 0 && !vals(r)(c).isNaN) {
+      val pix = mutable.ArrayBuffer[(Int, Int)]()
+      val q = mutable.Queue((r, c))
+      root(r)(c) = 0 // mark visited
+      while (q.nonEmpty) {
+        val (rr, cc) = q.dequeue()
+        pix += ((rr, cc))
+        for ((dr, dc) <- Seq((-1, 0), (1, 0), (0, -1), (0, 1))) {
+          val (r2, c2) = (rr + dr, cc + dc)
+          if (r2 >= 0 && r2 < ref.nrows && c2 >= 0 && c2 < ref.ncols &&
+            root(r2)(c2) < 0 && vals(r2)(c2) == vals(rr)(cc)) {
+            root(r2)(c2) = 0
+            q += ((r2, c2))
+          }
+        }
+      }
+      val fid = pix.map { case (pr, pc) => pr.toLong * ref.ncols + pc }.min
+      pix.foreach { case (pr, pc) => root(pr)(pc) = fid }
+    }
+    val want = mutable.Set[(Long, Long, Long, Long, Long)]()
+    for (r <- 0 until ref.nrows; c <- 0 until ref.ncols if !vals(r)(c).isNaN) {
+      val fid = root(r)(c)
+      def diff(r2: Int, c2: Int): Boolean =
+        r2 < 0 || r2 >= ref.nrows || c2 < 0 || c2 >= ref.ncols ||
+          vals(r2)(c2).isNaN || vals(r2)(c2) != vals(r)(c)
+      if (diff(r - 1, c)) want += ((fid, c.toLong, r.toLong, c + 1L, r.toLong))
+      if (diff(r + 1, c)) want += ((fid, c.toLong, r + 1L, c + 1L, r + 1L))
+      if (diff(r, c - 1)) want += ((fid, c.toLong, r.toLong, c.toLong, r + 1L))
+      if (diff(r, c + 1)) want += ((fid, c + 1L, r.toLong, c + 1L, r + 1L))
+    }
+    assert(got.size == want.size, s"${got.size} != ${want.size}")
+    assert(got == want)
+  }
+
   test("hillshade runs end-to-end and is bounded [0,1]") {
     val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
     val rows = Stencil.hillshade(dem, Synth.demRef, 6).collect()
