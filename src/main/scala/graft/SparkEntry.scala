@@ -58,6 +58,26 @@ object SparkEntry {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** Chronologically staged event stream for the s1/s2 streaming queries
+    * (one staging per events table per JVM; each query run gets a fresh
+    * checkpoint + memory sink). Runs the real Structured Streaming
+    * machinery at few shuffle partitions — state-store commit overhead is
+    * per (partition x micro-batch), and the fixture state is tiny. */
+  private val stagedStreams = scala.collection.mutable.Map[String, String]()
+  private def stagedEvents(s: SparkSession, dir: String): String =
+    SparkEntry.synchronized {
+      stagedStreams.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream").toString
+        graft.streaming.StreamOps.stageChronological(
+          s, s"$dir/events.parquet", d, chunks = 2)
+      })
+    }
+  private def withFewPartitions[A](s: SparkSession)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Flagship: the full north-star shape end-to-end —
@@ -561,6 +581,34 @@ object SparkEntry {
           }
       }.toDF("feature_id", "x0", "y0", "x1", "y1")
         .orderBy($"feature_id", $"x0", $"y0", $"x1", $"y1")
+    }),
+
+    // Structured Streaming, hash-gated: the watermarked 1-hour tumbling
+    // window aggregation runs as a REAL streaming query (file source ->
+    // watermark -> window state -> append-mode sink, drained with
+    // AvailableNow over the chronologically staged event stream) and must
+    // equal the batch/SQL windowed aggregate exactly. See
+    // streaming/StreamOps for the one-batch-lagged flush mechanics.
+    "s1_stream_window" -> ((s, dir) => {
+      val staged = stagedEvents(s, dir)
+      val ckpt = java.nio.file.Files.createTempDirectory("s1_ckpt").toString
+      withFewPartitions(s) {
+        graft.streaming.StreamOps.windowedEventCounts(
+          s, staged, ckpt, s"s1_mem_${System.nanoTime()}")
+      }
+    }),
+
+    // Gap-rule sessionization as CUSTOM STREAMING STATE
+    // (flatMapGroupsWithState carrying per-user (lastTs, sessions,
+    // events) across micro-batches) — must equal the batch
+    // window-function sessionization (the q4 oracle).
+    "s2_stream_sessionize" -> ((s, dir) => {
+      val staged = stagedEvents(s, dir)
+      val ckpt = java.nio.file.Files.createTempDirectory("s2_ckpt").toString
+      withFewPartitions(s) {
+        graft.streaming.StreamOps.sessionize(
+          s, staged, ckpt, s"s2_mem_${System.nanoTime()}")
+      }
     }),
 
     // Video modality: deterministic synthetic clips as REAL GIF89a binary
@@ -1478,6 +1526,39 @@ object SparkEntry {
         |  CAST(CASE WHEN s = 2 THEN c ELSE c + 1 END AS BIGINT) AS x1,
         |  CAST(CASE WHEN s = 0 THEN r ELSE r + 1 END AS BIGINT) AS y1
         |FROM bdry ORDER BY feature_id, x0, y0, x1, y1""".stripMargin,
+
+    // s1: the streaming windowed aggregate must equal the plain SQL
+    // windowed aggregate — 1-hour tumbling windows align to epoch hours
+    // in both engines (Spark windows anchor at the 1970 epoch,
+    // date_trunc('hour') likewise), counts are longs and the money sum
+    // uses the established exact-cents rule.
+    "s1_stream_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // s2: the streaming sessionizer's final per-user rows equal the batch
+    // window-function sessionization — byte-identical to the q4 oracle.
+    "s2_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(ts)
+        |      - lag(epoch_ms(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+        |    ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |c AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |  FROM s)
+        |SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // e2: exact cosine top-5 on the clustered fixture — equal to the IVF
     // result by construction (every query's true top-5 lives in its

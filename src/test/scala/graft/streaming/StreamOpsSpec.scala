@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming == batch: the watermarked windowed aggregation and the
+  * flatMapGroupsWithState sessionizer, drained with AvailableNow over the
+  * chronologically staged event stream, must equal their batch
+  * equivalents row-for-row. */
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val eventsPath = "/root/testdata/sf0.001/events.parquet"
+
+  private lazy val streamDir: String = StreamOps.stageChronological(
+    spark, eventsPath, Files.createTempDirectory("stream-ops").toString,
+    chunks = 4)
+
+  test("watermarked windowed agg (append) == batch windowed agg") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("stream-ops-ckpt-w").toString
+    val got = StreamOps.windowedEventCounts(spark, streamDir, ckpt, "wtest")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = spark.read.parquet(eventsPath)
+      .groupBy(window($"ts".cast("timestamp"), "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("value_cents"))
+      .select(unix_millis($"window.start").as("w_start"), $"event_type",
+        $"n", $"value_cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+  }
+
+  test("flatMapGroupsWithState sessionizer == batch window-function sessionization") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("stream-ops-ckpt-s").toString
+    val got = StreamOps.sessionize(spark, streamDir, ckpt, "stest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val want = spark.read.parquet(eventsPath)
+      .withColumn("gap", unix_millis($"ts".cast("timestamp")) -
+        lag(unix_millis($"ts".cast("timestamp")), 1).over(w))
+      .withColumn("new_sess", when($"gap".isNull || $"gap" > 1800000, 1L).otherwise(0L))
+      .withColumn("sess", sum($"new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id")
+      .agg(max($"sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+  }
+}
