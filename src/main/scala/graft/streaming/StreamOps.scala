@@ -23,7 +23,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (data-driven flush — no reliance on timeout firing semantics under
   * AvailableNow). At production scale neither trick is needed: a live
   * stream advances the watermark forever; sentinels are only how a
-  * FINITE drain reproduces the infinite-stream steady state. */
+  * FINITE drain reproduces the infinite-stream steady state. The memory
+  * sink is likewise the fixture gate's sink (results must land in one
+  * comparable table); a production deployment points the same queries at
+  * a durable sink (parquet/icelite via foreachBatch, as StreamIngest
+  * does) and none of the staging applies. */
 object StreamOps {
 
   /** Per-user session state: last event time (ms), closed+open session
@@ -31,10 +35,15 @@ object StreamOps {
   final case class SessState(lastTs: Long, sessions: Long, events: Long)
 
   /** Stage the static events table as a chronological file stream:
-    * `chunks` flat parquet files sorted by (ts, event_id) with strictly
-    * increasing modification times (the file source's processing order),
-    * plus two trailing flush files (see class doc). Returns the staged
-    * stream directory. */
+    * `chunks` flat parquet files covering disjoint time ranges (split at
+    * approximate ts quantiles — rows never leave the executors; the
+    * driver sees only the boundary values, the max ts and the distinct
+    * user list for the sentinels) with strictly increasing modification
+    * times (the file source's processing order), plus two trailing flush
+    * files (see class doc). Same-ts rows always land in one chunk (the
+    * split predicate is on ts alone), and between same-ts events the gap
+    * rule is order-independent (gap 0 either way), so the quantile split
+    * preserves every per-user session count. Returns the staged dir. */
   def stageChronological(spark: SparkSession, eventsParquet: String,
       streamDir: String, chunks: Int): String = {
     import spark.implicits._
@@ -43,18 +52,19 @@ object StreamOps {
     val ev = spark.read.parquet(eventsParquet)
       .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
         $"event_type", $"value", $"props")
-    val rows = ev.orderBy($"ts", $"event_id").collect()
-    val n = rows.length
-    require(n > 0, s"no events in $eventsParquet")
-    val schema = ev.schema
-    val users = rows.map(_.getLong(2)).distinct.sorted
-    val maxTs = rows.last.getTimestamp(1).getTime
-    def writeChunk(name: String, part: Array[org.apache.spark.sql.Row],
+    val evMs = ev.withColumn("ts_ms", unix_millis($"ts"))
+    val maxRow = evMs.agg(max($"ts_ms")).collect()(0)
+    require(!maxRow.isNullAt(0), s"no events in $eventsParquet")
+    val maxTs = maxRow.getLong(0)
+    val users = ev.select($"user_id").distinct()
+      .as[Long].collect().sorted // O(#users): the sentinel set is per-user
+    val bounds = evMs.stat.approxQuantile("ts_ms",
+      (1 until chunks).map(_.toDouble / chunks).toArray, 0.01)
+      .map(_.toLong).distinct.sorted
+    def moveChunk(name: String, df: org.apache.spark.sql.DataFrame,
         mtime: Long): Unit = {
       val tmp = Files.createTempDirectory("stream_chunk").toString
-      spark.createDataFrame(
-          java.util.Arrays.asList(part: _*), schema)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val partFile = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val dst = dir.resolve(name)
@@ -63,21 +73,27 @@ object StreamOps {
       dst.toFile.setLastModified(mtime)
       ()
     }
-    val per = math.max(1, (n + chunks - 1) / chunks)
     val base = System.currentTimeMillis() - 1000L * (chunks + 4)
-    rows.grouped(per).zipWithIndex.foreach { case (part, i) =>
-      writeChunk(f"c$i%03d.parquet", part.toArray, base + i * 1000L)
+    val cuts = (Vector(Long.MinValue) ++ bounds) :+ Long.MaxValue
+    cuts.sliding(2).zipWithIndex.foreach { case (pair, i) =>
+      val (lo, hi) = (pair(0), pair(1))
+      moveChunk(f"c$i%03d.parquet",
+        evMs.filter($"ts_ms" >= lo && $"ts_ms" < hi).drop("ts_ms"),
+        base + i * 1000L)
     }
     // flush 1: one generic far-future row (advances the watermark)
-    def sentinel(ts: Long, uid: Long) = org.apache.spark.sql.Row(
-      -1L, new java.sql.Timestamp(ts), uid, "zz_flush", 0.0, null)
-    writeChunk("f001.parquet", Array(sentinel(maxTs + 864000000L, -1L)),
+    def sentinels(ts: Long, uids: Seq[Long]) = {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(uids.map(u => org.apache.spark.sql.Row(
+          -1L, new java.sql.Timestamp(ts), u, "zz_flush", 0.0, null)): _*)
+      spark.createDataFrame(rows, ev.schema)
+    }
+    moveChunk("f001.parquet", sentinels(maxTs + 864000000L, Seq(-1L)),
       base + (chunks + 1) * 1000L)
     // flush 2: one sentinel per user (emits windows lagged one batch;
     // closes every session group)
-    writeChunk("f002.parquet",
-      users.map(u => sentinel(maxTs + 867600000L, u)) :+
-        sentinel(maxTs + 867600000L, -1L),
+    moveChunk("f002.parquet",
+      sentinels(maxTs + 867600000L, users.toSeq :+ -1L),
       base + (chunks + 2) * 1000L)
     streamDir
   }
