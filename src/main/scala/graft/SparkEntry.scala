@@ -426,6 +426,24 @@ object SparkEntry {
 
     // MinHash+LSH near-dup (banded candidates + exact verify; rows-only —
     // xxhash64 banding is engine-side; recall vs exact is ScalaTest-gated)
+    // Dedup CLUSTERING — the step a real dedup pipeline runs after pair
+    // generation: connected components over the verified near-dup pair
+    // graph (the d3 exact-Jaccard pairs), each doc mapped to its
+    // component's canonical representative (min doc_id — the keeper).
+    // Distributed min-label propagation (GraphOps): O(component
+    // diameter) shuffles of (id, label) pairs only; dup components are
+    // small by construction so the loop converges in a couple of rounds
+    // at any corpus size.
+    "d10_dedup_components" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.text.TextOps.jaccardPairs(table(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, threshold10 = 8, dfCap = 1000)
+        .select($"ia", $"ib")
+      graft.operators.GraphOps.minLabelComponents(pairs, "ia", "ib")
+        .select($"node".as("doc_id"), $"root".as("rep_id"))
+        .orderBy($"rep_id", $"doc_id")
+    }),
+
     "d4_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
       graft.text.TextOps.minhashLshPairs(table(s, dir, "documents"),
@@ -1526,6 +1544,28 @@ object SparkEntry {
         |  CAST(CASE WHEN s = 2 THEN c ELSE c + 1 END AS BIGINT) AS x1,
         |  CAST(CASE WHEN s = 0 THEN r ELSE r + 1 END AS BIGINT) AS y1
         |FROM bdry ORDER BY feature_id, x0, y0, x1, y1""".stripMargin,
+
+    // d10: recursive closure over the d3 pair graph (same CTEs), each
+    // node labeled by its component's min doc_id.
+    "d10_dedup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3) t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT ia, ib FROM inter
+        |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |  WHERE c * 10 >= 8 * (sa.sz + sb.sz - c)),
+        |e AS (SELECT ia AS n, ib AS m FROM p UNION ALL SELECT ib, ia FROM p),
+        |reach(n, lbl) AS (
+        |  SELECT n, n FROM (SELECT DISTINCT n FROM e) t
+        |  UNION
+        |  SELECT e.m, reach.lbl FROM reach JOIN e ON e.n = reach.n)
+        |SELECT n AS doc_id, CAST(min(lbl) AS BIGINT) AS rep_id
+        |FROM reach GROUP BY n ORDER BY rep_id, doc_id""".stripMargin,
 
     // s1: the streaming windowed aggregate must equal the plain SQL
     // windowed aggregate — 1-hour tumbling windows align to epoch hours

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation —
+  * the dissolve step shared by dedup clustering (near-dup pair graphs)
+  * and any other id-graph grouping. Each round every node takes the min
+  * of its own label and its neighbors' labels; fixpoint after
+  * O(component diameter) rounds, each a shuffle of (id, label) pairs
+  * only. Near-dup components are small by construction (a dup group),
+  * so the loop converges in a couple of rounds at any corpus size; the
+  * same code is Vectorize's seam-resolution shape (Vectorize keeps its
+  * own driver-UF fast path for tiny seam graphs). */
+object GraphOps {
+
+  /** `edges`: two long columns naming an undirected edge per row.
+    * Returns (node, root) for every node appearing in `edges`, where
+    * root is the component's minimum node id. */
+  def minLabelComponents(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col(aCol).as("n"), col(bCol).as("m"))
+      .unionByName(edges.select(col(bCol).as("n"), col(aCol).as("m")))
+      .distinct().persist(mem)
+    var labels = sym.select($"n").distinct().withColumn("lbl", $"n").persist(mem)
+    var changed = 1L
+    while (changed > 0) {
+      val next = sym.join(labels.withColumnRenamed("n", "m")
+            .withColumnRenamed("lbl", "nbLbl"), "m")
+        .groupBy($"n").agg(min($"nbLbl").as("nbMin"))
+        .join(labels, "n")
+        .select($"n", least($"nbMin", $"lbl").as("lbl"),
+          ($"nbMin" < $"lbl").cast("long").as("chg"))
+        .persist(mem)
+      changed = next.agg(sum($"chg")).collect()(0).getLong(0)
+      val prev = labels
+      labels = next.select($"n", $"lbl").persist(mem)
+      labels.count() // materialize off the still-persisted `next` — else
+      // unpersisting below would leave labels recomputing a growing
+      // unpersisted lineage chain every round
+      prev.unpersist()
+      next.unpersist()
+    }
+    sym.unpersist()
+    labels.select($"n".as("node"), $"lbl".as("root"))
+  }
+}
