@@ -439,7 +439,7 @@ object SparkEntry {
       val pairs = graft.text.TextOps.jaccardPairs(table(s, dir, "documents"),
           "doc_id", "text", shingleN = 3, threshold10 = 8, dfCap = 1000)
         .select($"ia", $"ib")
-      graft.operators.GraphOps.minLabelComponents(pairs, "ia", "ib")
+      graft.operators.GraphOps.components(pairs, "ia", "ib")
         .select($"node".as("doc_id"), $"root".as("rep_id"))
         .orderBy($"rep_id", $"doc_id")
     }),

@@ -14,6 +14,44 @@ import org.apache.spark.sql.functions._
   * own driver-UF fast path for tiny seam graphs). */
 object GraphOps {
 
+  /** Hybrid entry point (the Vectorize seam-resolution shape): below
+    * `driverLimit` edges a driver union-find resolves the components in
+    * one bounded collect — near-dup pair graphs are sparse by nature, so
+    * this is the common path and costs one O(#pairs) pass; above it the
+    * fully distributed [[minLabelComponents]] loop runs with no driver
+    * materialization anywhere. Both return (node, root = min node id). */
+  def components(edges: DataFrame, aCol: String, bCol: String,
+      driverLimit: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).persist()
+    val n = pairs.count()
+    val out =
+      if (n > driverLimit) minLabelComponents(pairs, "a", "b")
+      else {
+        val es = pairs.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nn = parent(c); parent(c) = r; c = nn }
+          r
+        }
+        es.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        spark.createDataset(parent.keys.toSeq.map(k => (k, find(k))))
+          .toDF("node", "root")
+      }
+    pairs.unpersist()
+    out
+  }
+
   /** `edges`: two long columns naming an undirected edge per row.
     * Returns (node, root) for every node appearing in `edges`, where
     * root is the component's minimum node id. */

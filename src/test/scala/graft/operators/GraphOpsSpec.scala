@@ -13,16 +13,24 @@ class GraphOpsSpec extends AnyFunSuite {
 
   test("minLabelComponents: chains, singleton-pair, min-id roots") {
     import spark.implicits._
-    // component {1,2,3,4,5} as a chain (diameter forces >1 round, with
-    // the min at one END so propagation must traverse the full chain),
+    // component {1,2,3} as a chain (diameter forces >1 propagation round,
+    // with the min at one END so it must traverse the chain),
     // component {10, 11}, component {20, 21, 22} as a triangle
-    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+    val edges = Seq((3L, 2L), (2L, 1L),
       (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
       .toDF("a", "b")
-    val got = GraphOps.minLabelComponents(edges, "a", "b")
-      .as[(Long, Long)].collect().toMap
-    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
-    assert(got == want)
+    val distributed = GraphOps.minLabelComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == want)
+    // hybrid driver-UF path (the common sparse-pair-graph case)
+    val driver = GraphOps.components(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(driver == want)
+    // hybrid forced onto the distributed path
+    val forced = GraphOps.components(edges, "a", "b", driverLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(forced == want)
   }
 }
