@@ -77,6 +77,16 @@ object SparkEntry {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+  /** Remove a drained stream's checkpoint dir — the returned result lives
+    * in the memory-sink table, so nothing references the checkpoint once
+    * awaitTermination returned; repeated runs would otherwise accumulate
+    * orphaned temp dirs. */
+  private def dropCheckpoint(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
 
   // ---------------------------------------------------------------- queries
 
@@ -610,10 +620,14 @@ object SparkEntry {
     "s1_stream_window" -> ((s, dir) => {
       val staged = stagedEvents(s, dir)
       val ckpt = java.nio.file.Files.createTempDirectory("s1_ckpt").toString
-      withFewPartitions(s) {
-        graft.streaming.StreamOps.windowedEventCounts(
-          s, staged, ckpt, s"s1_mem_${System.nanoTime()}")
+      // fixed sink name: the memory sink replaces the temp view on each
+      // run, so repeated invocations in one session don't accumulate
+      // result tables on the driver heap
+      val df = withFewPartitions(s) {
+        graft.streaming.StreamOps.windowedEventCounts(s, staged, ckpt, "s1_mem")
       }
+      dropCheckpoint(ckpt)
+      df
     }),
 
     // Gap-rule sessionization as CUSTOM STREAMING STATE
@@ -623,10 +637,11 @@ object SparkEntry {
     "s2_stream_sessionize" -> ((s, dir) => {
       val staged = stagedEvents(s, dir)
       val ckpt = java.nio.file.Files.createTempDirectory("s2_ckpt").toString
-      withFewPartitions(s) {
-        graft.streaming.StreamOps.sessionize(
-          s, staged, ckpt, s"s2_mem_${System.nanoTime()}")
+      val df = withFewPartitions(s) {
+        graft.streaming.StreamOps.sessionize(s, staged, ckpt, "s2_mem")
       }
+      dropCheckpoint(ckpt)
+      df
     }),
 
     // Video modality: deterministic synthetic clips as REAL GIF89a binary
@@ -868,6 +883,22 @@ object SparkEntry {
     * per-pixel gather, band aggregation) rather than the series itself —
     * the series is anchored to external truth by the ProjSpec OSGB
     * worked-example test (< 5 mm vs the published TM coordinates). */
+  /** The d3 exact-Jaccard pair CTE block, interpolated into BOTH the d3
+    * and d10 oracles so the pair rule (shingle construction, threshold
+    * 0.8) can never desynchronize between them. */
+  private val d3PairCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id,
+      |    unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)]) AS s
+      |  FROM toks WHERE len(w) >= 3) t),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |p AS (SELECT ia, ib, c, sa.sz AS sza, sb.sz AS szb FROM inter
+      |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+      |  WHERE c * 10 >= 8 * (sa.sz + sb.sz - c))""".stripMargin
+
   private def r17Sql: String = {
     val src = graft.core.Proj.fromEpsg(27700)
     val dst = graft.core.Proj.fromEpsg(32630)
@@ -1072,19 +1103,10 @@ object SparkEntry {
         |SELECT qid, rank, vid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "d3_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM (
-        |  SELECT doc_id,
-        |    unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)]) AS s
-        |  FROM toks WHERE len(w) >= 3) t),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      s"""WITH $d3PairCtes
         |SELECT ia, ib, CAST(c AS BIGINT) AS inter,
-        |  CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb
-        |FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-        |WHERE c * 10 >= 8 * (sa.sz + sb.sz - c)
-        |ORDER BY ia, ib""".stripMargin,
+        |  CAST(sza AS BIGINT) AS sza, CAST(szb AS BIGINT) AS szb
+        |FROM p ORDER BY ia, ib""".stripMargin,
 
     "d6_langid" -> {
       def score(lang: String): String =
@@ -1548,17 +1570,7 @@ object SparkEntry {
     // d10: recursive closure over the d3 pair graph (same CTEs), each
     // node labeled by its component's min doc_id.
     "d10_dedup_components" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM (
-        |  SELECT doc_id,
-        |    unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)]) AS s
-        |  FROM toks WHERE len(w) >= 3) t),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |p AS (SELECT ia, ib FROM inter
-        |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-        |  WHERE c * 10 >= 8 * (sa.sz + sb.sz - c)),
+      s"""WITH RECURSIVE $d3PairCtes,
         |e AS (SELECT ia AS n, ib AS m FROM p UNION ALL SELECT ib, ia FROM p),
         |reach(n, lbl) AS (
         |  SELECT n, n FROM (SELECT DISTINCT n FROM e) t

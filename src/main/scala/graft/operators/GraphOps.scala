@@ -72,7 +72,8 @@ object GraphOps {
         .select($"n", least($"nbMin", $"lbl").as("lbl"),
           ($"nbMin" < $"lbl").cast("long").as("chg"))
         .persist(mem)
-      changed = next.agg(sum($"chg")).collect()(0).getLong(0)
+      val chgRow = next.agg(sum($"chg")).collect()(0)
+      changed = if (chgRow.isNullAt(0)) 0L else chgRow.getLong(0) // null: no nodes
       val prev = labels
       labels = next.select($"n", $"lbl").persist(mem)
       labels.count() // materialize off the still-persisted `next` — else
@@ -81,7 +82,12 @@ object GraphOps {
       prev.unpersist()
       next.unpersist()
     }
+    // hand back a localCheckpoint so the loop's cached frames can be
+    // released now — the result's blocks live and die with the returned
+    // DataFrame (ContextCleaner), not with this method's internals
+    val out = labels.select($"n".as("node"), $"lbl".as("root")).localCheckpoint()
+    labels.unpersist()
     sym.unpersist()
-    labels.select($"n".as("node"), $"lbl".as("root"))
+    out
   }
 }
