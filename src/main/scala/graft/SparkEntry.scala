@@ -1463,7 +1463,10 @@ object SparkEntry {
     // for n = 64). The invariants themselves — every row PSNR >= 40 dB,
     // every png round-trips bit-exactly (psnr = inf), every caption
     // propagates byte-equal — are what the engine must prove; raw PSNR
-    // values are decoder-specific and deliberately excluded.
+    // values are decoder-specific and deliberately excluded. The oracle
+    // pins jpg n_exact = 0 on purpose: a jpg tile round-tripping
+    // bit-exactly would mean the fixture stopped exercising the lossy
+    // path, and the gate failing IS the desired signal there.
     "i1_image_invariants" ->
       """WITH r AS (
         |  SELECT CASE WHEN t.i % 4 = 3 THEN 'jpg' ELSE 'png' END AS fmt
