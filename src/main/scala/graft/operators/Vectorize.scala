@@ -31,14 +31,6 @@ object Vectorize {
       borders: Array[(Int, Int, Int, Long, Double)], // (side, row, col, label, value)
       edges: Array[(Long, Int, Int, Byte)]) // (label, row, col, side 0=T 1=B 2=L 3=R)
 
-  private def find(parent: mutable.LongMap[Long], x: Long): Long = {
-    var r = x
-    while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-    var c = x
-    while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
-    r
-  }
-
   /** Label one halo'd tile core with 4-connectivity union-find; labels
     * globalized as cellId * 2^20 + local root. Boundary edges use the halo
     * for neighbor values (grid edge / NaN / different value -> edge). */
@@ -173,41 +165,10 @@ object Vectorize {
         $"a.r" === $"x.r" && $"a.c" + 1 === $"x.c" && $"a.v" === $"x.v" && $"a.g" =!= $"x.g")
       .select($"a.g".as("g1"), $"x.g".as("g2"))
     val edgeDf = down.union(right).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edgeDf.count()
-    if (nEdges <= driverLimit) {
-        val equivs = edgeDf.as[(Long, Long)].collect()
-        val parent = new mutable.LongMap[Long]()
-        equivs.foreach { case (a, b2) =>
-          val ra = find(parent, a)
-          val rb = find(parent, b2)
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        spark.createDataset(parent.keys.map(k => (k, find(parent, k))).toSeq)
-          .toDF("g", "root")
-      } else {
-        // distributed min-label propagation over the UNDIRECTED seam graph
-        val sym = edgeDf.as[(Long, Long)]
-          .flatMap(e => Iterator(e, (e._2, e._1))).toDF("n", "m")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var labels = sym.select($"n").distinct()
-          .withColumn("lbl", $"n")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var changed = 1L
-        while (changed > 0) {
-          val next = sym.join(labels, sym("m") === labels("n"))
-            .groupBy(sym("n").as("node"))
-            .agg(min($"lbl").as("nbMin"))
-            .join(labels.withColumnRenamed("n", "node"), "node")
-            .select($"node".as("n"),
-              least($"nbMin", $"lbl").as("lbl"),
-              ($"nbMin" < $"lbl").cast("long").as("chg"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          changed = next.agg(sum($"chg")).collect()(0).getLong(0)
-          labels = next.select($"n", $"lbl")
-        }
-        labels.select($"n".as("g"), $"lbl".as("root")) // stays distributed
-      }
+    // one shared dissolve mechanism: GraphOps picks driver union-find
+    // under the limit, distributed min-label propagation above it
+    GraphOps.components(edgeDf, "g1", "g2", driverLimit)
+      .withColumnRenamed("node", "g")
   }
 
   /** Component stats per value class: (value, n_components, n_pixels).
