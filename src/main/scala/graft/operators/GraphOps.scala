@@ -62,7 +62,16 @@ object GraphOps {
     val sym = edges.select(col(aCol).as("n"), col(bCol).as("m"))
       .unionByName(edges.select(col(bCol).as("n"), col(aCol).as("m")))
       .distinct().persist(mem)
-    var labels = sym.select($"n").distinct().withColumn("lbl", $"n").persist(mem)
+    // localCheckpoint every round, NOT persist: each round's plan embeds
+    // the previous round's, so with plain caching the LOGICAL plan (and
+    // catalyst analysis time) grows exponentially in the round count —
+    // on graphs with diameter ~15+ the driver ends up spending minutes
+    // in plan analysis. localCheckpoint truncates the lineage to a
+    // materialized LogicalRDD, keeping every round's plan constant-size;
+    // the checkpoint blocks are released by the ContextCleaner when the
+    // superseded frames are collected.
+    var labels = sym.select($"n").distinct().withColumn("lbl", $"n")
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val next = sym.join(labels.withColumnRenamed("n", "m")
@@ -71,23 +80,12 @@ object GraphOps {
         .join(labels, "n")
         .select($"n", least($"nbMin", $"lbl").as("lbl"),
           ($"nbMin" < $"lbl").cast("long").as("chg"))
-        .persist(mem)
+        .localCheckpoint()
       val chgRow = next.agg(sum($"chg")).collect()(0)
       changed = if (chgRow.isNullAt(0)) 0L else chgRow.getLong(0) // null: no nodes
-      val prev = labels
-      labels = next.select($"n", $"lbl").persist(mem)
-      labels.count() // materialize off the still-persisted `next` — else
-      // unpersisting below would leave labels recomputing a growing
-      // unpersisted lineage chain every round
-      prev.unpersist()
-      next.unpersist()
+      labels = next.select($"n", $"lbl")
     }
-    // hand back a localCheckpoint so the loop's cached frames can be
-    // released now — the result's blocks live and die with the returned
-    // DataFrame (ContextCleaner), not with this method's internals
-    val out = labels.select($"n".as("node"), $"lbl".as("root")).localCheckpoint()
-    labels.unpersist()
     sym.unpersist()
-    out
+    labels.select($"n".as("node"), $"lbl".as("root"))
   }
 }

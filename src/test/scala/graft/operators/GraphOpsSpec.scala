@@ -33,4 +33,35 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(forced == want)
   }
+
+  test("components == BFS oracle on a seeded random graph (both paths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 120
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // BFS oracle over the same undirected edge set
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val want = scala.collection.mutable.Map[Long, Long]()
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!want.contains(start)) {
+        var comp = Set(start)
+        var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj) -- comp
+          comp ++= frontier
+        }
+        val root = comp.min
+        comp.foreach(v => want(v) = root)
+      }
+    }
+    val df = edges.toDF("a", "b")
+    val driver = GraphOps.components(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(driver == want.toMap)
+    val dist = GraphOps.components(df, "a", "b", driverLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == want.toMap)
+  }
 }
