@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.corpus.{ImageCorpus, Synth}
-import graft.operators.{Bilinear, ClipPolygon, Convolve, Downsample, Gather, Knn, Line2Sub, PtRec, Rasterize, Reproject, Stencil, TileFns, TileOps, Vectorize}
+import graft.operators.{Bilinear, ClipPolygon, Convolve, Downsample, Flow, Gather, Knn, Line2Sub, PtRec, Rasterize, Reproject, Stencil, TileFns, TileOps, Vectorize}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
@@ -707,6 +707,28 @@ object SparkEntry {
       Vectorize.componentStats(blocky, Synth.gridARef, tileRes)
     }),
 
+    // H1 (beyond-reference, in-domain hydrology): D8 flow direction over
+    // the icelite-backed DEM — steepest positive drop, ESRI power-of-two
+    // codes, smallest code on ties, 0 at pits. Hash-gated per cell: z is
+    // dyadic and sqrt(2) is exact-rounded, so every drop double is
+    // bit-identical cross-engine and comparisons can never diverge.
+    "r24_flowdir" -> ((s, _) => {
+      import s.implicits._
+      Flow.flowDir(demTiles(s), Synth.demRef, tileRes)
+        .select($"row", $"col", $"dir".cast("long").as("dir"))
+        .orderBy($"row", $"col")
+    }),
+
+    // H2: D8 flow accumulation (cells draining through, incl. self) via
+    // the tile-condensation pattern — local topological accumulate per
+    // tile, a crossing-edge-only condensed solve (O(perimeter)), then a
+    // seeded second pass. Oracle = WITH RECURSIVE downstream closure.
+    "r25_flowacc" -> ((s, _) => {
+      import s.implicits._
+      Flow.flowAcc(demTiles(s), Synth.demRef, tileRes)
+        .orderBy($"row", $"col")
+    }),
+
     // W2: bilinear resample via halo'd gather join
     "r11_bilinear" -> ((s, _) => {
       import s.implicits._
@@ -886,6 +908,35 @@ object SparkEntry {
   /** The d3 exact-Jaccard pair CTE block, interpolated into BOTH the d3
     * and d10 oracles so the pair rule (shingle construction, threshold
     * 0.8) can never desynchronize between them. */
+  /** Shared D8 CTE block (DEM fixture + candidate drops + per-cell best
+    * direction), interpolated into BOTH the r24 and r25 oracles so the
+    * direction rule can never desynchronize between them. Drops use the
+    * engine's exact operand order — `(z - zn) / (5.0 * sqrt(2.0))` for
+    * diagonals — so every compared double is bit-identical cross-engine
+    * (dyadic z, IEEE exact-rounded sqrt). MATERIALIZED keeps DuckDB from
+    * re-inlining the fixture grid into each join (50x). */
+  private def d8Ctes: String = {
+    val nc = Synth.demRef.ncols
+    s"""g AS MATERIALIZED (
+       |  SELECT (i // $nc) AS r, (i % $nc) AS c,
+       |         CASE WHEN (i % 97) = 13 THEN NULL
+       |              ELSE (((i // $nc) * 31 + (i % $nc) * 17) % 1000) / 4.0 END AS v
+       |  FROM range(${Synth.demRef.nrows.toLong * nc}) t(i)),
+       |dd(code, dr, dc) AS (VALUES (1,0,1),(2,1,1),(4,1,0),(8,1,-1),
+       |                            (16,0,-1),(32,-1,-1),(64,-1,0),(128,-1,1)),
+       |cand AS (
+       |  SELECT a.r, a.c, d.code, d.dr, d.dc,
+       |         (a.v - b.v) / (CASE WHEN d.dr != 0 AND d.dc != 0
+       |                             THEN 5.0 * sqrt(2.0) ELSE 5.0 END) AS dp
+       |  FROM g a JOIN dd d ON true
+       |  JOIN g b ON b.r = a.r + d.dr AND b.c = a.c + d.dc
+       |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL),
+       |best AS MATERIALIZED (
+       |  SELECT r, c, code, dr, dc, dp,
+       |         row_number() OVER (PARTITION BY r, c ORDER BY dp DESC, code ASC) AS rn
+       |  FROM cand)""".stripMargin
+  }
+
   private val d3PairCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -1505,6 +1556,27 @@ object SparkEntry {
 
     // r17: full reproject replication — see r17Sql scaladoc
     "r17_reproject" -> r17Sql,
+
+    // r24: per-cell D8 direction from the shared CTE block; LEFT JOIN
+    // restores pit cells (no positive drop) as dir 0.
+    "r24_flowdir" -> s"""WITH $d8Ctes,
+      |dirx AS (SELECT r, c, code FROM best WHERE rn = 1 AND dp > 0)
+      |SELECT g.r AS row, g.c AS col, CAST(COALESCE(d.code, 0) AS BIGINT) AS dir
+      |FROM g LEFT JOIN dirx d ON d.r = g.r AND d.c = g.c
+      |WHERE g.v IS NOT NULL ORDER BY row, col""".stripMargin,
+
+    // r25: downstream closure of the D8 edge set — every (start, cell on
+    // its path) pair, counted per cell (= upstream cells incl. self).
+    // Terminates because z strictly decreases along every edge (DAG).
+    "r25_flowacc" -> s"""WITH RECURSIVE $d8Ctes,
+      |edges AS MATERIALIZED (
+      |  SELECT r, c, r + dr AS r2, c + dc AS c2 FROM best WHERE rn = 1 AND dp > 0),
+      |walk AS (
+      |  SELECT r AS sr, c AS sc, r, c FROM g WHERE v IS NOT NULL
+      |  UNION ALL
+      |  SELECT w.sr, w.sc, e.r2, e.c2 FROM walk w JOIN edges e ON w.r = e.r AND w.c = e.c)
+      |SELECT r AS row, c AS col, CAST(count(*) AS BIGINT) AS acc
+      |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // r22: connected components by transitive closure over the same-value
     // 4-adjacency (closure rows bounded by sum of component-size^2 — the
