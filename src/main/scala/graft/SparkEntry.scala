@@ -729,6 +729,37 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // H3: watershed delineation + downstream flow length — every cell's
+    // basin outlet (terminal pit of its D8 path) and the path's step
+    // counts, kept as exact (cardinal, diagonal) integers so the length
+    // `cs*(ncard + ndiag*sqrt2)` never enters the hash. Same condensation
+    // scale shape as r25. Oracle = terminal row of the recursive
+    // downstream walk (the one cell on each path with no outgoing edge).
+    "r26_watershed" -> ((s, _) => {
+      import s.implicits._
+      Flow.downstream(demTiles(s), Synth.demRef, tileRes)
+        .orderBy($"row", $"col")
+    }),
+
+    // H4: stream-network extraction — D8 edges whose source cell's
+    // accumulation meets the channel-initiation threshold (support-area
+    // rule). One equi-join of r25's accumulation with r24's directions.
+    "r27_streams" -> ((s, _) => {
+      import s.implicits._
+      Flow.streamNetwork(demTiles(s), Synth.demRef, tileRes, threshold = 25L)
+        .orderBy($"row", $"col")
+    }),
+
+    // H5: longest upstream drainage path (hydraulic-length analog) via a
+    // max-plus condensed solve (mirror of r25's sum solve); weighted
+    // comparator `ncard + ndiag*sqrt2` with ties to the larger cardinal
+    // count, replicated verbatim in the oracle's window ORDER BY.
+    "r28_flowlength" -> ((s, _) => {
+      import s.implicits._
+      Flow.longestUpstream(demTiles(s), Synth.demRef, tileRes)
+        .orderBy($"row", $"col")
+    }),
+
     // W2: bilinear resample via halo'd gather join
     "r11_bilinear" -> ((s, _) => {
       import s.implicits._
@@ -936,6 +967,24 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY r, c ORDER BY dp DESC, code ASC) AS rn
        |  FROM cand)""".stripMargin
   }
+
+  /** The D8 downstream walk with step counts, shared by the r25/r26/r27/
+    * r28 oracles (one closure definition — the queries can never
+    * desynchronize on the edge set or the count rule). Each walk row is
+    * (start cell, cell on its path, cardinal/diagonal steps start->cell);
+    * terminates because z strictly decreases along every edge. */
+  private def d8WalkCtes: String =
+    s"""$d8Ctes,
+       |edges AS MATERIALIZED (
+       |  SELECT r, c, r + dr AS r2, c + dc AS c2,
+       |         CASE WHEN dr != 0 AND dc != 0 THEN 1 ELSE 0 END AS diag
+       |  FROM best WHERE rn = 1 AND dp > 0),
+       |walk AS (
+       |  SELECT r AS sr, c AS sc, r, c, 0 AS ncard, 0 AS ndiag
+       |  FROM g WHERE v IS NOT NULL
+       |  UNION ALL
+       |  SELECT w.sr, w.sc, e.r2, e.c2, w.ncard + 1 - e.diag, w.ndiag + e.diag
+       |  FROM walk w JOIN edges e ON w.r = e.r AND w.c = e.c)""".stripMargin
 
   private val d3PairCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1568,15 +1617,41 @@ object SparkEntry {
     // r25: downstream closure of the D8 edge set — every (start, cell on
     // its path) pair, counted per cell (= upstream cells incl. self).
     // Terminates because z strictly decreases along every edge (DAG).
-    "r25_flowacc" -> s"""WITH RECURSIVE $d8Ctes,
-      |edges AS MATERIALIZED (
-      |  SELECT r, c, r + dr AS r2, c + dc AS c2 FROM best WHERE rn = 1 AND dp > 0),
-      |walk AS (
-      |  SELECT r AS sr, c AS sc, r, c FROM g WHERE v IS NOT NULL
-      |  UNION ALL
-      |  SELECT w.sr, w.sc, e.r2, e.c2 FROM walk w JOIN edges e ON w.r = e.r AND w.c = e.c)
+    "r25_flowacc" -> s"""WITH RECURSIVE $d8WalkCtes
       |SELECT r AS row, c AS col, CAST(count(*) AS BIGINT) AS acc
       |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // r26: the terminal row of each start's downstream walk — the unique
+    // path cell with no outgoing D8 edge (the basin pit) + step counts.
+    "r26_watershed" -> s"""WITH RECURSIVE $d8WalkCtes,
+      |term AS (SELECT w.sr, w.sc, w.r, w.c, w.ncard, w.ndiag FROM walk w
+      |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.r = w.r AND e.c = w.c))
+      |SELECT CAST(sr AS BIGINT) AS row, CAST(sc AS BIGINT) AS col,
+      |       CAST(r AS BIGINT) AS basin_r, CAST(c AS BIGINT) AS basin_c,
+      |       CAST(ncard AS BIGINT) AS ncard, CAST(ndiag AS BIGINT) AS ndiag
+      |FROM term ORDER BY row, col""".stripMargin,
+
+    // r27: channel-initiation filter over the walk-derived accumulation,
+    // joined back to the D8 edge set (threshold 25 support cells).
+    "r27_streams" -> s"""WITH RECURSIVE $d8WalkCtes,
+      |acc AS (SELECT r, c, count(*) AS a FROM walk GROUP BY 1, 2)
+      |SELECT CAST(e.r AS BIGINT) AS row, CAST(e.c AS BIGINT) AS col,
+      |       CAST(e.r2 AS BIGINT) AS to_r, CAST(e.c2 AS BIGINT) AS to_c,
+      |       CAST(a.a AS BIGINT) AS acc
+      |FROM edges e JOIN acc a ON a.r = e.r AND a.c = e.c
+      |WHERE a.a >= 25 ORDER BY row, col""".stripMargin,
+
+    // r28: longest upstream path per cell — max over walk rows ending at
+    // the cell, weighted `ncard + ndiag*sqrt(2.0)` with ties to the larger
+    // cardinal count (the engine's comparator, verbatim).
+    "r28_flowlength" -> s"""WITH RECURSIVE $d8WalkCtes,
+      |up AS (SELECT r, c, ncard, ndiag,
+      |  row_number() OVER (PARTITION BY r, c
+      |    ORDER BY (ncard + ndiag * sqrt(2.0)) DESC, ncard DESC) AS rn
+      |  FROM walk)
+      |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+      |       CAST(ncard AS BIGINT) AS ncard, CAST(ndiag AS BIGINT) AS ndiag
+      |FROM up WHERE rn = 1 ORDER BY row, col""".stripMargin,
 
     // r22: connected components by transitive closure over the same-value
     // 4-adjacency (closure rows bounded by sum of component-size^2 — the

@@ -279,4 +279,358 @@ object Flow {
       }.toDF("row", "col", "acc").localCheckpoint(true)
     } finally padded.unpersist()
   }
+
+  // ---------------------------------------------------------------------
+  // Downstream trace (watershed basins + flow path length) and longest
+  // upstream drainage path — both ride the same tile-condensation shape
+  // as flowAcc: per-tile memoized traces, a crossing-edge-only condensed
+  // solve (O(perimeter)), and a seeded second pass. Path lengths are kept
+  // as INTEGER (cardinal, diagonal) step counts so results are exact
+  // cross-engine; physical length = cellsize * (ncard + ndiag * sqrt(2)).
+
+  /** Per-cell in-tile trace memo. For every local index i:
+    * `typ` 1 = path ends at in-tile pit `term(i)`, 2 = path reaches the
+    * crossing cell `term(i)` (whose dir leaves the tile), 3 = NaN cell;
+    * `cnc`/`cnd` = cardinal/diagonal steps from i to that terminal
+    * (exclusive of the crossing step itself). Memoized stack walk, O(n). */
+  private def localTrace(pt: Stencil.Padded, dirs: Array[Int])
+      : (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
+    val n = pt.h * pt.w
+    val typ = new Array[Byte](n)
+    val term = new Array[Int](n)
+    val cnc = new Array[Int](n)
+    val cnd = new Array[Int](n)
+    val stack = new scala.collection.mutable.ArrayBuffer[Int]
+    var i = 0
+    while (i < n) {
+      if (dirs(i) == -1) typ(i) = 3
+      else if (typ(i) == 0) {
+        stack.clear()
+        var j = i
+        var resolved = false
+        while (!resolved) {
+          if (typ(j) != 0) resolved = true
+          else if (dirs(j) == 0) { typ(j) = 1; term(j) = j; resolved = true }
+          else {
+            val (dr, dc) = delta(dirs(j))
+            val tr = j / pt.w + dr
+            val tc = j % pt.w + dc
+            if (tr < 0 || tr >= pt.h || tc < 0 || tc >= pt.w) {
+              typ(j) = 2; term(j) = j; resolved = true
+            } else { stack += j; j = tr * pt.w + tc }
+          }
+        }
+        var k = stack.length - 1
+        while (k >= 0) {
+          val u = stack(k)
+          val (dr, dc) = delta(dirs(u))
+          val v = (u / pt.w + dr) * pt.w + (u % pt.w + dc)
+          val diag = dr != 0 && dc != 0
+          typ(u) = typ(v); term(u) = term(v)
+          cnc(u) = cnc(v) + (if (diag) 0 else 1)
+          cnd(u) = cnd(v) + (if (diag) 1 else 0)
+          k -= 1
+        }
+      }
+      i += 1
+    }
+    (typ, term, cnc, cnd)
+  }
+
+  /** Pass-1 summary for the trace solves (public for encoder derivation).
+    * crossing: (xR, xC, tR, tC, diag 0/1, bestNc, bestNd) — crossing cell,
+    * its out-of-tile target, the crossing step kind, and the tile-local
+    * longest-upstream counts at x (for [[longestUpstream]]).
+    * routing: (bR, bC, kind 1|2, termR, termC, nc, nd) — each border
+    * cell's in-tile trace terminal (pit or exit crossing cell) + counts. */
+  final case class TraceSummary(
+      crossing: Array[(Long, Long, Long, Long, Int, Long, Long)],
+      routing: Array[(Long, Long, Int, Long, Long, Long, Long)])
+
+  /** weighted-length comparator: is (anc, and) strictly better than
+    * (bnc, bnd)? Longer `nc + nd*sqrt2`; ties -> larger cardinal count.
+    * Operand order matches the DuckDB oracle's ORDER BY expression. */
+  private def longer(anc: Long, and: Long, bnc: Long, bnd: Long): Boolean = {
+    val la = anc + and * Sqrt2
+    val lb = bnc + bnd * Sqrt2
+    la > lb || (la == lb && anc > bnc)
+  }
+
+  /** In-tile longest-upstream DAG solve (max-plus mirror of [[localAcc]]).
+    * `seeds` maps a global (row, col) to external best (nc, nd) arriving
+    * at that cell (crossing step already counted). Returns (bnc, bnd). */
+  private def localLongest(pt: Stencil.Padded, dirs: Array[Int],
+      seeds: scala.collection.Map[(Long, Long), (Long, Long)])
+      : (Array[Long], Array[Long]) = {
+    val n = pt.h * pt.w
+    val bnc = new Array[Long](n)
+    val bnd = new Array[Long](n)
+    val indeg = new Array[Int](n)
+    val succ = new Array[Int](n)
+    val diag = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      succ(i) = -1
+      if (dirs(i) > 0) {
+        val (dr, dc) = delta(dirs(i))
+        val tr = i / pt.w + dr
+        val tc = i % pt.w + dc
+        if (tr >= 0 && tr < pt.h && tc >= 0 && tc < pt.w) {
+          succ(i) = tr * pt.w + tc
+          diag(i) = dr != 0 && dc != 0
+          indeg(succ(i)) += 1
+        }
+      }
+      i += 1
+    }
+    val queue = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < n) {
+      if (dirs(i) >= 0) {
+        seeds.get(((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong))
+          .foreach { case (snc, snd) =>
+            if (longer(snc, snd, bnc(i), bnd(i))) { bnc(i) = snc; bnd(i) = snd }
+          }
+        if (indeg(i) == 0) queue.add(i)
+      }
+      i += 1
+    }
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      val v = succ(u)
+      if (v >= 0) {
+        val nc2 = bnc(u) + (if (diag(u)) 0 else 1)
+        val nd2 = bnd(u) + (if (diag(u)) 1 else 0)
+        if (longer(nc2, nd2, bnc(v), bnd(v))) { bnc(v) = nc2; bnd(v) = nd2 }
+        indeg(v) -= 1
+        if (indeg(v) == 0) queue.add(v)
+      }
+    }
+    (bnc, bnd)
+  }
+
+  /** Collect the pass-1 trace summaries (shared by [[downstream]] and
+    * [[longestUpstream]]): per tile, crossing edges + border routing. */
+  private def traceSummaries(padded: Dataset[Stencil.Padded], cs: Double)
+      : Array[TraceSummary] = {
+    import padded.sparkSession.implicits._
+    padded.mapPartitions { it =>
+      it.map { pt =>
+        val dirs = dirPlane(pt, cs)
+        val (typ, term, cnc, cnd) = localTrace(pt, dirs)
+        val (bnc, bnd) = localLongest(pt, dirs, Map.empty)
+        val crossing = Array.newBuilder[(Long, Long, Long, Long, Int, Long, Long)]
+        var i = 0
+        while (i < dirs.length) {
+          if (typ(i) == 2 && term(i) == i) {
+            val (dr, dc) = delta(dirs(i))
+            crossing += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+              (pt.row0 + i / pt.w + dr).toLong, (pt.col0 + i % pt.w + dc).toLong,
+              if (dr != 0 && dc != 0) 1 else 0, bnc(i), bnd(i)))
+          }
+          i += 1
+        }
+        val routing = Array.newBuilder[(Long, Long, Int, Long, Long, Long, Long)]
+        var r = 0
+        while (r < pt.h) {
+          var c = 0
+          while (c < pt.w) {
+            val j = r * pt.w + c
+            if ((r == 0 || r == pt.h - 1 || c == 0 || c == pt.w - 1) && typ(j) != 3)
+              routing += (((pt.row0 + r).toLong, (pt.col0 + c).toLong, typ(j).toInt,
+                (pt.row0 + term(j) / pt.w).toLong, (pt.col0 + term(j) % pt.w).toLong,
+                cnc(j).toLong, cnd(j).toLong))
+            c += 1
+          }
+          r += 1
+        }
+        TraceSummary(crossing.result(), routing.result())
+      }
+    }.collect()
+  }
+
+  /** Watershed + downstream flow length: for every valid cell, the basin
+    * outlet (terminal pit) its D8 path drains to and the path step counts
+    * to that outlet — `(row, col, basin_r, basin_c, ncard, ndiag)`. Pits
+    * map to themselves with (0, 0). Same condensation scale shape as
+    * [[flowAcc]]; `driverLimit` bounds the crossing-edge solve. */
+  def downstream(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      driverLimit: Int = 2000000): DataFrame = {
+    import tiles.sparkSession.implicits._
+    val cs = ref.cellsize
+    val padded = Stencil.padded(tiles, ref, res).persist()
+    try {
+      val summaries = traceSummaries(padded, cs)
+      val crossings = summaries.flatMap(_.crossing)
+      require(crossings.length <= driverLimit,
+        s"condensed trace graph ${crossings.length} exceeds driverLimit=$driverLimit; " +
+          "re-run with coarser tiles (higher res) to condense further")
+      val target = crossings.map { case (xr, xc, tr, tc, dg, _, _) =>
+        (xr, xc) -> (tr, tc, dg) }.toMap
+      val route = summaries.flatMap(_.routing)
+        .map { case (br, bc, k, tr, tc, nc, nd) => (br, bc) -> (k, tr, tc, nc, nd) }.toMap
+      // resolve every crossing cell to (pitR, pitC, nc, nd) — counts from
+      // the crossing cell INCLUSIVE of its crossing step. Iterative chain
+      // walk with memoization; acyclic because z strictly decreases.
+      val memo = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long, Long)]()
+      target.keys.foreach { x0 =>
+        if (!memo.contains(x0)) {
+          // walk the crossing chain until a memoized cell or an in-tile pit,
+          // recording each chain cell's own step+route counts; then unwind.
+          val chain = scala.collection.mutable.ArrayBuffer[((Long, Long), Long, Long)]()
+          var cur = x0
+          var base: (Long, Long, Long, Long) = null // F(cell after the chain)
+          while (base == null) {
+            memo.get(cur) match {
+              case Some(f) => base = f
+              case None =>
+                val (tr, tc, dg) = target(cur)
+                val stepNc = if (dg == 1) 0L else 1L
+                val stepNd = if (dg == 1) 1L else 0L
+                val (k, er, ec, nc, nd) = route.getOrElse((tr, tc),
+                  throw new IllegalStateException(s"no routing for crossing target ($tr,$tc)"))
+                if (k == 1) { // dies at pit (er, ec) in the target tile
+                  base = (er, ec, stepNc + nc, stepNd + nd)
+                  memo(cur) = base
+                } else {
+                  chain += ((cur, stepNc + nc, stepNd + nd))
+                  require(chain.length <= target.size, "crossing chain cycle — non-monotone dirs")
+                  cur = (er, ec) // the exit crossing cell of the target tile
+                }
+            }
+          }
+          var k = chain.length - 1
+          while (k >= 0) {
+            val (x, addNc, addNd) = chain(k)
+            base = (base._1, base._2, base._3 + addNc, base._4 + addNd)
+            memo(x) = base
+            k -= 1
+          }
+        }
+      }
+      val bc = tiles.sparkSession.sparkContext.broadcast(memo.toMap)
+      padded.flatMap { pt =>
+        val dirs = dirPlane(pt, cs)
+        val (typ, term, cnc, cnd) = localTrace(pt, dirs)
+        val m = bc.value
+        val out = Array.newBuilder[(Long, Long, Long, Long, Long, Long)]
+        var i = 0
+        while (i < dirs.length) {
+          if (typ(i) == 1) {
+            out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+              (pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong,
+              cnc(i).toLong, cnd(i).toLong))
+          } else if (typ(i) == 2) {
+            val x = ((pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong)
+            val (pr, pc, nc, nd) = m(x)
+            out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+              pr, pc, cnc(i) + nc, cnd(i) + nd))
+          }
+          i += 1
+        }
+        out.result().iterator
+      }.toDF("row", "col", "basin_r", "basin_c", "ncard", "ndiag").localCheckpoint(true)
+    } finally padded.unpersist()
+  }
+
+  /** Longest upstream drainage path per cell (time-of-concentration /
+    * hydraulic-length analog): `(row, col, ncard, ndiag)` of the longest
+    * weighted path `nc + nd*sqrt2` ending at the cell; ridge cells (0,0);
+    * ties broken to the larger cardinal count. Max-plus condensation over
+    * crossing edges, mirroring [[flowAcc]]'s sum solve. */
+  def longestUpstream(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      driverLimit: Int = 2000000): DataFrame = {
+    import tiles.sparkSession.implicits._
+    val cs = ref.cellsize
+    val padded = Stencil.padded(tiles, ref, res).persist()
+    try {
+      val summaries = traceSummaries(padded, cs)
+      val crossings = summaries.flatMap(_.crossing)
+      require(crossings.length <= driverLimit,
+        s"condensed trace graph ${crossings.length} exceeds driverLimit=$driverLimit")
+      val route = summaries.flatMap(_.routing)
+        .map { case (br, bcc, k, tr, tc, nc, nd) => (br, bcc) -> (k, tr, tc, nc, nd) }.toMap
+      // condensed max-plus: node = crossing cell; W init = tile-local best;
+      // edge x -> x2 when x's target routes to exit x2, weight = crossing
+      // step + in-tile path(target -> x2)
+      val w = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+      val targetOf = scala.collection.mutable.Map[(Long, Long), (Long, Long, Int)]()
+      crossings.foreach { case (xr, xc, tr, tc, dg, bnc, bnd) =>
+        w((xr, xc)) = (bnc, bnd)
+        targetOf((xr, xc)) = (tr, tc, dg)
+      }
+      val succ: Map[(Long, Long), Option[((Long, Long), Long, Long)]] =
+        targetOf.map { case (x, (tr, tc, dg)) =>
+          val stepNc = if (dg == 1) 0L else 1L
+          val stepNd = if (dg == 1) 1L else 0L
+          x -> route.get((tr, tc)).flatMap { case (k, er, ec, nc, nd) =>
+            if (k == 2 && w.contains((er, ec)))
+              Some(((er, ec), stepNc + nc, stepNd + nd))
+            else None
+          }
+        }.toMap
+      val indeg = scala.collection.mutable.Map[(Long, Long), Int]().withDefaultValue(0)
+      succ.values.flatten.foreach { case (v, _, _) => indeg(v) += 1 }
+      val q = scala.collection.mutable.Queue(w.keys.filter(indeg(_) == 0).toSeq: _*)
+      var processed = 0
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        processed += 1
+        succ(u).foreach { case (v, addNc, addNd) =>
+          val (unc, und) = w(u)
+          val cand = (unc + addNc, und + addNd)
+          val (vnc, vnd) = w(v)
+          if (longer(cand._1, cand._2, vnc, vnd)) w(v) = cand
+          indeg(v) -= 1
+          if (indeg(v) == 0) q.enqueue(v)
+        }
+      }
+      require(processed == w.size, "condensed trace graph is cyclic — non-monotone dirs")
+      // seeds: best value arriving INTO each crossing target (step counted)
+      val seeds = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+      crossings.foreach { case (xr, xc, tr, tc, dg, _, _) =>
+        val (unc, und) = w((xr, xc))
+        val cand = (unc + (if (dg == 1) 0L else 1L), und + (if (dg == 1) 1L else 0L))
+        seeds.get((tr, tc)) match {
+          case Some((snc, snd)) if !longer(cand._1, cand._2, snc, snd) => ()
+          case _ => seeds((tr, tc)) = cand
+        }
+      }
+      val bc = tiles.sparkSession.sparkContext.broadcast(seeds.toMap)
+      padded.flatMap { pt =>
+        val dirs = dirPlane(pt, cs)
+        val (bnc, bnd) = localLongest(pt, dirs, bc.value)
+        val out = Array.newBuilder[(Long, Long, Long, Long)]
+        var i = 0
+        while (i < dirs.length) {
+          if (dirs(i) >= 0)
+            out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+              bnc(i), bnd(i)))
+          i += 1
+        }
+        out.result().iterator
+      }.toDF("row", "col", "ncard", "ndiag").localCheckpoint(true)
+    } finally padded.unpersist()
+  }
+
+  /** Stream-network extraction: the D8 edges whose source cell's flow
+    * accumulation meets `threshold` — `(row, col, to_r, to_c, acc)`. The
+    * classic channel-initiation rule (acc >= support area). One join of
+    * [[flowAcc]] and [[flowDir]] on the cell key. */
+  def streamNetwork(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      threshold: Long): DataFrame = {
+    import tiles.sparkSession.implicits._
+    val acc = flowAcc(tiles, ref, res).where($"acc" >= threshold)
+    val dir = flowDir(tiles, ref, res).where($"dir" > 0)
+      .select($"row", $"col", $"dir")
+    acc.join(dir, Seq("row", "col"))
+      .select($"row", $"col",
+        ($"row" + org.apache.spark.sql.functions.expr(
+          "CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 " +
+            "WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 END")).as("to_r"),
+        ($"col" + org.apache.spark.sql.functions.expr(
+          "CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1 " +
+            "WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 WHEN 128 THEN 1 END")).as("to_c"),
+        $"acc")
+  }
 }

@@ -99,6 +99,113 @@ class FlowSpec extends AnyFunSuite {
     assert(dirG.nonEmpty)
   }
 
+  /** Driver-global downstream trace: basin pit + (ncard, ndiag) per cell. */
+  private def globalDownstream(ref: GridRef, f: (Int, Int) => Double)
+      : Map[(Int, Int), (Int, Int, Long, Long)] = {
+    val nc = ref.ncols
+    val (dirG, _) = globalFlow(ref, f)
+    def step(rc: (Int, Int)): Option[((Int, Int), Boolean)] = {
+      val d = dirG(rc)
+      if (d == 0) None
+      else {
+        val (_, dr, dc) = D8(Integer.numberOfTrailingZeros(d))
+        Some(((rc._1 + dr, rc._2 + dc), dr != 0 && dc != 0))
+      }
+    }
+    dirG.keys.map { start =>
+      var cur = start
+      var ncard = 0L; var ndiag = 0L
+      var going = true
+      while (going) step(cur) match {
+        case Some((nxt, diag)) =>
+          if (diag) ndiag += 1 else ncard += 1
+          cur = nxt
+        case None => going = false
+      }
+      start -> (cur._1, cur._2, ncard, ndiag)
+    }.toMap ensuring (_.size == dirG.size, nc > 0)
+  }
+
+  /** Driver-global longest-upstream (max-plus over the full D8 DAG). */
+  private def globalLongest(ref: GridRef, f: (Int, Int) => Double)
+      : Map[(Int, Int), (Long, Long)] = {
+    val S2 = math.sqrt(2.0)
+    def longer(a: (Long, Long), b: (Long, Long)): Boolean = {
+      val la = a._1 + a._2 * S2; val lb = b._1 + b._2 * S2
+      la > lb || (la == lb && a._1 > b._1)
+    }
+    val (dirG, _) = globalFlow(ref, f)
+    val best = scala.collection.mutable.Map[(Int, Int), (Long, Long)]()
+    dirG.keys.foreach(k => best(k) = (0L, 0L))
+    val indeg = scala.collection.mutable.Map[(Int, Int), Int]().withDefaultValue(0)
+    def succOf(rc: (Int, Int)): Option[((Int, Int), Boolean)] = {
+      val d = dirG(rc)
+      if (d == 0) None
+      else {
+        val (_, dr, dc) = D8(Integer.numberOfTrailingZeros(d))
+        Some(((rc._1 + dr, rc._2 + dc), dr != 0 && dc != 0))
+      }
+    }
+    dirG.keys.foreach(k => succOf(k).foreach { case (v, _) => indeg(v) += 1 })
+    val q = scala.collection.mutable.Queue(dirG.keys.filter(indeg(_) == 0).toSeq: _*)
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      succOf(u).foreach { case (v, diag) =>
+        val cand = (best(u)._1 + (if (diag) 0 else 1), best(u)._2 + (if (diag) 1 else 0))
+        if (longer(cand, best(v))) best(v) = cand
+        indeg(v) -= 1
+        if (indeg(v) == 0) q.enqueue(v)
+      }
+    }
+    best.toMap
+  }
+
+  test("downstream distributed (condensation) == driver-global basin + counts") {
+    val want = globalDownstream(Synth.demRef, Synth.demValue)
+    for (res <- Seq(6, 4)) {
+      val tiles = TileOps.tileGrid(spark, Synth.demRef, res)(Synth.demValue)
+      val got = Flow.downstream(tiles, Synth.demRef, res).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+          (r.getLong(2).toInt, r.getLong(3).toInt, r.getLong(4), r.getLong(5))).toMap
+      assert(got.size == want.size, s"res=$res size")
+      assert(got == want, s"res=$res values")
+      // pits self-map with zero counts; some path crosses a tile seam
+      val pits = got.filter { case ((r, c), (br, bc, a, b)) => (r, c) == (br, bc) && a == 0 && b == 0 }
+      assert(pits.nonEmpty, s"res=$res no pits")
+      // seam machinery is load-bearing: some cell drains to a pit in ANOTHER tile
+      assert(got.exists { case ((r, c), (br, bc, _, _)) =>
+        (r >> res, c >> res) != (br >> res, bc >> res) }, s"res=$res no cross-tile path")
+    }
+  }
+
+  test("longestUpstream distributed (max-plus condensation) == driver-global") {
+    val want = globalLongest(Synth.demRef, Synth.demValue)
+    for (res <- Seq(6, 4)) {
+      val tiles = TileOps.tileGrid(spark, Synth.demRef, res)(Synth.demValue)
+      val got = Flow.longestUpstream(tiles, Synth.demRef, res).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(got.size == want.size, s"res=$res size")
+      assert(got == want, s"res=$res values")
+      // some longest path is longer than a tile edge at the finer res, so
+      // the condensed max-plus solve (not just local solves) is exercised
+      assert(got.values.map(v => v._1 + v._2).max > (1 << 4), s"res=$res no multi-tile path")
+    }
+  }
+
+  test("streamNetwork: edges are exactly the acc>=T sources; targets follow dir") {
+    val tiles = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val (dirG, accG) = globalFlow(Synth.demRef, Synth.demValue)
+    val got = Flow.streamNetwork(tiles, Synth.demRef, 6, threshold = 25L).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        (r.getLong(2).toInt, r.getLong(3).toInt, r.getLong(4))).toMap
+    val want = accG.filter { case (rc, a) => a >= 25L && dirG(rc) > 0 }.map { case (rc, a) =>
+      val (_, dr, dc) = D8(Integer.numberOfTrailingZeros(dirG(rc)))
+      rc -> (rc._1 + dr, rc._2 + dc, a)
+    }
+    assert(got == want)
+    assert(got.nonEmpty, "threshold leaves no channel cells — fixture mismatch")
+  }
+
   test("flowAcc conservation: accumulation at pits sums to the valid cell count") {
     val tiles = TileOps.tileGrid(spark, Synth.gridARef, 5)(Synth.gridAValue)
     val rows = Flow.flowAcc(tiles, Synth.gridARef, 5).collect()
