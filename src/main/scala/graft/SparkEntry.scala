@@ -760,6 +760,18 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // H6: depression filling (Priority-Flood) — the standard DEM
+    // conditioning step before D8 routing. Fill values are max/min
+    // SELECTIONS of input z values (no arithmetic), so the minimax
+    // fixpoint is bit-exact cross-engine. Oracle = Jacobi relaxation of
+    // the same fixpoint, run for a fixed 60 rounds (the fixture converges
+    // in 36 — margin documented; check_oracle proves the slack).
+    "r29_fill_sinks" -> ((s, _) => {
+      import s.implicits._
+      Flow.fillSinks(demTiles(s), Synth.demRef, tileRes)
+        .orderBy($"row", $"col")
+    }),
+
     // W2: bilinear resample via halo'd gather join
     "r11_bilinear" -> ((s, _) => {
       import s.implicits._
@@ -946,13 +958,19 @@ object SparkEntry {
     * diagonals — so every compared double is bit-identical cross-engine
     * (dyadic z, IEEE exact-rounded sqrt). MATERIALIZED keeps DuckDB from
     * re-inlining the fixture grid into each join (50x). */
-  private def d8Ctes: String = {
+  /** Just the DEM fixture grid (NULL at the NaN holes) — the shared base
+    * of every D8/fill oracle. */
+  private def demGridCte: String = {
     val nc = Synth.demRef.ncols
     s"""g AS MATERIALIZED (
        |  SELECT (i // $nc) AS r, (i % $nc) AS c,
        |         CASE WHEN (i % 97) = 13 THEN NULL
        |              ELSE (((i // $nc) * 31 + (i % $nc) * 17) % 1000) / 4.0 END AS v
-       |  FROM range(${Synth.demRef.nrows.toLong * nc}) t(i)),
+       |  FROM range(${Synth.demRef.nrows.toLong * nc}) t(i))""".stripMargin
+  }
+
+  private def d8Ctes: String = {
+    s"""$demGridCte,
        |dd(code, dr, dc) AS (VALUES (1,0,1),(2,1,1),(4,1,0),(8,1,-1),
        |                            (16,0,-1),(32,-1,-1),(64,-1,0),(128,-1,1)),
        |cand AS (
@@ -1652,6 +1670,43 @@ object SparkEntry {
       |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
       |       CAST(ncard AS BIGINT) AS ncard, CAST(ndiag AS BIGINT) AS ndiag
       |FROM up WHERE rn = 1 ORDER BY row, col""".stripMargin,
+
+    // r29: Jacobi relaxation of the Priority-Flood minimax fixpoint —
+    // f_{k+1}(c) = min(f_k(c), max(z(c), min over 8-neighbors f_k(n))),
+    // f_0 = z on drains (grid border / NODATA-adjacent) else 1e30, run a
+    // fixed 60 rounds (fixture converges in 36; see r29 query scaladoc).
+    // The recursive term carries each cell's contribution to itself
+    // (offset 0,0) and its neighbors, then one aggregate per target cell —
+    // DuckDB allows aggregates in the recursive term.
+    "r29_fill_sinks" -> {
+      val nr = Synth.demRef.nrows
+      val nc = Synth.demRef.ncols
+      s"""WITH RECURSIVE $demGridCte,
+      |dd9(dr, dc, self) AS (VALUES (0,0,1),(0,1,0),(1,1,0),(1,0,0),(1,-1,0),
+      |                             (0,-1,0),(-1,-1,0),(-1,0,0),(-1,1,0)),
+      |cells AS MATERIALIZED (
+      |  SELECT a.r, a.c, a.v,
+      |    (a.r = 0 OR a.r = ${nr - 1} OR a.c = 0 OR a.c = ${nc - 1} OR EXISTS (
+      |      SELECT 1 FROM dd9 d JOIN g n
+      |      ON n.r = a.r + d.dr AND n.c = a.c + d.dc
+      |      WHERE d.self = 0 AND n.v IS NULL)) AS drain
+      |  FROM g a WHERE a.v IS NOT NULL),
+      |fs AS (
+      |  SELECT 0 AS it, r, c, CASE WHEN drain THEN v ELSE 1e30 END AS f
+      |  FROM cells
+      |  UNION ALL
+      |  SELECT p.it + 1, t.r, t.c,
+      |    CASE WHEN t.drain THEN t.v
+      |         ELSE least(min(CASE WHEN d.self = 1 THEN p.f END),
+      |                    greatest(t.v, min(CASE WHEN d.self = 0 THEN p.f END)))
+      |    END AS f
+      |  FROM fs p JOIN dd9 d ON true
+      |  JOIN cells t ON t.r = p.r + d.dr AND t.c = p.c + d.dc
+      |  WHERE p.it < 60
+      |  GROUP BY p.it, t.r, t.c, t.v, t.drain)
+      |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col, f AS fill
+      |FROM fs WHERE it = 60 ORDER BY row, col""".stripMargin
+    },
 
     // r22: connected components by transitive closure over the same-value
     // 4-adjacency (closure rows bounded by sum of component-size^2 — the

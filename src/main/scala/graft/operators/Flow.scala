@@ -613,6 +613,167 @@ object Flow {
     } finally padded.unpersist()
   }
 
+  // ---------------------------------------------------------------------
+  // Depression filling (Priority-Flood) — the standard DEM-conditioning
+  // step before D8 routing (Barnes, Lehman & Mulla 2014; the parallel
+  // tile-iteration shape follows Barnes 2016). The filled surface is the
+  // minimax fixpoint  fill(c) = max(z(c), min over 8-neighbors fill(n))
+  // with fill = z on DRAIN cells (grid border or NaN-adjacent — NODATA is
+  // treated as ocean). Fill values are max/min selections of input z
+  // values (no arithmetic), so results are bit-exact cross-engine.
+
+  /** One tile-local Priority-Flood given halo fill estimates. `zt` is the
+    * tile's elevation payload, `pf` the padded CURRENT fill plane (halo =
+    * neighbor-tile estimates, NaN off-grid / at NODATA). Returns the new
+    * fill payload. Exact within the tile for the given boundary values;
+    * monotone non-increasing vs the current estimates. */
+  private def localFill(pf: Stencil.Padded, zt: Array[Double]): Array[Double] = {
+    val h = pf.h
+    val w = pf.w
+    val n = h * w
+    val INF = Double.PositiveInfinity
+    val cand = new Array[Double](n)
+    val done = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      cand(i) = if (zt(i).isNaN) Double.NaN else pf.at(pf.row0 + i / w, pf.col0 + i % w)
+      i += 1
+    }
+    // seed border cells from halo estimates: entering the tile at c costs
+    // max(z(c), fill(outside neighbor))
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        if ((r == 0 || r == h - 1 || c == 0 || c == w - 1) && !zt(r * w + c).isNaN) {
+          var k = 0
+          while (k < 8) {
+            val (_, dr, dc) = D8(k)
+            val rr = r + dr
+            val cc = c + dc
+            if (rr < 0 || rr >= h || cc < 0 || cc >= w) {
+              val f = pf.at(pf.row0 + r + dr, pf.col0 + c + dc)
+              if (!f.isNaN && f != INF) {
+                val cnd = math.max(zt(r * w + c), f)
+                if (cnd < cand(r * w + c)) cand(r * w + c) = cnd
+              }
+            }
+            k += 1
+          }
+        }
+        c += 1
+      }
+      r += 1
+    }
+    // Priority-Flood: grow from the lowest candidate outward; lazy-deleted
+    // binary heap of (fill, idx). Tie order does not affect the fixpoint.
+    val pq = new java.util.PriorityQueue[(Double, Int)](
+      (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+    i = 0
+    while (i < n) {
+      if (!cand(i).isNaN && cand(i) != INF) pq.add((cand(i), i))
+      i += 1
+    }
+    while (!pq.isEmpty) {
+      val (v, u) = pq.poll()
+      if (!done(u) && v == cand(u)) {
+        done(u) = true
+        val ur = u / w
+        val uc = u % w
+        var k = 0
+        while (k < 8) {
+          val (_, dr, dc) = D8(k)
+          val rr = ur + dr
+          val cc = uc + dc
+          if (rr >= 0 && rr < h && cc >= 0 && cc < w) {
+            val j = rr * w + cc
+            if (!done(j) && !zt(j).isNaN) {
+              val cnd = math.max(zt(j), v)
+              if (cnd < cand(j)) { cand(j) = cnd; pq.add((cnd, j)) }
+            }
+          }
+          k += 1
+        }
+      }
+    }
+    cand
+  }
+
+  /** Depression-filled DEM: `(row, col, fill)` for every valid cell.
+    * Iterative parallel Priority-Flood: tiles run exact local floods
+    * against their current halo estimates and iterate until no cell
+    * changes (rounds bounded by the inter-tile drainage diameter; each
+    * round shuffles only the 1-pixel halo). localCheckpoint per round
+    * keeps plans constant-size (the GraphOps loop-cache discipline). */
+  def fillSinks(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      maxRounds: Int = 10000): DataFrame = {
+    import tiles.sparkSession.implicits._
+    val INF = Double.PositiveInfinity
+    val z = tiles.persist()
+    try {
+      // init: drains (grid border / NaN-adjacent, via the padded z halo
+      // which is NaN off-grid) start at z; everything else at +inf
+      var state: Dataset[Tile] = Stencil.padded(z, ref, res).map { pz =>
+        val h = pz.h
+        val w = pz.w
+        val payload = new Array[Double](h * w)
+        var i = 0
+        while (i < h * w) {
+          val gz = pz.at(pz.row0 + i / w, pz.col0 + i % w)
+          payload(i) =
+            if (gz.isNaN) Double.NaN
+            else {
+              var drain = false
+              var k = 0
+              while (k < 8 && !drain) {
+                val (_, dr, dc) = D8(k)
+                if (pz.at(pz.row0 + i / w + dr, pz.col0 + i % w + dc).isNaN) drain = true
+                k += 1
+              }
+              if (drain) gz else INF
+            }
+          i += 1
+        }
+        Tile(pz.cellId, pz.row0, pz.col0, h, w, payload)
+      }.localCheckpoint(true)
+
+      var rounds = 0
+      var changed = 1L
+      while (changed > 0) {
+        rounds += 1
+        require(rounds <= maxRounds, s"fillSinks did not converge in $maxRounds rounds")
+        val pfDs = Stencil.padded(state, ref, res)
+        val stepped = pfDs
+          .joinWith(z, pfDs("cellId") === z("cellId"), "inner")
+          .map { case (pf, zt) =>
+            val out = localFill(pf, zt.payload)
+            var ch = 0L
+            var i = 0
+            while (i < out.length) {
+              val prev = pf.at(pf.row0 + i / pf.w, pf.col0 + i % pf.w)
+              if (out(i) != prev && !(out(i).isNaN && prev.isNaN)) ch += 1
+              i += 1
+            }
+            (Tile(pf.cellId, pf.row0, pf.col0, pf.h, pf.w, out), ch)
+          }.persist()
+        changed = stepped.map(_._2).reduce(_ + _)
+        val next = stepped.map(_._1).localCheckpoint(true)
+        stepped.unpersist()
+        state = next
+      }
+      state.flatMap { t =>
+        val out = Array.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < t.payload.length) {
+          if (!t.payload(i).isNaN)
+            out += (((t.row0 + i / t.w).toLong, (t.col0 + i % t.w).toLong, t.payload(i)))
+          i += 1
+        }
+        out.result().iterator
+      }.toDF("row", "col", "fill")
+    } finally z.unpersist()
+  }
+
   /** Stream-network extraction: the D8 edges whose source cell's flow
     * accumulation meets `threshold` — `(row, col, to_r, to_c, acc)`. The
     * classic channel-initiation rule (acc >= support area). One join of

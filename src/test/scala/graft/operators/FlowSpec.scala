@@ -206,6 +206,55 @@ class FlowSpec extends AnyFunSuite {
     assert(got.nonEmpty, "threshold leaves no channel cells — fixture mismatch")
   }
 
+  /** Driver-global fill oracle: Jacobi relaxation of the minimax fixpoint
+    * until stable (drains = border / NaN-adjacent keep z). */
+  private def globalFill(ref: GridRef, f: (Int, Int) => Double)
+      : Map[(Int, Int), Double] = {
+    val nr = ref.nrows; val nc = ref.ncols
+    val z = Array.tabulate(nr * nc)(i => f(i / nc, i % nc))
+    def at(r: Int, c: Int): Double =
+      if (r < 0 || r >= nr || c < 0 || c >= nc) Double.NaN else z(r * nc + c)
+    val drain = Array.tabulate(nr * nc) { i =>
+      !z(i).isNaN && D8.exists { case (_, dr, dc) => at(i / nc + dr, i % nc + dc).isNaN }
+    }
+    var fill = Array.tabulate(nr * nc) { i =>
+      if (z(i).isNaN) Double.NaN else if (drain(i)) z(i) else Double.PositiveInfinity
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      val next = fill.clone()
+      for (i <- z.indices if !z(i).isNaN && !drain(i)) {
+        var mn = Double.PositiveInfinity
+        for ((_, dr, dc) <- D8) {
+          val rr = i / nc + dr; val cc = i % nc + dc
+          if (rr >= 0 && rr < nr && cc >= 0 && cc < nc && !z(rr * nc + cc).isNaN)
+            mn = math.min(mn, fill(rr * nc + cc))
+        }
+        val v = math.min(fill(i), math.max(z(i), mn))
+        if (v != fill(i)) { next(i) = v; changed = true }
+      }
+      fill = next
+    }
+    (for (i <- z.indices if !z(i).isNaN) yield (i / nc, i % nc) -> fill(i)).toMap
+  }
+
+  test("fillSinks distributed (iterated tile Priority-Flood) == Jacobi fixpoint") {
+    val want = globalFill(Synth.demRef, Synth.demValue)
+    for (res <- Seq(6, 4)) {
+      val tiles = TileOps.tileGrid(spark, Synth.demRef, res)(Synth.demValue)
+      val got = Flow.fillSinks(tiles, Synth.demRef, res).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+      assert(got.size == want.size, s"res=$res size")
+      assert(got == want, s"res=$res values")
+      // the operator does real work: some cells are raised above z
+      val raised = got.count { case ((r, c), v) => v > Synth.demValue(r, c) }
+      assert(raised > 0, s"res=$res nothing filled")
+      // and fill never sinks below the terrain
+      assert(got.forall { case ((r, c), v) => v >= Synth.demValue(r, c) }, s"res=$res fill < z")
+    }
+  }
+
   test("flowAcc conservation: accumulation at pits sums to the valid cell count") {
     val tiles = TileOps.tileGrid(spark, Synth.gridARef, 5)(Synth.gridAValue)
     val rows = Flow.flowAcc(tiles, Synth.gridARef, 5).collect()
