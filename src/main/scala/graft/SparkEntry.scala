@@ -772,6 +772,16 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // W1b: focal terrain indices — TPI (Weiss 2001) and TRI (Riley 1999)
+    // over the valid 8-neighborhood, one halo exchange. Hash-exact: the
+    // dyadic fixture makes every square/sum exact (order-free), and
+    // mean/sqrt of identical operands round identically cross-engine.
+    "r30_terrain_indices" -> ((s, _) => {
+      import s.implicits._
+      Stencil.terrainIndices(demTiles(s), Synth.demRef, tileRes)
+        .orderBy($"row", $"col")
+    }),
+
     // W2: bilinear resample via halo'd gather join
     "r11_bilinear" -> ((s, _) => {
       import s.implicits._
@@ -1707,6 +1717,20 @@ object SparkEntry {
       |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col, f AS fill
       |FROM fs WHERE it = 60 ORDER BY row, col""".stripMargin
     },
+
+    // r30: TPI/TRI per cell over the valid 8-neighborhood — sums of exact
+    // dyadic squares are order-free; division and sqrt of identical
+    // operands are identical correctly-rounded doubles in both engines.
+    "r30_terrain_indices" -> s"""WITH $demGridCte,
+      |dd8(dr, dc) AS (VALUES (0,1),(1,1),(1,0),(1,-1),(0,-1),(-1,-1),(-1,0),(-1,1)),
+      |nb AS (
+      |  SELECT a.r, a.c, a.v, b.v AS vn FROM g a JOIN dd8 d ON true
+      |  JOIN g b ON b.r = a.r + d.dr AND b.c = a.c + d.dc
+      |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL)
+      |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+      |       v - sum(vn) / count(*) AS tpi,
+      |       sqrt(sum((v - vn) * (v - vn))) AS tri
+      |FROM nb GROUP BY r, c, v ORDER BY row, col""".stripMargin,
 
     // r22: connected components by transitive closure over the same-value
     // 4-adjacency (closure rows bounded by sum of component-size^2 — the

@@ -168,4 +168,42 @@ object Stencil {
         (r, c, math.max(0.0, math.min(1.0, shade)))
     }.toDF("row", "col", "shade")
   }
+
+  /** Focal terrain indices over the valid 8-neighborhood:
+    * TPI (topographic position index, Weiss 2001) = `z - mean(neighbors)`;
+    * TRI (terrain ruggedness index, Riley et al. 1999) =
+    * `sqrt(sum((z - zn)^2))`. Cells with zero valid neighbors emit
+    * nothing. Hash-exact cross-engine: the dyadic fixture makes every
+    * square and sum exact, and mean/sqrt of identical exact operands are
+    * identical correctly-rounded doubles in any IEEE engine. */
+  def terrainIndices(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
+    import tiles.sparkSession.implicits._
+    val offsets = Array((0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1))
+    padded(tiles, ref, res).flatMap { pt =>
+      val out = Array.newBuilder[(Long, Long, Double, Double)]
+      var r = 0
+      while (r < pt.h) {
+        var c = 0
+        while (c < pt.w) {
+          val z = pt.at(pt.row0 + r, pt.col0 + c)
+          if (!z.isNaN) {
+            var s = 0.0
+            var s2 = 0.0
+            var n = 0
+            var k = 0
+            while (k < 8) {
+              val zn = pt.at(pt.row0 + r + offsets(k)._1, pt.col0 + c + offsets(k)._2)
+              if (!zn.isNaN) { s += zn; s2 += (z - zn) * (z - zn); n += 1 }
+              k += 1
+            }
+            if (n > 0)
+              out += (((pt.row0 + r).toLong, (pt.col0 + c).toLong, z - s / n, math.sqrt(s2)))
+          }
+          c += 1
+        }
+        r += 1
+      }
+      out.result().iterator
+    }.toDF("row", "col", "tpi", "tri")
+  }
 }

@@ -136,4 +136,35 @@ class TextSpec extends AnyFunSuite {
     }
     assert(checked > 25000)
   }
+
+  test("terrain indices (TPI/TRI) match direct whole-grid computation") {
+    import spark.implicits._
+    import graft.corpus.Synth
+    import graft.operators.{Stencil, TileOps}
+    val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val got = Stencil.terrainIndices(dem, Synth.demRef, 6)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(t => (t._1.toInt, t._2.toInt) -> (t._3, t._4)).toMap
+    val ref = Synth.demRef
+    def at(r: Int, c: Int): Double =
+      if (r < 0 || r >= ref.nrows || c < 0 || c >= ref.ncols) Double.NaN
+      else Synth.demValue(r, c)
+    var checked = 0
+    for (r <- 0 until ref.nrows; c <- 0 until ref.ncols) {
+      val z = at(r, c)
+      if (!z.isNaN) {
+        val nbs = for {
+          dr <- -1 to 1; dc <- -1 to 1 if dr != 0 || dc != 0
+          zn = at(r + dr, c + dc) if !zn.isNaN
+        } yield zn
+        if (nbs.nonEmpty) {
+          val tpi = z - nbs.sum / nbs.size
+          val tri = math.sqrt(nbs.map(zn => (z - zn) * (z - zn)).sum)
+          assert(got((r, c)) == ((tpi, tri)), s"at ($r,$c)")
+          checked += 1
+        } else assert(!got.contains((r, c)))
+      } else assert(!got.contains((r, c)))
+    }
+    assert(checked == got.size && checked > 30000)
+  }
 }
