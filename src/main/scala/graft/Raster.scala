@@ -180,6 +180,29 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   def hillshade(azdeg: Double = 315.0, altdeg: Double = 45.0): DataFrame =
     Stencil.hillshade(tiles, ref, res, azdeg, altdeg)
 
+  /** D8 flow direction (beyond-reference hydrology: the natural next step
+    * after hydro-raster's terrain prep; ESRI power-of-two codes, 0 = pit). */
+  def flowDir: DataFrame = Flow.flowDir(tiles, ref, res)
+
+  /** D8 flow accumulation (cells draining through, incl. self). */
+  def flowAcc: DataFrame = Flow.flowAcc(tiles, ref, res)
+
+  /** Watershed basins + downstream path step counts per cell. */
+  def watershed: DataFrame = Flow.downstream(tiles, ref, res)
+
+  /** Stream network: D8 edges with accumulation >= `threshold` cells. */
+  def streamNetwork(threshold: Long): DataFrame =
+    Flow.streamNetwork(tiles, ref, res, threshold)
+
+  /** Longest upstream drainage path per cell (cardinal/diagonal counts). */
+  def flowLength: DataFrame = Flow.longestUpstream(tiles, ref, res)
+
+  /** Depression-filled DEM as a new Raster (Priority-Flood minimax fill). */
+  def fillSinks: Raster = Raster(Flow.fillSinksTiles(tiles, ref, res), ref, res)
+
+  /** Focal terrain indices: (row, col, tpi, tri) over the 8-neighborhood. */
+  def terrainIndices: DataFrame = Stencil.terrainIndices(tiles, ref, res)
+
   /** `vectorize` (Raster.py:745-777): one row per connected component
     * with POLYGON WKT (exterior + holes), value and pixel count. */
   def vectorize: DataFrame = Vectorize.polygons(tiles, ref, res)

@@ -708,6 +708,23 @@ object Flow {
   def fillSinks(tiles: Dataset[Tile], ref: GridRef, res: Int,
       maxRounds: Int = 10000): DataFrame = {
     import tiles.sparkSession.implicits._
+    fillSinksTiles(tiles, ref, res, maxRounds).flatMap { t =>
+      val out = Array.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < t.payload.length) {
+        if (!t.payload(i).isNaN)
+          out += (((t.row0 + i / t.w).toLong, (t.col0 + i % t.w).toLong, t.payload(i)))
+        i += 1
+      }
+      out.result().iterator
+    }.toDF("row", "col", "fill")
+  }
+
+  /** [[fillSinks]] keeping the tile representation (for pipelines that
+    * continue with routing over the conditioned surface). */
+  def fillSinksTiles(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      maxRounds: Int = 10000): Dataset[Tile] = {
+    import tiles.sparkSession.implicits._
     val INF = Double.PositiveInfinity
     val z = tiles.persist()
     try {
@@ -761,16 +778,7 @@ object Flow {
         stepped.unpersist()
         state = next
       }
-      state.flatMap { t =>
-        val out = Array.newBuilder[(Long, Long, Double)]
-        var i = 0
-        while (i < t.payload.length) {
-          if (!t.payload(i).isNaN)
-            out += (((t.row0 + i / t.w).toLong, (t.col0 + i % t.w).toLong, t.payload(i)))
-          i += 1
-        }
-        out.result().iterator
-      }.toDF("row", "col", "fill")
+      state
     } finally z.unpersist()
   }
 

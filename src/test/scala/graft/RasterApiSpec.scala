@@ -128,4 +128,34 @@ class RasterApiSpec extends AnyFunSuite {
     assert(vect.componentStats.count() == 5)
     assert(vect.vectorize.count() > 0)
   }
+
+  test("hydrology suite wiring: flow routing, watershed, fill, terrain indices") {
+    import spark.implicits._
+    val g = Raster.fromGrid(spark, Synth.gridARef, 5)(Synth.gridAValue)
+    val valid = g.stats.collect()(0).getLong(3)
+    assert(g.flowDir.count() == valid)
+    assert(g.flowAcc.count() == valid)
+    val ws = g.watershed
+    assert(ws.columns.toSeq ==
+      Seq("row", "col", "basin_r", "basin_c", "ncard", "ndiag"))
+    assert(ws.count() == valid)
+    assert(g.streamNetwork(threshold = 10L).count() > 0)
+    assert(g.flowLength.count() == valid)
+    assert(g.terrainIndices.count() > 0)
+    // filled surface: same georeference, fill >= z everywhere, real raises
+    val filled = g.fillSinks
+    assert(filled.ref == g.ref)
+    // cells() canonicalizes NODATA NaN to SQL NULL — filter on nullness
+    val joined = filled.cells.where($"v".isNotNull).select($"row", $"col", $"v".as("f"))
+      .join(g.cells.where($"v".isNotNull).select($"row", $"col", $"v".as("z")),
+        Seq("row", "col"))
+      .select(($"f" >= $"z").as("ge"), ($"f" > $"z").as("gt"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when($"ge", 0L).otherwise(1L)).as("below"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"gt", 1L).otherwise(0L)).as("raised"))
+      .collect()(0)
+    assert(joined.getLong(0) == 0L, "fill below terrain")
+    assert(joined.getLong(1) > 0L, "nothing filled")
+  }
 }
