@@ -255,6 +255,28 @@ class FlowSpec extends AnyFunSuite {
     }
   }
 
+  test("flow routing scale smoke: 2048x2048 grid, condensed solve stays O(perimeter)") {
+    // 4.2M cells / 1024 tiles at res 6: the driver touches ONLY crossing
+    // edges (bounded by tile perimeter sum ~ 260k) — a per-cell driver
+    // walk would be 16x that and a collect would hold 4.2M rows. The
+    // mass-conservation identity over the distributed output is the
+    // correctness gate at this size (the driver-global oracle would
+    // dominate test wall).
+    val big = GridRef(ncols = 2048, nrows = 2048, xll = 0, yll = 0, cellsize = 5)
+    def v(r: Int, c: Int): Double =
+      if ((r * 2048 + c) % 97 == 13) Double.NaN
+      else ((r * 31 + c * 17) % 1000) / 4.0
+    val tiles = TileOps.tileGrid(spark, big, 6)(v)
+    val acc = Flow.flowAcc(tiles, big, 6)
+    val dir = Flow.flowDir(tiles, big, 6)
+    import spark.implicits._
+    val valid = acc.count()
+    assert(valid > 4100000L)
+    val pitMass = acc.join(dir.where($"dir" === 0), Seq("row", "col"))
+      .agg(org.apache.spark.sql.functions.sum($"acc")).collect()(0).getLong(0)
+    assert(pitMass == valid, s"pit mass $pitMass != $valid")
+  }
+
   test("flowAcc conservation: accumulation at pits sums to the valid cell count") {
     val tiles = TileOps.tileGrid(spark, Synth.gridARef, 5)(Synth.gridAValue)
     val rows = Flow.flowAcc(tiles, Synth.gridARef, 5).collect()
