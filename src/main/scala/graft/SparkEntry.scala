@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.corpus.{ImageCorpus, Synth}
-import graft.operators.{Bilinear, ClipPolygon, Convolve, Downsample, Flow, Gather, Knn, Line2Sub, PtRec, Rasterize, Reproject, Stencil, TileFns, TileOps, Vectorize}
+import graft.operators.{Bilinear, ClipPolygon, Contour, Convolve, Downsample, Flow, Gather, Knn, Line2Sub, PtRec, Rasterize, Reproject, Stencil, TileFns, TileOps, Vectorize}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
@@ -780,6 +780,17 @@ object SparkEntry {
       import s.implicits._
       Stencil.terrainIndices(demTiles(s), Synth.demRef, tileRes)
         .orderBy($"row", $"col")
+    }),
+
+    // R1 (beyond-reference rendering): marching-squares contour at a
+    // level chosen OFF the fixture's dyadic value lattice (100.125 vs
+    // quarter-valued z), so every edge interpolation is a division of
+    // exact doubles — bit-identical cross-engine, no quantization. One
+    // halo exchange; blocks owned by their TL corner's tile (no seams).
+    "r31_contour" -> ((s, _) => {
+      import s.implicits._
+      Contour.segments(demTiles(s), Synth.demRef, tileRes, level = 100.125)
+        .orderBy($"x1", $"y1", $"x2", $"y2")
     }),
 
     // W2: bilinear resample via halo'd gather join
@@ -1731,6 +1742,62 @@ object SparkEntry {
       |       v - sum(vn) / count(*) AS tpi,
       |       sqrt(sum((v - vn) * (v - vn))) AS tri
       |FROM nb GROUP BY r, c, v ORDER BY row, col""".stripMargin,
+
+    // r31: marching squares replicated in SQL — the textbook case table
+    // as a VALUES relation (edge ids 0=top 1=right 2=bottom 3=left; the
+    // saddle rows key on the block-center mean), crossings as divisions
+    // of the same exact operands the engine uses, canonical endpoint
+    // order replicated verbatim.
+    "r31_contour" -> s"""WITH $demGridCte,
+      |blk AS (
+      |  SELECT a.r, a.c, a.v AS ztl, b.v AS ztr, d.v AS zbl, e.v AS zbr
+      |  FROM g a JOIN g b ON b.r = a.r AND b.c = a.c + 1
+      |  JOIN g d ON d.r = a.r + 1 AND d.c = a.c
+      |  JOIN g e ON e.r = a.r + 1 AND e.c = a.c + 1
+      |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL
+      |    AND d.v IS NOT NULL AND e.v IS NOT NULL),
+      |cs AS (
+      |  SELECT r, c, ztl, ztr, zbl, zbr,
+      |    (CASE WHEN ztl >= 100.125e0 THEN 8 ELSE 0 END) +
+      |    (CASE WHEN ztr >= 100.125e0 THEN 4 ELSE 0 END) +
+      |    (CASE WHEN zbr >= 100.125e0 THEN 2 ELSE 0 END) +
+      |    (CASE WHEN zbl >= 100.125e0 THEN 1 ELSE 0 END) AS code,
+      |    (ztl + ztr + zbr + zbl) / 4.0e0 AS ctr
+      |  FROM blk),
+      |pts AS (
+      |  SELECT r, c, code, ctr,
+      |    c + (100.125e0 - ztl) / (ztr - ztl) AS topx,
+      |    r + (100.125e0 - ztr) / (zbr - ztr) AS righty,
+      |    c + (100.125e0 - zbl) / (zbr - zbl) AS botx,
+      |    r + (100.125e0 - ztl) / (zbl - ztl) AS lefty
+      |  FROM cs WHERE code NOT IN (0, 15)),
+      |segdef(code, ctrin, ea, eb) AS (VALUES
+      |  (1, NULL, 3, 2), (2, NULL, 2, 1), (3, NULL, 3, 1), (4, NULL, 0, 1),
+      |  (6, NULL, 0, 2), (7, NULL, 3, 0), (8, NULL, 3, 0), (9, NULL, 0, 2),
+      |  (11, NULL, 0, 1), (12, NULL, 3, 1), (13, NULL, 2, 1), (14, NULL, 3, 2),
+      |  (5, true, 3, 0), (5, true, 2, 1), (5, false, 3, 2), (5, false, 0, 1),
+      |  (10, true, 0, 1), (10, true, 3, 2), (10, false, 3, 0), (10, false, 2, 1)),
+      |segs AS (
+      |  SELECT p.*, s.ea, s.eb FROM pts p JOIN segdef s
+      |  ON s.code = p.code
+      |  AND (s.ctrin IS NULL OR s.ctrin = (p.ctr >= 100.125e0))),
+      |ends AS (
+      |  SELECT
+      |    CASE ea WHEN 0 THEN topx WHEN 1 THEN c + 1.0e0
+      |            WHEN 2 THEN botx ELSE c * 1.0e0 END AS ax,
+      |    CASE ea WHEN 0 THEN r * 1.0e0 WHEN 1 THEN righty
+      |            WHEN 2 THEN r + 1.0e0 ELSE lefty END AS ay,
+      |    CASE eb WHEN 0 THEN topx WHEN 1 THEN c + 1.0e0
+      |            WHEN 2 THEN botx ELSE c * 1.0e0 END AS bx,
+      |    CASE eb WHEN 0 THEN r * 1.0e0 WHEN 1 THEN righty
+      |            WHEN 2 THEN r + 1.0e0 ELSE lefty END AS b_y
+      |  FROM segs)
+      |SELECT
+      |  CASE WHEN ax < bx OR (ax = bx AND ay <= b_y) THEN ax ELSE bx END AS x1,
+      |  CASE WHEN ax < bx OR (ax = bx AND ay <= b_y) THEN ay ELSE b_y END AS y1,
+      |  CASE WHEN ax < bx OR (ax = bx AND ay <= b_y) THEN bx ELSE ax END AS x2,
+      |  CASE WHEN ax < bx OR (ax = bx AND ay <= b_y) THEN b_y ELSE ay END AS y2
+      |FROM ends ORDER BY x1, y1, x2, y2""".stripMargin,
 
     // r22: connected components by transitive closure over the same-value
     // 4-adjacency (closure rows bounded by sum of component-size^2 — the
