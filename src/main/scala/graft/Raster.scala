@@ -203,6 +203,9 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   /** Focal terrain indices: (row, col, tpi, tri) over the 8-neighborhood. */
   def terrainIndices: DataFrame = Stencil.terrainIndices(tiles, ref, res)
 
+  /** Iso-line segments at `level` (marching squares; pixel coordinates). */
+  def contour(level: Double): DataFrame = Contour.segments(tiles, ref, res, level)
+
   /** `vectorize` (Raster.py:745-777): one row per connected component
     * with POLYGON WKT (exterior + holes), value and pixel count. */
   def vectorize: DataFrame = Vectorize.polygons(tiles, ref, res)

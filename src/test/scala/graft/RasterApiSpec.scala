@@ -142,6 +142,7 @@ class RasterApiSpec extends AnyFunSuite {
     assert(g.streamNetwork(threshold = 10L).count() > 0)
     assert(g.flowLength.count() == valid)
     assert(g.terrainIndices.count() > 0)
+    assert(g.contour(level = 12.125).count() > 0)
     // filled surface: same georeference, fill >= z everywhere, real raises
     val filled = g.fillSinks
     assert(filled.ref == g.ref)
