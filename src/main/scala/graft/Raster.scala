@@ -206,6 +206,10 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   /** Iso-line segments at `level` (marching squares; pixel coordinates). */
   def contour(level: Double): DataFrame = Contour.segments(tiles, ref, res, level)
 
+  /** Contour set at several levels, extracted in one halo pass. */
+  def contours(levels: Seq[Double]): DataFrame =
+    Contour.segmentSet(tiles, ref, res, levels)
+
   /** `vectorize` (Raster.py:745-777): one row per connected component
     * with POLYGON WKT (exterior + holes), value and pixel count. */
   def vectorize: DataFrame = Vectorize.polygons(tiles, ref, res)

@@ -63,8 +63,20 @@ object Contour {
   def segments(tiles: Dataset[Tile], ref: GridRef, res: Int,
       level: Double): DataFrame = {
     import tiles.sparkSession.implicits._
+    segmentSet(tiles, ref, res, Seq(level)).select($"x1", $"y1", $"x2", $"y2")
+  }
+
+  /** Multi-level form (contour SETS, the `mapshow` companion use case):
+    * `(level, x1, y1, x2, y2)` — all levels extracted in the SAME single
+    * halo pass (each 2x2 block is classified once per level in-task; the
+    * shuffle cost does not grow with the level count). */
+  def segmentSet(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      levels: Seq[Double]): DataFrame = {
+    import tiles.sparkSession.implicits._
+    require(levels.nonEmpty, "at least one contour level")
+    val lv = levels.toArray
     Stencil.padded(tiles, ref, res).flatMap { pt =>
-      val out = Array.newBuilder[(Double, Double, Double, Double)]
+      val out = Array.newBuilder[(Double, Double, Double, Double, Double)]
       var r = 0
       while (r < pt.h) {
         var c = 0
@@ -76,6 +88,9 @@ object Contour {
           val zBL = pt.at(gr + 1, gc)
           val zBR = pt.at(gr + 1, gc + 1)
           if (!zTL.isNaN && !zTR.isNaN && !zBL.isNaN && !zBR.isNaN) {
+            var li = 0
+            while (li < lv.length) {
+            val level = lv(li)
             var code = 0
             if (zTL >= level) code |= 8
             if (zTR >= level) code |= 4
@@ -107,10 +122,12 @@ object Contour {
               while (k < edges.length) {
                 val (ax, ay) = pointOn(edges(k))
                 val (bx, by) = pointOn(edges(k + 1))
-                if (ax < bx || (ax == bx && ay <= by)) out += ((ax, ay, bx, by))
-                else out += ((bx, by, ax, ay))
+                if (ax < bx || (ax == bx && ay <= by)) out += ((level, ax, ay, bx, by))
+                else out += ((level, bx, by, ax, ay))
                 k += 2
               }
+            }
+            li += 1
             }
           }
           c += 1
@@ -118,6 +135,6 @@ object Contour {
         r += 1
       }
       out.result().iterator
-    }.toDF("x1", "y1", "x2", "y2")
+    }.toDF("level", "x1", "y1", "x2", "y2")
   }
 }

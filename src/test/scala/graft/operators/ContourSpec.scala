@@ -81,6 +81,20 @@ class ContourSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("multi-level contour == per-level single passes") {
+    val tiles = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val levels = Seq(50.125, 100.125, 200.125)
+    val multi = Contour.segmentSet(tiles, Synth.demRef, 6, levels).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val singles = levels.flatMap { lv =>
+      Contour.segments(tiles, Synth.demRef, 6, lv).collect()
+        .map(r => (lv, r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(multi == singles)
+    assert(levels.forall(lv => multi.keys.exists(_._1 == lv)))
+  }
+
   test("contour endpoints lie on block edges and interpolate to the level") {
     val tiles = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
     val rows = Contour.segments(tiles, Synth.demRef, 6, L).collect()
