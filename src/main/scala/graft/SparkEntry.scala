@@ -793,6 +793,42 @@ object SparkEntry {
         .orderBy($"x1", $"y1", $"x2", $"y2")
     }),
 
+    // H8: zonal statistics — per-watershed aggregates of the DEM
+    // (count / min / max / sum; the quarter-valued fixture keeps the sum
+    // exact, so no quantization). Pure relational composition: the r26
+    // basin labels equi-join the cell values and aggregate — the classic
+    // "zonal stats" operator expressed as the engine's native
+    // join+groupBy; at scale it is one shuffle on the basin key with
+    // partial aggregation map-side.
+    "r32_zonal_stats" -> ((s, _) => {
+      import s.implicits._
+      val dem = demTiles(s)
+      val basins = Flow.downstream(dem, Synth.demRef, tileRes)
+        .select($"row", $"col", $"basin_r", $"basin_c")
+      val cells = TileOps.cells(dem).where($"v".isNotNull)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+      basins.join(cells, Seq("row", "col"))
+        .groupBy($"basin_r", $"basin_c")
+        .agg(count(lit(1)).as("n_cells"), min($"v").as("min_z"),
+          max($"v").as("max_z"), sum($"v").as("sum_z"))
+        .orderBy($"basin_r", $"basin_c")
+    }),
+
+    // H9: hydrologically-conditioned flow direction — D8 over the
+    // Priority-Flood-FILLED surface (the real-world sequence: condition,
+    // then route; filled lake interiors become pits/flats with dir 0).
+    // Exercises fillSinksTiles -> flowDir operator chaining; the oracle
+    // composes the r29 Jacobi fill CTE with the r24 direction rule over
+    // the filled values (fill values are selections of dyadic z, so the
+    // drop doubles stay bit-identical cross-engine).
+    "r33_conditioned_flowdir" -> ((s, _) => {
+      import s.implicits._
+      val filled = Flow.fillSinksTiles(demTiles(s), Synth.demRef, tileRes)
+      Flow.flowDir(filled, Synth.demRef, tileRes)
+        .select($"row", $"col", $"dir".cast("long").as("dir"))
+        .orderBy($"row", $"col")
+    }),
+
     // W2: bilinear resample via halo'd gather join
     "r11_bilinear" -> ((s, _) => {
       import s.implicits._
@@ -1024,6 +1060,41 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT w.sr, w.sc, e.r2, e.c2, w.ncard + 1 - e.diag, w.ndiag + e.diag
        |  FROM walk w JOIN edges e ON w.r = e.r AND w.c = e.c)""".stripMargin
+
+  /** The r29 Jacobi-relaxation fill CTE block (f_{k+1}(c) = min(f_k(c),
+    * max(z(c), min over 8-neighbors f_k(n))), f_0 = z on drains — grid
+    * border / NODATA-adjacent — else 1e30, fixed 60 rounds; the fixture
+    * converges in 36). Shared by the r29 and r33 oracles. The recursive
+    * term carries each cell's contribution to itself (offset 0,0) and to
+    * its neighbors, then one aggregate per target cell — DuckDB allows
+    * aggregates in the recursive term. Final state: `fs` at `it = 60`. */
+  private def jacobiFillCtes: String = {
+    val nr = Synth.demRef.nrows
+    val nc = Synth.demRef.ncols
+    s"""$demGridCte,
+       |dd9(dr, dc, self) AS (VALUES (0,0,1),(0,1,0),(1,1,0),(1,0,0),(1,-1,0),
+       |                             (0,-1,0),(-1,-1,0),(-1,0,0),(-1,1,0)),
+       |cells AS MATERIALIZED (
+       |  SELECT a.r, a.c, a.v,
+       |    (a.r = 0 OR a.r = ${nr - 1} OR a.c = 0 OR a.c = ${nc - 1} OR EXISTS (
+       |      SELECT 1 FROM dd9 d JOIN g n
+       |      ON n.r = a.r + d.dr AND n.c = a.c + d.dc
+       |      WHERE d.self = 0 AND n.v IS NULL)) AS drain
+       |  FROM g a WHERE a.v IS NOT NULL),
+       |fs AS (
+       |  SELECT 0 AS it, r, c, CASE WHEN drain THEN v ELSE 1e30 END AS f
+       |  FROM cells
+       |  UNION ALL
+       |  SELECT p.it + 1, t.r, t.c,
+       |    CASE WHEN t.drain THEN t.v
+       |         ELSE least(min(CASE WHEN d.self = 1 THEN p.f END),
+       |                    greatest(t.v, min(CASE WHEN d.self = 0 THEN p.f END)))
+       |    END AS f
+       |  FROM fs p JOIN dd9 d ON true
+       |  JOIN cells t ON t.r = p.r + d.dr AND t.c = p.c + d.dc
+       |  WHERE p.it < 60
+       |  GROUP BY p.it, t.r, t.c, t.v, t.drain)""".stripMargin
+  }
 
   private val d3PairCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1693,41 +1764,48 @@ object SparkEntry {
       |FROM up WHERE rn = 1 ORDER BY row, col""".stripMargin,
 
     // r29: Jacobi relaxation of the Priority-Flood minimax fixpoint —
-    // f_{k+1}(c) = min(f_k(c), max(z(c), min over 8-neighbors f_k(n))),
-    // f_0 = z on drains (grid border / NODATA-adjacent) else 1e30, run a
-    // fixed 60 rounds (fixture converges in 36; see r29 query scaladoc).
-    // The recursive term carries each cell's contribution to itself
-    // (offset 0,0) and its neighbors, then one aggregate per target cell —
-    // DuckDB allows aggregates in the recursive term.
-    "r29_fill_sinks" -> {
-      val nr = Synth.demRef.nrows
-      val nc = Synth.demRef.ncols
-      s"""WITH RECURSIVE $demGridCte,
-      |dd9(dr, dc, self) AS (VALUES (0,0,1),(0,1,0),(1,1,0),(1,0,0),(1,-1,0),
-      |                             (0,-1,0),(-1,-1,0),(-1,0,0),(-1,1,0)),
-      |cells AS MATERIALIZED (
-      |  SELECT a.r, a.c, a.v,
-      |    (a.r = 0 OR a.r = ${nr - 1} OR a.c = 0 OR a.c = ${nc - 1} OR EXISTS (
-      |      SELECT 1 FROM dd9 d JOIN g n
-      |      ON n.r = a.r + d.dr AND n.c = a.c + d.dc
-      |      WHERE d.self = 0 AND n.v IS NULL)) AS drain
-      |  FROM g a WHERE a.v IS NOT NULL),
-      |fs AS (
-      |  SELECT 0 AS it, r, c, CASE WHEN drain THEN v ELSE 1e30 END AS f
-      |  FROM cells
-      |  UNION ALL
-      |  SELECT p.it + 1, t.r, t.c,
-      |    CASE WHEN t.drain THEN t.v
-      |         ELSE least(min(CASE WHEN d.self = 1 THEN p.f END),
-      |                    greatest(t.v, min(CASE WHEN d.self = 0 THEN p.f END)))
-      |    END AS f
-      |  FROM fs p JOIN dd9 d ON true
-      |  JOIN cells t ON t.r = p.r + d.dr AND t.c = p.c + d.dc
-      |  WHERE p.it < 60
-      |  GROUP BY p.it, t.r, t.c, t.v, t.drain)
+    // see jacobiFillCtes (shared with r33 so the fill rule can never
+    // desynchronize between the two oracles).
+    "r29_fill_sinks" ->
+      s"""WITH RECURSIVE $jacobiFillCtes
       |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col, f AS fill
-      |FROM fs WHERE it = 60 ORDER BY row, col""".stripMargin
-    },
+      |FROM fs WHERE it = 60 ORDER BY row, col""".stripMargin,
+
+    // r32: zonal statistics over the r26 basins — the walk terminal row
+    // labels each cell, joined back to the grid values and aggregated.
+    // Sums of quarter-valued z are exact, so no quantization.
+    "r32_zonal_stats" -> s"""WITH RECURSIVE $d8WalkCtes,
+      |term AS (SELECT w.sr, w.sc, w.r AS br, w.c AS bc FROM walk w
+      |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.r = w.r AND e.c = w.c))
+      |SELECT CAST(t.br AS BIGINT) AS basin_r, CAST(t.bc AS BIGINT) AS basin_c,
+      |       CAST(count(*) AS BIGINT) AS n_cells,
+      |       min(g.v) AS min_z, max(g.v) AS max_z, sum(g.v) AS sum_z
+      |FROM term t JOIN g ON g.r = t.sr AND g.c = t.sc
+      |WHERE g.v IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // r33: D8 direction rule over the Jacobi-FILLED surface (fill CTE
+    // shared with r29 verbatim; drop expressions mirror r24's with f in
+    // place of v — fill values are selections of dyadic z, so every
+    // compared double stays bit-identical cross-engine).
+    "r33_conditioned_flowdir" -> s"""WITH RECURSIVE $jacobiFillCtes,
+      |fg AS MATERIALIZED (SELECT r, c, f FROM fs WHERE it = 60),
+      |ddx(code, dr, dc) AS (VALUES (1,0,1),(2,1,1),(4,1,0),(8,1,-1),
+      |                             (16,0,-1),(32,-1,-1),(64,-1,0),(128,-1,1)),
+      |candx AS (
+      |  SELECT a.r, a.c, d.code,
+      |         (a.f - b.f) / (CASE WHEN d.dr != 0 AND d.dc != 0
+      |                             THEN 5.0 * sqrt(2.0) ELSE 5.0 END) AS dp
+      |  FROM fg a JOIN ddx d ON true
+      |  JOIN fg b ON b.r = a.r + d.dr AND b.c = a.c + d.dc),
+      |bestx AS (
+      |  SELECT r, c, code, dp,
+      |         row_number() OVER (PARTITION BY r, c ORDER BY dp DESC, code ASC) AS rn
+      |  FROM candx),
+      |dirx AS (SELECT r, c, code FROM bestx WHERE rn = 1 AND dp > 0)
+      |SELECT fg.r AS row, fg.c AS col, CAST(COALESCE(d.code, 0) AS BIGINT) AS dir
+      |FROM fg LEFT JOIN dirx d ON d.r = fg.r AND d.c = fg.c
+      |ORDER BY row, col""".stripMargin,
 
     // r30: TPI/TRI per cell over the valid 8-neighborhood — sums of exact
     // dyadic squares are order-free; division and sqrt of identical

@@ -255,6 +255,25 @@ class FlowSpec extends AnyFunSuite {
     }
   }
 
+  test("conditioned routing: flowDir over fillSinksTiles == dirs on the Jacobi-filled surface") {
+    val fillMap = globalFill(Synth.demRef, Synth.demValue)
+    def filledValue(r: Int, c: Int): Double =
+      fillMap.getOrElse((r, c), Double.NaN)
+    val (want, _) = globalFlow(Synth.demRef, filledValue)
+    val tiles = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val filled = Flow.fillSinksTiles(tiles, Synth.demRef, 6)
+    val got = Flow.flowDir(filled, Synth.demRef, 6).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getInt(2)).toMap
+    assert(got == want)
+    // conditioning produced FLATS: some raised cell (fill > z) now has
+    // dir 0 (lake surface) — i.e. the chain really routed over the
+    // filled surface, not the raw one
+    val flatLake = fillMap.exists { case ((r, c), fv) =>
+      fv > Synth.demValue(r, c) && got((r, c)) == 0
+    }
+    assert(flatLake, "no filled-flat cells — conditioning had no routing effect")
+  }
+
   test("flow routing scale smoke: 2048x2048 grid, condensed solve stays O(perimeter)") {
     // 4.2M cells / 1024 tiles at res 6: the driver touches ONLY crossing
     // edges (bounded by tile perimeter sum ~ 260k) — a per-cell driver
