@@ -39,6 +39,25 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   /** `set_crs` (Raster.py:167-183). */
   def setCrs(epsg: Int): Raster = copy(ref = ref.withEpsg(epsg))
 
+  /** Reference `set_nodata` (Raster.py:683-692): header metadata only — the
+    * in-memory canonical form stays NaN; the new value takes effect on
+    * export (`writeAsc` NODATA_value line, GeoTIFF GDAL_NODATA). */
+  def setNodata(v: Double): Raster = copy(ref = ref.copy(nodata = v))
+
+  /** Reference `duplicate` (Raster.py:856-861, copy.deepcopy). Tiles are
+    * immutable Datasets and GridRef is a value class, so a shallow copy IS
+    * an independent object — no data copy needed or performed. */
+  def duplicate: Raster = copy()
+
+  /** Cell-center coordinates of every cell — reference `to_points`
+    * (Raster.py:553-567); columns (row, col, x, y, v), v NULL at NODATA. */
+  def toPoints: DataFrame = TileOps.toPoints(tiles, ref)
+
+  /** Per-row/per-column NaN-ignoring min/max/median — the reference's
+    * `max/min/median(axis=...)` (Raster.py:844-854). axis follows numpy:
+    * 0 → one row per column, 1 → one row per grid row. */
+  def statsAxis(axis: Int): DataFrame = TileOps.axisStats(tiles, axis)
+
   /** `rect_clip` (Raster.py:218-240): snap the extent to the grid, prune
     * tiles, and rebase onto the clipped header (one aligned-mosaic
     * shuffle — the crop the reference does with array slicing). */
@@ -95,6 +114,28 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   def merge(origin: Raster, method: String = "bilinear"): Raster =
     Raster(Regrid.mergeInto(tiles, ref, origin.tiles, origin.ref, res, method),
       ref, res)
+
+  /** `paste_on` (Raster.py:517-551): paste THIS raster onto `large`'s grid
+    * (equal cellsize, window clipped to `large`'s bounds), returning a
+    * raster on `large`'s georeference. `ignoreNan=true` (the reference
+    * default) leaves `large` intact under this raster's NODATA holes;
+    * false pastes the raw window including NODATA. Distributed form: this
+    * raster's tiles become precedence-1 [[TilePatch]]es on `large`'s tiling
+    * (pure index shift, no driver materialization) folded over `large`'s
+    * tiles by the streaming mosaic — one shuffle on the target cell id.
+    * The reference's `rows > 0` off-by-one (its window clip silently drops
+    * target row/col 0) is a quirk we do NOT reproduce; the parity kernel
+    * [[graft.core.RefKernel.pasteOn]] carries it behind `index0Quirk` for
+    * oracle tests. */
+  def pasteOn(large: Raster, ignoreNan: Boolean = true): Raster = {
+    require(ref.cellsize == large.ref.cellsize,
+      "paste_on requires equal cellsize (Raster.py:520)")
+    val base = TileOps.alignedPatches(
+      large.tiles, large.ref, large.ref, large.res, seq = 0, coverAll = true)
+    val patch = TileOps.alignedPatches(
+      tiles, ref, large.ref, large.res, seq = 1, coverAll = !ignoreNan)
+    Raster(TileOps.mosaic(base union patch), large.ref, large.res)
+  }
 
   /** `combine_raster` (spatial_analysis.py:244-298): union-extent mosaic,
     * later arguments win on overlap (sequential combine order). */

@@ -829,6 +829,48 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // P7: to_points — cell-center coordinates of every cell
+    // (Raster.py:553-567). Integer header × dyadic 0.5 offsets keep every
+    // x/y exact in both engines; v is NULL at the NODATA holes (the
+    // reference meshgrid includes them).
+    "r34_to_points" -> ((s, _) => {
+      import s.implicits._
+      TileOps.toPoints(demTiles(s), Synth.demRef)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
+          $"x", $"y", $"v")
+        .orderBy($"row", $"col")
+    }),
+
+    // A6: axis-wise stats — per-column (axis 0) and per-row (axis 1)
+    // NaN-ignoring min/max/median (Raster.py:844-854). Exact median via
+    // percentile over quarter-valued cells: the even-count midpoint mean
+    // is an eighth, exact in IEEE double in both engines (the r1 rule,
+    // per-group).
+    "r35_axis_stats" -> ((s, _) => {
+      import s.implicits._
+      val dem = demTiles(s)
+      TileOps.axisStats(dem, 0).withColumn("axis", lit(0L))
+        .unionByName(TileOps.axisStats(dem, 1).withColumn("axis", lit(1L)))
+        .select($"axis", $"idx", $"n_valid", $"min_v", $"max_v", $"median_v")
+        .orderBy($"axis", $"idx")
+    }),
+
+    // J4: paste_on — the small aligned fixture pasted onto the DEM
+    // (ignore_nan=true), window clipped at the DEM's right edge
+    // (Raster.py:517-551 minus its row/col-0 exclusion quirk, which the
+    // RefKernel parity oracle pins separately). Distributed: precedence
+    // patches folded by the streaming mosaic — one shuffle on cell id.
+    "r36_paste_on" -> ((s, _) => {
+      import s.implicits._
+      val large = Raster(demTiles(s), Synth.demRef, tileRes)
+      val small = Raster(
+        TileOps.tileGrid(s, Synth.pasteRef, tileRes)(Synth.pasteValue),
+        Synth.pasteRef, tileRes)
+      small.pasteOn(large).cells
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"), $"v")
+        .orderBy($"row", $"col")
+    }),
+
     // W2: bilinear resample via halo'd gather join
     "r11_bilinear" -> ((s, _) => {
       import s.implicits._
@@ -1215,6 +1257,54 @@ object SparkEntry {
          |SELECT max(v) AS max_v, min(v) AS min_v, median(v) AS median_v,
          |  CAST(count(v) AS BIGINT) AS valid_cells, sum(v) AS sum_v
          |FROM g""".stripMargin,
+
+    // r34: cell-center coordinates — integer header + (idx+0.5)·cellsize,
+    // exact doubles both engines.
+    "r34_to_points" -> {
+      val ref = Synth.demRef
+      s"""WITH g AS ($demSql)
+         |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+         |  ${ref.left}e0 + (c + 0.5e0) * ${ref.cellsize}e0 AS x,
+         |  ${ref.top}e0 - (r + 0.5e0) * ${ref.cellsize}e0 AS y, v
+         |FROM g ORDER BY row, col""".stripMargin
+    },
+
+    // r35: per-column (axis 0) / per-row (axis 1) NaN-ignoring stats;
+    // median follows the r1 rule (even-count midpoint of quarters = exact
+    // eighth).
+    "r35_axis_stats" ->
+      s"""WITH g AS ($demSql)
+         |SELECT CAST(0 AS BIGINT) AS axis, CAST(c AS BIGINT) AS idx,
+         |  CAST(count(v) AS BIGINT) AS n_valid, min(v) AS min_v,
+         |  max(v) AS max_v, median(v) AS median_v
+         |FROM g GROUP BY c
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(r AS BIGINT),
+         |  CAST(count(v) AS BIGINT), min(v), max(v), median(v)
+         |FROM g GROUP BY r
+         |ORDER BY axis, idx""".stripMargin,
+
+    // r36: paste_on fixture — the 40x30 eighth-valued small grid lands at
+    // DEM pixel offset (row 103, col 130), clipped at the right edge;
+    // ignore_nan=true keeps the DEM where the small grid has holes.
+    "r36_paste_on" -> {
+      val p = Synth.pasteRef
+      val rowOff = Math.rint((Synth.demRef.top - p.top) / p.cellsize).toInt
+      val colOff = Math.rint((p.left - Synth.demRef.left) / p.cellsize).toInt
+      s"""WITH g AS ($demSql),
+         |s AS (SELECT (i // ${p.ncols}) AS r, (i % ${p.ncols}) AS c,
+         |  CASE WHEN ((i // ${p.ncols}) * 31 + (i % ${p.ncols})) % 41 = 5 THEN NULL
+         |       ELSE (((i // ${p.ncols}) * 13 + (i % ${p.ncols}) * 7) % 400) / 8.0 END AS v
+         |  FROM range(${p.nrows.toLong * p.ncols}) t(i)),
+         |sp AS (SELECT r + $rowOff AS r, c + $colOff AS c, v FROM s
+         |  WHERE c + $colOff < ${Synth.demRef.ncols}
+         |    AND r + $rowOff < ${Synth.demRef.nrows})
+         |SELECT CAST(g.r AS BIGINT) AS row, CAST(g.c AS BIGINT) AS col,
+         |  CASE WHEN sp.r IS NOT NULL AND sp.v IS NOT NULL THEN sp.v
+         |       ELSE g.v END AS v
+         |FROM g LEFT JOIN sp ON sp.r = g.r AND sp.c = g.c
+         |ORDER BY row, col""".stripMargin
+    },
 
     "r2_rect_clip" -> {
       val (r0, r1, c0, c1) = Synth.demRef.clipWindow(Synth.tutorialClip)

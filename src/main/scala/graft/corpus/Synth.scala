@@ -67,6 +67,18 @@ object Synth {
       Array(554941.3361, 554953.3739, 554956.3834, 554944.3455, 554941.3361),
       attr = 9.0, seq = 3))
 
+  /** paste_on fixture (Raster.py:517-551): a small aligned 5 m grid whose
+    * window overlaps the DEM's right edge (cols 130..159 in DEM pixel
+    * coords, rows 103..142) so the paste exercises out-of-range clipping.
+    * Values are eighths (integer/8) — exact in IEEE double — on a hole
+    * pattern distinct from the DEM's. */
+  val pasteRef = GridRef(ncols = 30, nrows = 40,
+    xll = 340760 + 130 * 5, yll = 554667 + 60 * 5, cellsize = 5)
+
+  def pasteValue(r: Int, c: Int): Double =
+    if ((r * 31 + c) % 41 == 5) Double.NaN
+    else ((r * 13 + c * 7) % 400) / 8.0
+
   /** Scattered-point fixture for kNN interpolation: 60 deterministic points
     * on the interpolation grid below, integer-derived coords/values, laid
     * out so no grid center is equidistant from two points (tie-free by

@@ -135,6 +135,43 @@ object TileOps {
       sum("v").as("sum_v"))
   }
 
+  /** Cell-center coordinates of every raster cell — reference `to_points`
+    * (Raster.py:553-567) / `sub2map` (spatial_analysis.py:392-414):
+    * x = left + (col+0.5)·cellsize, y = top − (row+0.5)·cellsize. Emits ALL
+    * cells (the reference meshgrid includes NODATA positions; `v` is NULL
+    * there). Pure per-cell arithmetic on codegen'd built-ins — no shuffle;
+    * at scale this is a projection fused into whatever consumes it. */
+  def toPoints(tiles: Dataset[Tile], ref: GridRef): DataFrame = {
+    import org.apache.spark.sql.functions._
+    cells(tiles)
+      .withColumn("x", lit(ref.left) + (col("col") + lit(0.5)) * lit(ref.cellsize))
+      .withColumn("y", lit(ref.top) - (col("row") + lit(0.5)) * lit(ref.cellsize))
+      .select("row", "col", "x", "y", "v")
+  }
+
+  /** Per-row (axis=1) or per-column (axis=0) NaN-ignoring stats — the
+    * reference's `max/min/median(axis=...)` (Raster.py:844-854,
+    * np.nanmax/nanmin/nanmedian). `axis` follows numpy: 0 reduces over rows
+    * (one output per column), 1 reduces over columns (one output per row).
+    * One shuffle on the surviving index with map-side partial min/max/count;
+    * the exact median (numpy semantics: mean of the two middles at even
+    * count) needs the group's values together — `percentile(v, 0.5)`, the
+    * same exact path as [[stats]]. Scale note: an output index at 100 TB has
+    * ~grid-width values; exact median is inherently a full shuffle of the
+    * axis — swap `percentile_approx` in when a sketch is acceptable. */
+  def axisStats(tiles: Dataset[Tile], axis: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(axis == 0 || axis == 1, s"axis must be 0 or 1, got $axis")
+    val idx = if (axis == 0) "col" else "row"
+    cells(tiles)
+      .groupBy(col(idx).cast("long").as("idx"))
+      .agg(
+        count("v").as("n_valid"),
+        min("v").as("min_v"),
+        max("v").as("max_v"),
+        expr("percentile(v, 0.5)").as("median_v"))
+  }
+
   /** Convert a whole source grid (as tiles, SAME cellsize & aligned offsets)
     * into TilePatches of the target tiling with precedence `seq` — the
     * shuffle-side input of the mosaic (combine_raster paste,

@@ -159,4 +159,55 @@ class RasterApiSpec extends AnyFunSuite {
     assert(joined.getLong(0) == 0L, "fill below terrain")
     assert(joined.getLong(1) > 0L, "nothing filled")
   }
+
+  test("paste_on matches the reference kernel both ways incl. edge clipping") {
+    val small = Raster.fromGrid(spark, Synth.pasteRef)(Synth.pasteValue)
+    val demGrid = RefKernel.Grid(Synth.demRef,
+      Array.tabulate(Synth.demRef.numCells.toInt)(i =>
+        Synth.demValue(i / Synth.demRef.ncols, i % Synth.demRef.ncols)))
+    val smallGrid = RefKernel.Grid(Synth.pasteRef,
+      Array.tabulate(Synth.pasteRef.numCells.toInt)(i =>
+        Synth.pasteValue(i / Synth.pasteRef.ncols, i % Synth.pasteRef.ncols)))
+    for (ignoreNan <- Seq(true, false)) {
+      val got = small.pasteOn(dem, ignoreNan)
+      assert(got.ref == Synth.demRef)
+      val want = RefKernel.pasteOn(demGrid, smallGrid, ignoreNan,
+        index0Quirk = false).data
+      assert(java.util.Arrays.equals(got.toArray, want), s"ignoreNan=$ignoreNan")
+    }
+  }
+
+  test("to_points coordinates and axis stats match direct computation") {
+    val ref = Synth.demRef
+    val pts = dem.toPoints.collect()
+    assert(pts.length == ref.numCells)
+    pts.take(500).foreach { row =>
+      val (r, c) = (row.getInt(0), row.getInt(1))
+      assert(row.getDouble(2) == ref.left + (c + 0.5) * ref.cellsize)
+      assert(row.getDouble(3) == ref.top - (r + 0.5) * ref.cellsize)
+    }
+    // per-row stats (axis=1) vs direct nanmin/nanmax/nanmedian
+    val byRow = dem.statsAxis(1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(byRow.size == ref.nrows)
+    for (r <- Seq(0, 7, 101, ref.nrows - 1)) {
+      val vs = (0 until ref.ncols).map(Synth.demValue(r, _)).filterNot(_.isNaN).sorted
+      val med = if (vs.length % 2 == 1) vs(vs.length / 2)
+                else (vs(vs.length / 2 - 1) + vs(vs.length / 2)) / 2.0
+      val (n, mn, mx, m) = byRow(r.toLong)
+      assert(n == vs.length && mn == vs.head && mx == vs.last && m == med, s"row $r")
+    }
+    assert(dem.statsAxis(0).count() == ref.ncols)
+  }
+
+  test("set_nodata reaches the ASC header; duplicate is independent") {
+    val d2 = dem.setNodata(-3.5).duplicate
+    assert(dem.ref.nodata == -9999.0 && d2.ref.nodata == -3.5)
+    val dir = Files.createTempDirectory("rasternodata")
+    val asc = dir.resolve("n.asc").toString
+    d2.setCrs(27700).writeAsc(asc)
+    val header = scala.io.Source.fromFile(asc).getLines().take(6).toSeq
+    assert(header.exists(l => l.startsWith("NODATA_value") && l.contains("-3.5")))
+  }
 }
