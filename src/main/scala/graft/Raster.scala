@@ -241,6 +241,26 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   /** Depression-filled DEM as a new Raster (Priority-Flood minimax fill). */
   def fillSinks: Raster = Raster(Flow.fillSinksTiles(tiles, ref, res), ref, res)
 
+  /** HAND — Height Above Nearest Drainage (Rennó et al. 2008), the classic
+    * flood-susceptibility product: for every cell whose D8 path reaches a
+    * stream (flow accumulation >= `threshold`), the first stream cell
+    * touched, exact step counts, and `hand` = z(cell) − z(stream cell).
+    * Stream cells themselves have hand 0. Composition of
+    * [[graft.operators.Flow.nearestDrainage]] with two cell-key equi-joins
+    * (the stream-z side is the acc>=threshold subset — AQE broadcasts it
+    * when it fits; no hint, so the plan degrades gracefully at scale). */
+  def hand(threshold: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val nd = Flow.nearestDrainage(tiles, ref, res, threshold)
+    val z = cells.where(col("v").isNotNull)
+      .select(col("row").cast("long").as("row"), col("col").cast("long").as("col"), col("v"))
+    val zs = z.select(col("row").as("stream_r"), col("col").as("stream_c"), col("v").as("vs"))
+    nd.join(z, Seq("row", "col"))
+      .join(zs, Seq("stream_r", "stream_c"))
+      .select(col("row"), col("col"), col("stream_r"), col("stream_c"),
+        col("ncard"), col("ndiag"), (col("v") - col("vs")).as("hand"))
+  }
+
   /** Focal terrain indices: (row, col, tpi, tri) over the 8-neighborhood. */
   def terrainIndices: DataFrame = Stencil.terrainIndices(tiles, ref, res)
 

@@ -871,6 +871,19 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // H10: HAND — height above nearest drainage (Rennó 2008). Stream set
+    // = r27's acc>=25 rule; per cell, the FIRST stream cell on its D8
+    // path, exact (ncard, ndiag) step counts, and hand = z − z_stream
+    // (difference of dyadic quarters — exact, no quantization). Cells
+    // draining to a pit before any stream are omitted (HAND undefined).
+    "r37_hand" -> ((s, _) => {
+      import s.implicits._
+      Raster(demTiles(s), Synth.demRef, tileRes).hand(threshold = 25L)
+        .select($"row", $"col", $"stream_r", $"stream_c",
+          $"ncard", $"ndiag", $"hand")
+        .orderBy($"row", $"col")
+    }),
+
     // W2: bilinear resample via halo'd gather join
     "r11_bilinear" -> ((s, _) => {
       import s.implicits._
@@ -1840,6 +1853,27 @@ object SparkEntry {
       |       CAST(a.a AS BIGINT) AS acc
       |FROM edges e JOIN acc a ON a.r = e.r AND a.c = e.c
       |WHERE a.a >= 25 ORDER BY row, col""".stripMargin,
+
+    // r37: HAND — the walk closure joined to the r27 stream set; the
+    // first stream cell on a path is the hit with the minimum step count
+    // (steps strictly increase along the walk, so the minimum is unique).
+    // hand = z(start) − z(hit), both quarters — exact cross-engine.
+    "r37_hand" -> s"""WITH RECURSIVE $d8WalkCtes,
+      |acc AS (SELECT r, c, count(*) AS a FROM walk GROUP BY 1, 2),
+      |stream AS (SELECT r, c FROM acc WHERE a >= 25),
+      |hits AS (
+      |  SELECT w.sr, w.sc, w.r, w.c, w.ncard, w.ndiag,
+      |    row_number() OVER (PARTITION BY w.sr, w.sc
+      |      ORDER BY w.ncard + w.ndiag ASC) AS rn
+      |  FROM walk w JOIN stream s ON s.r = w.r AND s.c = w.c)
+      |SELECT CAST(h.sr AS BIGINT) AS row, CAST(h.sc AS BIGINT) AS col,
+      |  CAST(h.r AS BIGINT) AS stream_r, CAST(h.c AS BIGINT) AS stream_c,
+      |  CAST(h.ncard AS BIGINT) AS ncard, CAST(h.ndiag AS BIGINT) AS ndiag,
+      |  g1.v - g2.v AS hand
+      |FROM hits h JOIN g g1 ON g1.r = h.sr AND g1.c = h.sc
+      |            JOIN g g2 ON g2.r = h.r AND g2.c = h.c
+      |WHERE h.rn = 1
+      |ORDER BY row, col""".stripMargin,
 
     // r28: longest upstream path per cell — max over walk rows ending at
     // the cell, weighted `ncard + ndiag*sqrt(2.0)` with ties to the larger

@@ -290,10 +290,13 @@ object Flow {
 
   /** Per-cell in-tile trace memo. For every local index i:
     * `typ` 1 = path ends at in-tile pit `term(i)`, 2 = path reaches the
-    * crossing cell `term(i)` (whose dir leaves the tile), 3 = NaN cell;
+    * crossing cell `term(i)` (whose dir leaves the tile), 3 = NaN cell,
+    * 4 = path reaches an in-tile `stop` cell (first-touched, inclusive of
+    * the start cell itself — [[nearestDrainage]]'s stream mask);
     * `cnc`/`cnd` = cardinal/diagonal steps from i to that terminal
     * (exclusive of the crossing step itself). Memoized stack walk, O(n). */
-  private def localTrace(pt: Stencil.Padded, dirs: Array[Int])
+  private def localTrace(pt: Stencil.Padded, dirs: Array[Int],
+      stop: Array[Boolean] = null)
       : (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
     val n = pt.h * pt.w
     val typ = new Array[Byte](n)
@@ -310,6 +313,7 @@ object Flow {
         var resolved = false
         while (!resolved) {
           if (typ(j) != 0) resolved = true
+          else if (stop != null && stop(j)) { typ(j) = 4; term(j) = j; resolved = true }
           else if (dirs(j) == 0) { typ(j) = 1; term(j) = j; resolved = true }
           else {
             val (dr, dc) = delta(dirs(j))
@@ -786,6 +790,151 @@ object Flow {
     * accumulation meets `threshold` — `(row, col, to_r, to_c, acc)`. The
     * classic channel-initiation rule (acc >= support area). One join of
     * [[flowAcc]] and [[flowDir]] on the cell key. */
+  /** Nearest drainage along the D8 path — the routing core of HAND (Height
+    * Above Nearest Drainage, Rennó et al. 2008): for every valid cell whose
+    * downstream path touches a stream cell (flow accumulation >=
+    * `threshold`), the FIRST stream cell touched and the exact step counts
+    * to it — `(row, col, stream_r, stream_c, ncard, ndiag)`. Stream cells
+    * map to themselves with (0, 0); cells draining to a pit without
+    * crossing a stream are omitted (HAND undefined). Same condensation
+    * scale shape as [[downstream]]: tile-local memoized traces that STOP at
+    * stream cells, a driver-side crossing-chain resolve bounded by
+    * `driverLimit`, and one broadcast of the resolved crossings — the
+    * stream mask itself arrives per tile via an equi-join on the tile cell
+    * id (never collected). */
+  def nearestDrainage(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      threshold: Long, driverLimit: Int = 2000000): DataFrame = {
+    import tiles.sparkSession.implicits._
+    val cs = ref.cellsize
+    val size = 1 << res
+    val ncols = ref.ncols
+    // per-tile stream mask as LOCAL indices, keyed by the owning tile's id
+    val stops = flowAcc(tiles, ref, res).where($"acc" >= threshold)
+      .select($"row", $"col").as[(Long, Long)]
+      .map { case (r, c) =>
+        val col0 = (c >> res) << res
+        val w = math.min(size.toLong, ncols - col0)
+        (CellId.ofPixel(r, c, res), ((r - ((r >> res) << res)) * w + (c - col0)).toInt)
+      }
+      .groupByKey(_._1).mapValues(_._2).mapGroups((cid, it) => (cid, it.toArray))
+    val bare = Stencil.padded(tiles, ref, res)
+    val padded = bare
+      .joinWith(stops, bare("cellId") === stops("_1"), "left_outer")
+      .map { case (pt, st) => (pt, if (st == null) Array.empty[Int] else st._2) }
+      .persist()
+    try {
+      // pass 1: per-tile crossing edges + border routing, stream-aware
+      val summaries = padded.mapPartitions { it =>
+        it.map { case (pt, streamIdx) =>
+          val stop = new Array[Boolean](pt.h * pt.w)
+          streamIdx.foreach(stop(_) = true)
+          val dirs = dirPlane(pt, cs)
+          val (typ, term, cnc, cnd) = localTrace(pt, dirs, stop)
+          val crossing = Array.newBuilder[(Long, Long, Long, Long, Int, Long, Long)]
+          var i = 0
+          while (i < dirs.length) {
+            if (typ(i) == 2 && term(i) == i) {
+              val (dr, dc) = delta(dirs(i))
+              crossing += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+                (pt.row0 + i / pt.w + dr).toLong, (pt.col0 + i % pt.w + dc).toLong,
+                if (dr != 0 && dc != 0) 1 else 0, 0L, 0L))
+            }
+            i += 1
+          }
+          val routing = Array.newBuilder[(Long, Long, Int, Long, Long, Long, Long)]
+          var r = 0
+          while (r < pt.h) {
+            var c = 0
+            while (c < pt.w) {
+              val j = r * pt.w + c
+              if ((r == 0 || r == pt.h - 1 || c == 0 || c == pt.w - 1) && typ(j) != 3)
+                routing += (((pt.row0 + r).toLong, (pt.col0 + c).toLong, typ(j).toInt,
+                  (pt.row0 + term(j) / pt.w).toLong, (pt.col0 + term(j) % pt.w).toLong,
+                  cnc(j).toLong, cnd(j).toLong))
+              c += 1
+            }
+            r += 1
+          }
+          TraceSummary(crossing.result(), routing.result())
+        }
+      }.collect()
+      val crossings = summaries.flatMap(_.crossing)
+      require(crossings.length <= driverLimit,
+        s"condensed trace graph ${crossings.length} exceeds driverLimit=$driverLimit; " +
+          "re-run with coarser tiles (higher res) to condense further")
+      val target = crossings.map { case (xr, xc, tr, tc, dg, _, _) =>
+        (xr, xc) -> (tr, tc, dg) }.toMap
+      val route = summaries.flatMap(_.routing)
+        .map { case (br, bc, k, tr, tc, nc, nd) => (br, bc) -> (k, tr, tc, nc, nd) }.toMap
+      // resolve each crossing cell to (defined, streamR, streamC, nc, nd) —
+      // counts from the crossing cell inclusive of its crossing step;
+      // defined=false when the chain dies at a pit before any stream cell.
+      val memo = scala.collection.mutable.Map[(Long, Long), (Boolean, Long, Long, Long, Long)]()
+      target.keys.foreach { x0 =>
+        if (!memo.contains(x0)) {
+          val chain = scala.collection.mutable.ArrayBuffer[((Long, Long), Long, Long)]()
+          var cur = x0
+          var base: (Boolean, Long, Long, Long, Long) = null
+          while (base == null) {
+            memo.get(cur) match {
+              case Some(f) => base = f
+              case None =>
+                val (tr, tc, dg) = target(cur)
+                val stepNc = if (dg == 1) 0L else 1L
+                val stepNd = if (dg == 1) 1L else 0L
+                val (k, er, ec, nc, nd) = route.getOrElse((tr, tc),
+                  throw new IllegalStateException(s"no routing for crossing target ($tr,$tc)"))
+                if (k == 4) { // first stream cell (er, ec) in the target tile
+                  base = (true, er, ec, stepNc + nc, stepNd + nd)
+                  memo(cur) = base
+                } else if (k == 1) { // pit before any stream — undefined
+                  base = (false, 0L, 0L, 0L, 0L)
+                  memo(cur) = base
+                } else {
+                  chain += ((cur, stepNc + nc, stepNd + nd))
+                  require(chain.length <= target.size, "crossing chain cycle — non-monotone dirs")
+                  cur = (er, ec)
+                }
+            }
+          }
+          var k = chain.length - 1
+          while (k >= 0) {
+            val (x, addNc, addNd) = chain(k)
+            base = if (base._1) (true, base._2, base._3, base._4 + addNc, base._5 + addNd)
+                   else base
+            memo(x) = base
+            k -= 1
+          }
+        }
+      }
+      val bc = tiles.sparkSession.sparkContext.broadcast(memo.toMap)
+      padded.flatMap { case (pt, streamIdx) =>
+        val stop = new Array[Boolean](pt.h * pt.w)
+        streamIdx.foreach(stop(_) = true)
+        val dirs = dirPlane(pt, cs)
+        val (typ, term, cnc, cnd) = localTrace(pt, dirs, stop)
+        val m = bc.value
+        val out = Array.newBuilder[(Long, Long, Long, Long, Long, Long)]
+        var i = 0
+        while (i < dirs.length) {
+          if (typ(i) == 4) {
+            out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+              (pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong,
+              cnc(i).toLong, cnd(i).toLong))
+          } else if (typ(i) == 2) {
+            val x = ((pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong)
+            val (defined, sr, sc, nc, nd) = m(x)
+            if (defined)
+              out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+                sr, sc, cnc(i) + nc, cnd(i) + nd))
+          }
+          i += 1
+        }
+        out.result().iterator
+      }.toDF("row", "col", "stream_r", "stream_c", "ncard", "ndiag").localCheckpoint(true)
+    } finally padded.unpersist()
+  }
+
   def streamNetwork(tiles: Dataset[Tile], ref: GridRef, res: Int,
       threshold: Long): DataFrame = {
     import tiles.sparkSession.implicits._

@@ -192,6 +192,42 @@ class FlowSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestDrainage distributed (stop-aware condensation) == driver-global") {
+    val ref = Synth.demRef
+    val nc = ref.ncols
+    val (dirG, accG) = globalFlow(ref, Synth.demValue)
+    val stream = accG.filter(_._2 >= 25L).keySet
+    // driver-global: walk each cell downstream to the FIRST stream cell
+    val want = dirG.keys.flatMap { case (r0, c0) =>
+      var r = r0; var c = c0; var ncard = 0L; var ndiag = 0L
+      var out: Option[((Int, Int), (Int, Int, Long, Long))] = None
+      var done = false
+      while (!done) {
+        if (stream((r, c))) { out = Some((r0, c0) -> (r, c, ncard, ndiag)); done = true }
+        else if (dirG((r, c)) == 0) done = true // pit before any stream
+        else {
+          val (_, dr, dc) = D8(Integer.numberOfTrailingZeros(dirG((r, c))))
+          if (dr != 0 && dc != 0) ndiag += 1 else ncard += 1
+          r += dr; c += dc
+        }
+      }
+      out
+    }.toMap
+    assert(want.nonEmpty && want.size < dirG.size, "fixture needs both defined and undefined cells")
+    for (res <- Seq(6, 4)) {
+      val tiles = TileOps.tileGrid(spark, ref, res)(Synth.demValue)
+      val got = Flow.nearestDrainage(tiles, ref, res, threshold = 25L).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+          (r.getLong(2).toInt, r.getLong(3).toInt, r.getLong(4), r.getLong(5))).toMap
+      assert(got.size == want.size, s"res=$res size")
+      assert(got == want, s"res=$res values")
+      // stream cells self-map with zero steps; some hit crosses a tile seam
+      assert(stream.forall(s => got(s) == (s._1, s._2, 0L, 0L)), s"res=$res streams")
+      assert(got.exists { case ((r, c), (sr, sc, _, _)) =>
+        (r >> res, c >> res) != (sr >> res, sc >> res) }, s"res=$res no cross-tile hit")
+    }
+  }
+
   test("streamNetwork: edges are exactly the acc>=T sources; targets follow dir") {
     val tiles = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
     val (dirG, accG) = globalFlow(Synth.demRef, Synth.demValue)
