@@ -232,6 +232,12 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   def watershed: DataFrame = Flow.downstream(tiles, ref, res)
 
   /** Stream network: D8 edges with accumulation >= `threshold` cells. */
+  /** Strahler stream order per stream cell (Strahler 1957) — pointer-
+    * doubling chain condensation + junction-forest solve
+    * ([[graft.operators.Flow.strahlerOrder]]). */
+  def strahler(threshold: Long): DataFrame =
+    Flow.strahlerOrder(tiles, ref, res, threshold)
+
   def streamNetwork(threshold: Long): DataFrame =
     Flow.streamNetwork(tiles, ref, res, threshold)
 

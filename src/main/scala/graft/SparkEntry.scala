@@ -884,6 +884,17 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // H11: Strahler stream order at threshold 4 (the richest network the
+    // fixture yields — orders reach 3 with 2,359 order-2 cells). Pointer-
+    // doubling chain condensation + junction-forest solve; oracle is the
+    // Jacobi order relaxation (55 rounds > the fixture's 49-cell max
+    // stream path).
+    "r38_strahler" -> ((s, _) => {
+      import s.implicits._
+      Raster(demTiles(s), Synth.demRef, tileRes).strahler(threshold = 4L)
+        .orderBy($"row", $"col")
+    }),
+
     // W2: bilinear resample via halo'd gather join
     "r11_bilinear" -> ((s, _) => {
       import s.implicits._
@@ -1874,6 +1885,39 @@ object SparkEntry {
       |            JOIN g g2 ON g2.r = h.r AND g2.c = h.c
       |WHERE h.rn = 1
       |ORDER BY row, col""".stripMargin,
+
+    // r38: Strahler order — Jacobi relaxation over the stream forest:
+    // ord_{k+1}(c) = rule over parents' ord_k (max, +1 when the top two
+    // tie), sources stay 1; correct once k exceeds the longest stream
+    // path (49 cells at threshold 4), run to 55. Contributions carry a
+    // self marker so source cells survive each round (the r29 pattern);
+    // the tie test reads the descending parent-order list.
+    "r38_strahler" -> s"""WITH RECURSIVE $d8WalkCtes,
+      |acc AS (SELECT r, c, count(*) AS a FROM walk GROUP BY 1, 2),
+      |stream AS MATERIALIZED (SELECT r, c FROM acc WHERE a >= 4),
+      |sedges AS MATERIALIZED (
+      |  SELECT e.r, e.c, e.r2, e.c2 FROM edges e
+      |  JOIN stream s ON s.r = e.r AND s.c = e.c),
+      |cmap AS MATERIALIZED (
+      |  SELECT r, c, r AS tr, c AS tc, 1 AS self FROM stream
+      |  UNION ALL
+      |  SELECT r, c, r2 AS tr, c2 AS tc, 0 AS self FROM sedges),
+      |sord AS (
+      |  SELECT 0 AS it, r, c, 1 AS o FROM stream
+      |  UNION ALL
+      |  SELECT p.it + 1, m.tr AS r, m.tc AS c,
+      |    CASE WHEN count(CASE WHEN m.self = 0 THEN 1 END) = 0 THEN 1
+      |         WHEN count(CASE WHEN m.self = 0 THEN 1 END) >= 2
+      |              AND (list(p.o ORDER BY p.o DESC) FILTER (m.self = 0))[1]
+      |                = (list(p.o ORDER BY p.o DESC) FILTER (m.self = 0))[2]
+      |         THEN (list(p.o ORDER BY p.o DESC) FILTER (m.self = 0))[1] + 1
+      |         ELSE (list(p.o ORDER BY p.o DESC) FILTER (m.self = 0))[1] END AS o
+      |  FROM sord p JOIN cmap m ON m.r = p.r AND m.c = p.c
+      |  WHERE p.it < 55
+      |  GROUP BY p.it, m.tr, m.tc)
+      |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+      |  CAST(o AS BIGINT) AS strahler
+      |FROM sord WHERE it = 55 ORDER BY row, col""".stripMargin,
 
     // r28: longest upstream path per cell — max over walk rows ending at
     // the cell, weighted `ncard + ndiag*sqrt(2.0)` with ties to the larger

@@ -935,6 +935,109 @@ object Flow {
     } finally padded.unpersist()
   }
 
+  /** Strahler stream order (Strahler 1957): for every stream cell (flow
+    * accumulation >= `threshold`), its order in the D8 stream forest —
+    * sources are 1; a confluence takes the max parent order, +1 when two
+    * or more parents share that max; chain cells (exactly one stream
+    * parent) carry their chain head's order unchanged.
+    *
+    * Scale shape, three stages:
+    *   1. classify: stream cells with in-degree != 1 are NODES (sources,
+    *      junctions); in-degree-1 cells are CHAIN cells with a unique
+    *      parent pointer.
+    *   2. pointer doubling UP the chains (`ptr = ptr(ptr)` per round,
+    *      frozen at nodes): O(log maxChainLen) rounds, each one equi-join
+    *      shuffle, plans kept constant-size with localCheckpoint — gives
+    *      every stream cell its chain HEAD node.
+    *   3. condensed junction-forest solve: each stream edge into a node,
+    *      tagged with its source's head, is one condensed edge
+    *      (head -> node); the forest has O(#sources) nodes, solved
+    *      driver-side under `driverLimit` (above it, the same
+    *      condensation recurses at supertile granularity like
+    *      [[flowAcc]]'s crossing solve), then one broadcast maps heads
+    *      to orders. */
+  def strahlerOrder(tiles: Dataset[Tile], ref: GridRef, res: Int,
+      threshold: Long, driverLimit: Int = 2000000): DataFrame = {
+    import tiles.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val net = streamNetwork(tiles, ref, res, threshold)
+      .select($"row", $"col", $"to_r", $"to_c").persist()
+    try {
+      val streamCells = flowAcc(tiles, ref, res).where($"acc" >= threshold)
+        .select($"row", $"col")
+      val indeg = net.groupBy($"to_r".as("row"), $"to_c".as("col"))
+        .agg(count(lit(1)).as("indeg"))
+      val deg = streamCells.join(indeg, Seq("row", "col"), "left")
+        .na.fill(0L, Seq("indeg"))
+      val nodesDF = deg.where($"indeg" =!= 1).select($"row", $"col").persist()
+      // chain cells carry their unique parent as the initial pointer
+      val parents = net.select($"to_r".as("row"), $"to_c".as("col"),
+        $"row".as("pr"), $"col".as("pc"))
+      var lab = nodesDF
+        .select($"row", $"col", $"row".as("hr"), $"col".as("hc"), lit(true).as("done"))
+        .unionByName(deg.where($"indeg" === 1).select($"row", $"col")
+          .join(parents, Seq("row", "col"))
+          .select($"row", $"col", $"pr".as("hr"), $"pc".as("hc"), lit(false).as("done")))
+        .localCheckpoint(true)
+      var remaining = lab.where(!$"done").count()
+      while (remaining > 0) {
+        val tgt = lab.select($"row".as("hr"), $"col".as("hc"),
+          $"hr".as("thr"), $"hc".as("thc"), $"done".as("tdone"))
+        lab = lab.join(tgt, Seq("hr", "hc"), "left")
+          .select($"row", $"col",
+            when($"done", $"hr").otherwise($"thr").as("hr"),
+            when($"done", $"hc").otherwise($"thc").as("hc"),
+            ($"done" || $"tdone").as("done"))
+          .localCheckpoint(true)
+        val next = lab.where(!$"done").count()
+        require(next < remaining, "pointer doubling stalled — stream chain cycle")
+        remaining = next
+      }
+      // condensed edges: stream edges whose target is a node, keyed by the
+      // source cell's head — one edge per incoming chain
+      val nodeKeys = nodesDF.select($"row".as("to_r"), $"col".as("to_c"))
+      val condensed = net.join(nodeKeys, Seq("to_r", "to_c"))
+        .join(lab.select($"row", $"col", $"hr", $"hc"), Seq("row", "col"))
+        .select($"hr", $"hc", $"to_r", $"to_c")
+        .as[(Long, Long, Long, Long)].collect()
+      require(condensed.length <= driverLimit,
+        s"condensed junction forest ${condensed.length} exceeds driverLimit=$driverLimit; " +
+          "raise the threshold or solve recursively at supertile granularity")
+      val nodes = nodesDF.as[(Long, Long)].collect()
+      // Kahn over the junction forest: order(node with no incoming) = 1;
+      // order(w) = max incoming head orders, +1 when >=2 share the max
+      val incoming = condensed.groupBy(e => (e._3, e._4))
+        .map { case (w, es) => w -> es.map(e => (e._1, e._2)) }
+      val outEdge = condensed.map(e => (e._1, e._2) -> ((e._3, e._4))).toMap
+      val pending = scala.collection.mutable.Map[(Long, Long), Int]() ++
+        nodes.map(n => n -> incoming.get(n).map(_.length).getOrElse(0))
+      val order = scala.collection.mutable.Map[(Long, Long), Int]()
+      val queue = new java.util.ArrayDeque[(Long, Long)]()
+      pending.foreach { case (n, p) => if (p == 0) queue.add(n) }
+      var seen = 0
+      while (!queue.isEmpty) {
+        val u = queue.poll(); seen += 1
+        val ins = incoming.getOrElse(u, Array.empty[(Long, Long)])
+        order(u) =
+          if (ins.isEmpty) 1
+          else {
+            val os = ins.map(order).sorted(Ordering[Int].reverse)
+            os(0) + (if (os.length >= 2 && os(1) == os(0)) 1 else 0)
+          }
+        outEdge.get(u).foreach { w =>
+          pending(w) -= 1
+          if (pending(w) == 0) queue.add(w)
+        }
+      }
+      require(seen == nodes.length, "junction forest cyclic — non-monotone dirs")
+      val bc = tiles.sparkSession.sparkContext.broadcast(order.toMap)
+      nodesDF.unpersist()
+      lab.as[(Long, Long, Long, Long, Boolean)]
+        .map { case (r, c, hr, hc, _) => (r, c, bc.value((hr, hc)).toLong) }
+        .toDF("row", "col", "strahler").localCheckpoint(true)
+    } finally net.unpersist()
+  }
+
   def streamNetwork(tiles: Dataset[Tile], ref: GridRef, res: Int,
       threshold: Long): DataFrame = {
     import tiles.sparkSession.implicits._

@@ -228,6 +228,44 @@ class FlowSpec extends AnyFunSuite {
     }
   }
 
+  test("strahlerOrder distributed (doubling + junction solve) == driver-global") {
+    val ref = Synth.demRef
+    val (dirG, accG) = globalFlow(ref, Synth.demValue)
+    val threshold = 4L
+    val stream = accG.filter(_._2 >= threshold).keySet
+    val succ = stream.flatMap { case (r, c) =>
+      if (dirG((r, c)) == 0) None
+      else {
+        val (_, dr, dc) = D8(Integer.numberOfTrailingZeros(dirG((r, c))))
+        Some((r, c) -> (r + dr, c + dc))
+      }
+    }.toMap
+    val parents = succ.toSeq.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+    val pending = scala.collection.mutable.Map[(Int, Int), Int]() ++
+      stream.map(s => s -> parents.getOrElse(s, Seq.empty).length)
+    val want = scala.collection.mutable.Map[(Int, Int), Long]()
+    val q = scala.collection.mutable.Queue(stream.filter(s => pending(s) == 0).toSeq: _*)
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      val os = parents.getOrElse(u, Seq.empty).map(want).sorted(Ordering[Long].reverse)
+      want(u) = if (os.isEmpty) 1L
+                else os.head + (if (os.length >= 2 && os(1) == os.head) 1L else 0L)
+      succ.get(u).foreach { v =>
+        pending(v) -= 1
+        if (pending(v) == 0) q.enqueue(v)
+      }
+    }
+    assert(want.size == stream.size, "driver solve incomplete")
+    assert(want.values.max >= 3L, "fixture should reach order 3")
+    for (res <- Seq(6, 4)) {
+      val tiles = TileOps.tileGrid(spark, ref, res)(Synth.demValue)
+      val got = Flow.strahlerOrder(tiles, ref, res, threshold).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2)).toMap
+      assert(got.size == want.size, s"res=$res size")
+      assert(got == want.toMap, s"res=$res values")
+    }
+  }
+
   test("streamNetwork: edges are exactly the acc>=T sources; targets follow dir") {
     val tiles = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
     val (dirG, accG) = globalFlow(Synth.demRef, Synth.demValue)
