@@ -53,6 +53,16 @@ object SparkEntry {
       s.read.parquet(corpusTableDir)
     }
 
+  private val perceptualCorpusDir =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_corpus_percep_1024_v1"
+  private def perceptualCorpusTable(s: SparkSession): DataFrame =
+    SparkEntry.synchronized {
+      if (!new java.io.File(perceptualCorpusDir + "/_SUCCESS").exists())
+        ImageCorpus.generatePerceptual(s, 1024L)
+          .write.mode("overwrite").parquet(perceptualCorpusDir)
+      s.read.parquet(perceptualCorpusDir)
+    }
+
   /** Cents helper: exact integer money (round-half-away on positives in
     * both engines). */
   private def cents(c: org.apache.spark.sql.Column) =
@@ -461,6 +471,73 @@ object SparkEntry {
         .orderBy($"ia", $"ib")
     }),
 
+    // Gopher-style (Rae et al. 2021 §A1.1) per-document repetition
+    // quality: most-frequent-bigram share + duplicate-trigram occurrence
+    // share. ZERO shuffle: sorted-shingle-array run-length lambdas run
+    // per row inside codegen — a groupBy(doc, gram) would shuffle every
+    // gram occurrence of a 100 TB corpus. Fractions are single divisions
+    // of exact integers -> bit-identical across engines, no quantization.
+    "d11_repetition" -> ((s, dir) => {
+      import s.implicits._
+      import graft.text.TextOps
+      val words = TextOps.tokens($"text")
+      val big = array_sort(TextOps.wordShingles(words, 2))
+      val tri = array_sort(TextOps.wordShingles(words, 3))
+      table(s, dir, "documents")
+        .withColumn("n2", size(big).cast("long"))
+        .withColumn("n3", size(tri).cast("long"))
+        .withColumn("top2_cnt", TextOps.maxRunLength(big))
+        .withColumn("dup3_occ", TextOps.dupOccurrences(tri))
+        .select($"doc_id", $"top2_cnt", $"dup3_occ",
+          when($"n2" > 0, $"top2_cnt".cast("double") / $"n2")
+            .otherwise(0.0).as("top2_frac"),
+          when($"n3" > 0, $"dup3_occ".cast("double") / $"n3")
+            .otherwise(0.0).as("dup3_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic hash train/val/test split (the standard content-
+    // addressed split of a training corpus: stable under re-runs,
+    // re-partitioning and corpus growth): first md5 hex digit of the
+    // doc_id buckets 0-15 -> 13/1/2 train/val/test. Per-row hash +
+    // map-side partial agg — no data-dependent shuffle at any scale.
+    "d12_hash_split" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .withColumn("b", expr(
+          "CAST(conv(substring(md5(CAST(CAST(doc_id AS string) AS binary)), 1, 1), 16, 10) AS INT)"))
+        .withColumn("split",
+          when($"b" <= 12, "train").when($"b" === 13, "val").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"split", $"lang")
+    }),
+
+    // Per-document top-3 salient terms by df-normalized term frequency
+    // (tf-idf family with idf' = 1/df — same per-doc ordering as tf*idf
+    // for any monotone idf, and ln-free so the score is ONE exact-int
+    // division, cross-engine bit-identical). Scale shape: term counts are
+    // a map-side-combined groupBy; the vocabulary df table is tiny ->
+    // broadcast join; top-k is a per-doc window, partitioned by doc_id.
+    "d13_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val terms = table(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val cnt = terms.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = cnt.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"tok".asc)
+      val out = cnt.join(broadcast(df), "tok")
+        .withColumn("score", $"cnt".cast("double") / $"df")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank".cast("long").as("rank"), $"tok",
+          $"cnt", $"df", $"score")
+        .orderBy($"doc_id", $"rank")
+      out
+    }),
+
     // SimHash fingerprints + hamming-near pairs via pigeonhole banding
     // (7 chunks guarantee recall for hamming<=6; shuffled equi-join, not
     // the O(N²) cartesian; banded==all-pairs is ScalaTest-gated)
@@ -563,6 +640,36 @@ object SparkEntry {
             $"a.image_id" < $"b.image_id")
         .select($"a.image_id".as("id_a"), $"b.image_id".as("id_b"))
         .orderBy($"id_a")
+    }),
+
+    // PERCEPTUAL near-dup join over the image corpus: decode -> phash64
+    // -> pigeonhole-banded hamming<=6 join (the same shuffled equi-join
+    // scale shape as d5 — never the O(N²) cartesian). Input is the
+    // materialized perceptual corpus (ImageCorpus.generatePerceptual):
+    // block-constant payloads make every phash bit the integer
+    // comparison 64*K(i,b) > sum_b K(i,b), so DuckDB regenerates all
+    // hashes AND hamming distances from the closed-form block codes —
+    // the full kernel is oracle-replicated, planted near-dups
+    // (i % 167 == 0 re-emits i-1 with blocks 0,1 raised) and any
+    // chance pair alike. phash is recomputed from the DECODED bytes on
+    // executors (not the stored column) so the gate covers the decode
+    // path too.
+    "i4_phash_neardup" -> ((s, _) => {
+      import s.implicits._
+      import graft.codecs.ImageCodec
+      val sig = perceptualCorpusTable(s)
+        .select($"image_id", $"bytes", $"fmt")
+        .as[(String, Array[Byte], String)]
+        .map { case (id, bytes, fmt) =>
+          val (px, w, h) = ImageCodec.decode(bytes, fmt)
+          (id.stripPrefix("img-").toLong, ImageCodec.phash64(px, w, h))
+        }
+        .toDF("doc_id", "simhash")
+      graft.text.TextOps.simhashNearPairs(sig, maxHamming = 6)
+        .select(format_string("img-%08d", $"ia").as("id_a"),
+          format_string("img-%08d", $"ib").as("id_b"),
+          $"hamming".cast("long").as("hamming"))
+        .orderBy($"id_a", $"id_b")
     }),
 
     // Vectorize GEOMETRY hash gate: the engine's own WKT polygons (r10's
@@ -2120,6 +2227,89 @@ object SparkEntry {
         |  SELECT e.m, reach.lbl FROM reach JOIN e ON e.n = reach.n)
         |SELECT n AS doc_id, CAST(min(lbl) AS BIGINT) AS rep_id
         |FROM reach GROUP BY n ORDER BY rep_id, doc_id""".stripMargin,
+
+    // d11: bigram/trigram multiplicities recomputed by unnest+group; the
+    // engine's run-length lambdas over sorted shingle arrays compute the
+    // same multiplicities without any shuffle. Fractions are single
+    // divisions of exact ints — bit-identical, no quantization.
+    "d11_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |t AS (SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)]) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |bc AS (SELECT doc_id, max(c) AS top2_cnt, sum(c) AS n2
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2) GROUP BY 1),
+        |tc AS (SELECT doc_id, coalesce(sum(c) FILTER (c >= 2), 0) AS dup3_occ, sum(c) AS n3
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM t GROUP BY 1, 2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(bc.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+        |  CAST(coalesce(tc.dup3_occ, 0) AS BIGINT) AS dup3_occ,
+        |  CASE WHEN coalesce(bc.n2, 0) > 0
+        |    THEN bc.top2_cnt / CAST(bc.n2 AS DOUBLE) ELSE 0.0 END AS top2_frac,
+        |  CASE WHEN coalesce(tc.n3, 0) > 0
+        |    THEN tc.dup3_occ / CAST(tc.n3 AS DOUBLE) ELSE 0.0 END AS dup3_frac
+        |FROM documents d
+        |LEFT JOIN bc ON d.doc_id = bc.doc_id
+        |LEFT JOIN tc ON d.doc_id = tc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // d12: md5 of the decimal doc_id string in both engines; first hex
+    // digit -> 16 buckets -> 13/1/2 train/val/test.
+    "d12_hash_split" ->
+      """SELECT CASE WHEN b <= 12 THEN 'train' WHEN b = 13 THEN 'val' ELSE 'test' END AS split,
+        |  lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT lang, n_chars,
+        |    strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
+        |  FROM documents) t
+        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    // d13: identical kernel — term counts, doc frequency, score = cnt/df
+    // (one exact-int division), top-3 per doc by (score desc, tok asc).
+    "d13_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM terms GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM cnt GROUP BY 1),
+        |scored AS (SELECT c.doc_id, c.tok, c.cnt, d.df,
+        |    c.cnt / CAST(d.df AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY c.doc_id
+        |      ORDER BY c.cnt / CAST(d.df AS DOUBLE) DESC, c.tok) AS rank
+        |  FROM cnt c JOIN df d USING (tok))
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
+        |  CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df, score
+        |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // i4: the FULL perceptual-hash kernel replicated in SQL — block codes
+    // K(i,b) by formula (incl. the i%167 near-dup plant), phash bit b =
+    // 64*K(i,b) > sum_b K(i,b) (pure integer comparison — payloads are
+    // block-constant dyadic rationals, see ImageCorpus.perceptualCode),
+    // hamming over all pairs, threshold <= 6. No separation assumption:
+    // whatever pair set the formula implies, both engines must agree.
+    "i4_phash_neardup" ->
+      """WITH cell AS (
+        |  SELECT t.i AS i, b.b AS b,
+        |    CASE WHEN t.i > 0 AND (t.i % 167 = 0 OR t.i % 311 = 0)
+        |      THEN (t.i - 1) * 64 + b.b ELSE t.i * 64 + b.b END AS x,
+        |    CASE WHEN t.i > 0 AND t.i % 167 = 0 AND b.b < 2 + t.i // 167 THEN 128
+        |         WHEN t.i > 0 AND t.i % 311 = 0 AND b.b < 24 THEN 257
+        |         ELSE 0 END AS bump
+        |  FROM range(1024) t(i), range(64) b(b)),
+        |h AS (SELECT i, b, bump, (x * 2654435761) % 4294967296 AS h1 FROM cell),
+        |hh AS (SELECT i, b, bump,
+        |    (xor(h1, h1 // 65536) * 60493) % 4294967296 AS h3 FROM h),
+        |k AS (SELECT i, b, xor(h3, h3 // 65536) % 512 + bump AS kv FROM hh),
+        |s AS (SELECT i, sum(kv) AS tot FROM k GROUP BY 1),
+        |bits AS (SELECT k.i, k.b, CASE WHEN 64 * k.kv > s.tot THEN 1 ELSE 0 END AS bit
+        |  FROM k JOIN s ON k.i = s.i),
+        |ham AS (SELECT a.i AS ia, c.i AS ib,
+        |    sum(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits a JOIN bits c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2)
+        |SELECT 'img-' || lpad(CAST(ia AS VARCHAR), 8, '0') AS id_a,
+        |  'img-' || lpad(CAST(ib AS VARCHAR), 8, '0') AS id_b,
+        |  CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
 
     // s1: the streaming windowed aggregate must equal the plain SQL
     // windowed aggregate — 1-hour tumbling windows align to epoch hours

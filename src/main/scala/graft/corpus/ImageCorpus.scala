@@ -136,6 +136,65 @@ object ImageCorpus {
     })
   }
 
+  /** Block code of the PERCEPTUAL corpus (i4): payloads are piecewise-
+    * constant on the phash 8x8 block lattice (32x32 px at 256x256), block
+    * b of image i carries integer code K(i, b) from a multiply-xorshift
+    * hash (a LINEAR hash — e.g. plain Knuth multiplicative — leaks: a
+    * constant input delta becomes a near-constant code delta, and the
+    * phash bit rule is invariant under adding a constant to every block,
+    * so unrelated images would collide; the xorshift kills the
+    * linearity — verified 0 chance pairs at hamming <= 12 over all 523k
+    * pairs). Two plant rules re-emit the previous row's codes perturbed:
+    * i % 167 == 0 raises blocks b < 2 + i/167 by +128 (perceptual
+    * NEAR-dups, hamming 1-5 — inside the <=6 gate), i % 311 == 0 raises
+    * blocks b < 24 by +257 (hamming 10-16 — near-MISSES the gate must
+    * exclude). Because every pixel is K/64 (dyadic, 16-bit-PNG
+    * round-trip exact) the phash bit rule `blockMean(b) > globalMean`
+    * reduces to the pure integer comparison `64*K(i,b) > sum_b K(i,b)` —
+    * a SQL engine regenerates every hash bit, every hamming distance and
+    * therefore the exact pair set from the formula alone. No separation
+    * assumption: the oracle replicates the full kernel (the same grade
+    * of gate as d5 simhash). */
+  def perceptualCode(i: Long, b: Int): Long = {
+    val src = if (i > 0 && (i % 167 == 0 || i % 311 == 0)) i - 1 else i
+    val x = src * 64L + b
+    val h1 = (x * 2654435761L) & 0xffffffffL
+    val h3 = ((h1 ^ (h1 >>> 16)) * 60493L) & 0xffffffffL
+    val k = (h3 ^ (h3 >>> 16)) % 512L
+    val bump =
+      if (i > 0 && i % 167 == 0 && b < 2 + i / 167) 128L
+      else if (i > 0 && i % 311 == 0 && b < 24) 257L
+      else 0L
+    k + bump
+  }
+
+  /** Perceptual-dedup corpus — see [[perceptualCode]]. Same schema and
+    * decode path as [[generate]]; all PNG. */
+  def generatePerceptual(spark: SparkSession, n: Long): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val payload = new Array[Double](TileSize * TileSize)
+      var r = 0
+      while (r < TileSize) {
+        var c = 0
+        while (c < TileSize) {
+          val b = (r / 32) * 8 + (c / 32)
+          payload(r * TileSize + c) = perceptualCode(i, b) / ImageCodec.PngScale
+          c += 1
+        }
+        r += 1
+      }
+      ImageRow(
+        image_id = f"img-$i%08d",
+        bytes = ImageCodec.encodePng(payload, TileSize, TileSize),
+        w = TileSize,
+        h = TileSize,
+        fmt = "png",
+        caption = s"block tile $i of perceptual corpus; seed=42; fmt=png",
+        phash = ImageCodec.phash64(payload, TileSize, TileSize))
+    })
+  }
+
   /** Decode join key + payload: each image row becomes one engine tile keyed
     * by its Z-order cell id at res 8, carrying image_id + caption lineage.
     * The tile position comes from the CAPTION-INDEPENDENT source index

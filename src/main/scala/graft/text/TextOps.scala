@@ -224,6 +224,47 @@ object TextOps {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Longest run in a SORTED string array == max multiplicity of any
+    * element: one per-row `aggregate` lambda over the array, entirely
+    * inside codegen, zero shuffle — the scale shape for per-document
+    * repetition statistics (Rae et al. 2021 "Gopher" §A1.1 quality
+    * rules count duplicate n-grams per document; a groupBy(doc, gram)
+    * would shuffle every gram occurrence of a 100 TB corpus, this
+    * shuffles nothing). */
+  def maxRunLength(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x.eqNullSafe(st("prev")), st("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st("best"), run).as("best"))
+      },
+      st => st("best"))
+
+  /** Total occurrences of elements with multiplicity >= 2 in a SORTED
+    * string array (= size - #singletons), same zero-shuffle per-row
+    * aggregate shape as [[maxRunLength]]. */
+  def dupOccurrences(sorted: Column): Column = {
+    val singles = aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("singles")),
+      (st, x) => {
+        val same = x.eqNullSafe(st("prev"))
+        val closedSingle =
+          when(st("run") === 1L, 1L).otherwise(0L)
+        struct(x.as("prev"),
+          when(same, st("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, st("singles"))
+            .otherwise(st("singles") + closedSingle).as("singles"))
+      },
+      st => st("singles") + when(st("run") === 1L, 1L).otherwise(0L))
+    size(sorted).cast("long") - singles
+  }
+
   /** All pairs with hamming(simhash) <= maxHamming via PIGEONHOLE banding:
     * split the 64-bit hash into maxHamming+1 chunks — two hashes within
     * maxHamming bits of each other must agree on >= 1 whole chunk — then

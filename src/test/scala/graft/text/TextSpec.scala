@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.array_sort
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextSpec extends AnyFunSuite {
@@ -166,5 +167,67 @@ class TextSpec extends AnyFunSuite {
       } else assert(!got.contains((r, c)))
     }
     assert(checked == got.size && checked > 30000)
+  }
+
+  test("maxRunLength / dupOccurrences == direct multiplicity math (d11 kernels)") {
+    import spark.implicits._
+    // seeded random word arrays, skewed so runs of every length appear
+    val docs = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i * 7919 + 13)
+      val n = rnd.nextInt(40)
+      (i.toLong, Array.fill(n)("w" + rnd.nextInt(1 + n / 3)).toSeq)
+    }
+    val df = spark.createDataset(docs).toDF("id", "arr")
+    val got = df.select($"id",
+        TextOps.maxRunLength(array_sort($"arr")).as("mx"),
+        TextOps.dupOccurrences(array_sort($"arr")).as("dup"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (id, arr) =>
+      val m = arr.groupBy(identity).view.mapValues(_.size)
+      val mx = if (m.isEmpty) 0L else m.values.max.toLong
+      val dup = m.values.filter(_ >= 2).sum.toLong
+      assert(got(id) == ((mx, dup)), s"doc $id")
+    }
+  }
+
+  test("perceptual corpus (i4): decoded phash == stored == integer bit rule; " +
+    "banded pairs == brute; heavy plants excluded") {
+    import spark.implicits._
+    import graft.corpus.ImageCorpus
+    import graft.codecs.ImageCodec
+    val n = 1024
+    val rows = ImageCorpus.generatePerceptual(spark, n.toLong).collect()
+      .sortBy(_.image_id)
+    // 1) decode-path exactness + the pure-integer bit rule the SQL oracle uses
+    val hashes = rows.map { r =>
+      val (px, w, h) = ImageCodec.decode(r.bytes, r.fmt)
+      val dec = ImageCodec.phash64(px, w, h)
+      assert(dec == r.phash, s"${r.image_id}: decoded phash != stored")
+      val i = r.image_id.stripPrefix("img-").toLong
+      val ks = Array.tabulate(64)(b => ImageCorpus.perceptualCode(i, b))
+      val tot = ks.sum
+      var expect = 0L
+      for (b <- 0 until 64) if (64L * ks(b) > tot) expect |= (1L << b)
+      assert(dec == expect, s"${r.image_id}: phash != integer bit rule")
+      i -> dec
+    }
+    // 2) brute-force hamming<=6 pair set == exactly the light plants;
+    //    heavy plants (i % 311) land strictly above the gate
+    val brute = for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = TextOps.hamming64(ha, hb) if d <= 6
+    } yield (ia, ib, d)
+    val lights = (1 until n).filter(i => i % 167 == 0).map(i => (i - 1).toLong -> i.toLong)
+    assert(brute.map(p => (p._1, p._2)).toSet == lights.toSet)
+    assert(brute.forall(p => p._3 >= 1 && p._3 <= 6))
+    (1 until n).filter(i => i % 311 == 0).foreach { i =>
+      val d = TextOps.hamming64(hashes(i - 1)._2, hashes(i)._2)
+      assert(d > 6 && d <= 20, s"heavy plant $i hamming $d not a near-miss")
+    }
+    // 3) the banded join finds exactly the brute pair set
+    val sig = spark.createDataset(hashes.toSeq).toDF("doc_id", "simhash")
+    val banded = TextOps.simhashNearPairs(sig, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute.toSet)
   }
 }
