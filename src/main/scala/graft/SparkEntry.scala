@@ -751,6 +751,20 @@ object SparkEntry {
       df
     }),
 
+    // Streaming EXACT dedup: state-store dropDuplicates over the key,
+    // each (user_id, event_type) emitted once on first sight across all
+    // micro-batches; must equal batch SELECT DISTINCT exactly. The
+    // ingest-time dedup primitive of a training pipeline.
+    "s3_stream_dedup" -> ((s, dir) => {
+      val staged = stagedEvents(s, dir)
+      val ckpt = java.nio.file.Files.createTempDirectory("s3_ckpt").toString
+      val df = withFewPartitions(s) {
+        graft.streaming.StreamOps.streamDedup(s, staged, ckpt, "s3_mem")
+      }
+      dropCheckpoint(ckpt)
+      df
+    }),
+
     // Video modality: deterministic synthetic clips as REAL GIF89a binary
     // columns (8 clips x 12 frames), frame-sampled every 3rd frame and
     // reduced to integer stats on the executor (rows-only: no SQL-engine
@@ -2343,6 +2357,12 @@ object SparkEntry {
         |  FROM s)
         |SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // s3: streaming first-sight dedup over the key projection == batch
+    // DISTINCT (key-only emission is what makes this deterministic).
+    "s3_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // e2: exact cosine top-5 on the clustered fixture — equal to the IVF
     // result by construction (every query's true top-5 lives in its

@@ -171,4 +171,33 @@ object StreamOps {
     spark.table(queryName).filter($"user_id" >= 0)
       .orderBy($"user_id")
   }
+
+  /** Streaming EXACT deduplication (the ingest-time dedup primitive of a
+    * training-data pipeline): state-store-backed `dropDuplicates` over the
+    * dedup key, append mode — each key is emitted exactly once, on first
+    * sight, no matter how many micro-batches re-deliver it. The projection
+    * to the KEY COLUMNS ONLY is what makes the emission deterministic
+    * (which physical row of a key wins inside one micro-batch is not
+    * defined; the key itself is), so the batch oracle is a plain
+    * SELECT DISTINCT. Unbounded key-state by design — exact global dedup;
+    * a production deployment with finite memory swaps in
+    * `dropDuplicatesWithinWatermark` and accepts re-emission of keys
+    * recurring beyond the watermark. Sentinel flush rows are excluded
+    * upstream of the state store. */
+  def streamDedup(spark: SparkSession, streamDir: String,
+      checkpoint: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(streamDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .filter($"event_id" >= 0)
+      .select($"user_id", $"event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy($"user_id", $"event_type")
+  }
 }
