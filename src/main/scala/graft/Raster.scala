@@ -270,6 +270,12 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   /** Focal terrain indices: (row, col, tpi, tri) over the 8-neighborhood. */
   def terrainIndices: DataFrame = Stencil.terrainIndices(tiles, ref, res)
 
+  /** Zevenbergen-Thorne curvature: (row, col, curv, prof, plan). */
+  def curvature: DataFrame = Stencil.curvature(tiles, ref, res)
+
+  /** Slope/aspect sectors: (row, col, tan2_slope, octant, compass). */
+  def aspect: DataFrame = Stencil.aspectClass(tiles, ref, res)
+
   /** Iso-line segments at `level` (marching squares; pixel coordinates). */
   def contour(level: Double): DataFrame = Contour.segments(tiles, ref, res, level)
 

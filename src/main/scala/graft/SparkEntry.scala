@@ -538,6 +538,68 @@ object SparkEntry {
       out
     }),
 
+    // PII-style scrubbing: email / URL / long-digit-run detection and
+    // redaction with codegen'd regexp built-ins. The corpus is synthetic,
+    // so deterministic PII is spliced in per-row (both engines build the
+    // same augmented string) and the scrubbed text itself is hash-gated.
+    // Per-row, zero shuffle — the 100 TB shape is a map-only pass.
+    "d14_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      val num = "[0-9]{6,}"
+      table(s, dir, "documents")
+        .withColumn("aug", concat($"text", lit(" contact user"), $"doc_id",
+          lit("@mail.example.com via http://cdn"), $"doc_id",
+          lit(".example.org/asset ref "),
+          lpad(($"doc_id" * $"doc_id" % 100000000).cast("string"), 8, "0")))
+        .select($"doc_id",
+          regexp_count($"aug", lit(email)).cast("long").as("n_emails"),
+          regexp_count($"aug", lit(url)).cast("long").as("n_urls"),
+          regexp_count($"aug", lit(num)).cast("long").as("n_longnums"),
+          regexp_replace(regexp_replace(regexp_replace($"aug",
+            email, "<EMAIL>"), url, "<URL>"), num, "<NUM>").as("clean"))
+        .withColumn("clean_len", length($"clean").cast("long"))
+        .orderBy($"doc_id")
+    }),
+
+    // Benchmark-contamination check (decontamination pass of a training
+    // pipeline): word-4-gram overlap of every candidate doc against the
+    // "benchmark" subset (doc_id % 7 = 0 here). Inverted-index shape:
+    // distinct (doc, gram) -> equi-join on the gram against the DISTINCT
+    // benchmark gram set, which is tiny relative to the corpus at scale
+    // -> broadcast; count per doc = distinct contaminated grams. Never
+    // all-pairs.
+    "d15_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val grams = table(s, dir, "documents")
+        .select($"doc_id",
+          explode(graft.text.TextOps.wordShingles(split($"text", " "), 4)).as("g"))
+        .distinct()
+      val bench = grams.filter($"doc_id" % 7 === 0).select($"g").distinct()
+      grams.filter($"doc_id" % 7 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    }),
+
+    // Stratified sampling with per-language keep rates (data-mixing /
+    // downsampling step): deterministic md5 bucket (256 buckets, same
+    // cross-engine construction as d12) compared against a per-stratum
+    // rate. Row-level gate — the exact sampled id set must match.
+    "d16_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val rate = when($"lang" === "en", 128).when($"lang" === "de", 192)
+        .otherwise(64)
+      table(s, dir, "documents")
+        .withColumn("b2", expr(
+          "CAST(conv(substring(md5(CAST(CAST(doc_id AS string) AS binary)), 1, 2), 16, 10) AS INT)"))
+        .filter($"b2" < rate)
+        .select($"doc_id", $"lang", $"b2".cast("long").as("b2"))
+        .orderBy($"doc_id")
+    }),
+
     // SimHash fingerprints + hamming-near pairs via pigeonhole banding
     // (7 chunks guarantee recall for hamming<=6; shuffled equi-join, not
     // the O(N²) cartesian; banded==all-pairs is ScalaTest-gated)
@@ -1013,6 +1075,28 @@ object SparkEntry {
     "r38_strahler" -> ((s, _) => {
       import s.implicits._
       Raster(demTiles(s), Synth.demRef, tileRes).strahler(threshold = 4L)
+        .orderBy($"row", $"col")
+    }),
+
+    // Zevenbergen-Thorne curvature (general/profile/plan) over one halo
+    // exchange — pure rational arithmetic so the SQL oracle is bit-exact
+    // (sampled pixels, like r8)
+    "r39_curvature" -> ((s, _) => {
+      import s.implicits._
+      Stencil.curvature(demTiles(s), Synth.demRef, tileRes)
+        .filter(($"row" * lit(Synth.demRef.ncols) + $"col") % 29 === 3)
+        .orderBy($"row", $"col")
+    }),
+
+    // Slope/aspect 8-sector classification over the Horn gradient —
+    // fully declarative Column expressions (one codegen span); tan^2
+    // slope + integer octant keep the oracle transcendental-free
+    "r40_aspect" -> ((s, _) => {
+      import s.implicits._
+      Stencil.aspectClass(demTiles(s), Synth.demRef, tileRes)
+        .filter(($"row" * lit(Synth.demRef.ncols) + $"col") % 29 === 3)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
+          $"tan2_slope", $"octant".cast("long").as("octant"), $"compass")
         .orderBy($"row", $"col")
     }),
 
@@ -1658,6 +1742,94 @@ object SparkEntry {
          |FROM nb ORDER BY row, col""".stripMargin
     },
 
+    // r39: the ZT coefficients and curvatures spelled in the kernel's
+    // exact textual order — every op is a correctly-rounded IEEE double
+    // op on identical operands, so the hash is bit-exact
+    "r39_curvature" -> {
+      val nc = Synth.demRef.ncols
+      def v(rr: String, cc: String): String =
+        s"((($rr) * 31 + ($cc) * 17) % 1000) / 4.0"
+      def hole(rr: String, cc: String): String =
+        s"(($rr) * $nc + ($cc)) % 97 = 13"
+      val n = Seq(
+        ("tl", -1, -1), ("tp", -1, 0), ("tr", -1, 1),
+        ("l", 0, -1), ("z", 0, 0), ("rt", 0, 1),
+        ("bl", 1, -1), ("bt", 1, 0), ("br", 1, 1))
+      val holes = n.map { case (_, dr, dc) => hole(s"r + $dr", s"c + $dc") }
+        .mkString(" OR ")
+      val defs = n.map { case (nm, dr, dc) => s"${v(s"r + $dr", s"c + $dc")} AS $nm" }
+        .mkString(",\n  ")
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c
+         |  FROM range(${Synth.demRef.nrows.toLong * nc}) t(i)
+         |  WHERE i % 29 = 3
+         |    AND (i // $nc) BETWEEN 1 AND ${Synth.demRef.nrows - 2}
+         |    AND (i % $nc) BETWEEN 1 AND ${nc - 2}
+         |    AND NOT ($holes)),
+         |nb AS (SELECT r, c,
+         |  $defs FROM g),
+         |co AS (SELECT r, c,
+         |  ((l + rt) / 2 - z) / (5.0 * 5.0) AS dd,
+         |  ((tp + bt) / 2 - z) / (5.0 * 5.0) AS ee,
+         |  (-tl + tr + bl - br) / (4 * 5.0 * 5.0) AS ff,
+         |  (-l + rt) / (2 * 5.0) AS gg,
+         |  (tp - bt) / (2 * 5.0) AS hh
+         |  FROM nb)
+         |SELECT r AS row, c AS col,
+         |  -2 * (dd + ee) AS curv,
+         |  CASE WHEN gg * gg + hh * hh = 0 THEN 0.0
+         |    ELSE 2 * (dd * gg * gg + ee * hh * hh + ff * gg * hh) / (gg * gg + hh * hh) END AS prof,
+         |  CASE WHEN gg * gg + hh * hh = 0 THEN 0.0
+         |    ELSE -2 * (dd * hh * hh + ee * gg * gg - ff * gg * hh) / (gg * gg + hh * hh) END AS plan
+         |FROM co ORDER BY row, col""".stripMargin
+    },
+
+    // r40: Horn gradient -> tan^2 slope + 8-sector aspect; sector
+    // boundaries via the shared tan(pi/8) double literal, downslope
+    // direction = -gradient; transcendental-free like r8/r39
+    "r40_aspect" -> {
+      val nc = Synth.demRef.ncols
+      def v(rr: String, cc: String): String =
+        s"((($rr) * 31 + ($cc) * 17) % 1000) / 4.0"
+      def hole(rr: String, cc: String): String =
+        s"(($rr) * $nc + ($cc)) % 97 = 13"
+      val n = Seq(
+        ("tl", -1, -1), ("tp", -1, 0), ("tr", -1, 1),
+        ("l", 0, -1), ("rt", 0, 1),
+        ("bl", 1, -1), ("bt", 1, 0), ("br", 1, 1))
+      val holes = (n.map { case (_, dr, dc) => hole(s"r + $dr", s"c + $dc") } :+
+        hole("r", "c")).mkString(" OR ")
+      val defs = n.map { case (nm, dr, dc) => s"${v(s"r + $dr", s"c + $dc")} AS $nm" }
+        .mkString(",\n  ")
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c
+         |  FROM range(${Synth.demRef.nrows.toLong * nc}) t(i)
+         |  WHERE i % 29 = 3
+         |    AND (i // $nc) BETWEEN 1 AND ${Synth.demRef.nrows - 2}
+         |    AND (i % $nc) BETWEEN 1 AND ${nc - 2}
+         |    AND NOT ($holes)),
+         |nb AS (SELECT r, c,
+         |  $defs FROM g),
+         |gr AS (SELECT r, c,
+         |  ((tr + 2 * rt + br) - (tl + 2 * l + bl)) / (8 * 5.0) AS gx,
+         |  ((tl + 2 * tp + tr) - (bl + 2 * bt + br)) / (8 * 5.0) AS gy
+         |  FROM nb),
+         |oc AS (SELECT r, c, gx, gy,
+         |  CASE WHEN gx = 0 AND gy = 0 THEN -1
+         |    WHEN abs(-gy) <= abs(-gx) * 0.4142135623730951 THEN
+         |      CASE WHEN -gx > 0 THEN 2 ELSE 6 END
+         |    WHEN abs(-gx) <= abs(-gy) * 0.4142135623730951 THEN
+         |      CASE WHEN -gy > 0 THEN 0 ELSE 4 END
+         |    ELSE CASE WHEN -gy > 0 THEN CASE WHEN -gx > 0 THEN 1 ELSE 7 END
+         |      ELSE CASE WHEN -gx > 0 THEN 3 ELSE 5 END END
+         |  END AS octant
+         |  FROM gr)
+         |SELECT r AS row, c AS col, gx * gx + gy * gy AS tan2_slope,
+         |  CAST(octant AS BIGINT) AS octant,
+         |  CASE octant WHEN -1 THEN 'FLAT' WHEN 0 THEN 'N' WHEN 1 THEN 'NE'
+         |    WHEN 2 THEN 'E' WHEN 3 THEN 'SE' WHEN 4 THEN 'S' WHEN 5 THEN 'SW'
+         |    WHEN 6 THEN 'W' ELSE 'NW' END AS compass
+         |FROM oc ORDER BY row, col""".stripMargin
+    },
+
     "r9_zipjoin" -> {
       val a = Synth.gridARef
       s"""WITH g AS (SELECT (i // ${a.ncols}) AS r, (i % ${a.ncols}) AS c FROM range(${a.nrows.toLong * a.ncols}) t(i)),
@@ -2293,6 +2465,53 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
         |  CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df, score
         |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // d14: identical augmented string, identical regexes; DuckDB needs
+    // the 'g' flag (its regexp_replace is first-match by default; Spark's
+    // is global). Counts via regexp_extract_all length.
+    "d14_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      val num = "[0-9]{6,}"
+      s"""WITH a AS (SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@mail.example.com via http://cdn'
+         |      || doc_id || '.example.org/asset ref '
+         |      || lpad(CAST((doc_id * doc_id) % 100000000 AS VARCHAR), 8, '0') AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$url')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(aug, '$num')) AS BIGINT) AS n_longnums,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'), '$num', '<NUM>', 'g') AS clean,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'), '$num', '<NUM>', 'g')) AS BIGINT) AS clean_len
+         |FROM a ORDER BY doc_id""".stripMargin
+    },
+
+    // d15: same tokenization (single-space split) and 4-gram window as
+    // the engine; n_shared = distinct grams shared with the benchmark set
+    "d15_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] for i in range(1, len(w) - 2)]) AS g
+        |  FROM toks WHERE len(w) >= 4),
+        |gd AS (SELECT DISTINCT doc_id, g FROM g),
+        |bench AS (SELECT DISTINCT g FROM gd WHERE doc_id % 7 = 0)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM (SELECT * FROM gd WHERE doc_id % 7 <> 0) c JOIN bench b USING (g)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // d16: md5 of the decimal doc_id string, first TWO hex digits -> 256
+    // buckets, per-lang keep threshold
+    "d16_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(b2 AS BIGINT) AS b2 FROM (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b2
+        |  FROM documents) t
+        |WHERE b2 < CASE WHEN lang = 'en' THEN 128 WHEN lang = 'de' THEN 192 ELSE 64 END
+        |ORDER BY doc_id""".stripMargin,
 
     // i4: the FULL perceptual-hash kernel replicated in SQL — block codes
     // K(i,b) by formula (incl. the i%167 near-dup plant), phash bit b =

@@ -169,6 +169,91 @@ object Stencil {
     }.toDF("row", "col", "shade")
   }
 
+  /** Slope/aspect classification over the Horn gradient (W1): per interior
+    * pixel, `tan2_slope` = gx^2 + gy^2 (tan^2 of the slope angle — kept
+    * rational: no sqrt/atan so a SQL oracle is bit-exact) and the aspect
+    * classified into 8 compass sectors with boundaries at 22.5 deg
+    * (tan(pi/8) as a shared double literal; downslope direction =
+    * -gradient). Flat pixels (gx = gy = 0) get octant -1 / "FLAT".
+    * Entirely declarative: codegen'd Column expressions over
+    * [[hornGradient]] — one whole-stage span, no second kernel. */
+  def aspectClass(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = 0.4142135623730951 // tan(pi/8), shared literal with the oracle
+    val g = hornGradient(tiles, ref, res)
+    // downslope (aspect) direction: water flows along -grad
+    val dx = -col("gx"); val dy = -col("gy")
+    val adx = abs(dx); val ady = abs(dy)
+    val octant = when(col("gx") === 0.0 && col("gy") === 0.0, -1)
+      .when(ady <= adx * t, when(dx > 0, 2).otherwise(6))          // E / W
+      .when(adx <= ady * t, when(dy > 0, 0).otherwise(4))          // N / S
+      .otherwise(when(dy > 0, when(dx > 0, 1).otherwise(7))        // NE / NW
+        .otherwise(when(dx > 0, 3).otherwise(5)))                  // SE / SW
+    val compass = element_at(
+      array(Seq("N", "NE", "E", "SE", "S", "SW", "W", "NW").map(lit): _*),
+      octant + 1) // 1-based; the -1 (flat) branch never reaches here —
+                  // CaseWhen below evaluates this arm only when octant >= 0
+    g.withColumn("tan2_slope", col("gx") * col("gx") + col("gy") * col("gy"))
+      .withColumn("octant", octant.cast("int"))
+      .withColumn("compass",
+        when(col("octant") === -1, "FLAT").otherwise(compass))
+      .select("row", "col", "tan2_slope", "octant", "compass")
+  }
+
+  /** Zevenbergen & Thorne (1987) quadratic-surface curvature over the 3x3
+    * neighborhood (the terrain derivative the reference's flood users
+    * compute right after slope; pairs with [[hornGradient]] W1). With the
+    * partial quadratic z = Dx^2 + Ey^2 + Fxy + Gx + Hy + I fitted to the
+    * 8-neighborhood at spacing L = cellsize:
+    *
+    *   D = ((left + right)/2 - z) / L^2      E = ((top + bottom)/2 - z) / L^2
+    *   F = (-tl + tr + bl - br) / (4 L^2)    G = (-left + right) / (2 L)
+    *   H = (top - bottom) / (2 L)
+    *
+    * Outputs per fully-valid interior pixel:
+    *   curv = -2 (D + E)                       (ArcGIS CURVATURE, x100 omitted)
+    *   prof = 2 (D G^2 + E H^2 + F G H) / (G^2 + H^2)   (0 on flats)
+    *   plan = -2 (D H^2 + E G^2 - F G H) / (G^2 + H^2)  (0 on flats)
+    *
+    * Pure rational arithmetic in a fixed textual order — every step is a
+    * correctly-rounded IEEE op, so a SQL oracle spelling the identical
+    * expressions is bit-exact (same argument as hornGradient; no trig).
+    * NaN anywhere in the 3x3 -> no output row. One halo exchange. */
+  def curvature(tiles: Dataset[Tile], ref: GridRef, res: Int): DataFrame = {
+    import tiles.sparkSession.implicits._
+    val cs = ref.cellsize
+    padded(tiles, ref, res).flatMap { pt =>
+      val h = pt.h; val w = pt.w; val pw = w + 2
+      val pad = pt.pad; val r0 = pt.row0; val c0 = pt.col0
+      val out = Array.newBuilder[(Long, Long, Double, Double, Double)]
+      var r = 1
+      while (r <= h) {
+        var c = 1
+        while (c <= w) {
+          val tl = pad((r - 1) * pw + (c - 1)); val tp = pad((r - 1) * pw + c); val tr = pad((r - 1) * pw + (c + 1))
+          val l = pad(r * pw + (c - 1)); val z = pad(r * pw + c); val rt = pad(r * pw + (c + 1))
+          val bl = pad((r + 1) * pw + (c - 1)); val bt = pad((r + 1) * pw + c); val br = pad((r + 1) * pw + (c + 1))
+          if (!(tl.isNaN || tp.isNaN || tr.isNaN || l.isNaN || z.isNaN || rt.isNaN ||
+            bl.isNaN || bt.isNaN || br.isNaN)) {
+            val dd = ((l + rt) / 2 - z) / (cs * cs)
+            val ee = ((tp + bt) / 2 - z) / (cs * cs)
+            val ff = (-tl + tr + bl - br) / (4 * cs * cs)
+            val gg = (-l + rt) / (2 * cs)
+            val hh = (tp - bt) / (2 * cs)
+            val den = gg * gg + hh * hh
+            val curv = -2 * (dd + ee)
+            val prof = if (den == 0) 0.0 else 2 * (dd * gg * gg + ee * hh * hh + ff * gg * hh) / den
+            val plan = if (den == 0) 0.0 else -2 * (dd * hh * hh + ee * gg * gg - ff * gg * hh) / den
+            out += (((r0 + r - 1).toLong, (c0 + c - 1).toLong, curv, prof, plan))
+          }
+          c += 1
+        }
+        r += 1
+      }
+      out.result().iterator
+    }.toDF("row", "col", "curv", "prof", "plan")
+  }
+
   /** Focal terrain indices over the valid 8-neighborhood:
     * TPI (topographic position index, Weiss 2001) = `z - mean(neighbors)`;
     * TRI (terrain ruggedness index, Riley et al. 1999) =

@@ -143,6 +143,14 @@ class RasterApiSpec extends AnyFunSuite {
     assert(g.flowLength.count() == valid)
     assert(g.terrainIndices.count() > 0)
     assert(g.contour(level = 12.125).count() > 0)
+    // terrain derivative wiring: curvature + aspect route to the stencils
+    val cv = g.curvature
+    assert(cv.columns.toSeq == Seq("row", "col", "curv", "prof", "plan"))
+    assert(cv.count() > 0)
+    val asp = g.aspect
+    assert(asp.columns.toSeq ==
+      Seq("row", "col", "tan2_slope", "octant", "compass"))
+    assert(asp.where($"compass".isNull).count() == 0)
     // filled surface: same georeference, fill >= z everywhere, real raises
     val filled = g.fillSinks
     assert(filled.ref == g.ref)

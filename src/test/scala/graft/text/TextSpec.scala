@@ -169,6 +169,70 @@ class TextSpec extends AnyFunSuite {
     assert(checked == got.size && checked > 30000)
   }
 
+  test("ZT curvature stencil matches direct whole-grid computation") {
+    import spark.implicits._
+    import graft.corpus.Synth
+    import graft.operators.{Stencil, TileOps}
+    val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val got = Stencil.curvature(dem, Synth.demRef, 6)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => (t._1.toInt, t._2.toInt) -> ((t._3, t._4, t._5))).toMap
+    val ref = Synth.demRef
+    val cs = ref.cellsize
+    var checked = 0
+    for (r <- 1 until ref.nrows - 1; c <- 1 until ref.ncols - 1) {
+      val v = Array(
+        Synth.demValue(r - 1, c - 1), Synth.demValue(r - 1, c), Synth.demValue(r - 1, c + 1),
+        Synth.demValue(r, c - 1), Synth.demValue(r, c), Synth.demValue(r, c + 1),
+        Synth.demValue(r + 1, c - 1), Synth.demValue(r + 1, c), Synth.demValue(r + 1, c + 1))
+      if (v.forall(x => !x.isNaN)) {
+        val dd = ((v(3) + v(5)) / 2 - v(4)) / (cs * cs)
+        val ee = ((v(1) + v(7)) / 2 - v(4)) / (cs * cs)
+        val ff = (-v(0) + v(2) + v(6) - v(8)) / (4 * cs * cs)
+        val gg = (-v(3) + v(5)) / (2 * cs)
+        val hh = (v(1) - v(7)) / (2 * cs)
+        val den = gg * gg + hh * hh
+        val curv = -2 * (dd + ee)
+        val prof = if (den == 0) 0.0 else 2 * (dd * gg * gg + ee * hh * hh + ff * gg * hh) / den
+        val plan = if (den == 0) 0.0 else -2 * (dd * hh * hh + ee * gg * gg - ff * gg * hh) / den
+        assert(got((r, c)) == ((curv, prof, plan)), s"at ($r,$c)")
+        checked += 1
+      } else assert(!got.contains((r, c)))
+    }
+    assert(checked > 25000)
+    // sanity of the fitted surface: a pure plane has zero curvature
+    val planeRef = graft.core.GridRef(16, 16, 0.0, 0.0, 1.0)
+    val plane = TileOps.tileGrid(spark, planeRef, 6)((r, c) => 3.0 * r - 2.0 * c + 5)
+    val pc = Stencil.curvature(plane, planeRef, 6)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(pc.nonEmpty && pc.forall(t => t._3 == 0.0 && t._4 == 0.0 && t._5 == 0.0))
+  }
+
+  test("aspect octants: gradient-aligned synthetic slopes land in the right sector") {
+    import spark.implicits._
+    import graft.corpus.Synth
+    import graft.operators.{Stencil, TileOps}
+    // plane dipping to the east: z = -x -> downslope (-grad) points east
+    val ref = graft.core.GridRef(16, 16, 0.0, 0.0, 1.0)
+    def check(f: (Int, Int) => Double, want: String): Unit = {
+      val t = TileOps.tileGrid(spark, ref, 6)(f)
+      val rows = Stencil.aspectClass(t, ref, 6).select("compass").distinct()
+        .as[String].collect()
+      assert(rows.toSeq == Seq(want), s"want $want got ${rows.toSeq}")
+    }
+    check((r, c) => c.toDouble, "W")        // z rises east -> downslope west
+    check((r, c) => -c.toDouble, "E")
+    check((r, c) => r.toDouble, "N")        // z rises south -> downslope north
+    check((r, c) => -r.toDouble, "S")
+    check((r, c) => (r + c).toDouble, "NW") // exact diagonal -> NW sector
+    check((r, c) => 7.0, "FLAT")
+    // consistency with the flat/steep structure of the DEM fixture
+    val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val a = Stencil.aspectClass(dem, Synth.demRef, 6)
+    assert(a.filter($"octant" < -1 || $"octant" > 7).count() == 0)
+    assert(a.filter($"tan2_slope" < 0).count() == 0)
+  }
+
   test("maxRunLength / dupOccurrences == direct multiplicity math (d11 kernels)") {
     import spark.implicits._
     // seeded random word arrays, skewed so runs of every length appear
