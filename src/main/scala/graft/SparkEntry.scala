@@ -408,6 +408,41 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // Backward AS-OF join (click -> most recent prior view by the same
+    // user): the temporal operator Spark lacks natively, built as ONE
+    // key-shuffle + a streaming last(ignoreNulls) window frame — a hot
+    // user key costs linear work in one task, never the O(l x r) of the
+    // naive inequality-join + row_number formulation
+    "q7_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"ts")
+      graft.operators.AsOfJoin.asOf(clicks, views, "user_id", "ts", "ts",
+          rightCols = Seq("event_id", "ts"), rightPrefix = "view_")
+        .withColumn("gap_sec",
+          (unix_micros($"ts".cast("timestamp")) - unix_micros($"view_ts".cast("timestamp"))) / 1000000.0)
+        .orderBy($"event_id")
+    }),
+
+    // Tolerance range join (click <-> error by the same user within 2h):
+    // right side exploded to its 3 tolerance buckets -> EQUI-join on
+    // (user, bucket) + exact |dt| filter — shuffle is 3x the descriptor
+    // volume, never the inequality-join cartesian
+    "q8_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+      val errors = ev.filter($"event_type" === "error")
+      graft.operators.AsOfJoin.rangeJoin(clicks, errors, "user_id",
+          "ts", "ts", tolSec = 7200L,
+          leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+          rightPrefix = "err_")
+        .orderBy($"event_id", $"err_event_id")
+    }),
+
     // native Catalyst expressions (doGenCode): cell_of / cell_parent in SQL
     "q5_cell_functions" -> ((s, _) => {
       import s.implicits._
@@ -1901,6 +1936,31 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt50
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q7: as-of semantics spelled explicitly (LEFT JOIN + row_number)
+    // rather than DuckDB's native ASOF, to pin the deterministic
+    // (ts DESC, event_id DESC) tie-break the engine uses
+    "q7_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |j AS (SELECT c.event_id, c.user_id, c.ts,
+        |    v.event_id AS view_event_id, v.ts AS view_ts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts)
+        |SELECT event_id, user_id, ts, view_event_id, view_ts,
+        |  (epoch_us(ts) - epoch_us(view_ts)) / 1000000.0 AS gap_sec
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // q8: the inequality join DuckDB can afford at oracle scale; the
+    // engine's bucketed equi-join must produce the identical pair set
+    "q8_range_join" ->
+      """SELECT c.event_id AS event_id, e.event_id AS err_event_id,
+        |  (epoch_us(e.ts) - epoch_us(c.ts)) / 1000000.0 AS dt_sec
+        |FROM events c JOIN events e ON c.user_id = e.user_id
+        |WHERE c.event_type = 'click' AND e.event_type = 'error'
+        |  AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 7200000000
+        |ORDER BY event_id, err_event_id""".stripMargin,
 
     "q5_cell_functions" -> {
       // Morton interleave replicated in pure bit-op SQL: a CTE chain of the
