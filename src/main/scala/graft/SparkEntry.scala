@@ -635,6 +635,33 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // End-to-end curation pipeline (the composition a real training-data
+    // run executes): length/word-count/language gates -> exact dedup
+    // keeping the min doc_id per md5(text) -> deterministic train/val/
+    // test split -> per-stratum corpus stats. One codegen'd filter pass,
+    // one sig-shuffle for the keeper window, one partial-agg groupBy —
+    // nothing here holds more than O(strata) outside the shuffles.
+    "d17_curation" -> ((s, dir) => {
+      import s.implicits._
+      val f = table(s, dir, "documents")
+        .withColumn("n_words", size(split($"text", " ")))
+        .filter($"n_chars" >= 200 && $"n_chars" <= 4000 &&
+          $"n_words" >= 30 && $"lang".isin("en", "de", "fr"))
+        .withColumn("sig", md5($"text".cast("binary")))
+      val kept = f.withColumn("rk",
+          row_number().over(Window.partitionBy($"sig").orderBy($"doc_id")))
+        .filter($"rk" === 1)
+      kept
+        .withColumn("b", expr(
+          "CAST(conv(substring(md5(CAST(CAST(doc_id AS string) AS binary)), 1, 1), 16, 10) AS INT)"))
+        .withColumn("split",
+          when($"b" <= 12, "train").when($"b" === 13, "val").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          sum($"n_words").cast("long").as("sum_words"))
+        .orderBy($"split", $"lang")
+    }),
+
     // SimHash fingerprints + hamming-near pairs via pigeonhole banding
     // (7 chunks guarantee recall for hamming<=6; shuffled equi-join, not
     // the O(N²) cartesian; banded==all-pairs is ScalaTest-gated)
@@ -2572,6 +2599,26 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE b2 < CASE WHEN lang = 'en' THEN 128 WHEN lang = 'de' THEN 192 ELSE 64 END
         |ORDER BY doc_id""".stripMargin,
+
+    // d17: the full curation chain replicated — filters, md5-keeper
+    // window, md5 split bucket, stratum aggregate
+    "d17_curation" ->
+      """WITH f AS (SELECT doc_id, lang, n_chars,
+        |    len(string_split(text, ' ')) AS n_words, md5(text) AS sig
+        |  FROM documents
+        |  WHERE n_chars BETWEEN 200 AND 4000
+        |    AND len(string_split(text, ' ')) >= 30
+        |    AND lang IN ('en', 'de', 'fr')),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rk FROM f),
+        |s AS (SELECT CASE WHEN b <= 12 THEN 'train' WHEN b = 13 THEN 'val'
+        |      ELSE 'test' END AS split, lang, n_chars, n_words
+        |  FROM (SELECT *, strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
+        |    FROM k WHERE rk = 1))
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // i4: the FULL perceptual-hash kernel replicated in SQL — block codes
     // K(i,b) by formula (incl. the i%167 near-dup plant), phash bit b =
