@@ -208,8 +208,12 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   /** `reproject` (Raster.py:695-733): cal_tsf-style target grid + nearest
     * warp; see core/Proj for the supported EPSG registry and the
     * documented Helmert accuracy bound. */
-  def reproject(dstEpsg: Int): Raster = {
-    val (out, dstRef) = Reproject.warp(tiles, ref, dstEpsg, res)
+  def reproject(dstEpsg: Int): Raster = reproject(dstEpsg, None)
+
+  /** Reproject with an OSTN/NTv2-style datum lattice applied on the
+    * OSGB36 leg (load one with `ShiftGrid.read`); `None` = Helmert path. */
+  def reproject(dstEpsg: Int, gridShift: Option[graft.core.ShiftGrid]): Raster = {
+    val (out, dstRef) = Reproject.warp(tiles, ref, dstEpsg, res, gridShift)
     Raster(out, dstRef, res)
   }
 

@@ -197,6 +197,39 @@ object Proj {
     fromEcef(eB, x2, y2, z2)
   }
 
+  /** ETRS89/WGS84-based National Grid TM — the projection an OSTN-style
+    * lattice shifts FROM: the BNG parameters applied on the GRS80/WGS84
+    * ellipsoid with zero datum (OS transformation guide §6). */
+  val etrsBngTm: Tm = Tm(wgs84, 0.9996012717, math.toRadians(49.0),
+    math.toRadians(-2.0), 400000.0, -100000.0, wgs84Datum)
+
+  /** Grid-corrected transform src CRS -> OSGB36 National Grid: src ->
+    * ETRS89 geodetic -> ETRS-projected BNG -> [[ShiftGrid]] forward.
+    * With a real OSTN lattice this is the published ~0.1 m path; the
+    * engine ships the mechanism, not the licensed lattice. */
+  def transformToOsgbGrid(src: Crs, grid: ShiftGrid, x: Double, y: Double)
+      : (Double, Double) = {
+    val (latS, lonS) =
+      if (src.tm == null) (math.toRadians(y), math.toRadians(x))
+      else tmInverse(src.tm, x, y)
+    val (latE, lonE) = shiftDatum(src.ell, src.datum, wgs84, wgs84Datum,
+      latS, lonS)
+    val (e, n) = tmForward(etrsBngTm, latE, lonE)
+    grid.forward(e, n)
+  }
+
+  /** Grid-corrected inverse: OSGB36 E/N -> dst CRS (iterative
+    * [[ShiftGrid.inverse]], then ETRS-BNG inverse TM, then datum leg). */
+  def transformFromOsgbGrid(grid: ShiftGrid, dst: Crs, e: Double, n: Double)
+      : (Double, Double) = {
+    val (ee, en) = grid.inverse(e, n)
+    val (latE, lonE) = tmInverse(etrsBngTm, ee, en)
+    val (latD, lonD) = shiftDatum(wgs84, wgs84Datum, dst.ell, dst.datum,
+      latE, lonE)
+    if (dst.tm == null) (math.toDegrees(lonD), math.toDegrees(latD))
+    else tmForward(dst.tm, latD, lonD)
+  }
+
   /** Full CRS-to-CRS point transform (map units in, map units out;
     * geographic CRS uses degrees lon=x lat=y like PROJ axis order for
     * EPSG:4326 in rasterio). */

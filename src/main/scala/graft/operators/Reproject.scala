@@ -44,7 +44,8 @@ object Reproject {
   /** Nearest-resampling warp. Returns (tiles on the dst grid, dst header).
     * srcRef.crs must carry an EPSG code (reference raises likewise,
     * Raster.py:668-671). */
-  def warp(tiles: Dataset[Tile], srcRef: GridRef, dstEpsg: Int, res: Int)
+  def warp(tiles: Dataset[Tile], srcRef: GridRef, dstEpsg: Int, res: Int,
+      gridShift: Option[graft.core.ShiftGrid] = None)
       : (Dataset[Tile], GridRef) = {
     require(srcRef.epsg > 0,
       "source crs must be EPSG-coded for reproject (reference set_crs)")
@@ -53,6 +54,16 @@ object Reproject {
     // Crs is a plain serializable case class — capture once per closure
     val src = Proj.fromEpsg(srcRef.epsg)
     val dst = Proj.fromEpsg(dstEpsg)
+    // the gather needs dst -> src; with an OSTN-style lattice present,
+    // route the OSGB36 leg through the grid (r17's gridless hash is
+    // untouched — the default is the plain Helmert path)
+    val dstToSrc: (Double, Double) => (Double, Double) = gridShift match {
+      case Some(g) if dstEpsg == 27700 =>
+        (x, y) => Proj.transformFromOsgbGrid(g, src, x, y)
+      case Some(g) if srcRef.epsg == 27700 =>
+        (x, y) => Proj.transformToOsgbGrid(dst, g, x, y)
+      case _ => (x, y) => Proj.transform(dst, src, x, y)
+    }
     val cover = (row0: Int, col0: Int, h: Int, w: Int) => {
       var rMin = Double.MaxValue; var rMax = Double.MinValue
       var cMin = Double.MaxValue; var cMax = Double.MinValue
@@ -62,7 +73,7 @@ object Reproject {
         val r = row0 + (h - 1).toDouble * i / steps
         val c = col0 + (w - 1).toDouble * j / steps
         val (x, y) = dstRef.sub2map(r, c)
-        val (sx, sy) = Proj.transform(dst, src, x, y)
+        val (sx, sy) = dstToSrc(x, y)
         val (fr, fc) = srcRef.map2subFrac(sx, sy)
         if (fr < rMin) rMin = fr; if (fr > rMax) rMax = fr
         if (fc < cMin) cMin = fc; if (fc > cMax) cMax = fc
@@ -78,7 +89,7 @@ object Reproject {
     val out = Gather.gatherTileDsCover(tiles, dstRef, res)(cover) {
       (tr, tc, byCell) =>
         val (x, y) = dstRef.sub2map(tr, tc)
-        val (sx, sy) = Proj.transform(dst, src, x, y)
+        val (sx, sy) = dstToSrc(x, y)
         val (sr, sc) = srcRef.map2sub(sx, sy)
         if (sr < 0 || sr >= sNrows || sc < 0 || sc >= sNcols) Double.NaN
         else byCell.get(CellId.ofPixel(sr.toLong, sc.toLong, res)) match {
