@@ -319,6 +319,32 @@ object SparkEntry {
         .orderBy($"qid", $"rank")
     }),
 
+    // Product-quantization ANN: m=4 byte codes per vector, broadcast ADC
+    // lookup tables, shortlist by ADC + exact cosine re-rank of
+    // SURVIVORS ONLY (the compressed exhaustive path — codes are 4 B vs
+    // 64 B raw, so the scan is bandwidth-compressed 16x; compose with
+    // e2's IVF lists for sublinear IVF-PQ). On the separated fixture the
+    // shortlist provably contains the true top-5 (inter-cluster ADC gap
+    // ~128 vs intra ~20 dwarfs quantization error), so the re-ranked
+    // output equals DuckDB's exact top-5 — hash-gated.
+    "e3_ann_pq" -> ((s, _) => {
+      import s.implicits._
+      val C = 16; val M = 30; val dim = 16
+      val e = s.range(C.toLong * M).map { vid =>
+        val cl = (vid % C).toInt; val m = (vid / C).toInt
+        val v = Array.tabulate(dim) { d =>
+          val center = if (d == cl) 8.0f else 0.0f
+          center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
+        }
+        (vid, v)
+      }.toDF("vec_id", "embedding")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.sim.Similarity.pqTopK(s, e, "vec_id", "embedding", q,
+          m = 4, ksub = 16, iters = 2, shortlist = 60, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -2694,6 +2720,29 @@ object SparkEntry {
     // result by construction (every query's true top-5 lives in its
     // probed lists; dyadic coords make cosines bit-identical and rank
     // gaps ~1e-3).
+    // e3: exact top-5 over the same fixture — PQ shortlist + exact
+    // re-rank must reproduce it (see the e3 query comment for the proof)
+    "e3_ann_pq" ->
+      """WITH v AS (
+        |  SELECT t.vid AS vid, d.d AS d,
+        |    (CASE WHEN d.d = t.vid % 16 THEN 8.0 ELSE 0.0 END)
+        |      + (((t.vid // 16) * 31 + d.d * 17 + (t.vid % 16) * 7) % 13 - 6) * 0.125 AS x
+        |  FROM range(480) t(vid), range(16) d(d)),
+        |norms AS (SELECT vid, sqrt(sum(x*x)) AS n FROM v GROUP BY vid),
+        |pairs AS (
+        |  SELECT q.vid AS qid, c.vid AS vid, sum(q.x * c.x) AS dot
+        |  FROM v q JOIN v c ON q.d = c.d AND q.vid < 10 AND c.vid <> q.vid
+        |  GROUP BY q.vid, c.vid),
+        |cs AS (
+        |  SELECT p.qid, p.vid, p.dot / (nq.n * nc.n) AS cos
+        |  FROM pairs p JOIN norms nq ON nq.vid = p.qid
+        |              JOIN norms nc ON nc.vid = p.vid),
+        |rk AS (SELECT qid, vid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+        |  FROM cs)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid
+        |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     "e2_ann_ivf" ->
       """WITH v AS (
         |  SELECT t.vid AS vid, d.d AS d,

@@ -149,6 +149,133 @@ object Similarity {
       .select($"qid", $"rank".cast("long").as("rank"), $"vid")
   }
 
+  /** Product-quantization codebooks: split the vector into `m` contiguous
+    * subspaces and run Lloyd's independently in each (ksub codewords per
+    * subspace). Returns books(s)(code) = subspace-s centroid. Driver
+    * state is m*ksub*subDim doubles (a few KB) — broadcast, never
+    * shuffled; per iteration ONE pass over the corpus producing
+    * (subspace, code) partial sums. Deterministic init (lowest `ksub`
+    * vids' subvectors) and empty codes keep their previous codeword,
+    * mirroring [[kmeansWithCentroids]]. */
+  def pqTrain(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, ksub: Int, iters: Int)
+      : Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])].cache()
+    val dim = base.head()._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    var books: Array[Array[Array[Double]]] = {
+      val seed = base.orderBy($"vid").limit(ksub).collect().map(_._2)
+      Array.tabulate(m)(s => Array.tabulate(ksub)(c =>
+        Array.tabulate(subDim)(j => seed(c)(s * subDim + j).toDouble)))
+    }
+    def bestCode(bk: Array[Array[Double]], v: Array[Float], off: Int): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < bk.length) {
+        val cw = bk(c); var d = 0.0; var j = 0
+        while (j < cw.length) { val t = v(off + j) - cw(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(books)
+      val updated = base.flatMap { case (_, v) =>
+        val bks = bc.value
+        (0 until bks.length).iterator.map { s =>
+          ((s, bestCode(bks(s), v, s * (v.length / bks.length))),
+            v.slice(s * (v.length / bks.length), (s + 1) * (v.length / bks.length)))
+        }
+      }.groupByKey(_._1).mapGroups { (key, it) =>
+        var n = 0L; var sum: Array[Double] = null
+        it.foreach { case (_, sv) =>
+          if (sum == null) sum = new Array[Double](sv.length)
+          var j = 0
+          while (j < sv.length) { sum(j) += sv(j); j += 1 }
+          n += 1
+        }
+        (key._1, key._2, sum.map(_ / n))
+      }.collect()
+      val next = books.map(_.clone())
+      updated.foreach { case (s, c, cw) => next(s)(c) = cw }
+      books = next
+    }
+    base.unpersist()
+    books
+  }
+
+  /** PQ top-k by ADC (asymmetric distance computation) + exact re-rank —
+    * the compressed exhaustive path (FAISS "Flat-PQ"; compose with the
+    * [[ivfTopK]] inverted lists for the sublinear IVF-PQ variant).
+    *
+    * Scale shape: the corpus is scanned as m-BYTE codes (8-32 B/vector vs
+    * 4*dim B raw — the scan is bandwidth-bound, so the compression IS the
+    * speedup); per-query ADC lookup tables (m x ksub doubles) are
+    * broadcast; the shortlist is a per-query window top-L over ADC
+    * distance; exact cosine re-ranks SHORTLIST SURVIVORS ONLY, re-attached
+    * by an id equi-join — raw vectors never join the full scan. */
+  def pqTopK(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, m: Int, ksub: Int, iters: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val books = pqTrain(spark, corpus, idCol, vecCol, m, ksub, iters)
+    val subDim = books(0)(0).length
+    val bcBooks = spark.sparkContext.broadcast(books)
+    // encode: one map pass -> (vid, code bytes)
+    val codes = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])].map { case (vid, v) =>
+        val bks = bcBooks.value
+        val code = new Array[Byte](bks.length)
+        var s = 0
+        while (s < bks.length) {
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < bks(s).length) {
+            val cw = bks(s)(c); var d = 0.0; var j = 0
+            while (j < cw.length) { val t = v(s * cw.length + j) - cw(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          code(s) = best.toByte
+          s += 1
+        }
+        (vid, code)
+      }
+    // per-query ADC lookup tables, broadcast (queries are the small side)
+    val luts = queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
+      .collect().map { case (qid, qv) =>
+        qid -> Array.tabulate(books.length, ksub) { (s, c) =>
+          val cw = books(s)(c); var d = 0.0; var j = 0
+          while (j < subDim) { val t = qv(s * subDim + j) - cw(j); d += t * t; j += 1 }
+          d
+        }
+      }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val adc = codes.flatMap { case (vid, code) =>
+      bcLuts.value.iterator.filter(_._1 != vid).map { case (qid, lut) =>
+        var d = 0.0; var s = 0
+        while (s < code.length) { d += lut(s)(code(s) & 0xFF); s += 1 }
+        (qid, vid, d)
+      }
+    }.toDF("qid", "vid", "adc")
+    val wShort = Window.partitionBy($"qid").orderBy($"adc", $"vid")
+    val short = adc.withColumn("sr", row_number().over(wShort))
+      .filter($"sr" <= shortlist)
+      .select($"qid", $"vid")
+    // exact cosine re-rank of shortlist survivors only
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val qv = queries.select(col("qid"), col("qv"))
+    val cand = short.join(vecs, "vid").join(broadcast(qv), "qid")
+      .withColumn("cos", dot("qv", "v") /
+        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
+    cand.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank".cast("long").as("rank"), $"vid")
+  }
+
   /** Deterministic pseudo-random hyperplane matrix for sign-LSH:
     * bands x bits hyperplanes of `dim` components in [-1, 1), generated
     * by splitmix64 of the flat index — identical on every executor, every

@@ -52,6 +52,46 @@ class SimSpec extends AnyFunSuite {
     assert(ivfr.count() == 50) // mechanism: full top-5 per query
   }
 
+  test("PQ: ADC shortlist + exact re-rank == brute top-5 on clustered data; " +
+    "recall reported on random") {
+    import spark.implicits._
+    val dim = 16
+    val pts = (0 until 320).map { i =>
+      val cl = i % 8
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d % 8 == cl) 10.0f else 0.0f
+        center + (((i * 31 + d * 17) % 7) - 3) * 0.05f
+      }
+      (i.toLong, v)
+    }
+    val e = spark.createDataset(pts).toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val brute = Similarity.bruteTopK(q,
+        e.select($"vec_id".as("vid"), $"embedding".as("v")), 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(spark, e, "vec_id", "embedding", q,
+        m = 4, ksub = 16, iters = 3, shortlist = 60, k = 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    assert(pq == brute, s"missing=${(brute -- pq).take(5)}")
+
+    // random embeddings: the mechanism must return full top-k and the
+    // exact re-rank keeps ordering honest even when ADC recall is
+    // data-limited (report only, like the IVF random leg)
+    val er = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qr = er.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val pqr = Similarity.pqTopK(spark, er, "vec_id", "embedding", qr,
+      m = 8, ksub = 16, iters = 2, shortlist = 50, k = 5)
+    assert(pqr.count() == 50)
+    // codebook geometry: m x ksub x subDim with dim divisibility enforced
+    val books = Similarity.pqTrain(spark, e, "vec_id", "embedding", 4, 16, 1)
+    assert(books.length == 4 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 4)))
+    intercept[IllegalArgumentException](
+      Similarity.pqTrain(spark, e, "vec_id", "embedding", 5, 16, 1))
+  }
+
   test("nearDupPairs: banded sign-LSH == brute all-pairs on planted twins") {
     import spark.implicits._
     // deterministic pseudo-random base vectors + 20 planted twins
