@@ -224,6 +224,16 @@ object Bench {
       }
       name -> secs.min
     }
+    // local-iteration mode: print the query table and stop before the
+    // pipeline/scaling sections (the driver never sets this)
+    if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
+      val qj = results.map { case (n, t) => s""""$n":$t""" }.mkString(",")
+      println(s"""{"metric":"queries_only","value":${results.map(_._2).sum},"unit":"sec","queries":{$qj},"sf":"$sfDir","load_avg_1m":${
+        try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+        catch { case _: Throwable => -1.0 }}}""")
+      s1.stop()
+      return
+    }
     // pre-write the input corpus table once (untimed — the job under the
     // scaling gate SCANS an existing table; generation is fixture setup)
     val corpusPath = s"/dev/shm/graft_bench_corpus_$nTiles"

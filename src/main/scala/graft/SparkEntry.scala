@@ -633,13 +633,17 @@ object SparkEntry {
     // all-pairs.
     "d15_contamination" -> ((s, dir) => {
       import s.implicits._
+      // grams are xxhash64'd BEFORE the distinct/join so every shuffle
+      // moves 8-byte keys, not ~25-byte strings (same trick as d3's
+      // hashed shingles; collision odds ~n²/2^64, immaterial to the gate)
       val grams = table(s, dir, "documents")
         .select($"doc_id",
           explode(graft.text.TextOps.wordShingles(split($"text", " "), 4)).as("g"))
+        .select($"doc_id", xxhash64($"g").as("h"))
         .distinct()
-      val bench = grams.filter($"doc_id" % 7 === 0).select($"g").distinct()
+      val bench = grams.filter($"doc_id" % 7 === 0).select($"h").distinct()
       grams.filter($"doc_id" % 7 =!= 0)
-        .join(broadcast(bench), "g")
+        .join(broadcast(bench), "h")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_id")

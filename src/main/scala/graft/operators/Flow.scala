@@ -957,14 +957,26 @@ object Flow {
     *      [[flowAcc]]'s crossing solve), then one broadcast maps heads
     *      to orders. */
   def strahlerOrder(tiles: Dataset[Tile], ref: GridRef, res: Int,
-      threshold: Long, driverLimit: Int = 2000000): DataFrame = {
+      threshold: Long, driverLimit: Int = 2000000,
+      headsViaDoubling: Boolean = false): DataFrame = {
     import tiles.sparkSession.implicits._
     import org.apache.spark.sql.functions._
-    val net = streamNetwork(tiles, ref, res, threshold)
-      .select($"row", $"col", $"to_r", $"to_c").persist()
+    // ONE flowAcc feeds both the channel mask and the edge set (calling
+    // streamNetwork here would run the whole tile condensation twice)
+    val streamCells = flowAcc(tiles, ref, res).where($"acc" >= threshold)
+      .select($"row", $"col").persist()
+    val dirs = flowDir(tiles, ref, res).where($"dir" > 0)
+      .select($"row", $"col", $"dir")
+    val net = streamCells.join(dirs, Seq("row", "col"))
+      .select($"row", $"col",
+        ($"row" + expr(
+          "CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 " +
+            "WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 END")).as("to_r"),
+        ($"col" + expr(
+          "CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1 " +
+            "WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 WHEN 128 THEN 1 END")).as("to_c"))
+      .persist()
     try {
-      val streamCells = flowAcc(tiles, ref, res).where($"acc" >= threshold)
-        .select($"row", $"col")
       val indeg = net.groupBy($"to_r".as("row"), $"to_c".as("col"))
         .agg(count(lit(1)).as("indeg"))
       val deg = streamCells.join(indeg, Seq("row", "col"), "left")
@@ -973,25 +985,62 @@ object Flow {
       // chain cells carry their unique parent as the initial pointer
       val parents = net.select($"to_r".as("row"), $"to_c".as("col"),
         $"row".as("pr"), $"col".as("pc"))
-      var lab = nodesDF
-        .select($"row", $"col", $"row".as("hr"), $"col".as("hc"), lit(true).as("done"))
-        .unionByName(deg.where($"indeg" === 1).select($"row", $"col")
-          .join(parents, Seq("row", "col"))
-          .select($"row", $"col", $"pr".as("hr"), $"pc".as("hc"), lit(false).as("done")))
-        .localCheckpoint(true)
-      var remaining = lab.where(!$"done").count()
-      while (remaining > 0) {
-        val tgt = lab.select($"row".as("hr"), $"col".as("hc"),
-          $"hr".as("thr"), $"hc".as("thc"), $"done".as("tdone"))
-        lab = lab.join(tgt, Seq("hr", "hc"), "left")
-          .select($"row", $"col",
-            when($"done", $"hr").otherwise($"thr").as("hr"),
-            when($"done", $"hc").otherwise($"thc").as("hc"),
-            ($"done" || $"tdone").as("done"))
+      val chainPtrDF = deg.where($"indeg" === 1).select($"row", $"col")
+        .join(parents, Seq("row", "col"))
+        .select($"row", $"col", $"pr", $"pc")
+      // Hybrid head resolution (the GraphOps pattern): below driverLimit
+      // the chain set is collected and chased with memoization — O(cells)
+      // driver work replacing O(log chainLen) rounds of join+checkpoint+
+      // count (each round is 3 Spark jobs; the distributed loop cost ~10s
+      // of pure job overhead at fixture scale). Above the limit, the
+      // pointer-doubling loop below is the scale path.
+      val nChain = chainPtrDF.count()
+      var lab: DataFrame = if (!headsViaDoubling && nChain <= driverLimit) {
+        val nodeSet = nodesDF.as[(Long, Long)].collect().toSet
+        val chain = chainPtrDF.as[(Long, Long, Long, Long)].collect()
+        val ptr = chain.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+        val head = scala.collection.mutable.HashMap[(Long, Long), (Long, Long)]()
+        def resolve(start: (Long, Long)): (Long, Long) = {
+          var path = List.empty[(Long, Long)]
+          var cur = start
+          var steps = 0
+          while (!nodeSet.contains(cur) && !head.contains(cur)) {
+            require(steps <= ptr.size, "pointer chase stalled — stream chain cycle")
+            path ::= cur
+            cur = ptr(cur)
+            steps += 1
+          }
+          val h = if (nodeSet.contains(cur)) cur else head(cur)
+          path.foreach(p => head(p) = h)
+          h
+        }
+        val rows = nodeSet.toSeq.map(n => (n._1, n._2, n._1, n._2, true)) ++
+          chain.map { t =>
+            val h = resolve((t._1, t._2)); (t._1, t._2, h._1, h._2, true)
+          }
+        tiles.sparkSession.createDataset(rows)
+          .toDF("row", "col", "hr", "hc", "done")
+      } else {
+        var l = nodesDF
+          .select($"row", $"col", $"row".as("hr"), $"col".as("hc"), lit(true).as("done"))
+          .unionByName(chainPtrDF
+            .select($"row", $"col", $"pr".as("hr"), $"pc".as("hc"), lit(false).as("done")))
           .localCheckpoint(true)
-        val next = lab.where(!$"done").count()
-        require(next < remaining, "pointer doubling stalled — stream chain cycle")
-        remaining = next
+        var remaining = l.where(!$"done").count()
+        while (remaining > 0) {
+          val tgt = l.select($"row".as("hr"), $"col".as("hc"),
+            $"hr".as("thr"), $"hc".as("thc"), $"done".as("tdone"))
+          l = l.join(tgt, Seq("hr", "hc"), "left")
+            .select($"row", $"col",
+              when($"done", $"hr").otherwise($"thr").as("hr"),
+              when($"done", $"hc").otherwise($"thc").as("hc"),
+              ($"done" || $"tdone").as("done"))
+            .localCheckpoint(true)
+          val next = l.where(!$"done").count()
+          require(next < remaining, "pointer doubling stalled — stream chain cycle")
+          remaining = next
+        }
+        l
       }
       // condensed edges: stream edges whose target is a node, keyed by the
       // source cell's head — one edge per incoming chain
@@ -1035,7 +1084,7 @@ object Flow {
       lab.as[(Long, Long, Long, Long, Boolean)]
         .map { case (r, c, hr, hc, _) => (r, c, bc.value((hr, hc)).toLong) }
         .toDF("row", "col", "strahler").localCheckpoint(true)
-    } finally net.unpersist()
+    } finally { net.unpersist(); streamCells.unpersist() }
   }
 
   def streamNetwork(tiles: Dataset[Tile], ref: GridRef, res: Int,

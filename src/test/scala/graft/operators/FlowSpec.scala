@@ -264,6 +264,14 @@ class FlowSpec extends AnyFunSuite {
       assert(got.size == want.size, s"res=$res size")
       assert(got == want.toMap, s"res=$res values")
     }
+    // both head-resolution branches agree: force the distributed
+    // pointer-doubling loop and compare
+    val tiles6 = TileOps.tileGrid(spark, ref, 6)(Synth.demValue)
+    val dist = Flow.strahlerOrder(tiles6, ref, 6, threshold,
+        headsViaDoubling = true)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2)).toMap
+    assert(dist == want.toMap, "distributed branch diverges from driver chase")
   }
 
   test("streamNetwork: edges are exactly the acc>=T sources; targets follow dir") {
