@@ -633,14 +633,15 @@ object SparkEntry {
     // all-pairs.
     "d15_contamination" -> ((s, dir) => {
       import s.implicits._
-      // grams are xxhash64'd BEFORE the distinct/join so every shuffle
-      // moves 8-byte keys, not ~25-byte strings (same trick as d3's
-      // hashed shingles; collision odds ~n²/2^64, immaterial to the gate)
+      // per-doc gram dedup happens in the ARRAY domain (array_distinct
+      // before explode) — zero shuffle, inside codegen — so the only
+      // remaining exchanges are the small bench-set distinct and the
+      // per-doc count agg; grams shuffle as xxhash64 longs, not strings
+      // (same trick as d3's hashed shingles; collision odds ~n²/2^64)
       val grams = table(s, dir, "documents")
-        .select($"doc_id",
-          explode(graft.text.TextOps.wordShingles(split($"text", " "), 4)).as("g"))
+        .select($"doc_id", explode(array_distinct(
+          graft.text.TextOps.wordShingles(split($"text", " "), 4))).as("g"))
         .select($"doc_id", xxhash64($"g").as("h"))
-        .distinct()
       val bench = grams.filter($"doc_id" % 7 === 0).select($"h").distinct()
       grams.filter($"doc_id" % 7 =!= 0)
         .join(broadcast(bench), "h")
