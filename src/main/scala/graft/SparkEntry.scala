@@ -469,6 +469,36 @@ object SparkEntry {
         .orderBy($"event_id", $"err_event_id")
     }),
 
+    // SQL analytic windows (built-in WindowExec — listed in SURVEY §2.5 as
+    // free from Spark; gated here so the claim is evidence, not assertion):
+    // per-user ordered running stats over the event stream
+    "q9_window_analytics" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wm = w.rowsBetween(-2, 0)
+      // moving stats in exact integer cents (the q1 trick) — float window
+      // sums are addition-order-dependent and engines may tree-reduce
+      table(s, dir, "events")
+        .select($"event_id", $"user_id", $"value",
+          lag($"value", 1).over(w).as("prev_value"),
+          sum(round($"value" * 100, 0).cast("long")).over(wm).as("mov_sum_c3"),
+          max($"value").over(wm).as("mov_max3"),
+          row_number().over(w).cast("long").as("seq"))
+        .orderBy($"event_id")
+    }),
+
+    // grouping sets / rollup (built-in Expand) over event day x type
+    "q10_rollup" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "events")
+        .withColumn("day", to_date($"ts"))
+        .rollup($"day", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100, 0).cast("long")).as("sum_c"),
+          grouping_id($"day", $"event_type").cast("long").as("lvl"))
+        .orderBy($"lvl", $"day", $"event_type")
+    }),
+
     // native Catalyst expressions (doGenCode): cell_of / cell_parent in SQL
     "q5_cell_functions" -> ((s, _) => {
       import s.implicits._
@@ -2019,6 +2049,29 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND e.event_type = 'error'
         |  AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 7200000000
         |ORDER BY event_id, err_event_id""".stripMargin,
+
+    // q9: identical window spec; the moving sum is exact integer cents
+    "q9_window_analytics" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_sum_c3,
+        |  max(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_max3,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // q10: ROLLUP with GROUPING bits (first arg = MSB in both engines)
+    "q10_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS lvl
+        |FROM events
+        |GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+        |ORDER BY lvl, day, event_type""".stripMargin,
 
     "q5_cell_functions" -> {
       // Morton interleave replicated in pure bit-op SQL: a CTE chain of the
