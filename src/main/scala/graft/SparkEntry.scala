@@ -672,6 +672,7 @@ object SparkEntry {
         .select($"doc_id", explode(array_distinct(
           graft.text.TextOps.wordShingles(split($"text", " "), 4))).as("g"))
         .select($"doc_id", xxhash64($"g").as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bench = grams.filter($"doc_id" % 7 === 0).select($"h").distinct()
       grams.filter($"doc_id" % 7 =!= 0)
         .join(broadcast(bench), "h")

@@ -23,6 +23,13 @@ final case class ShiftGrid(e0: Double, n0: Double, cs: Double,
   require(dE.length == ncols * nrows && dN.length == ncols * nrows,
     s"shift arrays must be ncols*nrows = ${ncols * nrows}")
 
+  /** True when projected (e, n) falls inside the lattice. */
+  def contains(e: Double, n: Double): Boolean = {
+    val fc = (e - e0) / cs
+    val fr = (n - n0) / cs
+    fc >= 0 && fc <= ncols - 1 && fr >= 0 && fr <= nrows - 1
+  }
+
   /** Bilinear (dE, dN) at projected (e, n). Exact for lattice-affine
     * fields (the property the spec gates on). */
   def shiftAt(e: Double, n: Double): (Double, Double) = {

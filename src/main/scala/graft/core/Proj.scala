@@ -203,18 +203,25 @@ object Proj {
   val etrsBngTm: Tm = Tm(wgs84, 0.9996012717, math.toRadians(49.0),
     math.toRadians(-2.0), 400000.0, -100000.0, wgs84Datum)
 
+  /** src CRS -> ETRS-projected BNG (the frame an OSTN-style lattice
+    * shifts FROM) — exposed so callers can lattice-bounds-check the
+    * position before applying the shift. */
+  def transformToEtrsBng(src: Crs, x: Double, y: Double): (Double, Double) = {
+    val (latS, lonS) =
+      if (src.tm == null) (math.toRadians(y), math.toRadians(x))
+      else tmInverse(src.tm, x, y)
+    val (latE, lonE) = shiftDatum(src.ell, src.datum, wgs84, wgs84Datum,
+      latS, lonS)
+    tmForward(etrsBngTm, latE, lonE)
+  }
+
   /** Grid-corrected transform src CRS -> OSGB36 National Grid: src ->
     * ETRS89 geodetic -> ETRS-projected BNG -> [[ShiftGrid]] forward.
     * With a real OSTN lattice this is the published ~0.1 m path; the
     * engine ships the mechanism, not the licensed lattice. */
   def transformToOsgbGrid(src: Crs, grid: ShiftGrid, x: Double, y: Double)
       : (Double, Double) = {
-    val (latS, lonS) =
-      if (src.tm == null) (math.toRadians(y), math.toRadians(x))
-      else tmInverse(src.tm, x, y)
-    val (latE, lonE) = shiftDatum(src.ell, src.datum, wgs84, wgs84Datum,
-      latS, lonS)
-    val (e, n) = tmForward(etrsBngTm, latE, lonE)
+    val (e, n) = transformToEtrsBng(src, x, y)
     grid.forward(e, n)
   }
 

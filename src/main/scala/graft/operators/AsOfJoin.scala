@@ -43,7 +43,11 @@ object AsOfJoin {
     // exact-timestamp right row is visible to the left row
     val lu = left.select(left(key).as("__k"), left(leftTs).as("__ts"),
       lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-    val ru = right.select(right(key).as("__k"), right(rightTs).as("__ts"),
+    // a NULL right timestamp would sort nulls-first and become "earlier
+    // than everything" — SQL as-of semantics (ts <= ts) never match it,
+    // so drop such rows up front
+    val ru = right.filter(right(rightTs).isNotNull)
+      .select(right(key).as("__k"), right(rightTs).as("__ts"),
       lit(0).as("__side"), lit(null).cast(lType).as("__l"), rStruct.as("__r"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"), col("__r"))

@@ -83,6 +83,15 @@ object Flow {
     out
   }
 
+  /** SQL CASE for the D8 code's row/col step — ONE source of truth for
+    * every DataFrame-side edge construction (streamNetwork, strahler). */
+  private[operators] val D8RowCase =
+    "CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 " +
+      "WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 END"
+  private[operators] val D8ColCase =
+    "CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1 " +
+      "WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 WHEN 128 THEN 1 END"
+
   private def delta(code: Int): (Int, Int) = code match {
     case 1 => (0, 1); case 2 => (1, 1); case 4 => (1, 0); case 8 => (1, -1)
     case 16 => (0, -1); case 32 => (-1, -1); case 64 => (-1, 0); case 128 => (-1, 1)
@@ -969,12 +978,8 @@ object Flow {
       .select($"row", $"col", $"dir")
     val net = streamCells.join(dirs, Seq("row", "col"))
       .select($"row", $"col",
-        ($"row" + expr(
-          "CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 " +
-            "WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 END")).as("to_r"),
-        ($"col" + expr(
-          "CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1 " +
-            "WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 WHEN 128 THEN 1 END")).as("to_c"))
+        ($"row" + expr(D8RowCase)).as("to_r"),
+        ($"col" + expr(D8ColCase)).as("to_c"))
       .persist()
     try {
       val indeg = net.groupBy($"to_r".as("row"), $"to_c".as("col"))
@@ -988,14 +993,14 @@ object Flow {
       val chainPtrDF = deg.where($"indeg" === 1).select($"row", $"col")
         .join(parents, Seq("row", "col"))
         .select($"row", $"col", $"pr", $"pc")
+        .persist()
       // Hybrid head resolution (the GraphOps pattern): below driverLimit
       // the chain set is collected and chased with memoization — O(cells)
       // driver work replacing O(log chainLen) rounds of join+checkpoint+
       // count (each round is 3 Spark jobs; the distributed loop cost ~10s
       // of pure job overhead at fixture scale). Above the limit, the
       // pointer-doubling loop below is the scale path.
-      val nChain = chainPtrDF.count()
-      var lab: DataFrame = if (!headsViaDoubling && nChain <= driverLimit) {
+      var lab: DataFrame = if (!headsViaDoubling && chainPtrDF.count() <= driverLimit) {
         val nodeSet = nodesDF.as[(Long, Long)].collect().toSet
         val chain = chainPtrDF.as[(Long, Long, Long, Long)].collect()
         val ptr = chain.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
@@ -1085,6 +1090,8 @@ object Flow {
         .map { case (r, c, hr, hc, _) => (r, c, bc.value((hr, hc)).toLong) }
         .toDF("row", "col", "strahler").localCheckpoint(true)
     } finally { net.unpersist(); streamCells.unpersist() }
+    // (chainPtrDF unpersists with the session; the final localCheckpoint
+    // already cut the lineage so nothing downstream re-reads it)
   }
 
   def streamNetwork(tiles: Dataset[Tile], ref: GridRef, res: Int,
@@ -1095,12 +1102,8 @@ object Flow {
       .select($"row", $"col", $"dir")
     acc.join(dir, Seq("row", "col"))
       .select($"row", $"col",
-        ($"row" + org.apache.spark.sql.functions.expr(
-          "CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 " +
-            "WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 END")).as("to_r"),
-        ($"col" + org.apache.spark.sql.functions.expr(
-          "CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1 " +
-            "WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 WHEN 128 THEN 1 END")).as("to_c"),
+        ($"row" + org.apache.spark.sql.functions.expr(D8RowCase)).as("to_r"),
+        ($"col" + org.apache.spark.sql.functions.expr(D8ColCase)).as("to_c"),
         $"acc")
   }
 }

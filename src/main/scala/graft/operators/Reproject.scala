@@ -56,12 +56,24 @@ object Reproject {
     val dst = Proj.fromEpsg(dstEpsg)
     // the gather needs dst -> src; with an OSTN-style lattice present,
     // route the OSGB36 leg through the grid (r17's gridless hash is
-    // untouched — the default is the plain Helmert path)
+    // untouched — the default is the plain Helmert path). A pixel whose
+    // position falls OUTSIDE the lattice becomes NaN — the same "no
+    // source" outcome the Helmert path reaches via the sr/sc bounds
+    // check — instead of failing the job from inside a task.
+    require(gridShift.isEmpty || dstEpsg == 27700 || srcRef.epsg == 27700,
+      s"gridShift supplied but neither endpoint is EPSG:27700 " +
+        s"(src ${srcRef.epsg}, dst $dstEpsg) — the lattice would be ignored")
+    val nanPt = (Double.NaN, Double.NaN)
     val dstToSrc: (Double, Double) => (Double, Double) = gridShift match {
       case Some(g) if dstEpsg == 27700 =>
-        (x, y) => Proj.transformFromOsgbGrid(g, src, x, y)
+        // inverse iteration starts at the OSGB position; guard the lattice
+        (x, y) => if (!g.contains(x, y)) nanPt
+          else Proj.transformFromOsgbGrid(g, src, x, y)
       case Some(g) if srcRef.epsg == 27700 =>
-        (x, y) => Proj.transformToOsgbGrid(dst, g, x, y)
+        (x, y) => {
+          val (e, n) = Proj.transformToEtrsBng(dst, x, y)
+          if (!g.contains(e, n)) nanPt else g.forward(e, n)
+        }
       case _ => (x, y) => Proj.transform(dst, src, x, y)
     }
     val cover = (row0: Int, col0: Int, h: Int, w: Int) => {
@@ -74,27 +86,35 @@ object Reproject {
         val c = col0 + (w - 1).toDouble * j / steps
         val (x, y) = dstRef.sub2map(r, c)
         val (sx, sy) = dstToSrc(x, y)
-        val (fr, fc) = srcRef.map2subFrac(sx, sy)
-        if (fr < rMin) rMin = fr; if (fr > rMax) rMax = fr
-        if (fc < cMin) cMin = fc; if (fc > cMax) cMax = fc
+        if (!sx.isNaN && !sy.isNaN) {
+          val (fr, fc) = srcRef.map2subFrac(sx, sy)
+          if (fr < rMin) rMin = fr; if (fr > rMax) rMax = fr
+          if (fc < cMin) cMin = fc; if (fc > cMax) cMax = fc
+        }
       }
-      val pad = 2 // curvature guard (TM bows edges < 1 px per 64-px tile)
-      def cl(v: Long, n: Int): Long = math.max(0L, math.min(n - 1L, v))
-      val r0 = cl(math.floor(rMin).toLong - pad, sNrows)
-      val r1 = cl(math.ceil(rMax).toLong + pad, sNrows)
-      val c0 = cl(math.floor(cMin).toLong - pad, sNcols)
-      val c1 = cl(math.ceil(cMax).toLong + pad, sNcols)
-      CellId.coverWindow(r0, r1, c0, c1, res)
+      if (rMin > rMax) Array.empty[Long] // tile fully off-lattice
+      else {
+        val pad = 2 // curvature guard (TM bows edges < 1 px per 64-px tile)
+        def cl(v: Long, n: Int): Long = math.max(0L, math.min(n - 1L, v))
+        val r0 = cl(math.floor(rMin).toLong - pad, sNrows)
+        val r1 = cl(math.ceil(rMax).toLong + pad, sNrows)
+        val c0 = cl(math.floor(cMin).toLong - pad, sNcols)
+        val c1 = cl(math.ceil(cMax).toLong + pad, sNcols)
+        CellId.coverWindow(r0, r1, c0, c1, res)
+      }
     }
     val out = Gather.gatherTileDsCover(tiles, dstRef, res)(cover) {
       (tr, tc, byCell) =>
         val (x, y) = dstRef.sub2map(tr, tc)
         val (sx, sy) = dstToSrc(x, y)
-        val (sr, sc) = srcRef.map2sub(sx, sy)
-        if (sr < 0 || sr >= sNrows || sc < 0 || sc >= sNcols) Double.NaN
-        else byCell.get(CellId.ofPixel(sr.toLong, sc.toLong, res)) match {
-          case Some(t) => t.value(sr, sc)
-          case None => Double.NaN
+        if (sx.isNaN || sy.isNaN) Double.NaN
+        else {
+          val (sr, sc) = srcRef.map2sub(sx, sy)
+          if (sr < 0 || sr >= sNrows || sc < 0 || sc >= sNcols) Double.NaN
+          else byCell.get(CellId.ofPixel(sr.toLong, sc.toLong, res)) match {
+            case Some(t) => t.value(sr, sc)
+            case None => Double.NaN
+          }
         }
     }
     (out, dstRef)

@@ -54,6 +54,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
   }
 
+  test("asOf: NULL right timestamps are invisible (SQL ts<=ts semantics)") {
+    import spark.implicits._
+    val lc = Seq((1L, 5L, new java.sql.Timestamp(10000L)))
+      .toDF("event_id", "user_id", "ts")
+    val rv = Seq(
+      (100L, 5L, Option.empty[java.sql.Timestamp]), // null ts: must not match
+      (101L, 5L, Some(new java.sql.Timestamp(20000L)))) // after: must not match
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOf(lc, rv, "user_id", "ts", "ts",
+        rightCols = Seq("event_id"), rightPrefix = "v_")
+      .select($"event_id", $"v_event_id").as[(Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, None)))
+  }
+
   test("rangeJoin == brute-force |dt| <= tol incl. bucket-boundary pairs") {
     import spark.implicits._
     val clicks = fixture(300, 9, 3)
