@@ -840,6 +840,29 @@ object SparkEntry {
     // chance pair alike. phash is recomputed from the DECODED bytes on
     // executors (not the stored column) so the gate covers the decode
     // path too.
+    // Image dedup CLUSTERING: connected components over the i4 perceptual
+    // near-dup pair graph, each image mapped to its component's min-id
+    // keeper — the d10 step for the multimodal corpus (same GraphOps
+    // hybrid: descriptor-only label propagation, never payload shuffles)
+    "i5_image_dedup_components" -> ((s, _) => {
+      import s.implicits._
+      import graft.codecs.ImageCodec
+      val sig = perceptualCorpusTable(s)
+        .select($"image_id", $"bytes", $"fmt")
+        .as[(String, Array[Byte], String)]
+        .map { case (id, bytes, fmt) =>
+          val (px, w, h) = ImageCodec.decode(bytes, fmt)
+          (id.stripPrefix("img-").toLong, ImageCodec.phash64(px, w, h))
+        }
+        .toDF("doc_id", "simhash")
+      val pairs = graft.text.TextOps.simhashNearPairs(sig, maxHamming = 6)
+        .select($"ia", $"ib")
+      graft.operators.GraphOps.components(pairs, "ia", "ib")
+        .select(format_string("img-%08d", $"node").as("image_id"),
+          format_string("img-%08d", $"root").as("keeper_id"))
+        .orderBy($"keeper_id", $"image_id")
+    }),
+
     "i4_phash_neardup" -> ((s, _) => {
       import s.implicits._
       import graft.codecs.ImageCodec
@@ -1490,6 +1513,29 @@ object SparkEntry {
        |  WHERE p.it < 60
        |  GROUP BY p.it, t.r, t.c, t.v, t.drain)""".stripMargin
   }
+
+  /** The i4 perceptual-hash pair CTE chain (block codes by formula, bit
+    * rule, all-pairs hamming) — shared by the i4 and i5 oracles. */
+  private val i4PairCtes: String =
+    """cell AS (
+      |  SELECT t.i AS i, b.b AS b,
+      |    CASE WHEN t.i > 0 AND (t.i % 167 = 0 OR t.i % 311 = 0)
+      |      THEN (t.i - 1) * 64 + b.b ELSE t.i * 64 + b.b END AS x,
+      |    CASE WHEN t.i > 0 AND t.i % 167 = 0 AND b.b < 2 + t.i // 167 THEN 128
+      |         WHEN t.i > 0 AND t.i % 311 = 0 AND b.b < 24 THEN 257
+      |         ELSE 0 END AS bump
+      |  FROM range(1024) t(i), range(64) b(b)),
+      |h AS (SELECT i, b, bump, (x * 2654435761) % 4294967296 AS h1 FROM cell),
+      |hh AS (SELECT i, b, bump,
+      |    (xor(h1, h1 // 65536) * 60493) % 4294967296 AS h3 FROM h),
+      |k AS (SELECT i, b, xor(h3, h3 // 65536) % 512 + bump AS kv FROM hh),
+      |s AS (SELECT i, sum(kv) AS tot FROM k GROUP BY 1),
+      |bits AS (SELECT k.i, k.b, CASE WHEN 64 * k.kv > s.tot THEN 1 ELSE 0 END AS bit
+      |  FROM k JOIN s ON k.i = s.i),
+      |ham AS (SELECT a.i AS ia, c.i AS ib,
+      |    sum(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM bits a JOIN bits c ON a.b = c.b AND a.i < c.i
+      |  GROUP BY 1, 2)""".stripMargin
 
   private val d3PairCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2712,29 +2758,25 @@ object SparkEntry {
     // hamming over all pairs, threshold <= 6. No separation assumption:
     // whatever pair set the formula implies, both engines must agree.
     "i4_phash_neardup" ->
-      """WITH cell AS (
-        |  SELECT t.i AS i, b.b AS b,
-        |    CASE WHEN t.i > 0 AND (t.i % 167 = 0 OR t.i % 311 = 0)
-        |      THEN (t.i - 1) * 64 + b.b ELSE t.i * 64 + b.b END AS x,
-        |    CASE WHEN t.i > 0 AND t.i % 167 = 0 AND b.b < 2 + t.i // 167 THEN 128
-        |         WHEN t.i > 0 AND t.i % 311 = 0 AND b.b < 24 THEN 257
-        |         ELSE 0 END AS bump
-        |  FROM range(1024) t(i), range(64) b(b)),
-        |h AS (SELECT i, b, bump, (x * 2654435761) % 4294967296 AS h1 FROM cell),
-        |hh AS (SELECT i, b, bump,
-        |    (xor(h1, h1 // 65536) * 60493) % 4294967296 AS h3 FROM h),
-        |k AS (SELECT i, b, xor(h3, h3 // 65536) % 512 + bump AS kv FROM hh),
-        |s AS (SELECT i, sum(kv) AS tot FROM k GROUP BY 1),
-        |bits AS (SELECT k.i, k.b, CASE WHEN 64 * k.kv > s.tot THEN 1 ELSE 0 END AS bit
-        |  FROM k JOIN s ON k.i = s.i),
-        |ham AS (SELECT a.i AS ia, c.i AS ib,
-        |    sum(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS hamming
-        |  FROM bits a JOIN bits c ON a.b = c.b AND a.i < c.i
-        |  GROUP BY 1, 2)
+      s"""WITH $i4PairCtes
         |SELECT 'img-' || lpad(CAST(ia AS VARCHAR), 8, '0') AS id_a,
         |  'img-' || lpad(CAST(ib AS VARCHAR), 8, '0') AS id_b,
         |  CAST(hamming AS BIGINT) AS hamming
         |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    // i5: dedup clustering over the i4 near-dup pair graph — recursive
+    // closure over the same CTEs, keeper = min image id per component
+    "i5_image_dedup_components" ->
+      s"""WITH RECURSIVE $i4PairCtes,
+        |p AS (SELECT ia, ib FROM ham WHERE hamming <= 6),
+        |e AS (SELECT ia AS n, ib AS m FROM p UNION ALL SELECT ib, ia FROM p),
+        |reach(n, lbl) AS (
+        |  SELECT n, n FROM (SELECT DISTINCT n FROM e) t
+        |  UNION
+        |  SELECT e.m, reach.lbl FROM reach JOIN e ON e.n = reach.n)
+        |SELECT 'img-' || lpad(CAST(n AS VARCHAR), 8, '0') AS image_id,
+        |  'img-' || lpad(CAST(min(lbl) AS VARCHAR), 8, '0') AS keeper_id
+        |FROM reach GROUP BY n ORDER BY keeper_id, image_id""".stripMargin,
 
     // s1: the streaming windowed aggregate must equal the plain SQL
     // windowed aggregate — 1-hour tumbling windows align to epoch hours
