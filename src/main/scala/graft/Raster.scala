@@ -277,6 +277,12 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   /** Zevenbergen-Thorne curvature: (row, col, curv, prof, plan). */
   def curvature: DataFrame = Stencil.curvature(tiles, ref, res)
 
+  /** Bounded-radius R3 viewshed from the given observers:
+    * (oid, row, col, visible). */
+  def viewshed(observers: Seq[Viewshed.Observer], radius: Int,
+      eyeH: Double = 1.7): DataFrame =
+    Viewshed(tiles, ref, res, observers, radius, eyeH)
+
   /** Slope/aspect sectors: (row, col, tan2_slope, octant, compass). */
   def aspect: DataFrame = Stencil.aspectClass(tiles, ref, res)
 

@@ -1225,6 +1225,21 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Bounded-radius viewshed: R3 line-of-sight with integer-DDA
+    // sampling and the cross-multiplied slope test — all rational
+    // arithmetic + sqrt, mirrored exactly in the SQL oracle. One
+    // descriptor-keyed shuffle of each observer's window; kernel is
+    // executor-side per observer.
+    "r41_viewshed" -> ((s, _) => {
+      import s.implicits._
+      graft.operators.Viewshed(demTiles(s), Synth.demRef, tileRes,
+          Seq(graft.operators.Viewshed.Observer(0, 60, 40),
+            graft.operators.Viewshed.Observer(1, 150, 100),
+            graft.operators.Viewshed.Observer(2, 30, 120)),
+          radius = 24, eyeH = 10.0)
+        .orderBy($"oid", $"row", $"col")
+    }),
+
     // Zevenbergen-Thorne curvature (general/profile/plan) over one halo
     // exchange — pure rational arithmetic so the SQL oracle is bit-exact
     // (sampled pixels, like r8)
@@ -1910,6 +1925,45 @@ object SparkEntry {
          |  ((tr + 2 * rt + br) - (tl + 2 * l + bl)) / (8 * 5.0) AS gx,
          |  ((tl + 2 * tp + tr) - (bl + 2 * bt + br)) / (8 * 5.0) AS gy
          |FROM nb ORDER BY row, col""".stripMargin
+    },
+
+    // r41: the full R3 viewshed replicated — same DDA rounding, same
+    // cross-multiplied slope rule, NaN-transparent intermediates
+    "r41_viewshed" -> {
+      val nc = Synth.demRef.ncols
+      val nr = Synth.demRef.nrows
+      def v(rr: String, cc: String): String =
+        s"((($rr) * 31 + ($cc) * 17) % 1000) / 4.0"
+      def hole(rr: String, cc: String): String =
+        s"(($rr) * $nc + ($cc)) % 97 = 13"
+      s"""WITH obs AS (SELECT * FROM (VALUES (0, 60, 40), (1, 150, 100), (2, 30, 120)) o(oid, orr, occ)),
+         |tgt AS (
+         |  SELECT o.oid, o.orr, o.occ, o.orr + dr.d AS r, o.occ + dc.d AS c,
+         |    dr.d AS dr, dc.d AS dc,
+         |    greatest(abs(dr.d), abs(dc.d)) AS n,
+         |    sqrt(CAST(dr.d * dr.d + dc.d * dc.d AS DOUBLE)) AS dt
+         |  FROM obs o, range(-24, 25) dr(d), range(-24, 25) dc(d)
+         |  WHERE (dr.d <> 0 OR dc.d <> 0) AND dr.d * dr.d + dc.d * dc.d <= 576
+         |    AND o.orr + dr.d BETWEEN 0 AND ${nr - 1}
+         |    AND o.occ + dc.d BETWEEN 0 AND ${nc - 1}
+         |    AND NOT ${hole("o.orr + dr.d", "o.occ + dc.d")}),
+         |stp AS (
+         |  SELECT t.*,
+         |    CAST(floor(t.orr + (k.k * t.dr) / CAST(t.n AS DOUBLE) + 0.5) AS INT) AS pr,
+         |    CAST(floor(t.occ + (k.k * t.dc) / CAST(t.n AS DOUBLE) + 0.5) AS INT) AS pc
+         |  FROM tgt t JOIN range(1, 25) k(k) ON k.k < t.n),
+         |blk AS (
+         |  SELECT oid, r, c, bool_or(
+         |      (${v("pr", "pc")} - (${v("orr", "occ")} + 10.0)) * dt >=
+         |      (${v("r", "c")} - (${v("orr", "occ")} + 10.0)) *
+         |        sqrt(CAST((pr - orr) * (pr - orr) + (pc - occ) * (pc - occ) AS DOUBLE)))
+         |    FILTER (WHERE NOT ((pr = orr AND pc = occ) OR (pr = r AND pc = c))
+         |      AND NOT ${hole("pr", "pc")}) AS blocked
+         |  FROM stp GROUP BY 1, 2, 3)
+         |SELECT CAST(t.oid AS BIGINT) AS oid, CAST(t.r AS BIGINT) AS row, CAST(t.c AS BIGINT) AS col,
+         |  coalesce(b.blocked, FALSE) = FALSE AS visible
+         |FROM tgt t LEFT JOIN blk b ON t.oid = b.oid AND t.r = b.r AND t.c = b.c
+         |ORDER BY oid, row, col""".stripMargin
     },
 
     // r39: the ZT coefficients and curvatures spelled in the kernel's
