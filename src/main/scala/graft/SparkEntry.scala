@@ -345,6 +345,33 @@ object SparkEntry {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVF-PQ: coarse lists bound WHICH vectors are scanned (nProbe=2 of
+    // 16 lists), byte codes bound HOW MUCH each scan reads — the FAISS
+    // production composition of e2 + e3. Same separated fixture: the
+    // probed lists contain the true top-5 and the ADC gap dwarfs
+    // quantization error, so shortlist + exact re-rank == exact top-5.
+    "e4_ann_ivfpq" -> ((s, _) => {
+      import s.implicits._
+      val C = 16; val M = 30; val dim = 16
+      val e = s.range(C.toLong * M).map { vid =>
+        val cl = (vid % C).toInt; val m = (vid / C).toInt
+        val v = Array.tabulate(dim) { d =>
+          val center = if (d == cl) 8.0f else 0.0f
+          center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
+        }
+        (vid, v)
+      }.toDF("vec_id", "embedding")
+      val (clusters, centroids) = graft.sim.Similarity.kmeansWithCentroids(
+        s, e, "vec_id", "embedding", k = C, iters = 2)
+      val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.sim.Similarity.ivfPqTopK(s, withCl, "vec_id", "embedding", "cl",
+          q, centroids, m = 4, ksub = 16, iters = 2, nProbe = 2,
+          shortlist = 40, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -2878,6 +2905,29 @@ object SparkEntry {
     // e3: exact top-5 over the same fixture — PQ shortlist + exact
     // re-rank must reproduce it (see the e3 query comment for the proof)
     "e3_ann_pq" ->
+      """WITH v AS (
+        |  SELECT t.vid AS vid, d.d AS d,
+        |    (CASE WHEN d.d = t.vid % 16 THEN 8.0 ELSE 0.0 END)
+        |      + (((t.vid // 16) * 31 + d.d * 17 + (t.vid % 16) * 7) % 13 - 6) * 0.125 AS x
+        |  FROM range(480) t(vid), range(16) d(d)),
+        |norms AS (SELECT vid, sqrt(sum(x*x)) AS n FROM v GROUP BY vid),
+        |pairs AS (
+        |  SELECT q.vid AS qid, c.vid AS vid, sum(q.x * c.x) AS dot
+        |  FROM v q JOIN v c ON q.d = c.d AND q.vid < 10 AND c.vid <> q.vid
+        |  GROUP BY q.vid, c.vid),
+        |cs AS (
+        |  SELECT p.qid, p.vid, p.dot / (nq.n * nc.n) AS cos
+        |  FROM pairs p JOIN norms nq ON nq.vid = p.qid
+        |              JOIN norms nc ON nc.vid = p.vid),
+        |rk AS (SELECT qid, vid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+        |  FROM cs)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid
+        |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // e4: exact top-5 again — IVF-PQ must reproduce it (probed lists
+    // contain the true neighbors; ADC margins per the e3/e4 comments)
+    "e4_ann_ivfpq" ->
       """WITH v AS (
         |  SELECT t.vid AS vid, d.d AS d,
         |    (CASE WHEN d.d = t.vid % 16 THEN 8.0 ELSE 0.0 END)

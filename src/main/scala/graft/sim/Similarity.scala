@@ -276,6 +276,88 @@ object Similarity {
       .select($"qid", $"rank".cast("long").as("rank"), $"vid")
   }
 
+  /** IVF-PQ: the composed sublinear path (FAISS's production shape) —
+    * coarse k-means lists bound WHICH vectors are scanned (per query:
+    * O(N * nProbe / nlist) instead of N), PQ codes bound HOW MUCH each
+    * scan reads (m bytes instead of 4*dim). Probe assignment reuses the
+    * e2 centroid table; codes and ADC tables reuse the e3 kernels; the
+    * exact re-rank touches shortlist survivors only.
+    *
+    * `corpus` must carry the cluster-id column (from
+    * [[kmeansWithCentroids]]). */
+  def ivfPqTopK(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, queries: DataFrame,
+      centroidTable: DataFrame, m: Int, ksub: Int, iters: Int,
+      nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val books = pqTrain(spark, corpus, idCol, vecCol, m, ksub, iters)
+    val subDim = books(0)(0).length
+    val bcBooks = spark.sparkContext.broadcast(books)
+    // codes keep the cluster id so the ADC scan can prune by probe
+    val codes = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      col(clusterCol).as("cl"))
+      .as[(Long, Array[Float], Int)].map { case (vid, v, cl) =>
+        val bks = bcBooks.value
+        val code = new Array[Byte](bks.length)
+        var s = 0
+        while (s < bks.length) {
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < bks(s).length) {
+            val cw = bks(s)(c); var d = 0.0; var j = 0
+            while (j < cw.length) { val t = v(s * cw.length + j) - cw(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          code(s) = best.toByte
+          s += 1
+        }
+        (vid, cl, code)
+      }.toDF("vid", "cl", "code")
+    // probe sets per query (same ranking as ivfTopK)
+    val qc = queries.crossJoin(broadcast(centroidTable))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0.0D, (acc, z) -> acc + z)"))
+    val wProbe = Window.partitionBy($"qid").orderBy($"d2", $"cl")
+    val probes = qc.withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= nProbe)
+      .select($"qid", $"cl")
+    // ADC lookup tables broadcast with each query's probe set
+    val probeMap = probes.as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (q, cls) => q -> cls.map(_._2).toSet }
+    val luts = queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
+      .collect().map { case (qid, qv) =>
+        (qid, probeMap.getOrElse(qid, Set.empty[Int]),
+          Array.tabulate(books.length, ksub) { (s, c) =>
+            val cw = books(s)(c); var d = 0.0; var j = 0
+            while (j < subDim) { val t = qv(s * subDim + j) - cw(j); d += t * t; j += 1 }
+            d
+          })
+      }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val adc = codes.as[(Long, Int, Array[Byte])].flatMap { case (vid, cl, code) =>
+      bcLuts.value.iterator
+        .filter { case (qid, cls, _) => qid != vid && cls.contains(cl) }
+        .map { case (qid, _, lut) =>
+          var d = 0.0; var s = 0
+          while (s < code.length) { d += lut(s)(code(s) & 0xFF); s += 1 }
+          (qid, vid, d)
+        }
+    }.toDF("qid", "vid", "adc")
+    val wShort = Window.partitionBy($"qid").orderBy($"adc", $"vid")
+    val short = adc.withColumn("sr", row_number().over(wShort))
+      .filter($"sr" <= shortlist)
+      .select($"qid", $"vid")
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val qv = queries.select(col("qid"), col("qv"))
+    val cand = short.join(vecs, "vid").join(broadcast(qv), "qid")
+      .withColumn("cos", dot("qv", "v") /
+        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
+    cand.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank".cast("long").as("rank"), $"vid")
+  }
+
   /** Deterministic pseudo-random hyperplane matrix for sign-LSH:
     * bands x bits hyperplanes of `dim` components in [-1, 1), generated
     * by splitmix64 of the flat index — identical on every executor, every

@@ -92,6 +92,33 @@ class SimSpec extends AnyFunSuite {
       Similarity.pqTrain(spark, e, "vec_id", "embedding", 5, 16, 1))
   }
 
+  test("IVF-PQ composition == brute top-5 on clustered data") {
+    import spark.implicits._
+    val dim = 16
+    val pts = (0 until 320).map { i =>
+      val cl = i % 8
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d % 8 == cl) 10.0f else 0.0f
+        center + (((i * 31 + d * 17) % 7) - 3) * 0.05f
+      }
+      (i.toLong, v)
+    }
+    val e = spark.createDataset(pts).toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val brute = Similarity.bruteTopK(q,
+        e.select($"vec_id".as("vid"), $"embedding".as("v")), 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val (clusters, centroids) = Similarity.kmeansWithCentroids(
+      spark, e, "vec_id", "embedding", k = 8, iters = 5)
+    val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
+    val got = Similarity.ivfPqTopK(spark, withCl, "vec_id", "embedding", "cl",
+        q, centroids, m = 4, ksub = 16, iters = 3, nProbe = 2,
+        shortlist = 50, k = 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"missing=${(brute -- got).take(5)}")
+  }
+
   test("nearDupPairs: banded sign-LSH == brute all-pairs on planted twins") {
     import spark.implicits._
     // deterministic pseudo-random base vectors + 20 planted twins
