@@ -283,6 +283,14 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
       eyeH: Double = 1.7): DataFrame =
     Viewshed(tiles, ref, res, observers, radius, eyeH)
 
+  /** Exact squared Euclidean distance (in cells) from every grid cell to
+    * the nearest cell satisfying `pred`: (row, col, dist2). */
+  def distanceTransform(pred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    DistanceTransform.squared(
+      cells.filter(pred).select(col("row"), col("col")), ref.nrows, ref.ncols)
+  }
+
   /** Slope/aspect sectors: (row, col, tan2_slope, octant, compass). */
   def aspect: DataFrame = Stencil.aspectClass(tiles, ref, res)
 

@@ -1252,6 +1252,19 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Exact squared Euclidean distance transform (Felzenszwalb
+    // separable two-pass, all-Long envelope arithmetic): dist2 to the
+    // nearest high cell (v >= 240) for EVERY grid cell — integer-exact,
+    // so the brute cross-join oracle is hash-perfect
+    "r42_distance_transform" -> ((s, _) => {
+      import s.implicits._
+      val src = TileOps.cells(demTiles(s)).filter($"v" >= 240)
+        .select($"row", $"col")
+      graft.operators.DistanceTransform.squared(src,
+          Synth.demRef.nrows, Synth.demRef.ncols)
+        .orderBy($"row", $"col")
+    }),
+
     // Bounded-radius viewshed: R3 line-of-sight with integer-DDA
     // sampling and the cross-multiplied slope test — all rational
     // arithmetic + sqrt, mirrored exactly in the SQL oracle. One
@@ -1952,6 +1965,19 @@ object SparkEntry {
          |  ((tr + 2 * rt + br) - (tl + 2 * l + bl)) / (8 * 5.0) AS gx,
          |  ((tl + 2 * tp + tr) - (bl + 2 * bt + br)) / (8 * 5.0) AS gy
          |FROM nb ORDER BY row, col""".stripMargin
+    },
+
+    // r42: brute min over the source cross join (exact integers)
+    "r42_distance_transform" -> {
+      val nc = Synth.demRef.ncols
+      val n = Synth.demRef.nrows.toLong * nc
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c FROM range($n) t(i)),
+         |vv AS (SELECT r, c, CASE WHEN (r * $nc + c) % 97 = 13 THEN NULL
+         |    ELSE ((r * 31 + c * 17) % 1000) / 4.0 END AS v FROM g),
+         |src AS (SELECT r, c FROM vv WHERE v >= 240)
+         |SELECT g.r AS row, g.c AS col,
+         |  CAST(min((g.r - s.r) * (g.r - s.r) + (g.c - s.c) * (g.c - s.c)) AS BIGINT) AS dist2
+         |FROM g CROSS JOIN src s GROUP BY 1, 2 ORDER BY row, col""".stripMargin
     },
 
     // r41: the full R3 viewshed replicated — same DDA rounding, same
