@@ -151,6 +151,14 @@ class RasterApiSpec extends AnyFunSuite {
     assert(asp.columns.toSeq ==
       Seq("row", "col", "tan2_slope", "octant", "compass"))
     assert(asp.where($"compass".isNull).count() == 0)
+    val vs = g.viewshed(Seq(graft.operators.Viewshed.Observer(0, 9, 9)),
+      radius = 6)
+    assert(vs.columns.toSeq == Seq("oid", "row", "col", "visible"))
+    assert(vs.count() > 0)
+    val dt = g.distanceTransform($"v" >= 15.0)
+    assert(dt.columns.toSeq == Seq("row", "col", "dist2"))
+    assert(dt.count() == g.ref.nrows.toLong * g.ref.ncols)
+    assert(dt.where($"dist2" === 0).count() > 0)
     // filled surface: same georeference, fill >= z everywhere, real raises
     val filled = g.fillSinks
     assert(filled.ref == g.ref)
