@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.corpus.{ImageCorpus, Synth}
-import graft.operators.{Bilinear, ClipPolygon, Contour, Convolve, Downsample, Flow, Gather, Knn, Line2Sub, PtRec, Rasterize, Reproject, Stencil, TileFns, TileOps, Vectorize}
+import graft.operators.{Bilinear, ClipPolygon, Contour, Convolve, Downsample, Flow, Focal, Gather, Knn, Line2Sub, PtRec, Rasterize, Reproject, Stencil, TileFns, TileOps, Vectorize}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where SQL can
@@ -1252,6 +1252,19 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Fixed-point focal statistics (5x5 moving window): exact Long
+    // windowed (n, sum) per grid position via the separable two-pass
+    // strip stack — partitioning-stable where a float focal sum is not.
+    // q = 4*v is the DEM's native integer domain, so the brute
+    // offset-join oracle is hash-perfect.
+    "r43_focal_stats" -> ((s, _) => {
+      import s.implicits._
+      val vals = TileOps.cells(demTiles(s)).filter($"v".isNotNull)
+        .select($"row", $"col", ($"v" * 4).cast("long").as("q"))
+      Focal.window(vals, Synth.demRef.nrows, Synth.demRef.ncols, k = 2)
+        .orderBy($"row", $"col")
+    }),
+
     // Exact squared Euclidean distance transform (Felzenszwalb
     // separable two-pass, all-Long envelope arithmetic): dist2 to the
     // nearest high cell (v >= 240) for EVERY grid cell — integer-exact,
@@ -1965,6 +1978,23 @@ object SparkEntry {
          |  ((tr + 2 * rt + br) - (tl + 2 * l + bl)) / (8 * 5.0) AS gx,
          |  ((tl + 2 * tp + tr) - (bl + 2 * bt + br)) / (8 * 5.0) AS gy
          |FROM nb ORDER BY row, col""".stripMargin
+    },
+
+    // r43: brute 5x5 offset join over the valid-cell table (exact
+    // integers; q = 4*v = (r*31+c*17) % 1000 is the pre-division value)
+    "r43_focal_stats" -> {
+      val nc = Synth.demRef.ncols
+      val n = Synth.demRef.nrows.toLong * nc
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c FROM range($n) t(i)),
+         |vals AS (SELECT r, c, (r * 31 + c * 17) % 1000 AS q FROM g
+         |  WHERE NOT ((r * $nc + c) % 97 = 13))
+         |SELECT g.r AS row, g.c AS col,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v.q) AS BIGINT) AS sum_q
+         |FROM g JOIN vals v
+         |  ON v.r BETWEEN g.r - 2 AND g.r + 2
+         | AND v.c BETWEEN g.c - 2 AND g.c + 2
+         |GROUP BY 1, 2 ORDER BY row, col""".stripMargin
     },
 
     // r42: brute min over the source cross join (exact integers)

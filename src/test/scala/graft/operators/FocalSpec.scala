@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Focal window: separable two-pass vs brute O(k^2) driver oracle on
+  * random sparse grids, plus partition invariance (exact Long sums are
+  * order-free, so the result must not depend on the physical plan). */
+class FocalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def brute(vals: Seq[(Int, Int, Long)], nrows: Int, ncols: Int,
+      k: Int): Map[(Long, Long), (Long, Long)] = {
+    val m = vals.map { case (r, c, q) => (r, c) -> q }.toMap
+    (for {
+      r <- 0 until nrows; c <- 0 until ncols
+      cells = for {
+        i <- math.max(0, r - k) to math.min(nrows - 1, r + k)
+        j <- math.max(0, c - k) to math.min(ncols - 1, c + k)
+        q <- m.get((i, j))
+      } yield q
+      if cells.nonEmpty
+    } yield (r.toLong, c.toLong) -> (cells.size.toLong, cells.sum)).toMap
+  }
+
+  test("window == brute on random sparse grids, k in 1..4") {
+    val rnd = new scala.util.Random(11)
+    val s = spark
+    import s.implicits._
+    for (trial <- 0 until 6) {
+      val nrows = 5 + rnd.nextInt(30)
+      val ncols = 5 + rnd.nextInt(30)
+      val k = 1 + rnd.nextInt(4)
+      val vals = (for {
+        r <- 0 until nrows; c <- 0 until ncols
+        if rnd.nextDouble() < 0.6 // 40% holes
+      } yield (r, c, rnd.nextInt(1 << 16).toLong)).toSeq
+      val df = vals.toDF("row", "col", "q")
+      val got = Focal.window(df, nrows, ncols, k)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+          (x.getLong(2), x.getLong(3))).toMap
+      val want = brute(vals, nrows, ncols, k)
+      assert(got == want, s"trial $trial ${nrows}x$ncols k=$k")
+    }
+  }
+
+  test("partition-invariant: repartition(1) == repartition(7)") {
+    val rnd = new scala.util.Random(23)
+    val s = spark
+    import s.implicits._
+    val vals = (for {
+      r <- 0 until 40; c <- 0 until 25
+      if rnd.nextDouble() < 0.8
+    } yield (r, c, rnd.nextInt(1 << 20).toLong)).toSeq.toDF("row", "col", "q")
+    def run(p: Int) = Focal.window(vals.repartition(p), 40, 25, k = 3)
+      .orderBy("row", "col").collect().toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("k must be >= 1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0, 0, 1L)).toDF("row", "col", "q")
+    intercept[IllegalArgumentException](Focal.window(df, 1, 1, 0))
+  }
+}
