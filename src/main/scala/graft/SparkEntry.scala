@@ -1265,6 +1265,17 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Morphological erosion + dilation (7x7 focal min/max): separable
+    // monotone-deque sliding extrema — O(1)/cell amortized, exact Longs,
+    // so the brute offset-join oracle is hash-perfect
+    "r44_focal_extrema" -> ((s, _) => {
+      import s.implicits._
+      val vals = TileOps.cells(demTiles(s)).filter($"v".isNotNull)
+        .select($"row", $"col", ($"v" * 4).cast("long").as("q"))
+      Focal.extrema(vals, Synth.demRef.nrows, Synth.demRef.ncols, k = 3)
+        .orderBy($"row", $"col")
+    }),
+
     // Exact squared Euclidean distance transform (Felzenszwalb
     // separable two-pass, all-Long envelope arithmetic): dist2 to the
     // nearest high cell (v >= 240) for EVERY grid cell — integer-exact,
@@ -1994,6 +2005,22 @@ object SparkEntry {
          |FROM g JOIN vals v
          |  ON v.r BETWEEN g.r - 2 AND g.r + 2
          | AND v.c BETWEEN g.c - 2 AND g.c + 2
+         |GROUP BY 1, 2 ORDER BY row, col""".stripMargin
+    },
+
+    // r44: brute 7x7 offset join, min/max over valid neighbors
+    "r44_focal_extrema" -> {
+      val nc = Synth.demRef.ncols
+      val n = Synth.demRef.nrows.toLong * nc
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c FROM range($n) t(i)),
+         |vals AS (SELECT r, c, (r * 31 + c * 17) % 1000 AS q FROM g
+         |  WHERE NOT ((r * $nc + c) % 97 = 13))
+         |SELECT g.r AS row, g.c AS col,
+         |  CAST(min(v.q) AS BIGINT) AS min_q,
+         |  CAST(max(v.q) AS BIGINT) AS max_q
+         |FROM g JOIN vals v
+         |  ON v.r BETWEEN g.r - 3 AND g.r + 3
+         | AND v.c BETWEEN g.c - 3 AND g.c + 3
          |GROUP BY 1, 2 ORDER BY row, col""".stripMargin
     },
 

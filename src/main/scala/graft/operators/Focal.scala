@@ -58,4 +58,75 @@ object Focal {
       }
       .toDF("row", "col", "n", "sum_q")
   }
+
+  /** Sliding-window min over a sentinel-marked array: out(c) = min of the
+    * PRESENT values in [c-k, c+k], or Long.MaxValue if none. Monotone
+    * deque (van Herk/Gil-Werman family) — O(1) amortized per cell, so a
+    * 10^6-px line band costs the same as a plain copy. */
+  private[operators] def slideMin(a: Array[Long], present: Array[Boolean],
+      k: Int): Array[Long] = {
+    val n = a.length
+    val out = Array.fill(n)(Long.MaxValue)
+    val idx = new Array[Int](n)
+    var head = 0; var tail = 0; var j = 0
+    var c = 0
+    while (c < n) {
+      val hi = math.min(n - 1, c + k)
+      while (j <= hi) {
+        if (present(j)) {
+          while (tail > head && a(idx(tail - 1)) >= a(j)) tail -= 1
+          idx(tail) = j; tail += 1
+        }
+        j += 1
+      }
+      while (tail > head && idx(head) < c - k) head += 1
+      if (tail > head) out(c) = a(idx(head))
+      c += 1
+    }
+    out
+  }
+
+  /** Windowed (min_q, max_q) for every grid position with >= 1 valid value
+    * in its (2k+1)^2 window — morphological EROSION and DILATION in one
+    * pass pair. Same separable two-pass shape as [[window]], but each pass
+    * is a monotone-deque sliding extremum (O(1)/cell amortized vs the
+    * O(k) scan): rectangle min == vertical min of horizontal row minima,
+    * and Long.MaxValue/MinValue are the identities, so NaN holes cost
+    * nothing. `vals`: (row, col, q: Long) for VALID cells only. */
+  def extrema(vals: DataFrame, nrows: Int, ncols: Int, k: Int): DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"window half-width must be >= 1, got $k")
+    val strips = vals
+      .select(col("row").cast("long").as("r"), col("col").cast("int").as("c"),
+        col("q").cast("long").as("q"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (r, it) =>
+        val q = new Array[Long](ncols)
+        val neg = new Array[Long](ncols)
+        val m = new Array[Boolean](ncols)
+        it.foreach { case (_, c, v) => q(c) = v; neg(c) = -v; m(c) = true }
+        val hmin = slideMin(q, m, k)
+        val hmax = slideMin(neg, m, k)
+        (0 until ncols).iterator
+          .filter(c => hmin(c) != Long.MaxValue)
+          .map(c => (r, c, hmin(c), -hmax(c)))
+      }
+    strips.groupByKey(_._2)
+      .flatMapGroups { (c, it) =>
+        val lo = new Array[Long](nrows)
+        val hi = new Array[Long](nrows)
+        val m = new Array[Boolean](nrows)
+        it.foreach { case (r, _, mn, mx) =>
+          lo(r.toInt) = mn; hi(r.toInt) = -mx; m(r.toInt) = true
+        }
+        val vmin = slideMin(lo, m, k)
+        val vmax = slideMin(hi, m, k)
+        (0 until nrows).iterator
+          .filter(r => vmin(r) != Long.MaxValue)
+          .map(r => (r.toLong, c.toLong, vmin(r), -vmax(r)))
+      }
+      .toDF("row", "col", "min_q", "max_q")
+  }
 }

@@ -62,6 +62,53 @@ class FocalSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("slideMin == brute clipped-window min incl. sentinel gaps") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 40) {
+      val n = 1 + rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(6)
+      val a = Array.fill(n)(rnd.nextLong(1L << 40) - (1L << 39))
+      val m = Array.fill(n)(rnd.nextDouble() < 0.7)
+      val got = Focal.slideMin(a, m, k)
+      for (c <- 0 until n) {
+        val win = (math.max(0, c - k) to math.min(n - 1, c + k))
+          .filter(m).map(a)
+        val want = if (win.isEmpty) Long.MaxValue else win.min
+        assert(got(c) == want, s"trial $trial c=$c n=$n k=$k")
+      }
+    }
+  }
+
+  test("extrema == brute min/max on random sparse grids, k in 1..4") {
+    val rnd = new scala.util.Random(57)
+    val s = spark
+    import s.implicits._
+    for (trial <- 0 until 5) {
+      val nrows = 5 + rnd.nextInt(25)
+      val ncols = 5 + rnd.nextInt(25)
+      val k = 1 + rnd.nextInt(4)
+      val vals = (for {
+        r <- 0 until nrows; c <- 0 until ncols
+        if rnd.nextDouble() < 0.55
+      } yield (r, c, rnd.nextLong(1L << 30) - (1L << 29))).toSeq
+      val df = vals.toDF("row", "col", "q")
+      val got = Focal.extrema(df, nrows, ncols, k)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+          (x.getLong(2), x.getLong(3))).toMap
+      val m = vals.map { case (r, c, q) => (r, c) -> q }.toMap
+      val want = (for {
+        r <- 0 until nrows; c <- 0 until ncols
+        cells = for {
+          i <- math.max(0, r - k) to math.min(nrows - 1, r + k)
+          j <- math.max(0, c - k) to math.min(ncols - 1, c + k)
+          q <- m.get((i, j))
+        } yield q
+        if cells.nonEmpty
+      } yield (r.toLong, c.toLong) -> (cells.min, cells.max)).toMap
+      assert(got == want, s"trial $trial ${nrows}x$ncols k=$k")
+    }
+  }
+
   test("k must be >= 1") {
     val s = spark
     import s.implicits._
