@@ -1265,6 +1265,19 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Weighted cost-distance accumulation (least-cost path from the
+    // v >= 240 seed set, midpoint rule scaled x20, rational diagonal 14):
+    // iterated tile-local Dijkstra against 1-px halo estimates — the
+    // minisum sibling of r29's Priority-Flood. All arithmetic is dyadic
+    // (quarter-unit costs x 10/14), so the Jacobi SQL oracle hash-matches
+    // bit-for-bit.
+    "r45_cost_distance" -> ((s, _) => {
+      import s.implicits._
+      graft.operators.CostDistance.accumulate(demTiles(s), Synth.demRef,
+          tileRes, isSource = _ >= 240.0)
+        .orderBy($"row", $"col")
+    }),
+
     // Morphological erosion + dilation (7x7 focal min/max): separable
     // monotone-deque sliding extrema — O(1)/cell amortized, exact Longs,
     // so the brute offset-join oracle is hash-perfect
@@ -2006,6 +2019,36 @@ object SparkEntry {
          |  ON v.r BETWEEN g.r - 2 AND g.r + 2
          | AND v.c BETWEEN g.c - 2 AND g.c + 2
          |GROUP BY 1, 2 ORDER BY row, col""".stripMargin
+    },
+
+    // r45: Jacobi relaxation of the cost-distance fixpoint (bounded
+    // iteration count, same discipline as r29's fill oracle) — per-edge
+    // weights are the identical dyadic doubles the engine sums, so min()
+    // over exact values hash-matches.
+    "r45_cost_distance" -> {
+      val nc = Synth.demRef.ncols
+      val n = Synth.demRef.nrows.toLong * nc
+      val iters = 120
+      s"""WITH RECURSIVE gg AS (SELECT (i // $nc) AS r, (i % $nc) AS c FROM range($n) t(i)),
+         |vals AS MATERIALIZED (SELECT r, c, ((r * 31 + c * 17) % 1000) / 4.0 AS q FROM gg
+         |  WHERE NOT ((r * $nc + c) % 97 = 13)),
+         |dd9(dr, dc, wgt) AS (VALUES (0,0,0),(0,1,10),(1,1,14),(1,0,10),(1,-1,14),
+         |                           (0,-1,10),(-1,-1,14),(-1,0,10),(-1,1,14)),
+         |cd AS (
+         |  SELECT 0 AS it, r, c, q, CASE WHEN q >= 240.0 THEN 0.0 ELSE 1e30 END AS d
+         |  FROM vals
+         |  UNION ALL
+         |  SELECT p.it + 1, t.r, t.c, t.q,
+         |    CASE WHEN t.q >= 240.0 THEN 0.0
+         |         ELSE least(min(CASE WHEN d.wgt = 0 THEN p.d END),
+         |                    min(CASE WHEN d.wgt > 0 THEN p.d + (p.q + t.q) * d.wgt END))
+         |    END AS d
+         |  FROM cd p JOIN dd9 d ON true
+         |  JOIN vals t ON t.r = p.r + d.dr AND t.c = p.c + d.dc
+         |  WHERE p.it < $iters
+         |  GROUP BY p.it, t.r, t.c, t.q)
+         |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col, d AS dist
+         |FROM cd WHERE it = $iters AND d < 1e30 ORDER BY row, col""".stripMargin
     },
 
     // r44: brute 7x7 offset join, min/max over valid neighbors

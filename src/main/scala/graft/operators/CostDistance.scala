@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.core.{GridRef, Tile}
+
+/** Weighted cost-distance accumulation (the map-algebra CostDistance /
+  * least-cost "friction surface" primitive): for every valid cell, the
+  * minimum accumulated cost of an 8-connected path from any SOURCE cell,
+  * where stepping between adjacent cells a -> b costs
+  * `(q(a) + q(b)) * 10` cardinally and `(q(a) + q(b)) * 14` diagonally —
+  * the classic midpoint rule `(cost_a + cost_b)/2 * dist` scaled by 20
+  * with the engine-defined rational diagonal 1.4, so every distance is an
+  * exact dyadic sum — integer when the cost surface is integer-valued,
+  * half-integer for the quarter-unit DEM fixture — hash-stable across
+  * engines and partitionings (a true-sqrt(2) metric would tie-break
+  * differently per plan).
+  *
+  * Distributed shape — the minisum sibling of [[Flow.fillSinksTiles]]'s
+  * minimax Priority-Flood: each round every tile runs an EXACT local
+  * Dijkstra against its current 1-px halo estimates, and rounds iterate
+  * until no cell improves. Rounds are bounded by the number of inter-tile
+  * crossings on any optimal path (grid diameter / tile size), each round
+  * shuffles only the 1-pixel halo, and no per-cell state ever reaches the
+  * driver — at 1000 executors the cost is a handful of halo exchanges,
+  * not a global priority queue. localCheckpoint per round keeps the plan
+  * constant-size (the GraphOps loop-cache discipline).
+  */
+object CostDistance {
+
+  /** (dr, dc, weight-multiplier) — 10 cardinal, 14 diagonal. */
+  private val D8: Array[(Int, Int, Long)] = Array(
+    (0, 1, 10L), (1, 1, 14L), (1, 0, 10L), (1, -1, 14L),
+    (0, -1, 10L), (-1, -1, 14L), (-1, 0, 10L), (-1, 1, 14L))
+
+  private val INF = Double.PositiveInfinity
+
+  /** One tile-local exact Dijkstra over current estimates.
+    * `pfD`: padded dist estimates; `pfQ`: padded cost surface. */
+  private def localDijkstra(pfD: Stencil.Padded, pfQ: Stencil.Padded): Array[Double] = {
+    val h = pfD.h
+    val w = pfD.w
+    val n = h * w
+    val dist = new Array[Double](n)
+    val done = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      dist(i) = pfD.at(pfD.row0 + i / w, pfD.col0 + i % w)
+      i += 1
+    }
+    // border seeding: entering the tile at cell i from an OUTSIDE
+    // neighbor costs halo_dist + (halo_q + q_i) * wgt
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        if (r == 0 || r == h - 1 || c == 0 || c == w - 1) {
+          val ii = r * w + c
+          val q = pfQ.at(pfQ.row0 + r, pfQ.col0 + c)
+          if (!q.isNaN) {
+            var k = 0
+            while (k < 8) {
+              val (dr, dc, wgt) = D8(k)
+              val rr = r + dr
+              val cc = c + dc
+              if (rr < 0 || rr >= h || cc < 0 || cc >= w) {
+                val hd = pfD.at(pfD.row0 + rr, pfD.col0 + cc)
+                val hq = pfQ.at(pfQ.row0 + rr, pfQ.col0 + cc)
+                if (!hd.isNaN && hd != INF && !hq.isNaN) {
+                  val cand = hd + (hq + q) * wgt
+                  if (cand < dist(ii)) dist(ii) = cand
+                }
+              }
+              k += 1
+            }
+          }
+        }
+        c += 1
+      }
+      r += 1
+    }
+    // in-tile Dijkstra from all current finite estimates (lazy-deleted
+    // binary heap; exact integer weights, so ties are value-identical)
+    val pq = new java.util.PriorityQueue[(Double, Int)](
+      (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+    i = 0
+    while (i < n) {
+      if (!dist(i).isNaN && dist(i) != INF) pq.add((dist(i), i))
+      i += 1
+    }
+    while (!pq.isEmpty) {
+      val (v, u) = pq.poll()
+      if (!done(u) && v == dist(u)) {
+        done(u) = true
+        val ur = u / w
+        val uc = u % w
+        val qu = pfQ.at(pfQ.row0 + ur, pfQ.col0 + uc)
+        var k = 0
+        while (k < 8) {
+          val (dr, dc, wgt) = D8(k)
+          val rr = ur + dr
+          val cc = uc + dc
+          if (rr >= 0 && rr < h && cc >= 0 && cc < w) {
+            val j = rr * w + cc
+            if (!done(j)) {
+              val qj = pfQ.at(pfQ.row0 + rr, pfQ.col0 + cc)
+              if (!qj.isNaN) {
+                val cand = v + (qu + qj) * wgt
+                if (cand < dist(j)) { dist(j) = cand; pq.add((cand, j)) }
+              }
+            }
+          }
+          k += 1
+        }
+      }
+    }
+    dist
+  }
+
+  /** Accumulated-cost tiles: payload = min path cost (NaN where the cost
+    * surface is NaN, +inf where unreachable). `isSource` marks zero-cost
+    * seed cells on the cost surface. */
+  def tilesDist(cost: Dataset[Tile], ref: GridRef, res: Int,
+      isSource: Double => Boolean, maxRounds: Int = 10000): Dataset[Tile] = {
+    import cost.sparkSession.implicits._
+    val pfQ = Stencil.padded(cost, ref, res).persist()
+    try {
+      var state: Dataset[Tile] = cost.map { t =>
+        val payload = t.payload.map { q =>
+          if (q.isNaN) Double.NaN else if (isSource(q)) 0.0 else INF
+        }
+        Tile(t.cellId, t.row0, t.col0, t.h, t.w, payload)
+      }.localCheckpoint(true)
+
+      var rounds = 0
+      var changed = 1L
+      while (changed > 0) {
+        rounds += 1
+        require(rounds <= maxRounds, s"costDistance did not converge in $maxRounds rounds")
+        val pfD = Stencil.padded(state, ref, res)
+        val stepped = pfD
+          .joinWith(pfQ, pfD("cellId") === pfQ("cellId"), "inner")
+          .map { case (pd, pq) =>
+            val out = localDijkstra(pd, pq)
+            var ch = 0L
+            var i = 0
+            while (i < out.length) {
+              val prev = pd.at(pd.row0 + i / pd.w, pd.col0 + i % pd.w)
+              if (out(i) != prev && !(out(i).isNaN && prev.isNaN)) ch += 1
+              i += 1
+            }
+            (Tile(pd.cellId, pd.row0, pd.col0, pd.h, pd.w, out), ch)
+          }.persist()
+        changed = stepped.map(_._2).reduce(_ + _)
+        val next = stepped.map(_._1).localCheckpoint(true)
+        stepped.unpersist()
+        state = next
+      }
+      state
+    } finally pfQ.unpersist()
+  }
+
+  /** Accumulated cost distance `(row, col, dist)` for every REACHABLE
+    * valid cell (unreachable and NaN cells are omitted). Distances are
+    * exact integers when the cost surface is integer-valued. */
+  def accumulate(cost: Dataset[Tile], ref: GridRef, res: Int,
+      isSource: Double => Boolean, maxRounds: Int = 10000): DataFrame = {
+    import cost.sparkSession.implicits._
+    tilesDist(cost, ref, res, isSource, maxRounds).flatMap { t =>
+      val out = Array.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < t.payload.length) {
+        val d = t.payload(i)
+        if (!d.isNaN && d != INF)
+          out += (((t.row0 + i / t.w).toLong, (t.col0 + i % t.w).toLong, d))
+        i += 1
+      }
+      out.result().iterator
+    }.toDF("row", "col", "dist")
+  }
+}

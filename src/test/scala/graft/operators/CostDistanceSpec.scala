@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{GridRef, Tile}
+import graft.corpus.Synth
+
+/** Cost distance: iterated tile-local Dijkstra vs a driver-global
+  * whole-grid Dijkstra, on the DEM fixture at two tile sizes and on
+  * random holed grids. Exact dyadic arithmetic makes == comparison
+  * legitimate (no tolerance). */
+class CostDistanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val D8 = Array(
+    (0, 1, 10L), (1, 1, 14L), (1, 0, 10L), (1, -1, 14L),
+    (0, -1, 10L), (-1, -1, 14L), (-1, 0, 10L), (-1, 1, 14L))
+
+  /** Whole-grid multi-source Dijkstra oracle. */
+  private def globalDijkstra(v: (Int, Int) => Double, nrows: Int, ncols: Int,
+      isSource: Double => Boolean): Map[(Long, Long), Double] = {
+    val n = nrows * ncols
+    val q = Array.tabulate(n)(i => v(i / ncols, i % ncols))
+    val dist = Array.fill(n)(Double.PositiveInfinity)
+    val done = new Array[Boolean](n)
+    val pq = new java.util.PriorityQueue[(Double, Int)](
+      (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+    for (i <- 0 until n if !q(i).isNaN && isSource(q(i))) {
+      dist(i) = 0.0; pq.add((0.0, i))
+    }
+    while (!pq.isEmpty) {
+      val (d, u) = pq.poll()
+      if (!done(u) && d == dist(u)) {
+        done(u) = true
+        val ur = u / ncols
+        val uc = u % ncols
+        for ((dr, dc, wgt) <- D8) {
+          val rr = ur + dr
+          val cc = uc + dc
+          if (rr >= 0 && rr < nrows && cc >= 0 && cc < ncols) {
+            val j = rr * ncols + cc
+            if (!done(j) && !q(j).isNaN) {
+              val cand = d + (q(u) + q(j)) * wgt
+              if (cand < dist(j)) { dist(j) = cand; pq.add((cand, j)) }
+            }
+          }
+        }
+      }
+    }
+    (for (i <- 0 until n if !q(i).isNaN && dist(i) != Double.PositiveInfinity)
+      yield ((i / ncols).toLong, (i % ncols).toLong) -> dist(i)).toMap
+  }
+
+  private def run(v: (Int, Int) => Double, ref: GridRef, res: Int,
+      isSource: Double => Boolean): Map[(Long, Long), Double] = {
+    val tiles = TileOps.tileGrid(spark, ref, res)(v)
+    CostDistance.accumulate(tiles, ref, res, isSource)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+  }
+
+  test("distributed == driver-global Dijkstra on the DEM fixture, two tile sizes") {
+    val want = globalDijkstra(Synth.demValue, Synth.demRef.nrows,
+      Synth.demRef.ncols, _ >= 240.0)
+    for (res <- Seq(6, 7)) {
+      val got = run(Synth.demValue, Synth.demRef, res, _ >= 240.0)
+      assert(got == want, s"res=$res")
+    }
+  }
+
+  test("random holed grids == driver-global (sparse sources force propagation)") {
+    val rnd = new scala.util.Random(67)
+    for (trial <- 0 until 3) {
+      val nrows = 40 + rnd.nextInt(60)
+      val ncols = 40 + rnd.nextInt(60)
+      val ref = GridRef(ncols = ncols, nrows = nrows, xll = 0, yll = 0,
+        cellsize = 5, nodata = -9999)
+      val seed = rnd.nextInt(1 << 20)
+      // deterministic per-cell value; ~1% sources, ~8% holes
+      def v(r: Int, c: Int): Double = {
+        val x = (r * 7919L + c * 104729L + seed) % 1000
+        if (x % 13 == 5) Double.NaN else x / 4.0
+      }
+      val got = run(v, ref, 5, _ >= 247.5)
+      val want = globalDijkstra(v, nrows, ncols, _ >= 247.5)
+      assert(got == want, s"trial $trial ${nrows}x$ncols")
+    }
+  }
+
+  test("unreachable pockets are omitted; sources map to 0") {
+    // a grid split by a NaN wall: right half has no source -> omitted
+    val ref = GridRef(ncols = 21, nrows = 9, xll = 0, yll = 0,
+      cellsize = 5, nodata = -9999)
+    def v(r: Int, c: Int): Double =
+      if (c == 10) Double.NaN else if (r == 4 && c == 2) 0.0 else 5.0
+    val got = run(v, ref, 4, _ == 0.0)
+    assert(got((4L, 2L)) == 0.0)
+    assert(got.keys.forall(_._2 < 10), "right of the wall must be unreachable")
+    assert(got.size == 9 * 10) // full left half reached
+  }
+}
