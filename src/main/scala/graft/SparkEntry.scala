@@ -1001,6 +1001,20 @@ object SparkEntry {
       df
     }),
 
+    // STREAM-STREAM interval join: purchases attributed to same-user
+    // clicks within the preceding 30 minutes — watermarked self-join of
+    // the staged event stream with a time-range condition bounding the
+    // join state. Must equal the batch interval join exactly.
+    "s4_stream_join" -> ((s, dir) => {
+      val staged = stagedEvents(s, dir)
+      val ckpt = java.nio.file.Files.createTempDirectory("s4_ckpt").toString
+      val df = withFewPartitions(s) {
+        graft.streaming.StreamOps.intervalJoin(s, staged, ckpt, "s4_mem")
+      }
+      dropCheckpoint(ckpt)
+      df
+    }),
+
     // Video modality: deterministic synthetic clips as REAL GIF89a binary
     // columns (8 clips x 12 frames), frame-sampled every 3rd frame and
     // reduced to integer stats on the executor (rows-only: no SQL-engine
@@ -3023,6 +3037,19 @@ object SparkEntry {
     "s3_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // s4: the stream-stream interval join == the batch interval join;
+    // the range condition compares full-precision timestamps in both
+    // engines, lag_ms is a difference of per-event truncated epoch-ms.
+    "s4_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id AS user_id,
+        |  epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     // e2: exact cosine top-5 on the clustered fixture — equal to the IVF
     // result by construction (every query's true top-5 lives in its

@@ -200,4 +200,47 @@ object StreamOps {
     q.awaitTermination()
     spark.table(queryName).orderBy($"user_id", $"event_type")
   }
+
+  /** STREAM-STREAM interval join (the third stateful-streaming surface
+    * beyond windows and custom state): purchases attributed to every
+    * click by the same user within the preceding `windowMs`. Both sides
+    * are event-time-watermarked streams of the SAME staged file source
+    * (a streaming self-join); the time-range condition
+    * `c_ts <= p_ts <= c_ts + window` is what lets Spark bound the join
+    * state — click rows are evicted once the purchase-side watermark
+    * passes `c_ts + window`, so state is O(window x rate), never O(N).
+    * Inner-join matches emit as they arrive (no watermark lag), and with
+    * the chronological staging the drain equals the batch interval join
+    * exactly. Scale shape: state-store equi-join keyed on user_id —
+    * shuffles both sides once, hot users split by AQE like any key join.
+    * `lag_ms` is a difference of per-event truncated epoch-millis
+    * (unix_millis both sides), replicated verbatim in the oracle. */
+  def intervalJoin(spark: SparkSession, streamDir: String,
+      checkpoint: String, queryName: String,
+      windowMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(streamDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+    val clicks = src.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_uid"),
+        $"ts".as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_uid"),
+        $"ts".as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val q = clicks.join(purchases,
+        $"c_uid" === $"p_uid" &&
+          $"p_ts" >= $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+      .select($"click_id", $"purchase_id", $"c_uid".as("user_id"),
+        (unix_millis($"p_ts") - unix_millis($"c_ts")).as("lag_ms"))
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy($"click_id", $"purchase_id")
+  }
 }

@@ -63,4 +63,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == want,
       s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
   }
+
+  test("stream-stream interval join == batch interval join") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("stream-ops-ckpt-j").toString
+    val got = StreamOps.intervalJoin(spark, streamDir, ckpt, "jtest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val ev = spark.read.parquet(eventsPath)
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_uid"),
+        $"ts".as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_uid"),
+        $"ts".as("p_ts"))
+    val want = c.join(p, $"c_uid" === $"p_uid" && $"p_ts" >= $"c_ts" &&
+        $"p_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"click_id", $"purchase_id", $"c_uid",
+        (unix_millis($"p_ts") - unix_millis($"c_ts")).as("lag_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+  }
 }
