@@ -1279,6 +1279,29 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Overview pyramid (COG-style): 3 levels of 2x2 block aggregation,
+    // level L built incrementally from L-1 — one base scan, each level's
+    // shuffle 1/4 the previous. Exact Long (n, sum_q) keeps every level
+    // order-free; fully declarative groupBy/sum (whole-stage codegen).
+    "r46_pyramid" -> ((s, _) => {
+      import s.implicits._
+      val vals = TileOps.cells(demTiles(s)).filter($"v".isNotNull)
+        .select($"row", $"col", ($"v" * 4).cast("long").as("q"))
+      graft.operators.Pyramid.build(vals, levels = 3)
+        .orderBy($"level", $"row", $"col")
+    }),
+
+    // Focal median despeckle (5x5): row-band replication shuffle + exact
+    // Long window sort; SQL median semantics for even counts, so the
+    // offset-join median oracle hashes bit-for-bit.
+    "r47_focal_median" -> ((s, _) => {
+      import s.implicits._
+      val vals = TileOps.cells(demTiles(s)).filter($"v".isNotNull)
+        .select($"row", $"col", ($"v" * 4).cast("long").as("q"))
+      Focal.median(vals, Synth.demRef.nrows, Synth.demRef.ncols, k = 2)
+        .orderBy($"row", $"col")
+    }),
+
     // Weighted cost-distance accumulation (least-cost path from the
     // v >= 240 seed set, midpoint rule scaled x20, rational diagonal 14):
     // iterated tile-local Dijkstra against 1-px halo estimates — the
@@ -2029,6 +2052,38 @@ object SparkEntry {
          |SELECT g.r AS row, g.c AS col,
          |  CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(v.q) AS BIGINT) AS sum_q
+         |FROM g JOIN vals v
+         |  ON v.r BETWEEN g.r - 2 AND g.r + 2
+         | AND v.c BETWEEN g.c - 2 AND g.c + 2
+         |GROUP BY 1, 2 ORDER BY row, col""".stripMargin
+    },
+
+    // r46: per-level block aggregation of the base grid — equal to the
+    // engine's incremental level chain because Long sums are associative
+    "r46_pyramid" -> {
+      val nc = Synth.demRef.ncols
+      val n = Synth.demRef.nrows.toLong * nc
+      val lvls = (1 to 3).map { l =>
+        s"""SELECT CAST($l AS BIGINT) AS level,
+           |  r // ${1 << l} AS row, c // ${1 << l} AS col,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+           |FROM vals GROUP BY 2, 3""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c FROM range($n) t(i)),
+         |vals AS (SELECT r, c, (r * 31 + c * 17) % 1000 AS q FROM g
+         |  WHERE NOT ((r * $nc + c) % 97 = 13))
+         |$lvls
+         |ORDER BY level, row, col""".stripMargin
+    },
+
+    // r47: brute 5x5 offset join + SQL median over exact integers
+    "r47_focal_median" -> {
+      val nc = Synth.demRef.ncols
+      val n = Synth.demRef.nrows.toLong * nc
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c FROM range($n) t(i)),
+         |vals AS (SELECT r, c, (r * 31 + c * 17) % 1000 AS q FROM g
+         |  WHERE NOT ((r * $nc + c) % 97 = 13))
+         |SELECT g.r AS row, g.c AS col, median(v.q) AS med_q
          |FROM g JOIN vals v
          |  ON v.r BETWEEN g.r - 2 AND g.r + 2
          | AND v.c BETWEEN g.c - 2 AND g.c + 2

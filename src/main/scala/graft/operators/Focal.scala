@@ -129,4 +129,61 @@ object Focal {
       }
       .toDF("row", "col", "min_q", "max_q")
   }
+
+  /** Focal median (the despeckle filter) over the (2k+1)^2 window: the
+    * middle valid value, or the mean of the two middles for even counts
+    * (SQL median semantics — `(a+b)/2.0` of exact Longs is an exact
+    * dyadic double, so the gate hashes). Median does not separate, so the
+    * shape differs from [[window]]: each cell replicates to its 2k+1
+    * destination ROWS (one descriptor shuffle, x(2k+1) volume — k is
+    * single-digit in every real filter), and each destination row group
+    * materializes its (2k+1) x ncols band and selection-sorts each
+    * window. O(k^2 log k) per cell, no driver state, row bands cap
+    * executor memory at (2k+1) x ncols descriptors. */
+  def median(vals: DataFrame, nrows: Int, ncols: Int, k: Int): DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"window half-width must be >= 1, got $k")
+    vals
+      .select(col("row").cast("int").as("r"), col("col").cast("int").as("c"),
+        col("q").cast("long").as("q"))
+      .as[(Int, Int, Long)]
+      .flatMap { case (r, c, q) =>
+        (math.max(0, r - k) to math.min(nrows - 1, r + k)).iterator
+          .map(dr => (dr, r, c, q))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (dr, it) =>
+        val band = 2 * k + 1
+        val q = new Array[Long](band * ncols)
+        val m = new Array[Boolean](band * ncols)
+        it.foreach { case (_, sr, c, v) =>
+          val i = (sr - dr + k) * ncols + c
+          q(i) = v; m(i) = true
+        }
+        val buf = new Array[Long](band * band)
+        (0 until ncols).iterator.flatMap { c =>
+          var n = 0
+          var i = 0
+          while (i < band) {
+            var j = math.max(0, c - k)
+            val jEnd = math.min(ncols - 1, c + k)
+            while (j <= jEnd) {
+              if (m(i * ncols + j)) { buf(n) = q(i * ncols + j); n += 1 }
+              j += 1
+            }
+            i += 1
+          }
+          if (n == 0) Iterator.empty
+          else {
+            java.util.Arrays.sort(buf, 0, n)
+            val med =
+              if (n % 2 == 1) buf(n / 2).toDouble
+              else (buf(n / 2 - 1) + buf(n / 2)) / 2.0
+            Iterator.single((dr.toLong, c.toLong, med))
+          }
+        }
+      }
+      .toDF("row", "col", "med_q")
+  }
 }

@@ -109,6 +109,58 @@ class FocalSpec extends AnyFunSuite {
     }
   }
 
+  test("median == brute sorted-window middle on random sparse grids") {
+    val rnd = new scala.util.Random(73)
+    val s = spark
+    import s.implicits._
+    for (trial <- 0 until 5) {
+      val nrows = 5 + rnd.nextInt(25)
+      val ncols = 5 + rnd.nextInt(25)
+      val k = 1 + rnd.nextInt(3)
+      val vals = (for {
+        r <- 0 until nrows; c <- 0 until ncols
+        if rnd.nextDouble() < 0.6
+      } yield (r, c, rnd.nextInt(1 << 16).toLong)).toSeq
+      val df = vals.toDF("row", "col", "q")
+      val got = Focal.median(df, nrows, ncols, k)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+      val m = vals.map { case (r, c, q) => (r, c) -> q }.toMap
+      val want = (for {
+        r <- 0 until nrows; c <- 0 until ncols
+        cells = (for {
+          i <- math.max(0, r - k) to math.min(nrows - 1, r + k)
+          j <- math.max(0, c - k) to math.min(ncols - 1, c + k)
+          q <- m.get((i, j))
+        } yield q).sorted
+        if cells.nonEmpty
+      } yield (r.toLong, c.toLong) -> (
+        if (cells.size % 2 == 1) cells(cells.size / 2).toDouble
+        else (cells(cells.size / 2 - 1) + cells(cells.size / 2)) / 2.0)).toMap
+      assert(got == want, s"trial $trial ${nrows}x$ncols k=$k")
+    }
+  }
+
+  test("pyramid: incremental levels == direct block aggregation of the base") {
+    val rnd = new scala.util.Random(91)
+    val s = spark
+    import s.implicits._
+    val vals = (for {
+      r <- 0 until 37; c <- 0 until 29 // odd dims exercise ragged edges
+      if rnd.nextDouble() < 0.7
+    } yield (r, c, rnd.nextInt(1 << 20).toLong)).toSeq
+    val got = Pyramid.build(vals.toDF("row", "col", "q"), levels = 3)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+        (x.getLong(3), x.getLong(4))).toMap
+    val want = (for {
+      l <- 1 to 3
+      ((br, bc), cells) <- vals.groupBy { case (r, c, _) => (r >> l, c >> l) }
+    } yield (l.toLong, br.toLong, bc.toLong) ->
+      (cells.size.toLong, cells.map(_._3).sum)).toMap
+    assert(got == want)
+    assert(got.keys.count(_._1 == 3L) > 0)
+  }
+
   test("k must be >= 1") {
     val s = spark
     import s.implicits._
