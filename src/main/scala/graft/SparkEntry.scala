@@ -526,6 +526,22 @@ object SparkEntry {
         .orderBy($"lvl", $"day", $"event_type")
     }),
 
+    // PIVOT (built-in conditional-agg rewrite): per-user event-type
+    // matrix — Spark compiles the pivot to one partial/final hash agg
+    // with CASE projections, never a per-type pass
+    "q11_pivot" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select($"user_id", $"click".as("n_click"), $"error".as("n_error"),
+          $"purchase".as("n_purchase"), $"signup".as("n_signup"),
+          $"view".as("n_view"))
+        .orderBy($"user_id")
+    }),
+
     // native Catalyst expressions (doGenCode): cell_of / cell_parent in SQL
     "q5_cell_functions" -> ((s, _) => {
       import s.implicits._
@@ -1055,6 +1071,25 @@ object SparkEntry {
         .groupBy($"band")
         .agg(count($"uv").as("n_valid"), sum($"uv").as("sum_uv"))
         .orderBy($"band")
+    }),
+
+    // Band math over the zip join (the NDVI-style normalized difference
+    // (a-b)/(a+b)): per-pixel arithmetic on the 1:1 cell equi-join — one
+    // codegen span after the join; each division is a single IEEE op on
+    // identical dyadic operands in both engines, so it hashes. Zero
+    // denominators (a+b = 0 happens only at a = b = 0) map to null, like
+    // SQL's NULLIF guard.
+    "r48_normdiff" -> ((s, _) => {
+      import s.implicits._
+      val a = TileOps.cells(TileOps.tileGrid(s, Synth.gridARef, tileRes)(Synth.gridAValue))
+      val b = TileOps.cells(TileOps.tileGrid(s, Synth.gridARef, tileRes)(Synth.gridBValue))
+        .withColumnRenamed("v", "u")
+      a.join(b, Seq("row", "col"))
+        .filter($"v".isNotNull && $"u".isNotNull)
+        .select($"row", $"col",
+          when($"v" + $"u" =!= 0.0, ($"v" - $"u") / ($"v" + $"u")).as("nd"))
+        .filter(($"row" * lit(Synth.gridARef.ncols) + $"col") % 7 === 2)
+        .orderBy($"row", $"col")
     }),
 
     // V1: vectorize — per-component POLYGON geometry (exterior + holes,
@@ -2290,6 +2325,24 @@ object SparkEntry {
          |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // r48: the same normalized difference in SQL — identical dyadic
+    // operands, one correctly-rounded division, NULLIF zero guard
+    "r48_normdiff" -> {
+      val a = Synth.gridARef
+      s"""WITH g AS (SELECT (i // ${a.ncols}) AS r, (i % ${a.ncols}) AS c FROM range(${a.nrows.toLong * a.ncols}) t(i)),
+         |vals AS (SELECT r, c,
+         |  CASE WHEN (r * ${a.ncols} + c) % 89 = 7 THEN NULL
+         |       ELSE ((r * 13 + c * 7) % 100) / 4.0 END AS v,
+         |  CASE WHEN (r * ${Synth.gridBRef.ncols} + c) % 71 = 3 THEN NULL
+         |       ELSE ((r * 5 + c * 3) % 80) / 4.0 END AS u
+         |  FROM g)
+         |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+         |  (v - u) / NULLIF(v + u, 0.0) AS nd
+         |FROM vals
+         |WHERE v IS NOT NULL AND u IS NOT NULL AND (r * ${a.ncols} + c) % 7 = 2
+         |ORDER BY row, col""".stripMargin
+    },
+
     "r11_bilinear" -> {
       val nc = Synth.demRef.ncols
       def v(rr: String, cc: String): String =
@@ -2395,6 +2448,16 @@ object SparkEntry {
         |FROM events
         |GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
         |ORDER BY lvl, day, event_type""".stripMargin,
+
+    // q11: the pivot as conditional counts
+    "q11_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q5_cell_functions" -> {
       // Morton interleave replicated in pure bit-op SQL: a CTE chain of the

@@ -32,6 +32,11 @@ object Pyramid {
         .groupBy(shiftright(col("row"), 1).as("row"),
           shiftright(col("col"), 1).as("col"))
         .agg(sum(col("n")).as("n"), sum(col("sum_q")).as("sum_q"))
+      // each level feeds two consumers (its output branch and level L+1);
+      // persist pins single computation rather than relying on runtime
+      // exchange reuse — level sizes shrink 4x per step, so the cached
+      // footprint is < 1/3 of the base descriptor volume
+      if (l < levels) cur = cur.persist()
       cur.select(lit(l.toLong).as("level"), col("row"), col("col"),
         col("n"), col("sum_q"))
     }

@@ -219,6 +219,8 @@ object StreamOps {
       checkpoint: String, queryName: String,
       windowMs: Long = 1800000L): DataFrame = {
     import spark.implicits._
+    require(windowMs > 0 && windowMs % 1000 == 0,
+      s"windowMs must be a positive whole-second span, got $windowMs")
     val schema = spark.read.parquet(streamDir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
