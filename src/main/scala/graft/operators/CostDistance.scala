@@ -150,7 +150,12 @@ object CostDistance {
             }
             (Tile(pd.cellId, pd.row0, pd.col0, pd.h, pd.w, out), ch)
           }.persist()
-        changed = stepped.map(_._2).reduce(_ + _)
+        // agg, not reduce: total over an EMPTY tiling is 0, not a crash
+        changed = stepped.map(_._2)
+          .agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum("value"),
+            org.apache.spark.sql.functions.lit(0L)))
+          .head().getLong(0)
         val next = stepped.map(_._1).localCheckpoint(true)
         stepped.unpersist()
         state = next

@@ -786,7 +786,12 @@ object Flow {
             }
             (Tile(pf.cellId, pf.row0, pf.col0, pf.h, pf.w, out), ch)
           }.persist()
-        changed = stepped.map(_._2).reduce(_ + _)
+        // agg, not reduce: total over an EMPTY tiling is 0, not a crash
+        changed = stepped.map(_._2)
+          .agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum("value"),
+            org.apache.spark.sql.functions.lit(0L)))
+          .head().getLong(0)
         val next = stepped.map(_._1).localCheckpoint(true)
         stepped.unpersist()
         state = next

@@ -86,13 +86,53 @@ object Focal {
     out
   }
 
+  /** Sliding-window max — [[slideMin]] with the comparison reversed
+    * (no negation trick: -Long.MinValue overflows). Long.MinValue marks
+    * an empty window; callers must gate emission on window OCCUPANCY
+    * ([[slideCount]]), never on sentinel equality, so the full Long
+    * range stays valid data. */
+  private[operators] def slideMax(a: Array[Long], present: Array[Boolean],
+      k: Int): Array[Long] = {
+    val n = a.length
+    val out = Array.fill(n)(Long.MinValue)
+    val idx = new Array[Int](n)
+    var head = 0; var tail = 0; var j = 0
+    var c = 0
+    while (c < n) {
+      val hi = math.min(n - 1, c + k)
+      while (j <= hi) {
+        if (present(j)) {
+          while (tail > head && a(idx(tail - 1)) <= a(j)) tail -= 1
+          idx(tail) = j; tail += 1
+        }
+        j += 1
+      }
+      while (tail > head && idx(head) < c - k) head += 1
+      if (tail > head) out(c) = a(idx(head))
+      c += 1
+    }
+    out
+  }
+
+  /** Number of PRESENT entries in each clipped window [c-k, c+k] — one
+    * prefix-sum pass; the occupancy gate for the extrema emission. */
+  private[operators] def slideCount(present: Array[Boolean], k: Int): Array[Int] = {
+    val n = present.length
+    val pre = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { pre(i + 1) = pre(i) + (if (present(i)) 1 else 0); i += 1 }
+    Array.tabulate(n)(c =>
+      pre(math.min(n - 1, c + k) + 1) - pre(math.max(0, c - k)))
+  }
+
   /** Windowed (min_q, max_q) for every grid position with >= 1 valid value
     * in its (2k+1)^2 window — morphological EROSION and DILATION in one
     * pass pair. Same separable two-pass shape as [[window]], but each pass
     * is a monotone-deque sliding extremum (O(1)/cell amortized vs the
-    * O(k) scan): rectangle min == vertical min of horizontal row minima,
-    * and Long.MaxValue/MinValue are the identities, so NaN holes cost
-    * nothing. `vals`: (row, col, q: Long) for VALID cells only. */
+    * O(k) scan): rectangle min == vertical min of horizontal row minima.
+    * Emission is gated on window occupancy, not sentinel values, so the
+    * FULL Long range is valid input. `vals`: (row, col, q: Long) for
+    * VALID cells only. */
   def extrema(vals: DataFrame, nrows: Int, ncols: Int, k: Int): DataFrame = {
     val spark = vals.sparkSession
     import spark.implicits._
@@ -104,14 +144,14 @@ object Focal {
       .groupByKey(_._1)
       .flatMapGroups { (r, it) =>
         val q = new Array[Long](ncols)
-        val neg = new Array[Long](ncols)
         val m = new Array[Boolean](ncols)
-        it.foreach { case (_, c, v) => q(c) = v; neg(c) = -v; m(c) = true }
+        it.foreach { case (_, c, v) => q(c) = v; m(c) = true }
         val hmin = slideMin(q, m, k)
-        val hmax = slideMin(neg, m, k)
+        val hmax = slideMax(q, m, k)
+        val hn = slideCount(m, k)
         (0 until ncols).iterator
-          .filter(c => hmin(c) != Long.MaxValue)
-          .map(c => (r, c, hmin(c), -hmax(c)))
+          .filter(c => hn(c) > 0)
+          .map(c => (r, c, hmin(c), hmax(c)))
       }
     strips.groupByKey(_._2)
       .flatMapGroups { (c, it) =>
@@ -119,13 +159,14 @@ object Focal {
         val hi = new Array[Long](nrows)
         val m = new Array[Boolean](nrows)
         it.foreach { case (r, _, mn, mx) =>
-          lo(r.toInt) = mn; hi(r.toInt) = -mx; m(r.toInt) = true
+          lo(r.toInt) = mn; hi(r.toInt) = mx; m(r.toInt) = true
         }
         val vmin = slideMin(lo, m, k)
-        val vmax = slideMin(hi, m, k)
+        val vmax = slideMax(hi, m, k)
+        val vn = slideCount(m, k)
         (0 until nrows).iterator
-          .filter(r => vmin(r) != Long.MaxValue)
-          .map(r => (r.toLong, c.toLong, vmin(r), -vmax(r)))
+          .filter(r => vn(r) > 0)
+          .map(r => (r.toLong, c.toLong, vmin(r), vmax(r)))
       }
       .toDF("row", "col", "min_q", "max_q")
   }
@@ -179,7 +220,14 @@ object Focal {
             java.util.Arrays.sort(buf, 0, n)
             val med =
               if (n % 2 == 1) buf(n / 2).toDouble
-              else (buf(n / 2 - 1) + buf(n / 2)) / 2.0
+              else {
+                // exact midpoint without the (a+b) Long overflow:
+                // floor(a/2) + floor(b/2) + (parities)/2 == (a+b)/2
+                val a = buf(n / 2 - 1)
+                val b = buf(n / 2)
+                (Math.floorDiv(a, 2) + Math.floorDiv(b, 2)).toDouble +
+                  ((a & 1L) + (b & 1L)) / 2.0
+              }
             Iterator.single((dr.toLong, c.toLong, med))
           }
         }

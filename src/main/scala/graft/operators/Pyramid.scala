@@ -33,10 +33,12 @@ object Pyramid {
           shiftright(col("col"), 1).as("col"))
         .agg(sum(col("n")).as("n"), sum(col("sum_q")).as("sum_q"))
       // each level feeds two consumers (its output branch and level L+1);
-      // persist pins single computation rather than relying on runtime
-      // exchange reuse — level sizes shrink 4x per step, so the cached
-      // footprint is < 1/3 of the base descriptor volume
-      if (l < levels) cur = cur.persist()
+      // eager localCheckpoint pins single computation without leaking
+      // CacheManager entries (blocks release when the plan is GC'd,
+      // unlike persist which would pin until an unpersist the caller of
+      // a lazy union can never safely issue) — level sizes shrink 4x per
+      // step, so the materialized footprint is < 1/3 of the base
+      if (l < levels) cur = cur.localCheckpoint(true)
       cur.select(lit(l.toLong).as("level"), col("row"), col("col"),
         col("n"), col("sum_q"))
     }

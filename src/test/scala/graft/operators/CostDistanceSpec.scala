@@ -91,6 +91,15 @@ class CostDistanceSpec extends AnyFunSuite {
     }
   }
 
+  test("empty cost tiling yields an empty result, not a crash") {
+    val s = spark
+    import s.implicits._
+    val empty = s.emptyDataset[Tile]
+    val ref = GridRef(ncols = 8, nrows = 8, xll = 0, yll = 0,
+      cellsize = 5, nodata = -9999)
+    assert(CostDistance.accumulate(empty, ref, 3, _ >= 0.0).count() == 0)
+  }
+
   test("unreachable pockets are omitted; sources map to 0") {
     // a grid split by a NaN wall: right half has no source -> omitted
     val ref = GridRef(ncols = 21, nrows = 9, xll = 0, yll = 0,

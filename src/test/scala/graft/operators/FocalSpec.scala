@@ -161,6 +161,24 @@ class FocalSpec extends AnyFunSuite {
     assert(got.keys.count(_._1 == 3L) > 0)
   }
 
+  test("extrema and median are total at the Long extremes (no negation/add overflow)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0, 0, Long.MinValue), (0, 1, 5L), (0, 2, Long.MaxValue))
+      .toDF("row", "col", "q")
+    val ext = Focal.extrema(df, 1, 3, k = 1)
+      .collect().map(x => x.getLong(1) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(ext(0L) == (Long.MinValue, 5L))
+    assert(ext(1L) == (Long.MinValue, Long.MaxValue))
+    assert(ext(2L) == (5L, Long.MaxValue))
+    val big = Long.MaxValue - 1 // even; (big + big) overflows a Long add
+    val med = Focal.median(
+        Seq((0, 0, big), (0, 1, big)).toDF("row", "col", "q"), 1, 2, k = 1)
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(med(0L) == big.toDouble && med(0L) > 0)
+    assert(med(1L) == big.toDouble)
+  }
+
   test("k must be >= 1") {
     val s = spark
     import s.implicits._
