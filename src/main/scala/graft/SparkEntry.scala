@@ -1314,6 +1314,20 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Kernel-density heatmap (quartic/biweight, radius 8): scaled-integer
+    // kernel (R^2-d^2)^2 scattered via a broadcast offset disk + ONE hash
+    // agg — exact Longs, so the offset-join oracle hash-matches. Points
+    // are the q % 61 == 7 subset of the DEM's valid cells (~1.6%).
+    "r49_kde" -> ((s, _) => {
+      import s.implicits._
+      val pts = TileOps.cells(demTiles(s)).filter($"v".isNotNull)
+        .filter((($"v" * 4).cast("long") % 61) === 7)
+        .select($"row", $"col")
+      graft.operators.Density.quartic(pts, Synth.demRef.nrows,
+          Synth.demRef.ncols, radius = 8)
+        .orderBy($"row", $"col")
+    }),
+
     // Overview pyramid (COG-style): 3 levels of 2x2 block aggregation,
     // level L built incrementally from L-1 — one base scan, each level's
     // shuffle 1/4 the previous. Exact Long (n, sum_q) keeps every level
@@ -2090,6 +2104,25 @@ object SparkEntry {
          |FROM g JOIN vals v
          |  ON v.r BETWEEN g.r - 2 AND g.r + 2
          | AND v.c BETWEEN g.c - 2 AND g.c + 2
+         |GROUP BY 1, 2 ORDER BY row, col""".stripMargin
+    },
+
+    // r49: the same quartic scatter as a distance-bounded offset join
+    "r49_kde" -> {
+      val nc = Synth.demRef.ncols
+      val n = Synth.demRef.nrows.toLong * nc
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c FROM range($n) t(i)),
+         |vals AS (SELECT r, c, (r * 31 + c * 17) % 1000 AS q FROM g
+         |  WHERE NOT ((r * $nc + c) % 97 = 13)),
+         |pts AS (SELECT r, c FROM vals WHERE q % 61 = 7)
+         |SELECT g.r AS row, g.c AS col,
+         |  CAST(count(*) AS BIGINT) AS n_pts,
+         |  CAST(sum((64 - ((g.r - p.r) * (g.r - p.r) + (g.c - p.c) * (g.c - p.c)))
+         |         * (64 - ((g.r - p.r) * (g.r - p.r) + (g.c - p.c) * (g.c - p.c)))) AS BIGINT) AS density
+         |FROM g JOIN pts p
+         |  ON (g.r - p.r) * (g.r - p.r) + (g.c - p.c) * (g.c - p.c) <= 64
+         | AND p.r BETWEEN g.r - 8 AND g.r + 8
+         | AND p.c BETWEEN g.c - 8 AND g.c + 8
          |GROUP BY 1, 2 ORDER BY row, col""".stripMargin
     },
 
