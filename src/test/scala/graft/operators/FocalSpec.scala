@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{count, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Focal window: separable two-pass vs brute O(k^2) driver oracle on
@@ -177,6 +178,26 @@ class FocalSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
     assert(med(0L) == big.toDouble && med(0L) > 0)
     assert(med(1L) == big.toDouble)
+  }
+
+  test("focal scale smoke: 2048x2048 (4.2M cells), closed-form aggregate gate") {
+    val s = spark
+    import s.implicits._
+    val n = 2048
+    val k = 5
+    val c = 7L
+    // constant grid: n(r, c) = rowspan(r) * colspan(c), so the totals have
+    // closed forms — sum(n) = (sum rowspan)^2 and sum(sum_q) = c * sum(n)
+    val vals = s.range(n.toLong * n)
+      .select(($"id" / n).cast("long").as("row"), ($"id" % n).cast("long").as("col"),
+        lit(c).as("q"))
+    val agg = Focal.window(vals, n, n, k)
+      .agg(count(lit(1)), sum($"n"), sum($"sum_q")).head()
+    val span = (0 until n).map(i =>
+      (math.min(n - 1, i + k) - math.max(0, i - k) + 1).toLong).sum
+    assert(agg.getLong(0) == n.toLong * n)
+    assert(agg.getLong(1) == span * span)
+    assert(agg.getLong(2) == c * span * span)
   }
 
   test("k must be >= 1") {
