@@ -1314,6 +1314,35 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Cross-section profile extraction (the reference's polyline-z
+    // domain, Raster.py line tooling + hydro river sections): walk the
+    // r7-proven line2sub cell chain over the DEM, attach elevations
+    // (LEFT join keeps NODATA holes as null), and carry EXACT chainage as
+    // (ncard, ndiag) running step counts — the r26/r28 integer-distance
+    // convention; chainage = (ncard + ndiag*sqrt(2)) * cellsize at
+    // presentation time. One window over (line_id, seq) + one cell join.
+    "r50_xsection" -> ((s, _) => {
+      import s.implicits._
+      val (xs, ys) = Synth.demLine
+      val lines = s.createDataset(Seq(Line2Sub.LineRec(0L, xs, ys)))
+      val walk = Line2Sub.cells(lines, Synth.demRef)
+      val w = Window.partitionBy($"line_id").orderBy($"seq")
+      val steps = walk
+        .withColumn("pr", lag($"row", 1).over(w))
+        .withColumn("pc", lag($"col", 1).over(w))
+        .withColumn("sd", when($"pr".isNull, 0L)
+          .when($"row" =!= $"pr" && $"col" =!= $"pc", 1L).otherwise(0L))
+        .withColumn("sc", when($"pr".isNull, 0L).otherwise(lit(1L) - $"sd"))
+        .withColumn("ncard", sum($"sc").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ndiag", sum($"sd").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      steps
+        .join(TileOps.cells(demTiles(s)), Seq("row", "col"), "left")
+        .select($"line_id", $"seq", $"row", $"col", $"v", $"ncard", $"ndiag")
+        .orderBy($"seq")
+    }),
+
     // Kernel-density heatmap (quartic/biweight, radius 8): scaled-integer
     // kernel (R^2-d^2)^2 scattered via a broadcast offset disk + ONE hash
     // agg — exact Longs, so the offset-join oracle hash-matches. Points
@@ -2105,6 +2134,36 @@ object SparkEntry {
          |  ON v.r BETWEEN g.r - 2 AND g.r + 2
          | AND v.c BETWEEN g.c - 2 AND g.c + 2
          |GROUP BY 1, 2 ORDER BY row, col""".stripMargin
+    },
+
+    // r50: the r7-proven closed-form walk + dem values + running step
+    // counts (diagonal iff both coordinates change)
+    "r50_xsection" -> {
+      val nc = Synth.demRef.ncols
+      s"""WITH walk AS (
+         |  SELECT CAST(0 AS BIGINT) AS line_id, j AS seq, 50 - j AS r, 10 AS c FROM range(10) t(j)
+         |  UNION ALL SELECT 0, j + 10, 40 - j, 10 + j FROM range(10) t(j)
+         |  UNION ALL SELECT 0, j + 20, 30, 20 + j FROM range(40) t(j)),
+         |st AS (
+         |  SELECT line_id, seq, r, c,
+         |    lag(r) OVER (PARTITION BY line_id ORDER BY seq) AS pr,
+         |    lag(c) OVER (PARTITION BY line_id ORDER BY seq) AS pc
+         |  FROM walk),
+         |sd AS (
+         |  SELECT line_id, seq, r, c,
+         |    CASE WHEN pr IS NULL THEN 0
+         |         WHEN r <> pr AND c <> pc THEN 1 ELSE 0 END AS is_d,
+         |    CASE WHEN pr IS NULL THEN 0
+         |         WHEN r <> pr AND c <> pc THEN 0 ELSE 1 END AS is_c
+         |  FROM st)
+         |SELECT line_id, seq, CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+         |  CASE WHEN (r * $nc + c) % 97 = 13 THEN NULL
+         |       ELSE ((r * 31 + c * 17) % 1000) / 4.0 END AS v,
+         |  CAST(sum(is_c) OVER (PARTITION BY line_id ORDER BY seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ncard,
+         |  CAST(sum(is_d) OVER (PARTITION BY line_id ORDER BY seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ndiag
+         |FROM sd ORDER BY seq""".stripMargin
     },
 
     // r49: the same quartic scatter as a distance-bounded offset join

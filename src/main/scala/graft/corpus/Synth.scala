@@ -108,6 +108,16 @@ object Synth {
     (xs, ys)
   }
 
+  /** The same polyline shape anchored on the DEM grid — the r50
+    * cross-section fixture (vertical, diagonal, horizontal runs, so the
+    * cell walk has a closed form the SQL oracle can regenerate). */
+  def demLine: (Array[Double], Array[Double]) = {
+    val cells = Array((50, 10), (40, 10), (30, 20), (30, 60))
+    val xs = cells.map { case (_, c) => demRef.sub2map(0, c)._1 }
+    val ys = cells.map { case (r, _) => demRef.sub2map(r, 0)._2 }
+    (xs, ys)
+  }
+
   /** Linear-precision fixture for the Delaunay oracles: the knnPoints
     * scatter re-valued by a dyadic linear polynomial a + bx*x + cy*y, plus
     * the 4 exact hull corners of knnRef so every cell center is strictly
