@@ -294,6 +294,61 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   /** Slope/aspect sectors: (row, col, tan2_slope, octant, compass). */
   def aspect: DataFrame = Stencil.aspectClass(tiles, ref, res)
 
+  /** Fixed-point focal (moving-window) statistics over a (2k+1)^2
+    * neighborhood: (row, col, n, sum_q) with q = v * `scale` truncated to
+    * Long (exact when values are multiples of 1/scale, like the
+    * quarter-unit DEM fixtures at scale=4). */
+  def focalStats(k: Int, scale: Long = 4L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Focal.window(cells.filter(col("v").isNotNull)
+        .select(col("row"), col("col"),
+          (col("v") * scale).cast("long").as("q")),
+      ref.nrows, ref.ncols, k)
+  }
+
+  /** Morphological erosion + dilation: windowed (min_q, max_q) in the
+    * same fixed-point domain as [[focalStats]]. */
+  def focalExtrema(k: Int, scale: Long = 4L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Focal.extrema(cells.filter(col("v").isNotNull)
+        .select(col("row"), col("col"),
+          (col("v") * scale).cast("long").as("q")),
+      ref.nrows, ref.ncols, k)
+  }
+
+  /** Focal median despeckle: (row, col, med_q), SQL median semantics. */
+  def focalMedian(k: Int, scale: Long = 4L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Focal.median(cells.filter(col("v").isNotNull)
+        .select(col("row"), col("col"),
+          (col("v") * scale).cast("long").as("q")),
+      ref.nrows, ref.ncols, k)
+  }
+
+  /** Incremental overview pyramid: (level, row, col, n, sum_q) for
+    * levels 1..`levels`; level-L (r, c) covers 2^L x 2^L base cells. */
+  def pyramid(levels: Int, scale: Long = 4L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Pyramid.build(cells.filter(col("v").isNotNull)
+        .select(col("row"), col("col"),
+          (col("v") * scale).cast("long").as("q")),
+      levels)
+  }
+
+  /** Weighted cost distance from the cells satisfying `isSource`,
+    * treating this raster as the friction surface: (row, col, dist)
+    * with the midpoint rule x20 and rational diagonal 14. */
+  def costDistance(isSource: Double => Boolean): DataFrame =
+    CostDistance.accumulate(tiles, ref, res, isSource)
+
+  /** Quartic kernel-density surface of the cells satisfying `pred`:
+    * (row, col, n_pts, density) with density = sum (R^2 - d^2)^2. */
+  def kernelDensity(pred: org.apache.spark.sql.Column, radius: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Density.quartic(cells.filter(pred).select(col("row"), col("col")),
+      ref.nrows, ref.ncols, radius)
+  }
+
   /** Iso-line segments at `level` (marching squares; pixel coordinates). */
   def contour(level: Double): DataFrame = Contour.segments(tiles, ref, res, level)
 

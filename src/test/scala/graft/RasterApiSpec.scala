@@ -217,6 +217,47 @@ class RasterApiSpec extends AnyFunSuite {
     assert(dem.statsAxis(0).count() == ref.ncols)
   }
 
+  test("map-algebra facade wiring: focal stats/extrema/median, pyramid, cost distance, KDE") {
+    import org.apache.spark.sql.functions.col
+    val ref = Synth.demRef
+    // focal stats at an interior cell with a full hole-free 3x3 window
+    val (tr, tc) = (100, 100)
+    val win = for {
+      r <- tr - 1 to tr + 1; c <- tc - 1 to tc + 1
+      v = Synth.demValue(r, c) if !v.isNaN
+    } yield (v * 4).toLong
+    assert(win.size == 9, "pick a hole-free window for the closed form")
+    val fs = dem.focalStats(k = 1)
+      .filter(col("row") === tr && col("col") === tc).head()
+    assert(fs.getLong(2) == 9L && fs.getLong(3) == win.sum)
+    val fe = dem.focalExtrema(k = 1)
+      .filter(col("row") === tr && col("col") === tc).head()
+    assert(fe.getLong(2) == win.min && fe.getLong(3) == win.max)
+    val sortedWin = win.sorted
+    val fm = dem.focalMedian(k = 1)
+      .filter(col("row") === tr && col("col") === tc).head()
+    assert(fm.getDouble(2) == sortedWin(4).toDouble)
+    // pyramid level-1 block (50, 25) = base cells rows 100-101, cols 50-51
+    val blk = for {
+      r <- 100 to 101; c <- 50 to 51
+      v = Synth.demValue(r, c) if !v.isNaN
+    } yield (v * 4).toLong
+    val py = dem.pyramid(levels = 1)
+      .filter(col("row") === 50 && col("col") === 25).head()
+    assert(py.getLong(3) == blk.size && py.getLong(4) == blk.sum)
+    // cost distance: sources themselves are 0
+    val cd = dem.costDistance(_ >= 240.0)
+      .filter(col("dist") === 0.0).count()
+    val nSrc = dem.cells.filter(col("v") >= 240.0).count()
+    assert(cd == nSrc && nSrc > 0)
+    // KDE: a cell hosting a point has density >= (R^2)^2
+    val kd = dem.kernelDensity((col("v") * 4).cast("long") % 61 === 7, radius = 4)
+    val pts = dem.cells.filter((col("v") * 4).cast("long") % 61 === 7)
+      .select(col("row"), col("col"))
+    val atPoint = kd.join(pts, Seq("row", "col")).head()
+    assert(atPoint.getLong(3) >= 16L * 16L)
+  }
+
   test("set_nodata reaches the ASC header; duplicate is independent") {
     val d2 = dem.setNodata(-3.5).duplicate
     assert(dem.ref.nodata == -9999.0 && d2.ref.nodata == -3.5)
