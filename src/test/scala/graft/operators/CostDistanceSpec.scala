@@ -91,6 +91,22 @@ class CostDistanceSpec extends AnyFunSuite {
     }
   }
 
+  test("cost-distance scale smoke: 1024x1024 (1M cells, 64 tiles) == global Dijkstra") {
+    val n = 1024
+    val ref = GridRef(ncols = n, nrows = n, xll = 0, yll = 0,
+      cellsize = 5, nodata = -9999)
+    // ~0.1% sources, ~5% holes — sparse sources force multi-round
+    // halo propagation across many tile boundaries
+    def v(r: Int, c: Int): Double = {
+      val x = (r * 7919L + c * 104729L + 77L) % 4000
+      if (x % 19 == 3) Double.NaN else x / 4.0
+    }
+    val got = run(v, ref, 7, _ >= 999.0) // x in {3996..3999} -> ~0.1%
+    val want = globalDijkstra(v, n, n, _ >= 999.0)
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
   test("empty cost tiling yields an empty result, not a crash") {
     val s = spark
     import s.implicits._
