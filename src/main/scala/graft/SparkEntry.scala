@@ -568,6 +568,23 @@ object SparkEntry {
         .orderBy($"sig")
     }),
 
+    // INCREMENTAL dedup — the steady-state shape of a crawl pipeline:
+    // new documents (odd ids) anti-joined on the d1 token-set signature
+    // against the existing corpus index (even ids). LEFT ANTI is the
+    // plan: one shuffle on the md5 sig, the index side carries
+    // signatures only (at 100 TB the index is the compact sig table,
+    // never the corpus), survivors are the genuinely-new docs.
+    "d18_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents").withColumn("sig",
+        md5(concat_ws(" ", array_sort(array_distinct(split($"text", " "))))))
+      val index = docs.filter($"doc_id" % 2 === 0).select($"sig").distinct()
+      docs.filter($"doc_id" % 2 === 1)
+        .join(index, Seq("sig"), "left_anti")
+        .select($"doc_id", $"sig")
+        .orderBy($"doc_id")
+    }),
+
     // near-dup: exact 3-gram Jaccard >= 0.8 — inverted-index candidates
     // with a document-frequency cap (stop-shingle O(df^2) guard), exact
     // verify over the full hashed shingle sets
@@ -2595,6 +2612,18 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,
         | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    // d18: NOT EXISTS over the same signature rule
+    "d18_incremental_dedup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig
+        |  FROM documents)
+        |SELECT n.doc_id, n.sig FROM sigs n
+        |WHERE n.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM sigs e
+        |    WHERE e.doc_id % 2 = 0 AND e.sig = n.sig)
+        |ORDER BY n.doc_id""".stripMargin,
 
     "d2_quality" ->
       """SELECT doc_id,
