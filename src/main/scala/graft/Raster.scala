@@ -294,46 +294,37 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   /** Slope/aspect sectors: (row, col, tan2_slope, octant, compass). */
   def aspect: DataFrame = Stencil.aspectClass(tiles, ref, res)
 
-  /** Fixed-point focal (moving-window) statistics over a (2k+1)^2
-    * neighborhood: (row, col, n, sum_q) with q = v * `scale` truncated to
-    * Long (exact when values are multiples of 1/scale, like the
-    * quarter-unit DEM fixtures at scale=4). */
-  def focalStats(k: Int, scale: Long = 4L): DataFrame = {
+  /** Valid cells in the fixed-point domain the focal/pyramid family
+    * computes in: q = v * `scale` truncated to Long. CALLERS CHOOSE the
+    * scale to match their data's resolution — exact only when values are
+    * multiples of 1/scale (the quarter-unit DEM fixtures use scale=4;
+    * centimetre-grade survey DEMs want 100); a too-coarse scale silently
+    * truncates, which is why there is no default. */
+  private def fixedPointCells(scale: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    Focal.window(cells.filter(col("v").isNotNull)
-        .select(col("row"), col("col"),
-          (col("v") * scale).cast("long").as("q")),
-      ref.nrows, ref.ncols, k)
+    cells.filter(col("v").isNotNull)
+      .select(col("row"), col("col"), (col("v") * scale).cast("long").as("q"))
   }
+
+  /** Fixed-point focal (moving-window) statistics over a (2k+1)^2
+    * neighborhood: (row, col, n, sum_q) — see [[fixedPointCells]] for the
+    * `scale` contract. */
+  def focalStats(k: Int, scale: Long): DataFrame =
+    Focal.window(fixedPointCells(scale), ref.nrows, ref.ncols, k)
 
   /** Morphological erosion + dilation: windowed (min_q, max_q) in the
     * same fixed-point domain as [[focalStats]]. */
-  def focalExtrema(k: Int, scale: Long = 4L): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    Focal.extrema(cells.filter(col("v").isNotNull)
-        .select(col("row"), col("col"),
-          (col("v") * scale).cast("long").as("q")),
-      ref.nrows, ref.ncols, k)
-  }
+  def focalExtrema(k: Int, scale: Long): DataFrame =
+    Focal.extrema(fixedPointCells(scale), ref.nrows, ref.ncols, k)
 
   /** Focal median despeckle: (row, col, med_q), SQL median semantics. */
-  def focalMedian(k: Int, scale: Long = 4L): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    Focal.median(cells.filter(col("v").isNotNull)
-        .select(col("row"), col("col"),
-          (col("v") * scale).cast("long").as("q")),
-      ref.nrows, ref.ncols, k)
-  }
+  def focalMedian(k: Int, scale: Long): DataFrame =
+    Focal.median(fixedPointCells(scale), ref.nrows, ref.ncols, k)
 
   /** Incremental overview pyramid: (level, row, col, n, sum_q) for
     * levels 1..`levels`; level-L (r, c) covers 2^L x 2^L base cells. */
-  def pyramid(levels: Int, scale: Long = 4L): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    Pyramid.build(cells.filter(col("v").isNotNull)
-        .select(col("row"), col("col"),
-          (col("v") * scale).cast("long").as("q")),
-      levels)
-  }
+  def pyramid(levels: Int, scale: Long): DataFrame =
+    Pyramid.build(fixedPointCells(scale), levels)
 
   /** Weighted cost distance from the cells satisfying `isSource`,
     * treating this raster as the friction surface: (row, col, dist)

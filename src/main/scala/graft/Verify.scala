@@ -38,7 +38,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // honor the same SPARK_GRAFT_ONLY filter: a partial dump must not ship
+    // oracle entries for queries it didn't run, or the compare reports
+    // "no spark output" failures for every omitted query
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -227,14 +227,14 @@ class RasterApiSpec extends AnyFunSuite {
       v = Synth.demValue(r, c) if !v.isNaN
     } yield (v * 4).toLong
     assert(win.size == 9, "pick a hole-free window for the closed form")
-    val fs = dem.focalStats(k = 1)
+    val fs = dem.focalStats(k = 1, scale = 4)
       .filter(col("row") === tr && col("col") === tc).head()
     assert(fs.getLong(2) == 9L && fs.getLong(3) == win.sum)
-    val fe = dem.focalExtrema(k = 1)
+    val fe = dem.focalExtrema(k = 1, scale = 4)
       .filter(col("row") === tr && col("col") === tc).head()
     assert(fe.getLong(2) == win.min && fe.getLong(3) == win.max)
     val sortedWin = win.sorted
-    val fm = dem.focalMedian(k = 1)
+    val fm = dem.focalMedian(k = 1, scale = 4)
       .filter(col("row") === tr && col("col") === tc).head()
     assert(fm.getDouble(2) == sortedWin(4).toDouble)
     // pyramid level-1 block (50, 25) = base cells rows 100-101, cols 50-51
@@ -242,7 +242,7 @@ class RasterApiSpec extends AnyFunSuite {
       r <- 100 to 101; c <- 50 to 51
       v = Synth.demValue(r, c) if !v.isNaN
     } yield (v * 4).toLong
-    val py = dem.pyramid(levels = 1)
+    val py = dem.pyramid(levels = 1, scale = 4)
       .filter(col("row") === 50 && col("col") === 25).head()
     assert(py.getLong(3) == blk.size && py.getLong(4) == blk.sum)
     // cost distance: sources themselves are 0
