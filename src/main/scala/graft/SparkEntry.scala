@@ -1048,6 +1048,21 @@ object SparkEntry {
       df
     }),
 
+    // LEFT OUTER stream-stream interval join — the hardest streaming
+    // join path: unmatched clicks emit null purchase columns only once
+    // the watermark proves no match can arrive; the staged far-future
+    // sentinels advance it past every real click. Must equal the batch
+    // LEFT JOIN exactly.
+    "s5_stream_join_outer" -> ((s, dir) => {
+      val staged = stagedEvents(s, dir)
+      val ckpt = java.nio.file.Files.createTempDirectory("s5_ckpt").toString
+      val df = withFewPartitions(s) {
+        graft.streaming.StreamOps.intervalJoinOuter(s, staged, ckpt, "s5_mem")
+      }
+      dropCheckpoint(ckpt)
+      df
+    }),
+
     // Video modality: deterministic synthetic clips as REAL GIF89a binary
     // columns (8 clips x 12 frames), frame-sampled every 3rd frame and
     // reduced to integer stats on the executor (rows-only: no SQL-engine
@@ -2567,6 +2582,18 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // s5: the outer variant — unmatched clicks carry NULL purchase/lag
+    "s5_stream_join_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id AS user_id,
+        |  epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q5_cell_functions" -> {
       // Morton interleave replicated in pure bit-op SQL: a CTE chain of the

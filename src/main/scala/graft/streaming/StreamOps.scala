@@ -225,11 +225,21 @@ object StreamOps {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir)
-    val clicks = src.filter($"event_type" === "click")
+    // the staged far-future zz_flush sentinels are KEPT on both sides:
+    // they must flow through the watermark operators so event time
+    // advances past every real click + window (Catalyst pushes a plain
+    // post-watermark filter back below the watermark node, which would
+    // starve it). They cannot match anything real — a sentinel is 10
+    // days past the last event, so the range condition excludes every
+    // real pairing — and the one sentinel x sentinel pair per user is
+    // dropped at the sink on event_id >= 0.
+    val clicks = src
+      .filter($"event_type".isin("click", "zz_flush"))
       .select($"event_id".as("click_id"), $"user_id".as("c_uid"),
         $"ts".as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
-    val purchases = src.filter($"event_type" === "purchase")
+    val purchases = src
+      .filter($"event_type".isin("purchase", "zz_flush"))
       .select($"event_id".as("purchase_id"), $"user_id".as("p_uid"),
         $"ts".as("p_ts"))
       .withWatermark("p_ts", "10 minutes")
@@ -243,6 +253,58 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(queryName).orderBy($"click_id", $"purchase_id")
+    spark.table(queryName).filter($"click_id" >= 0)
+      .orderBy($"click_id", $"purchase_id")
+  }
+
+  /** LEFT OUTER stream-stream interval join — the hardest streaming-join
+    * path: an unmatched click can only emit (with null purchase columns)
+    * once the purchase-side watermark proves no match can still arrive,
+    * i.e. when it passes `c_ts + window`. The staged far-future flush
+    * rows push the watermark past every real click, so the AvailableNow
+    * drain emits every unmatched left exactly once and the result equals
+    * the batch LEFT JOIN. Same watermark-bounded state as
+    * [[intervalJoin]]; only the null-emission machinery differs. */
+  def intervalJoinOuter(spark: SparkSession, streamDir: String,
+      checkpoint: String, queryName: String,
+      windowMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    require(windowMs > 0 && windowMs % 1000 == 0,
+      s"windowMs must be a positive whole-second span, got $windowMs")
+    val schema = spark.read.parquet(streamDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+    // the staged far-future zz_flush sentinels are KEPT on both sides:
+    // they must flow through the watermark operators so event time
+    // advances past every real click + window (Catalyst pushes a plain
+    // post-watermark filter back below the watermark node, which would
+    // starve it). They cannot match anything real — a sentinel is 10
+    // days past the last event, so the range condition excludes every
+    // real pairing — and the one sentinel x sentinel pair per user is
+    // dropped at the sink on event_id >= 0.
+    val clicks = src
+      .filter($"event_type".isin("click", "zz_flush"))
+      .select($"event_id".as("click_id"), $"user_id".as("c_uid"),
+        $"ts".as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = src
+      .filter($"event_type".isin("purchase", "zz_flush"))
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_uid"),
+        $"ts".as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val q = clicks.join(purchases,
+        $"c_uid" === $"p_uid" &&
+          $"p_ts" >= $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr(s"INTERVAL ${windowMs / 1000} SECONDS"),
+        "left_outer")
+      .select($"click_id", $"purchase_id", $"c_uid".as("user_id"),
+        (unix_millis($"p_ts") - unix_millis($"c_ts")).as("lag_ms"))
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).filter($"click_id" >= 0)
+      .orderBy($"click_id", $"purchase_id")
   }
 }

@@ -88,4 +88,33 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == want,
       s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
   }
+
+  test("LEFT OUTER stream-stream join == batch left join (null emission via watermark)") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("stream-ops-ckpt-jo").toString
+    def key(cid: Long, pid: Option[Long], uid: Long, lag: Option[Long]) =
+      (cid, pid.getOrElse(-1L), uid, lag.getOrElse(Long.MinValue))
+    val got = StreamOps.intervalJoinOuter(spark, streamDir, ckpt, "jotest")
+      .collect().map(r => key(r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val ev = spark.read.parquet(eventsPath)
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_uid"),
+        $"ts".as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_uid"),
+        $"ts".as("p_ts"))
+    val want = c.join(p, $"c_uid" === $"p_uid" && $"p_ts" >= $"c_ts" &&
+        $"p_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"), "left_outer")
+      .select($"click_id", $"purchase_id", $"c_uid",
+        (unix_millis($"p_ts") - unix_millis($"c_ts")).as("lag_ms"))
+      .collect().map(r => key(r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(want.exists(_._2 == -1L), "fixture must have unmatched clicks")
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+  }
 }
