@@ -1179,6 +1179,25 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Tabulate-area overlay (the classic zonal cross-tab): per
+    // (basin, elevation-class) cell counts — ONE equi-join of the r26
+    // watershed labels with the r13 classification plus one partial/final
+    // hash agg; overlay analysis costs two gated operators and a join,
+    // never a new kernel. NULL class = valid cells below the first break
+    // (the rankshow rule r13 gates).
+    "r51_tabulate" -> ((s, _) => {
+      import s.implicits._
+      val basins = Flow.downstream(demTiles(s), Synth.demRef, tileRes)
+        .select($"row", $"col", $"basin_r", $"basin_c")
+      val classed = TileOps.cells(
+          TileFns.classify(demTiles(s), Array(50.0, 100.0, 150.0, 200.0)))
+        .select($"row", $"col", $"v".as("class"))
+      basins.join(classed, Seq("row", "col"))
+        .groupBy($"basin_r", $"basin_c", $"class")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"basin_r", $"basin_c", $"class")
+    }),
+
     // H4: stream-network extraction — D8 edges whose source cell's
     // accumulation meets the channel-initiation threshold (support-area
     // rule). One equi-join of r25's accumulation with r24's directions.
@@ -2852,6 +2871,20 @@ object SparkEntry {
       |       CAST(r AS BIGINT) AS basin_r, CAST(c AS BIGINT) AS basin_c,
       |       CAST(ncard AS BIGINT) AS ncard, CAST(ndiag AS BIGINT) AS ndiag
       |FROM term ORDER BY row, col""".stripMargin,
+
+    // r51: the walk-terminal basin label joined to the class rule
+    "r51_tabulate" -> s"""WITH RECURSIVE $d8WalkCtes,
+      |term AS (SELECT w.sr, w.sc, w.r AS br, w.c AS bc FROM walk w
+      |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.r = w.r AND e.c = w.c)),
+      |cls AS (SELECT r, c,
+      |  CASE WHEN v IS NULL OR v < 50 THEN NULL
+      |       WHEN v < 100 THEN 1.0 WHEN v < 150 THEN 2.0
+      |       WHEN v < 200 THEN 3.0 ELSE 4.0 END AS class
+      |  FROM g)
+      |SELECT CAST(t.br AS BIGINT) AS basin_r, CAST(t.bc AS BIGINT) AS basin_c,
+      |       cl.class AS class, CAST(count(*) AS BIGINT) AS n
+      |FROM term t JOIN cls cl ON cl.r = t.sr AND cl.c = t.sc
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // r27: channel-initiation filter over the walk-derived accumulation,
     // joined back to the D8 edge set (threshold 25 support cells).
