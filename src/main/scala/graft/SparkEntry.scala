@@ -1444,6 +1444,22 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Focal majority (5x5 mode filter) over the r13 classification —
+    // the categorical Expand/Nibble primitive. Separable in COUNT space
+    // (per-class sums), ties to the smallest class; exact Long counts,
+    // so the offset-join + argmax oracle hash-matches.
+    "r52_focal_majority" -> ((s, _) => {
+      import s.implicits._
+      val classed = TileOps.cells(
+          TileFns.classify(demTiles(s), Array(50.0, 100.0, 150.0, 200.0)))
+        .filter($"v".isNotNull)
+        .select($"row", $"col", ($"v" - 1).cast("int").as("cls"))
+      Focal.majority(classed, Synth.demRef.nrows, Synth.demRef.ncols,
+          k = 2, nClasses = 4)
+        .select($"row", $"col", ($"mode_cls" + 1).as("mode_class"), $"n_mode")
+        .orderBy($"row", $"col")
+    }),
+
     // Morphological erosion + dilation (7x7 focal min/max): separable
     // monotone-deque sliding extrema — O(1)/cell amortized, exact Longs,
     // so the brute offset-join oracle is hash-perfect
@@ -2296,6 +2312,31 @@ object SparkEntry {
          |  GROUP BY p.it, t.r, t.c, t.q)
          |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col, d AS dist
          |FROM cd WHERE it = $iters AND d < 1e30 ORDER BY row, col""".stripMargin
+    },
+
+    // r52: offset join over the classed cells + per-class counts + the
+    // (n DESC, cls ASC) argmax — the engine's exact tie-break replicated
+    "r52_focal_majority" -> {
+      val nc = Synth.demRef.ncols
+      val n = Synth.demRef.nrows.toLong * nc
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c FROM range($n) t(i)),
+         |vv AS (SELECT r, c, CASE WHEN (r * $nc + c) % 97 = 13 THEN NULL
+         |    ELSE ((r * 31 + c * 17) % 1000) / 4.0 END AS v FROM g),
+         |cls AS (SELECT r, c, CASE WHEN v < 100 THEN 1 WHEN v < 150 THEN 2
+         |    WHEN v < 200 THEN 3 ELSE 4 END AS cl
+         |  FROM vv WHERE v IS NOT NULL AND v >= 50),
+         |win AS (
+         |  SELECT g.r AS row, g.c AS col, x.cl, count(*) AS n
+         |  FROM g JOIN cls x
+         |    ON x.r BETWEEN g.r - 2 AND g.r + 2
+         |   AND x.c BETWEEN g.c - 2 AND g.c + 2
+         |  GROUP BY 1, 2, 3),
+         |best AS (SELECT row, col, cl, n,
+         |  row_number() OVER (PARTITION BY row, col ORDER BY n DESC, cl ASC) AS rn
+         |  FROM win)
+         |SELECT row, col, CAST(cl AS BIGINT) AS mode_class,
+         |  CAST(n AS BIGINT) AS n_mode
+         |FROM best WHERE rn = 1 ORDER BY row, col""".stripMargin
     },
 
     // r44: brute 7x7 offset join, min/max over valid neighbors

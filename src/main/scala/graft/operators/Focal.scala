@@ -171,6 +171,79 @@ object Focal {
       .toDF("row", "col", "min_q", "max_q")
   }
 
+  /** Focal MAJORITY (mode) filter over the (2k+1)^2 window — the
+    * categorical-raster Expand/Nibble primitive: each position takes the
+    * most frequent class among its valid neighbors, ties to the SMALLEST
+    * class id (deterministic, so the gate hashes). Unlike the median,
+    * the mode IS separable in count space: per-class window counts are
+    * sums, so pass 1 emits per-row horizontal count VECTORS (one Long
+    * per class) and pass 2 stacks them vertically — two descriptor
+    * shuffles whatever k, O(k + nClasses)/cell. `vals`: (row, col,
+    * cls: Int in [0, nClasses)) for VALID cells only. */
+  def majority(vals: DataFrame, nrows: Int, ncols: Int, k: Int,
+      nClasses: Int): DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"window half-width must be >= 1, got $k")
+    require(nClasses >= 1 && nClasses <= 4096,
+      s"nClasses must be in [1, 4096], got $nClasses")
+    val strips = vals
+      .select(col("row").cast("long").as("r"), col("col").cast("int").as("c"),
+        col("cls").cast("int").as("cls"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (r, it) =>
+        val cls = new Array[Int](ncols)
+        val m = new Array[Boolean](ncols)
+        it.foreach { case (_, c, g) =>
+          require(g >= 0 && g < nClasses, s"class $g out of [0, $nClasses)")
+          cls(c) = g; m(c) = true
+        }
+        (0 until ncols).iterator.flatMap { c =>
+          val cnt = new Array[Long](nClasses)
+          var any = false
+          var j = math.max(0, c - k)
+          val jEnd = math.min(ncols - 1, c + k)
+          while (j <= jEnd) {
+            if (m(j)) { cnt(cls(j)) += 1; any = true }
+            j += 1
+          }
+          if (any) Iterator.single((r, c, cnt)) else Iterator.empty
+        }
+      }
+    strips.groupByKey(_._2)
+      .flatMapGroups { (c, it) =>
+        val cnt = Array.ofDim[Long](nrows, nClasses)
+        val m = new Array[Boolean](nrows)
+        it.foreach { case (r, _, v) => cnt(r.toInt) = v; m(r.toInt) = true }
+        (0 until nrows).iterator.flatMap { r =>
+          val tot = new Array[Long](nClasses)
+          var any = false
+          var i = math.max(0, r - k)
+          val iEnd = math.min(nrows - 1, r + k)
+          while (i <= iEnd) {
+            if (m(i)) {
+              var g = 0
+              while (g < nClasses) { tot(g) += cnt(i)(g); g += 1 }
+              any = true
+            }
+            i += 1
+          }
+          if (!any) Iterator.empty
+          else {
+            var best = 0
+            var g = 1
+            while (g < nClasses) {
+              if (tot(g) > tot(best)) best = g // ties keep the smaller id
+              g += 1
+            }
+            Iterator.single((r.toLong, c.toLong, best.toLong, tot(best)))
+          }
+        }
+      }
+      .toDF("row", "col", "mode_cls", "n_mode")
+  }
+
   /** Focal median (the despeckle filter) over the (2k+1)^2 window: the
     * middle valid value, or the mean of the two middles for even counts
     * (SQL median semantics — `(a+b)/2.0` of exact Longs is an exact

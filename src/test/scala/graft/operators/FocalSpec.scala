@@ -180,6 +180,41 @@ class FocalSpec extends AnyFunSuite {
     assert(med(1L) == big.toDouble)
   }
 
+  test("majority == brute mode with smallest-class tie-break") {
+    val rnd = new scala.util.Random(103)
+    val s = spark
+    import s.implicits._
+    for (trial <- 0 until 5) {
+      val nrows = 5 + rnd.nextInt(25)
+      val ncols = 5 + rnd.nextInt(25)
+      val k = 1 + rnd.nextInt(3)
+      val nCls = 2 + rnd.nextInt(4) // few classes -> frequent ties
+      val vals = (for {
+        r <- 0 until nrows; c <- 0 until ncols
+        if rnd.nextDouble() < 0.7
+      } yield (r, c, rnd.nextInt(nCls))).toSeq
+      val got = Focal.majority(vals.toDF("row", "col", "cls"),
+          nrows, ncols, k, nCls)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+          (x.getLong(2), x.getLong(3))).toMap
+      val m = vals.map { case (r, c, g) => (r, c) -> g }.toMap
+      val want = (for {
+        r <- 0 until nrows; c <- 0 until ncols
+        cells = for {
+          i <- math.max(0, r - k) to math.min(nrows - 1, r + k)
+          j <- math.max(0, c - k) to math.min(ncols - 1, c + k)
+          g <- m.get((i, j))
+        } yield g
+        if cells.nonEmpty
+      } yield {
+        val counts = cells.groupBy(identity).map { case (g, xs) => g -> xs.size }
+        val best = counts.toSeq.minBy { case (g, cnt) => (-cnt, g) }
+        (r.toLong, c.toLong) -> (best._1.toLong, best._2.toLong)
+      }).toMap
+      assert(got == want, s"trial $trial ${nrows}x$ncols k=$k nCls=$nCls")
+    }
+  }
+
   test("focal scale smoke: 2048x2048 (4.2M cells), closed-form aggregate gate") {
     val s = spark
     import s.implicits._
