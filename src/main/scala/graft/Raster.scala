@@ -321,6 +321,16 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   def focalMedian(k: Int, scale: Long): DataFrame =
     Focal.median(fixedPointCells(scale), ref.nrows, ref.ncols, k)
 
+  /** Focal majority (mode) filter over a CATEGORICAL raster whose valid
+    * values are integer class ids in [0, nClasses): (row, col, mode_cls,
+    * n_mode), ties to the smallest class. */
+  def focalMajority(k: Int, nClasses: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Focal.majority(cells.filter(col("v").isNotNull)
+        .select(col("row"), col("col"), col("v").cast("int").as("cls")),
+      ref.nrows, ref.ncols, k, nClasses)
+  }
+
   /** Incremental overview pyramid: (level, row, col, n, sum_q) for
     * levels 1..`levels`; level-L (r, c) covers 2^L x 2^L base cells. */
   def pyramid(levels: Int, scale: Long): DataFrame =

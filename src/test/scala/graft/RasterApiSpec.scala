@@ -245,6 +245,11 @@ class RasterApiSpec extends AnyFunSuite {
     val py = dem.pyramid(levels = 1, scale = 4)
       .filter(col("row") === 50 && col("col") === 25).head()
     assert(py.getLong(3) == blk.size && py.getLong(4) == blk.sum)
+    // focal majority over the 4-class rank raster (classes 1..4 + nulls)
+    val classed = dem.classify(Array(50.0, 100.0, 150.0, 200.0))
+    val mj = classed.focalMajority(k = 1, nClasses = 5)
+    assert(mj.columns.toSeq == Seq("row", "col", "mode_cls", "n_mode"))
+    assert(mj.count() > 0)
     // cost distance: sources themselves are 0
     val cd = dem.costDistance(_ >= 240.0)
       .filter(col("dist") === 0.0).count()
