@@ -271,6 +271,29 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
         col("ncard"), col("ndiag"), (col("v") - col("vs")).as("hand"))
   }
 
+  /** Topographic wetness / stream power composite (Beven & Kirkby 1979,
+    * Moore et al. 1991): per cell the specific catchment area
+    * `sca = flowAcc * cellsize`, Horn slope magnitude, stream power
+    * `spi = sca * slope` and the wetness argument `twi_arg = sca / slope`
+    * (null on flats). ln() is left to the caller — it is monotone, so
+    * ranking/thresholding on `twi_arg` is equivalent, and omitting it
+    * keeps every value a chain of correctly-rounded IEEE ops (exactly
+    * reproducible cross-engine). One row/col equi-join of the flowAcc
+    * condensation with the gradient stencil — no new kernel. */
+  def wetness: DataFrame = {
+    import org.apache.spark.sql.functions._
+    val acc = Flow.flowAcc(tiles, ref, res)
+    val grad = Stencil.hornGradient(tiles, ref, res)
+      .select(col("row").cast("long").as("row"),
+        col("col").cast("long").as("col"), col("gx"), col("gy"))
+    acc.join(grad, Seq("row", "col"))
+      .select(col("row"), col("col"),
+        (col("acc").cast("double") * lit(ref.cellsize)).as("sca"),
+        sqrt(col("gx") * col("gx") + col("gy") * col("gy")).as("slope"))
+      .withColumn("spi", col("sca") * col("slope"))
+      .withColumn("twi_arg", when(col("slope") =!= 0.0, col("sca") / col("slope")))
+  }
+
   /** Focal terrain indices: (row, col, tpi, tri) over the 8-neighborhood. */
   def terrainIndices: DataFrame = Stencil.terrainIndices(tiles, ref, res)
 

@@ -1460,6 +1460,25 @@ object SparkEntry {
         .orderBy($"row", $"col")
     }),
 
+    // Topographic wetness (TWI argument) + stream power (SPI): the
+    // classic hydrology composite of specific catchment area
+    // (flowAcc * cellsize, integer-exact) against the Horn slope
+    // magnitude. ln() is deliberately NOT applied — every emitted value
+    // is a chain of single correctly-rounded IEEE ops (multiply, divide,
+    // sqrt) on operands already proven bit-identical cross-engine by the
+    // r25 and r8 gates, so the composite hash-matches where a libm log
+    // would diverge in the last ulp (callers apply ln downstream; it is
+    // monotone, so ranking/thresholding on twi_arg is equivalent).
+    // Scale shape: one row/col equi-join of two gated operators
+    // (r25 tile condensation x r8 halo stencil) — overlay composition,
+    // no new kernel, no extra shuffle beyond the join.
+    "r53_twi" -> ((s, _) => {
+      import s.implicits._
+      Raster(demTiles(s), Synth.demRef, tileRes).wetness
+        .filter(($"row" * lit(Synth.demRef.ncols) + $"col") % 5 === 1)
+        .orderBy($"row", $"col")
+    }),
+
     // Morphological erosion + dilation (7x7 focal min/max): separable
     // monotone-deque sliding extrema — O(1)/cell amortized, exact Longs,
     // so the brute offset-join oracle is hash-perfect
@@ -2337,6 +2356,46 @@ object SparkEntry {
          |SELECT row, col, CAST(cl AS BIGINT) AS mode_class,
          |  CAST(n AS BIGINT) AS n_mode
          |FROM best WHERE rn = 1 ORDER BY row, col""".stripMargin
+    },
+
+    // r53: the recursive D8 walk (acc) joined to the closed-form Horn
+    // gradient (r8's CTE shape), composed with the exact op order of the
+    // engine: sca = acc*cs, slope = sqrt(gx*gx + gy*gy), spi = sca*slope,
+    // twi_arg = sca/slope — each a single correctly-rounded IEEE op
+    "r53_twi" -> {
+      val nc = Synth.demRef.ncols
+      def v(rr: String, cc: String): String =
+        s"((($rr) * 31 + ($cc) * 17) % 1000) / 4.0"
+      def hole(rr: String, cc: String): String =
+        s"(($rr) * $nc + ($cc)) % 97 = 13"
+      val nbr = Seq(
+        ("tl", -1, -1), ("tp", -1, 0), ("tr", -1, 1),
+        ("l", 0, -1), ("rt", 0, 1),
+        ("bl", 1, -1), ("bt", 1, 0), ("br", 1, 1))
+      val holes = (nbr.map { case (_, dr, dc) => hole(s"gg.r + $dr", s"gg.c + $dc") } :+
+        hole("gg.r", "gg.c")).mkString(" OR ")
+      val defs = nbr.map { case (nm, dr, dc) => s"${v(s"gg.r + $dr", s"gg.c + $dc")} AS $nm" }
+        .mkString(",\n  ")
+      s"""WITH RECURSIVE $d8WalkCtes,
+         |acc AS (SELECT r, c, CAST(count(*) AS DOUBLE) AS acc
+         |  FROM walk GROUP BY 1, 2),
+         |intr AS (SELECT gg.r, gg.c, $defs
+         |  FROM g gg
+         |  WHERE gg.r BETWEEN 1 AND ${Synth.demRef.nrows - 2}
+         |    AND gg.c BETWEEN 1 AND ${nc - 2}
+         |    AND NOT ($holes)),
+         |grad AS (SELECT r, c,
+         |  ((tr + 2 * rt + br) - (tl + 2 * l + bl)) / (8 * 5.0) AS gx,
+         |  ((tl + 2 * tp + tr) - (bl + 2 * bt + br)) / (8 * 5.0) AS gy
+         |  FROM intr),
+         |tw AS (SELECT a.r, a.c,
+         |  a.acc * 5.0 AS sca,
+         |  sqrt(gd.gx * gd.gx + gd.gy * gd.gy) AS slope
+         |  FROM acc a JOIN grad gd ON gd.r = a.r AND gd.c = a.c)
+         |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+         |  sca, slope, sca * slope AS spi,
+         |  CASE WHEN slope <> 0 THEN sca / slope END AS twi_arg
+         |FROM tw WHERE (r * $nc + c) % 5 = 1 ORDER BY row, col""".stripMargin
     },
 
     // r44: brute 7x7 offset join, min/max over valid neighbors

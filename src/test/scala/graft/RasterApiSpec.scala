@@ -142,6 +142,15 @@ class RasterApiSpec extends AnyFunSuite {
     assert(g.streamNetwork(threshold = 10L).count() > 0)
     assert(g.flowLength.count() == valid)
     assert(g.terrainIndices.count() > 0)
+    // wetness composite: sca = acc*cs everywhere, spi = sca*slope, and
+    // twi_arg only null on true flats (slope exactly 0)
+    val tw = g.wetness
+    assert(tw.columns.toSeq == Seq("row", "col", "sca", "slope", "spi", "twi_arg"))
+    val twBad = tw.where($"sca" <= 0.0 ||
+      ($"slope" =!= 0.0 && ($"twi_arg".isNull || $"spi" =!= $"sca" * $"slope")) ||
+      ($"slope" === 0.0 && $"twi_arg".isNotNull)).count()
+    assert(twBad == 0L, "wetness invariants violated")
+    assert(tw.count() > 0)
     assert(g.contour(level = 12.125).count() > 0)
     // terrain derivative wiring: curvature + aspect route to the stencils
     val cv = g.curvature
