@@ -244,6 +244,35 @@ object SparkEntry {
         .orderBy($"burn")
     }),
 
+    // The reference's flagship tutorial pipeline end-to-end
+    // (demo/tutorial_edit_DEM.ipynb cells 4-12) as ONE gated query:
+    // rect_clip(extent) -> rasterize(features, attribute burn) ->
+    // arithmetic edit `dem - 2*burn` under the burn mask -> band
+    // aggregates of original vs edited surface + edit counts. Every
+    // value is exact dyadic (quarter-unit DEM, integer attrs), so band
+    // sums are order-free and the composite hash-gates. Plan shape:
+    // pruned clip scan + broadcast burn join + one hash agg — the
+    // "edit DEM by features" job a reference user runs today, in tile
+    // form end to end.
+    "r54_edit_dem" -> ((s, _) => {
+      import s.implicits._
+      val (clipped, (r0, _, _, _)) =
+        TileOps.rectClip(demTiles(s), Synth.demRef, Synth.tutorialClip, tileRes)
+      val burned = Rasterize(s, Synth.ca1Features, Synth.demRef, tileRes,
+        useAttr = true)
+      Rasterize.editJoin(TileOps.cells(clipped), burned)
+        .select($"row", $"col", $"v",
+          when($"burn".isNotNull, $"v" - $"burn" * 2.0).otherwise($"v")
+            .as("v_edit"),
+          ($"v".isNotNull && $"burn".isNotNull).as("edited"))
+        .withColumn("band", floor(($"row" - lit(r0)) / 16).cast("long"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_cells"), sum($"v").as("sum_v"),
+          sum($"v_edit").as("sum_edit"),
+          count(when($"edited", 1)).as("n_edited"))
+        .orderBy($"band")
+    }),
+
     // J5: kNN scattered->grid interpolation (bucketed k-d tree path)
     "r5_knn" -> ((s, _) => {
       import s.implicits._
@@ -2048,6 +2077,29 @@ object SparkEntry {
          |SELECT burn, CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(r) AS BIGINT) AS sum_row, CAST(sum(c) AS BIGINT) AS sum_col
          |FROM f WHERE burn IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // r54: the r2 clip window x the r4 burn CASE, composed with the
+    // tutorial's edit rule (dem - 2*burn under the mask); quarter-unit
+    // dyadic values make the band sums exact in any order
+    "r54_edit_dem" -> {
+      val ref = Synth.demRef
+      val (r0, r1, c0, c1) = ref.clipWindow(Synth.tutorialClip)
+      val cases = Synth.ca1Features.sortBy(-_.seq).map { f =>
+        s"WHEN ${pipSql(f.xs, f.ys)} THEN ${f.attr}"
+      }.mkString(" ")
+      s"""WITH g AS ($demSql),
+         |w AS (SELECT r, c, v,
+         |  ${ref.left} + (c + 0.5) * ${ref.cellsize} AS px,
+         |  ${ref.top} - (r + 0.5) * ${ref.cellsize} AS py
+         |  FROM g WHERE r BETWEEN $r0 AND $r1 AND c BETWEEN $c0 AND $c1),
+         |e AS (SELECT r, c, v, CASE $cases END AS burn FROM w)
+         |SELECT CAST((r - $r0) // 16 AS BIGINT) AS band,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  sum(v) AS sum_v,
+         |  sum(CASE WHEN burn IS NOT NULL THEN v - burn * 2.0 ELSE v END) AS sum_edit,
+         |  CAST(count(CASE WHEN v IS NOT NULL AND burn IS NOT NULL THEN 1 END) AS BIGINT) AS n_edited
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "r5_knn" ->
