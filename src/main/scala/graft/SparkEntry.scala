@@ -917,6 +917,29 @@ object SparkEntry {
         .orderBy($"id_a")
     }),
 
+    // Image quality curation gates: real PNG decode -> per-image
+    // fixed-point quality kernel (contrast span, distinct-code texture
+    // count, L1 gradient energy as the blur/sharpness proxy) -> keep
+    // verdict — the pre-training image filters (drop solid-fill /
+    // low-contrast / blurred junk). Per-image executor kernel, zero
+    // shuffle: at 10^12 rows the job is one scan -> map -> write.
+    // Oracle: the exact corpus decodes to closed-form integer codes
+    // (code = (gr*31+gc*17) % 1000, payload = code/64), so DuckDB
+    // regenerates every statistic — including both gradient sums via the
+    // mod-1000 wrap rule — without an image codec; the engine side still
+    // runs the real encode -> decode -> kernel path.
+    "i6_image_quality" -> ((s, _) => {
+      import s.implicits._
+      val corpus = ImageCorpus.generateExact(s, 64L, 8)
+      ImageCorpus.decodeTiles(corpus, 8).map { t =>
+        val q = graft.codecs.ImageCodec.qualityStats(t.payload, t.w, t.h)
+        (t.imageId, q.qMin, q.qMax, q.qMax - q.qMin, q.nDistinct, q.gradL1,
+          q.qMax - q.qMin >= 64L && q.nDistinct >= 16L)
+      }.toDF("image_id", "q_min", "q_max", "q_span", "n_distinct",
+          "grad_l1", "keep")
+        .orderBy($"image_id")
+    }),
+
     // PERCEPTUAL near-dup join over the image corpus: decode -> phash64
     // -> pigeonhole-banded hamming<=6 join (the same shuffled equi-join
     // scale shape as d5 — never the O(N²) cartesian). Input is the
@@ -2980,6 +3003,29 @@ object SparkEntry {
         |  'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS id_b
         |FROM range(1024) t(i) WHERE i > 0 AND i % 251 = 0
         |ORDER BY id_a""".stripMargin,
+
+    // i6: codes regenerate by formula; within an image the horizontal
+    // neighbor code is (q+17) mod 1000 and the vertical (q+31) mod 1000,
+    // so each |Δ| is 17 (983 on wrap, q >= 983) resp. 31 (969 on wrap,
+    // q >= 969) — the gradient sums collapse to one scan, no self-join
+    "i6_image_quality" ->
+      """WITH px AS (
+        |  SELECT t.i AS i, r.r AS r, c.c AS c,
+        |    (((t.i // 8) * 256 + r.r) * 31 + ((t.i % 8) * 256 + c.c) * 17) % 1000 AS q
+        |  FROM range(64) t(i), range(256) r(r), range(256) c(c)),
+        |st AS (
+        |  SELECT i, min(q) AS q_min, max(q) AS q_max,
+        |    count(DISTINCT q) AS n_distinct,
+        |    sum(CASE WHEN c < 255 THEN (CASE WHEN q >= 983 THEN 983 ELSE 17 END) ELSE 0 END
+        |      + CASE WHEN r < 255 THEN (CASE WHEN q >= 969 THEN 969 ELSE 31 END) ELSE 0 END) AS grad_l1
+        |  FROM px GROUP BY i)
+        |SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        |  CAST(q_min AS BIGINT) AS q_min, CAST(q_max AS BIGINT) AS q_max,
+        |  CAST(q_max - q_min AS BIGINT) AS q_span,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(grad_l1 AS BIGINT) AS grad_l1,
+        |  (q_max - q_min >= 64 AND n_distinct >= 16) AS keep
+        |FROM st ORDER BY image_id""".stripMargin,
 
     // v1: the GIF frame gray code is trunc((v-0)/250*255) of the integer
     // frame formula — identical IEEE double arithmetic in both engines

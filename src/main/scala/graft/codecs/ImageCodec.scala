@@ -462,4 +462,49 @@ object ImageCodec {
     }
     hash
   }
+
+  /** Per-image quality statistics in the PNG fixed-point code domain
+    * (q = rint(v * PngScale)) — the gates a multimodal curation pipeline
+    * applies before training: contrast (qMin/qMax span), texture richness
+    * (distinct code count — near-constant images are screensaver/solid-fill
+    * junk), and an L1 gradient energy `gradL1 = Σ|Δq|` over horizontal +
+    * vertical neighbor pairs (the blur/sharpness proxy: blurred content has
+    * low gradient energy). All-Long arithmetic so results are exact and
+    * order-free; NaN pixels are skipped (and break gradient pairs). */
+  final case class QualityStats(qMin: Long, qMax: Long, nValid: Long,
+      nDistinct: Long, gradL1: Long)
+
+  def qualityStats(values: Array[Double], w: Int, h: Int): QualityStats = {
+    var qMin = Long.MaxValue
+    var qMax = Long.MinValue
+    var nValid = 0L
+    val seen = new java.util.HashSet[Long]()
+    var grad = 0L
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val v = values(r * w + c)
+        if (!v.isNaN) {
+          val q = Math.rint(v * PngScale).toLong
+          if (q < qMin) qMin = q
+          if (q > qMax) qMax = q
+          nValid += 1
+          seen.add(q)
+          if (c + 1 < w) {
+            val vr = values(r * w + c + 1)
+            if (!vr.isNaN) grad += math.abs(Math.rint(vr * PngScale).toLong - q)
+          }
+          if (r + 1 < h) {
+            val vd = values((r + 1) * w + c)
+            if (!vd.isNaN) grad += math.abs(Math.rint(vd * PngScale).toLong - q)
+          }
+        }
+        c += 1
+      }
+      r += 1
+    }
+    QualityStats(if (nValid == 0) 0L else qMin, if (nValid == 0) 0L else qMax,
+      nValid, seen.size.toLong, grad)
+  }
 }

@@ -122,4 +122,27 @@ class CodecSpec extends AnyFunSuite {
     val withNaN = resizeBilinear(Array(1.0, Double.NaN, 3.0, 4.0), 2, 2, 1, 1)
     assert(withNaN(0).isNaN)
   }
+
+  test("qualityStats: exact code-domain stats; NaN skipped and breaks gradient pairs") {
+    import graft.codecs.ImageCodec, ImageCodec.qualityStats
+    val s = ImageCodec.PngScale
+    // 3x2 grid of codes 0,64,128 / 192,192,0 -> values = code/scale
+    val px = Array(0.0, 64 / s, 128 / s, 192 / s, 192 / s, 0.0)
+    val q = qualityStats(px, 3, 2)
+    assert(q == ImageCodec.QualityStats(qMin = 0, qMax = 192, nValid = 6,
+      nDistinct = 4,
+      // horizontal: |64-0| + |128-64| + |192-192| + |0-192| = 320
+      // vertical:   |192-0| + |192-64| + |0-128|            = 448
+      gradL1 = 768))
+    // a NaN pixel is excluded from min/max/count and breaks BOTH gradient
+    // pairs it participates in (left-right and up-down)
+    val holed = px.clone(); holed(1) = Double.NaN
+    val qh = qualityStats(holed, 3, 2)
+    assert(qh.nValid == 5 && qh.nDistinct == 3)
+    // remaining pairs: h |192-192| + |0-192|, v |192-0| + |0-128| = 512
+    assert(qh.gradL1 == 512)
+    // all-NaN image degrades to zeros, not Long extremes
+    val allNaN = qualityStats(Array.fill(4)(Double.NaN), 2, 2)
+    assert(allNaN == ImageCodec.QualityStats(0, 0, 0, 0, 0))
+  }
 }
