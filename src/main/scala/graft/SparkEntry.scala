@@ -614,6 +614,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Substring-level dedup metric (the span-dedup signal of Lee et al.
+    // 2022, gram form): per document, how many of its word-8-gram
+    // occurrences also occur in ANOTHER document — the basis for
+    // trimming boilerplate/quoted passages rather than whole docs. Three
+    // compact-key shuffles, never all-pairs: grams ride as xxhash64
+    // longs (same collision analysis as d3/d15); (h, doc) counts
+    // aggregate map-side before the cross-doc df filter; the final
+    // per-doc aggs see only hashed descriptors. dup_frac is one IEEE
+    // division on exact integer operands; keep = at most half the gram
+    // mass duplicated (integer compare, no rounding).
+    "d19_dup_grams" -> ((s, dir) => {
+      import s.implicits._
+      val gc = table(s, dir, "documents")
+        .select($"doc_id", explode(
+          graft.text.TextOps.wordShingles(split($"text", " "), 8)).as("g"))
+        .select($"doc_id", xxhash64($"g").as("h"))
+        .groupBy($"h", $"doc_id").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cross = gc.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2).select($"h")
+      val nGrams = gc.groupBy($"doc_id").agg(sum($"c").as("n_grams"))
+      val nDup = gc.join(cross, Seq("h"), "left_semi")
+        .groupBy($"doc_id").agg(sum($"c").as("n_dup"))
+      nGrams.join(nDup, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_grams",
+          coalesce($"n_dup", lit(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          $"n_dup".cast("double") / $"n_grams".cast("double"))
+        .withColumn("keep", $"n_dup" * 2 <= $"n_grams")
+        .orderBy($"doc_id")
+    }),
+
     // near-dup: exact 3-gram Jaccard >= 0.8 — inverted-index candidates
     // with a document-frequency cap (stop-shingle O(df^2) guard), exact
     // verify over the full hashed shingle sets
@@ -2845,6 +2877,26 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM sigs e
         |    WHERE e.doc_id % 2 = 0 AND e.sig = n.sig)
         |ORDER BY n.doc_id""".stripMargin,
+
+    // d19: the same gram/count/df construction over string grams (the
+    // engine's xxhash64 gram keys are a pure transport encoding)
+    "d19_dup_grams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |            w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+        |            for i in range(1, len(w) - 6)]) AS g
+        |  FROM toks WHERE len(w) >= 8),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |cg AS (SELECT g FROM gc GROUP BY g HAVING count(*) >= 2),
+        |ng AS (SELECT doc_id, sum(c) AS n_grams FROM gc GROUP BY 1),
+        |nd AS (SELECT gc.doc_id, sum(gc.c) AS n_dup FROM gc JOIN cg USING (g) GROUP BY 1)
+        |SELECT ng.doc_id AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+        |  coalesce(n_dup, 0) * 2 <= n_grams AS keep
+        |FROM ng LEFT JOIN nd ON nd.doc_id = ng.doc_id
+        |ORDER BY ng.doc_id""".stripMargin,
 
     "d2_quality" ->
       """SELECT doc_id,
