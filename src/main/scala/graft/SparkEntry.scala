@@ -614,6 +614,56 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Bloom-prefiltered incremental dedup — d18's 100 TB steady-state
+    // shape: the corpus sig index folds to a broadcast Bloom filter
+    // (treeAggregate; driver holds bits, never sigs), bloom-NEGATIVE
+    // incoming rows are provably new and skip the anti-join shuffle
+    // entirely, bloom-positive rows (true dups + ~1% false positives)
+    // exact-verify via LEFT ANTI. No false negatives -> the output is
+    // EXACTLY the plain anti-join's, so the d18 oracle gates the whole
+    // mechanism.
+    "d21_bloom_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents").withColumn("sig",
+        md5(concat_ws(" ", array_sort(array_distinct(split($"text", " "))))))
+      val corpus = docs.filter($"doc_id" % 2 === 0)
+      val incoming = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"sig")
+      graft.text.TextOps.incrementalDedupBloom(incoming, corpus, "sig",
+          expectedItems = 10000L, fpp = 0.01)
+        .select($"doc_id", $"sig")
+        .orderBy($"doc_id")
+    }),
+
+    // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means clusters the
+    // embedding space, then a doc is removed iff an EARLIER member of the
+    // same cluster is cosine >= 0.95. Fixture = the e2 recipe extended
+    // with planted semantics: 12 orthogonal clusters x 36 members on 24
+    // axes, each member carrying one of 12 orthogonal 4.0 "style" axes —
+    // members sharing a style axis are exact dups (cos = 1), the second
+    // copy of each style gets a 0.25 off-axis nudge (cos ~ 0.9996, a
+    // NEAR dup), cross-style cos <= 66/80 = 0.825. All margins >= 0.125
+    // around tau = 0.95 and every coordinate dyadic, so DuckDB recomputes
+    // the identical removal set from closed form. k-means init (lowest 12
+    // vids = one per cluster) provably recovers the clusters.
+    "d20_semdedup" -> ((s, _) => {
+      import s.implicits._
+      val C = 12; val M = 36; val dim = 24
+      val e = s.range(C.toLong * M).map { vid =>
+        val cl = (vid % C).toInt; val m = (vid / C).toInt; val g = m % C
+        val v = Array.tabulate(dim) { d =>
+          var x = 0.0f
+          if (d == cl) x += 8.0f
+          if (d == C + g) x += 4.0f
+          if (m >= 12 && m < 24 && d == C + ((g + 1) % C)) x += 0.25f
+          x
+        }
+        (vid, v)
+      }.toDF("vid", "v")
+      graft.sim.Similarity.semDedup(s, e, k = C, iters = 2, tau = 0.95)
+        .select($"vid", $"cl".cast("long").as("cl"), $"removed")
+        .orderBy($"vid")
+    }),
+
     // Substring-level dedup metric (the span-dedup signal of Lee et al.
     // 2022, gram form): per document, how many of its word-8-gram
     // occurrences also occur in ANOTHER document — the basis for
@@ -1142,6 +1192,21 @@ object SparkEntry {
       val ckpt = java.nio.file.Files.createTempDirectory("s5_ckpt").toString
       val df = withFewPartitions(s) {
         graft.streaming.StreamOps.intervalJoinOuter(s, staged, ckpt, "s5_mem")
+      }
+      dropCheckpoint(ckpt)
+      df
+    }),
+
+    // STREAM-STATIC enrichment join + windowed aggregate — the fourth
+    // streaming-join surface: each micro-batch broadcast-joins a static
+    // per-user segment dimension (stateless — no join state store), then
+    // the watermarked 1-hour windows aggregate per (segment, event_type).
+    // Must equal the batch join + GROUP BY exactly.
+    "s6_stream_static" -> ((s, dir) => {
+      val staged = stagedEvents(s, dir)
+      val ckpt = java.nio.file.Files.createTempDirectory("s6_ckpt").toString
+      val df = withFewPartitions(s) {
+        graft.streaming.StreamOps.streamStaticEnrich(s, staged, ckpt, "s6_mem")
       }
       dropCheckpoint(ckpt)
       df
@@ -2878,6 +2943,48 @@ object SparkEntry {
         |    WHERE e.doc_id % 2 = 0 AND e.sig = n.sig)
         |ORDER BY n.doc_id""".stripMargin,
 
+    // d21: identical rule to d18 — the Bloom pre-filter cannot change
+    // the result (no false negatives; positives are exact-verified)
+    "d21_bloom_dedup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig
+        |  FROM documents)
+        |SELECT n.doc_id, n.sig FROM sigs n
+        |WHERE n.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM sigs e
+        |    WHERE e.doc_id % 2 = 0 AND e.sig = n.sig)
+        |ORDER BY n.doc_id""".stripMargin,
+
+    // d20: regenerate the clustered fixture from closed form (cluster =
+    // vid % 12, provably what k-means recovers), compute every within-
+    // cluster cosine exactly (all-dyadic coordinates), apply the same
+    // earlier-member EXISTS rule at tau = 0.95
+    "d20_semdedup" ->
+      """WITH v AS (
+        |  SELECT t.vid AS vid, d.d AS d,
+        |    (CASE WHEN d.d = t.vid % 12 THEN 8.0 ELSE 0.0 END)
+        |    + (CASE WHEN d.d = 12 + (t.vid // 12) % 12 THEN 4.0 ELSE 0.0 END)
+        |    + (CASE WHEN (t.vid // 12) BETWEEN 12 AND 23
+        |            AND d.d = 12 + ((t.vid // 12) % 12 + 1) % 12
+        |       THEN 0.25 ELSE 0.0 END) AS x
+        |  FROM range(432) t(vid), range(24) d(d)),
+        |norms AS (SELECT vid, sqrt(sum(x*x)) AS n FROM v GROUP BY vid),
+        |pairs AS (
+        |  SELECT a.vid AS ia, b.vid AS ib, sum(a.x * b.x) AS dot
+        |  FROM v a JOIN v b
+        |    ON a.d = b.d AND a.vid % 12 = b.vid % 12 AND a.vid < b.vid
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT DISTINCT p.ib AS vid FROM pairs p
+        |  JOIN norms na ON na.vid = p.ia
+        |  JOIN norms nb ON nb.vid = p.ib
+        |  WHERE p.dot / (na.n * nb.n) >= 0.95)
+        |SELECT t.vid AS vid, t.vid % 12 AS cl,
+        |  (dup.vid IS NOT NULL) AS removed
+        |FROM range(432) t(vid) LEFT JOIN dup ON dup.vid = t.vid
+        |ORDER BY t.vid""".stripMargin,
+
     // d19: the same gram/count/df construction over string grams (the
     // engine's xxhash64 gram keys are a pure transport encoding)
     "d19_dup_grams" ->
@@ -3558,6 +3665,16 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // s6: the stream-static broadcast enrichment + windowed aggregate ==
+    // the batch join + GROUP BY; the segment lookup's closed form is
+    // 'seg' || (user_id % 5), exactly what the static dimension carries.
+    "s6_stream_static" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS w_start,
+        |  'seg' || CAST(user_id % 5 AS VARCHAR) AS segment, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // s2: the streaming sessionizer's final per-user rows equal the batch
     // window-function sessionization — byte-identical to the q4 oracle.

@@ -439,4 +439,42 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("ia"), col("ib"))
   }
+
+  /** Semantic deduplication (the SemDeDup pipeline shape, Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the embedding space with k-means,
+    * then mark a document as a duplicate iff some EARLIER (lower-id)
+    * member of the SAME cluster is cosine-similar above `tau`. Keeping
+    * the earliest member of each epsilon-ball is the deterministic
+    * tie-break; the rule here is the transitive-blind EXISTS variant
+    * (membership of the earlier doc in the kept set is not consulted),
+    * identical and order-free in any engine.
+    *
+    * Scale shape: pairwise cosine runs ONLY inside a cluster — one
+    * shuffle on the cluster id, per-cluster work O((N/k)^2) with
+    * k ~ sqrt(N) lists exactly like IVF; never an all-pairs product
+    * across the corpus. The cluster assignment itself is the broadcast
+    * k-means of [[kmeansWithCentroids]] (driver state = k centroids).
+    * In production the same pairing can ride [[nearDupPairs]]' sign-LSH
+    * inside each cluster when lists grow beyond quadratic comfort.
+    *
+    * Input: (vid: long, v: array<float>). Output one row per input:
+    * (vid, cl, removed) — removed = true iff an earlier same-cluster
+    * doc is >= tau-similar. */
+  def semDedup(spark: SparkSession, vecs: DataFrame, k: Int, iters: Int,
+      tau: Double): DataFrame = {
+    import spark.implicits._
+    val clusters = kmeansClusters(spark, vecs.select(col("vid"), col("v")),
+      "vid", "v", k, iters)
+    val withCl = vecs.join(clusters, Seq("vid"))
+    val removed = withCl.as("a").join(withCl.as("b"),
+        col("a.cl") === col("b.cl") && col("a.vid") < col("b.vid"))
+      .withColumn("cos", dot("a.v", "b.v") /
+        (sqrt(dot("a.v", "a.v")) * sqrt(dot("b.v", "b.v"))))
+      .filter(col("cos") >= tau)
+      .select(col("b.vid").as("vid")).distinct()
+      .withColumn("removed", lit(true))
+    withCl.join(removed, Seq("vid"), "left")
+      .select(col("vid"), col("cl"),
+        coalesce(col("removed"), lit(false)).as("removed"))
+  }
 }

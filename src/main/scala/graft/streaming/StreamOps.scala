@@ -307,4 +307,43 @@ object StreamOps {
     spark.table(queryName).filter($"click_id" >= 0)
       .orderBy($"click_id", $"purchase_id")
   }
+
+  /** STREAM-STATIC enrichment join — the fourth streaming-join surface:
+    * each micro-batch of the event stream broadcast-joins a STATIC
+    * dimension table (here a per-user segment lookup derived from the
+    * same staged data; in production the curated user/source dimension),
+    * then feeds the watermarked 1-hour windowed aggregate per
+    * (segment, event_type). Stream-static inner joins are stateless —
+    * the static side is planned as a broadcast per batch, no join state
+    * store at all — so the only state is the window aggregation's, and
+    * the AvailableNow drain equals the batch join + GROUP BY exactly.
+    * The dimension is read from the staged dir itself so sentinel users
+    * keep flowing through the watermark node (an inner join that dropped
+    * them before the aggregate would still advance event time — they
+    * pass the watermark operator upstream — but keeping them makes the
+    * flush mechanics identical to [[windowedEventCounts]]). */
+  def streamStaticEnrich(spark: SparkSession, streamDir: String,
+      checkpoint: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(streamDir).schema
+    val dim = spark.read.parquet(streamDir)
+      .select($"user_id").distinct()
+      .withColumn("segment", concat(lit("seg"), pmod($"user_id", lit(5))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window($"ts", "1 hour"), $"segment", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("value_cents"))
+      .select(unix_millis($"window.start").as("w_start"), $"segment",
+        $"event_type", $"n", $"value_cents")
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).filter($"event_type" =!= "zz_flush")
+      .orderBy($"w_start", $"segment", $"event_type")
+  }
 }

@@ -357,6 +357,34 @@ object TextOps {
     "es" -> Seq(" el ", " los ", " que "),
     "fr" -> Seq(" le ", " et ", " les "))
 
+  /** Incremental dedup with a broadcast BLOOM pre-filter — the 100 TB
+    * steady-state shape of d18: the corpus signature index folds into a
+    * Bloom filter via `DataFrameStatFunctions.bloomFilter` (a
+    * treeAggregate; the driver holds only the ~`1.2 * n * ln(1/fpp)`-bit
+    * filter, never the signatures), the filter broadcasts to the
+    * incoming side, and ONLY bloom-positive rows (true dups + ~fpp false
+    * positives) reach the exact LEFT ANTI join. Bloom-negative rows are
+    * provably new (no false negatives) and skip the shuffle entirely —
+    * at a 1% dup rate that removes ~99% of the anti-join's probe volume.
+    * The result is EXACTLY the plain anti-join's (false positives are
+    * re-checked; negatives cannot be dups), so the oracle is unchanged.
+    *
+    * Input: `incoming` and `corpusSigs` both carrying `sigCol` (string).
+    * Output: the incoming rows whose signature is not in the corpus. */
+  def incrementalDedupBloom(incoming: DataFrame, corpusSigs: DataFrame,
+      sigCol: String, expectedItems: Long, fpp: Double): DataFrame = {
+    val spark = incoming.sparkSession
+    val index = corpusSigs.select(col(sigCol)).distinct()
+    val bloom = index.stat.bloomFilter(sigCol, expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((sig: String) => bc.value.mightContainString(sig))
+    val flagged = incoming.withColumn("__maybe_dup", mightContain(col(sigCol)))
+    val definitelyNew = flagged.filter(!col("__maybe_dup"))
+    val verifiedNew = flagged.filter(col("__maybe_dup"))
+      .join(index, Seq(sigCol), "left_anti")
+    definitelyNew.unionByName(verifiedNew).drop("__maybe_dup")
+  }
+
   private def occurrences(text: Column, marker: String): Column =
     (length(text) - length(regexp_replace(text, marker, ""))) / marker.length
 

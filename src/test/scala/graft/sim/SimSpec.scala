@@ -218,6 +218,47 @@ class SimSpec extends AnyFunSuite {
     assert(classed(7).isNaN)
   }
 
+  test("semDedup: kmeans recovers clusters; removal == brute within-cluster rule") {
+    import spark.implicits._
+    val C = 12; val M = 36; val dim = 24
+    val pts = (0 until C * M).map { vid =>
+      val cl = vid % C; val m = vid / C; val g = m % C
+      val v = Array.tabulate(dim) { d =>
+        var x = 0.0f
+        if (d == cl) x += 8.0f
+        if (d == C + g) x += 4.0f
+        if (m >= 12 && m < 24 && d == C + ((g + 1) % C)) x += 0.25f
+        x
+      }
+      (vid.toLong, v)
+    }
+    val e = spark.createDataset(pts).toDF("vid", "v")
+    val out = Similarity.semDedup(spark, e, k = C, iters = 2, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.length == C * M)
+    // independent driver-side arithmetic: brute the EXISTS rule directly
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { case (vid, cl, removed) =>
+      assert(cl == (vid % C).toInt, s"kmeans failed to recover cluster of $vid")
+      val brute = pts.exists { case (vj, vv) =>
+        vj < vid && vj % C == vid % C && cos(vv, pts(vid.toInt)._2) >= 0.95
+      }
+      assert(removed == brute, s"vid $vid: removed=$removed brute=$brute")
+      // closed form of the fixture: exactly the m >= 12 members are dups
+      assert(removed == (vid / C >= 12))
+    }
+    // both branches of the gate are exercised
+    assert(out.count(_._3) == C * 24 && out.count(!_._3) == C * 12)
+  }
+
   test("toInt rounds half-even like np.around (Raster.py:152-165)") {
     import graft.core._
     import graft.operators.{TileFns, TileOps}

@@ -117,4 +117,25 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == want,
       s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
   }
+
+  test("stream-static broadcast enrichment + windowed agg == batch join + group by") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("stream-ops-ckpt-ss").toString
+    val got = StreamOps.streamStaticEnrich(spark, streamDir, ckpt, "sstest")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = spark.read.parquet(eventsPath)
+      .withColumn("segment", concat(lit("seg"), pmod($"user_id", lit(5))))
+      .groupBy(window($"ts".cast("timestamp"), "1 hour"), $"segment",
+        $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("value_cents"))
+      .select(unix_millis($"window.start").as("w_start"), $"segment",
+        $"event_type", $"n", $"value_cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+  }
 }

@@ -294,4 +294,35 @@ class TextSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded == brute.toSet)
   }
+
+  test("incrementalDedupBloom == plain anti-join; bloom never false-negative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mix: i % 3 == 0 docs repeat a 25-cycle (true dups across the
+    // even/odd split), the rest are unique (exercise the bloom-negative
+    // skip path); a 1% fpp filter over 400 rows will also throw a few
+    // false positives at the verify join
+    val docs = (0 until 400).map { i =>
+      (i.toLong, if (i % 3 == 0) s"dup${i % 25}" else s"uniq$i")
+    }
+    val df = spark.createDataset(docs).toDF("doc_id", "text")
+      .withColumn("sig", md5($"text"))
+    val corpus = df.filter($"doc_id" % 2 === 0)
+    val incoming = df.filter($"doc_id" % 2 === 1).select($"doc_id", $"sig")
+    val got = TextOps.incrementalDedupBloom(incoming, corpus, "sig",
+        expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    val index = corpus.select($"sig").distinct()
+    val want = incoming.join(index, Seq("sig"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(want.nonEmpty && want.size < 200, "fixture must mix dups and new")
+    assert(got == want)
+    // bloom property the mechanism rests on: every true dup is positive
+    val bloom = index.stat.bloomFilter("sig", 1000L, 0.01)
+    val trueDups = incoming.join(index, Seq("sig"), "left_semi")
+      .select("sig").as[String].collect()
+    assert(trueDups.nonEmpty)
+    trueDups.foreach(sg => assert(bloom.mightContainString(sg),
+      s"false negative for $sg"))
+  }
 }
