@@ -614,6 +614,45 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Per-SOURCE curation rollup — the URL/domain-level filtering shape
+    // of C4/RefinedWeb: one shuffle on the d1 signature marks each doc's
+    // duplication (window count over sig), one partial/final hash agg
+    // rolls docs up to their source with an integer keep rule (drop a
+    // source once >20% of its docs are exact dups). At 100 TB the sig
+    // window and the source agg are the only shuffles; both key on
+    // compact columns.
+    "d22_source_stats" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents").withColumn("sig",
+        md5(concat_ws(" ", array_sort(array_distinct(split($"text", " "))))))
+      val withDup = docs.withColumn("sig_n",
+        count(lit(1)).over(Window.partitionBy($"sig")))
+      withDup.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"sig_n" > 1, 1L).otherwise(0L)).as("n_dup"),
+          sum($"n_chars").as("chars"))
+        .withColumn("dup_frac", $"n_dup".cast("double") / $"n_docs")
+        .withColumn("keep", $"n_dup" * 5 <= $"n_docs")
+        .orderBy($"source")
+    }),
+
+    // kNN label-vote classification — the embedding-eval op: each query
+    // takes the majority label of its exact top-5 cosine neighbours
+    // (ties -> smallest label). The vote layer is deterministic over the
+    // e1-proven rank rows; at scale the same layer rides the IVF/PQ
+    // shortlists.
+    "e5_knn_classify" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val labels = e.select($"vec_id".as("vid"),
+        $"label".cast("long").as("label"))
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.sim.Similarity.knnClassify(q,
+          e.select($"vec_id".as("vid"), $"embedding".as("v")), labels, 5)
+        .orderBy($"qid")
+    }),
+
     // Bloom-prefiltered incremental dedup — d18's 100 TB steady-state
     // shape: the corpus sig index folds to a broadcast Bloom filter
     // (treeAggregate; driver holds bits, never sigs), bloom-NEGATIVE
@@ -2942,6 +2981,41 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM sigs e
         |    WHERE e.doc_id % 2 = 0 AND e.sig = n.sig)
         |ORDER BY n.doc_id""".stripMargin,
+
+    // d22: the same sig-window + source rollup in SQL
+    "d22_source_stats" ->
+      """WITH sigs AS (SELECT doc_id, source, n_chars,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig
+        |  FROM documents),
+        |d AS (SELECT source, n_chars,
+        |    count(*) OVER (PARTITION BY sig) AS sig_n FROM sigs)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN sig_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(CASE WHEN sig_n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac,
+        |  sum(CASE WHEN sig_n > 1 THEN 1 ELSE 0 END) * 5 <= count(*) AS keep
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // e5: e1's exact top-5 CTE extended with the label vote (majority,
+    // ties -> smallest label)
+    "e5_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 50),
+        |p AS (SELECT q.qid, e.vec_id AS vid, e.label AS label,
+        |  (SELECT sum(q.qv[i + 1]::DOUBLE * e.embedding[i + 1]::DOUBLE) FROM range(64) t(i)) AS dot,
+        |  sqrt((SELECT sum(q.qv[i + 1]::DOUBLE * q.qv[i + 1]::DOUBLE) FROM range(64) t(i))) AS qn,
+        |  sqrt((SELECT sum(e.embedding[i + 1]::DOUBLE * e.embedding[i + 1]::DOUBLE) FROM range(64) t(i))) AS en
+        |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT qid, vid, label,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dot / (qn * en) DESC, vid) AS rank
+        |  FROM p),
+        |votes AS (SELECT qid, CAST(label AS BIGINT) AS pred, count(*) AS votes
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |best AS (SELECT qid, pred, votes,
+        |  row_number() OVER (PARTITION BY qid ORDER BY votes DESC, pred) AS vr
+        |  FROM votes)
+        |SELECT b.qid, CAST(e.label AS BIGINT) AS true_label, b.pred, b.votes
+        |FROM best b JOIN embeddings e ON e.vec_id = b.qid
+        |WHERE b.vr = 1 ORDER BY b.qid""".stripMargin,
 
     // d21: identical rule to d18 — the Bloom pre-filter cannot change
     // the result (no false negatives; positives are exact-verified)

@@ -440,6 +440,32 @@ object Similarity {
       .select(col("ia"), col("ib"))
   }
 
+  /** kNN label-vote classification — the standard embedding-eval op
+    * (label propagation / quality probing of a trained embedding space):
+    * each query takes the majority label of its k nearest neighbours,
+    * ties broken by the smallest label. Neighbour search here is the
+    * exact [[bruteTopK]] (the oracle path); at scale the identical vote
+    * layer composes over [[ivfTopK]]/[[ivfPqTopK]] shortlists — the vote
+    * is one tiny groupBy over (qid, label) counts either way.
+    *
+    * Input: queries (qid, qv), corpus (vid, v), labels (vid, label).
+    * Output: (qid, true_label, pred, votes). */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, labels: DataFrame,
+      k: Int): DataFrame = {
+    val top = bruteTopK(queries, corpus, k)
+      .join(labels, Seq("vid"))
+    val counts = top.groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("label").as("pred"), col("votes"))
+      .join(labels.select(col("vid").as("qid"),
+        col("label").as("true_label")), Seq("qid"))
+      .select(col("qid"), col("true_label"), col("pred"), col("votes"))
+  }
+
   /** Semantic deduplication (the SemDeDup pipeline shape, Abbas et al.
     * 2023, arXiv:2303.09540): cluster the embedding space with k-means,
     * then mark a document as a duplicate iff some EARLIER (lower-id)
