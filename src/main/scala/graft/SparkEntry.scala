@@ -571,6 +571,24 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    // SET operations (INTERSECT / EXCEPT built-ins, SURVEY §2.7): the
+    // audience-segmentation shape — users who both clicked and purchased
+    // vs users who clicked but never purchased. Both compile to
+    // hash-aggregate + shuffle-on-user_id plans (left-semi / left-anti
+    // after dedup), no driver-side set math.
+    "q12_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val ev = table(s, dir, "events")
+      val clickers = ev.filter($"event_type" === "click").select($"user_id")
+      val buyers = ev.filter($"event_type" === "purchase" && $"value" >= 90)
+        .select($"user_id")
+      clickers.intersect(buyers).withColumn("grp", lit("both"))
+        .unionByName(
+          clickers.except(buyers).withColumn("grp", lit("click_only")))
+        .select($"grp", $"user_id")
+        .orderBy($"grp", $"user_id")
+    }),
+
     // native Catalyst expressions (doGenCode): cell_of / cell_parent in SQL
     "q5_cell_functions" -> ((s, _) => {
       import s.implicits._
@@ -987,6 +1005,38 @@ object SparkEntry {
     // (per-image kernel, no shuffle) -> deterministic integer stats of the
     // resized plane (rows-only: no SQL-engine image decode; kernel parity
     // is ScalaTest-gated against linear-ramp/constant/hand oracles)
+    // Image AUGMENTATION kernels (flip / rotate / center-crop) — the
+    // training-data transform stage: decode -> per-image permutation /
+    // selection kernels -> position-WEIGHTED integer checksums, so the
+    // gate proves the exact pixel permutation (a plain sum is
+    // permutation-invariant and would pass a broken flip). Zero shuffle;
+    // DuckDB replicates the checksums from the exact corpus's closed-form
+    // codes. At 10^12 images this is embarrassingly parallel, bounded by
+    // decode bandwidth like i6.
+    "i7_image_augment" -> ((s, _) => {
+      import s.implicits._
+      val corpus = ImageCorpus.generateExact(s, 64L, 8)
+      ImageCorpus.decodeTiles(corpus, 8).map { t =>
+        def wsum(p: Array[Double]): Long = {
+          var acc = 0L; var i = 0
+          while (i < p.length) {
+            acc += i.toLong * Math.rint(p(i) * 64.0).toLong; i += 1
+          }
+          acc
+        }
+        def qsum(p: Array[Double]): Long = {
+          var acc = 0L; var i = 0
+          while (i < p.length) { acc += Math.rint(p(i) * 64.0).toLong; i += 1 }
+          acc
+        }
+        val fl = graft.codecs.ImageCodec.flipH(t.payload, t.w, t.h)
+        val rt = graft.codecs.ImageCodec.rot90cw(t.payload, t.w, t.h)
+        val cr = graft.codecs.ImageCodec.cropCenter(t.payload, t.w, t.h, 128, 128)
+        (t.imageId, wsum(fl), wsum(rt), qsum(cr))
+      }.toDF("image_id", "flip_wsum", "rot_wsum", "crop_qsum")
+        .orderBy($"image_id")
+    }),
+
     "i2_image_resize" -> ((s, _) => {
       import s.implicits._
       // Oracle-gated: the exact corpus's decoded pixels are code/64 with
@@ -2912,6 +2962,36 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q12: INTERSECT / EXCEPT with the same labels
+    "q12_set_ops" ->
+      """SELECT 'both' AS grp, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 90)
+        |UNION ALL
+        |SELECT 'click_only' AS grp, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 90)
+        |ORDER BY grp, user_id""".stripMargin,
+
+    // i7: the augmentation checksums from the closed-form exact-corpus
+    // codes — flip/rot are position-weighted over the PERMUTED arrays
+    // (substituted back to source coordinates), crop is the center
+    // 128x128 selection
+    "i7_image_augment" ->
+      """WITH px AS (
+        |  SELECT t.i AS i, r.r AS r, c.c AS c,
+        |    ((((t.i // 8) * 256 + r.r) * 31
+        |      + ((t.i % 8) * 256 + c.c) * 17) % 1000) AS code
+        |  FROM range(64) t(i), range(256) r(r), range(256) c(c))
+        |SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        |  CAST(sum((r * 256 + 255 - c) * code) AS BIGINT) AS flip_wsum,
+        |  CAST(sum((c * 256 + 255 - r) * code) AS BIGINT) AS rot_wsum,
+        |  CAST(sum(CASE WHEN r BETWEEN 64 AND 191 AND c BETWEEN 64 AND 191
+        |       THEN code ELSE 0 END) AS BIGINT) AS crop_qsum
+        |FROM px GROUP BY i ORDER BY image_id""".stripMargin,
 
     // s5: the outer variant — unmatched clicks carry NULL purchase/lag
     "s5_stream_join_outer" ->

@@ -398,6 +398,47 @@ object ImageCodec {
     * `resize` feature-pipeline op; a purely per-image kernel, so the
     * Spark shape is one map over decoded rows (no shuffle). Any NaN
     * among the four taps propagates (sentinel pixels stay sentinels). */
+  /** Horizontal mirror: dst(r, c) = src(r, w-1-c). */
+  def flipH(src: Array[Double], w: Int, h: Int): Array[Double] = {
+    require(src.length == w * h)
+    val out = new Array[Double](src.length)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { out(r * w + c) = src(r * w + (w - 1 - c)); c += 1 }
+      r += 1
+    }
+    out
+  }
+
+  /** Clockwise quarter-turn: for an h x w source the output is w x h with
+    * dst(r, c) = src(h-1-c, r). */
+  def rot90cw(src: Array[Double], w: Int, h: Int): Array[Double] = {
+    require(src.length == w * h)
+    val out = new Array[Double](src.length)
+    var r = 0
+    while (r < w) { // output rows = w
+      var c = 0
+      while (c < h) { out(r * h + c) = src((h - 1 - c) * w + r); c += 1 }
+      r += 1
+    }
+    out
+  }
+
+  /** Center crop of cw x ch (top-left at ((h-ch)/2, (w-cw)/2)). */
+  def cropCenter(src: Array[Double], w: Int, h: Int,
+      cw: Int, ch: Int): Array[Double] = {
+    require(src.length == w * h && cw <= w && ch <= h)
+    val r0 = (h - ch) / 2; val c0 = (w - cw) / 2
+    val out = new Array[Double](cw * ch)
+    var r = 0
+    while (r < ch) {
+      System.arraycopy(src, (r0 + r) * w + c0, out, r * cw, cw)
+      r += 1
+    }
+    out
+  }
+
   def resizeBilinear(src: Array[Double], w: Int, h: Int,
       w2: Int, h2: Int): Array[Double] = {
     require(src.length == w * h && w2 > 0 && h2 > 0)

@@ -145,4 +145,23 @@ class CodecSpec extends AnyFunSuite {
     val allNaN = qualityStats(Array.fill(4)(Double.NaN), 2, 2)
     assert(allNaN == ImageCodec.QualityStats(0, 0, 0, 0, 0))
   }
+
+  test("augmentation kernels: flipH / rot90cw / cropCenter exact semantics") {
+    import graft.codecs.ImageCodec._
+    // 3x2 (w=3, h=2): [0 1 2 / 3 4 5]
+    val p = Array(0.0, 1, 2, 3, 4, 5)
+    assert(flipH(p, 3, 2).toSeq == Seq(2.0, 1, 0, 5, 4, 3))
+    // rot90cw of h x w = 2x3 -> 3x2 output: dst(r,c) = src(h-1-c, r)
+    // rows of output: (src(1,0), src(0,0)), (src(1,1), src(0,1)), ...
+    assert(rot90cw(p, 3, 2).toSeq == Seq(3.0, 0, 4, 1, 5, 2))
+    // involutions / compositions: flip twice = identity; rot four = identity
+    assert(flipH(flipH(p, 3, 2), 3, 2).toSeq == p.toSeq)
+    val r1 = rot90cw(p, 3, 2)       // 2x3 payload (w=2, h=3)
+    val r2 = rot90cw(r1, 2, 3)
+    val r3 = rot90cw(r2, 3, 2)
+    assert(rot90cw(r3, 2, 3).toSeq == p.toSeq)
+    // center crop 2x2 of a 4x4 picks rows 1-2, cols 1-2
+    val q = Array.tabulate(16)(_.toDouble)
+    assert(cropCenter(q, 4, 4, 2, 2).toSeq == Seq(5.0, 6, 9, 10))
+  }
 }
