@@ -479,6 +479,57 @@ object SparkEntry {
         .orderBy($"clip_id", $"win")
     }),
 
+    // Audio SILENCE TRIMMING (VAD gate): per clip, windows whose energy
+    // (sum of squared samples) falls below a threshold are silent; the
+    // clip keeps everything between the first and last loud window. The
+    // fixture plants k%3 leading and k%2 trailing quiet windows (|v|<=20,
+    // energy <= 1e5) around the a1 loud pattern (energy ~8e7), all
+    // integer-exact so the threshold needs no margins. Real RIFF
+    // encode -> decode in-task like a1; per-clip kernel, zero shuffle.
+    "a2_audio_trim" -> ((s, _) => {
+      import s.implicits._
+      s.range(100).map { k =>
+        val lead = (k % 3).toInt; val trail = (k % 2).toInt
+        val samples = Array.tabulate(1000) { i =>
+          val silent = i < 250 * lead || i >= 1000 - 250 * trail
+          if (silent) (((k * 7 + i * 31) % 41) - 20).toShort
+          else (((k * 7 + i * 31) % 2001) - 1000).toShort
+        }
+        val bytes = graft.codecs.WavCodec.encode(samples, 16000)
+        val (dec, _) = graft.codecs.WavCodec.decode(bytes)
+        val silentW = graft.codecs.WavCodec.windowFeatures(dec, 250)
+          .map(_._3 < 1000000L)
+        val nLead = silentW.takeWhile(identity).length
+        val nTrail = silentW.reverse.takeWhile(identity).length
+        (k, silentW.length.toLong, nLead.toLong, nTrail.toLong,
+          (silentW.length - nLead - nTrail) * 250L)
+      }.toDF("clip_id", "n_win", "lead_silent", "trail_silent", "kept_samples")
+        .orderBy($"clip_id")
+    }),
+
+    // Video SCENE-CHANGE detection: SAD between consecutive decoded
+    // frames, cut where SAD > 65000. The fixture switches the pixel
+    // formula at frame 6 (i -> 3i+97 remap), so the 5->6 transition SADs
+    // ~130k while drift steps sit ~33k — and both engines compute the
+    // same exact integers regardless. Same per-clip GIF-decode kernel
+    // as v1.
+    "v2_scene_cuts" -> ((s, _) => {
+      import s.implicits._
+      val clips = s.range(8).map { cid =>
+        val frames = (0 until 12).map { f =>
+          Array.tabulate(48 * 32) { i =>
+            val code = if (f < 6) (cid * 37 + f * 11 + i) % 251
+                       else (cid * 37 + f * 11 + i * 3 + 97) % 251
+            code.toDouble
+          }
+        }
+        (cid.toLong, graft.sources.GifWriter.writeAnimatedBytes(
+          frames, 48, 32, lo = 0, hi = 250, delayCs = 10))
+      }
+      graft.codecs.VideoOps.sceneCuts(clips, threshold = 65000L)
+        .orderBy($"clip_id", $"frame_idx")
+    }),
+
     // semi-structured: JSON props extraction + conditional agg
     "q6_json_props" -> ((s, dir) => {
       import s.implicits._
@@ -3354,6 +3405,50 @@ object SparkEntry {
         |  CAST(sum(CAST(trunc(v / 250.0 * 255.0) AS BIGINT)) AS BIGINT) AS sum_intensity,
         |  CAST(sum(CASE WHEN trunc(v / 250.0 * 255.0) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonblack
         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // a2: regenerate the planted-silence samples, window the energies,
+    // derive lead/trail runs from the four per-clip silent flags
+    "a2_audio_trim" ->
+      """WITH s AS (SELECT (i // 1000) AS clip, (i % 1000) AS idx,
+        |  CASE WHEN (i % 1000) < 250 * ((i // 1000) % 3)
+        |         OR (i % 1000) >= 1000 - 250 * ((i // 1000) % 2)
+        |    THEN ((i // 1000) * 7 + (i % 1000) * 31) % 41 - 20
+        |    ELSE ((i // 1000) * 7 + (i % 1000) * 31) % 2001 - 1000 END AS v
+        |  FROM range(100000) t(i)),
+        |w AS (SELECT clip, idx // 250 AS win, sum(v * v) AS ss
+        |  FROM s GROUP BY 1, 2),
+        |f AS (SELECT clip,
+        |  max(CASE WHEN win = 0 THEN (ss < 1000000)::INT END) AS s0,
+        |  max(CASE WHEN win = 1 THEN (ss < 1000000)::INT END) AS s1,
+        |  max(CASE WHEN win = 2 THEN (ss < 1000000)::INT END) AS s2,
+        |  max(CASE WHEN win = 3 THEN (ss < 1000000)::INT END) AS s3
+        |  FROM w GROUP BY clip),
+        |r AS (SELECT clip,
+        |  s0 + s0*s1 + s0*s1*s2 + s0*s1*s2*s3 AS lead,
+        |  s3 + s3*s2 + s3*s2*s1 + s3*s2*s1*s0 AS trail
+        |  FROM f)
+        |SELECT clip AS clip_id, CAST(4 AS BIGINT) AS n_win,
+        |  CAST(lead AS BIGINT) AS lead_silent,
+        |  CAST(trail AS BIGINT) AS trail_silent,
+        |  CAST((4 - lead - trail) * 250 AS BIGINT) AS kept_samples
+        |FROM r ORDER BY clip""".stripMargin,
+
+    // v2: regenerate both frame regimes, gray = trunc(v/250*255) like v1,
+    // SAD over the (cid, i) self-join of consecutive frames
+    "v2_scene_cuts" ->
+      """WITH px AS (
+        |  SELECT t1.cid AS cid, t2.f AS f, t3.i AS i,
+        |    CAST(trunc(CAST(CASE WHEN t2.f < 6
+        |        THEN (t1.cid*37 + t2.f*11 + t3.i) % 251
+        |        ELSE (t1.cid*37 + t2.f*11 + t3.i*3 + 97) % 251 END
+        |      AS DOUBLE) / 250.0 * 255.0) AS BIGINT) AS g
+        |  FROM range(8) t1(cid), range(12) t2(f), range(1536) t3(i)),
+        |d AS (SELECT a.cid, a.f, sum(abs(a.g - b.g)) AS sad
+        |  FROM px a JOIN px b ON b.cid = a.cid AND b.i = a.i AND b.f = a.f - 1
+        |  WHERE a.f >= 1 GROUP BY 1, 2)
+        |SELECT cid AS clip_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(sad AS BIGINT) AS sad, sad > 65000 AS is_cut
+        |FROM d ORDER BY 1, 2""".stripMargin,
 
     // r17: full reproject replication — see r17Sql scaladoc
     "r17_reproject" -> r17Sql,

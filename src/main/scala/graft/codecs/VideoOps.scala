@@ -49,4 +49,46 @@ object VideoOps {
       } finally rd.dispose()
     }.toDF("clip_id", "frame_idx", "w", "h", "sum_intensity", "nonblack")
   }
+
+  /** Scene-change detection: decode every frame, compute the SAD (sum of
+    * absolute 8-bit gray differences) between each consecutive pair, and
+    * flag a cut where SAD exceeds `threshold`. Integer-exact like
+    * [[frameStats]] — the shot-segmentation primitive of a video
+    * curation pipeline; same per-clip no-shuffle kernel shape. Emits one
+    * row per frame transition: (clip_id, frame_idx, sad, is_cut) with
+    * frame_idx the LATER frame of the pair. */
+  def sceneCuts(clips: Dataset[(Long, Array[Byte])],
+      threshold: Long): DataFrame = {
+    require(threshold >= 0, s"sceneCuts: threshold must be >= 0, got $threshold")
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.flatMap { case (clipId, bytes) =>
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val n = rd.getNumImages(true)
+        var prev: Array[Int] = null
+        (0 until n).iterator.flatMap { f =>
+          val img = rd.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          val cur = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { cur(y * w + x) = img.getRGB(x, y) & 0xFF; x += 1 }
+            y += 1
+          }
+          val row = if (prev != null && prev.length == cur.length) {
+            var sad = 0L
+            var i = 0
+            while (i < cur.length) { sad += math.abs(cur(i) - prev(i)); i += 1 }
+            Some((clipId, f, sad, sad > threshold))
+          } else None
+          prev = cur
+          row
+        }.toArray.iterator
+      } finally rd.dispose()
+    }.toDF("clip_id", "frame_idx", "sad", "is_cut")
+  }
 }
