@@ -55,6 +55,13 @@ object Plans {
       "q8_range_join" -> ("tolerance range join: right side exploded to 3 " +
         "exact-div buckets -> shuffled EQUI-join on (key, bucket) + |dt| " +
         "filter; no CartesianProduct/BNLJ anywhere in the plan"),
+      "d21_bloom_dedup" -> ("bloom incremental dedup: broadcast Bloom probe " +
+        "filter splits the incoming scan; only bloom-positive rows reach the " +
+        "LEFT ANTI sig exchange — the anti-join probe volume is the dup rate " +
+        "+ fpp, not the corpus"),
+      "q12_set_ops" -> ("INTERSECT/EXCEPT: each branch compiles to " +
+        "hash-aggregate + one user_id exchange (semi/anti after dedup); the " +
+        "labeled union adds no shuffle"),
       "d15_contamination" -> ("decontamination: distinct (doc, gram) inverted " +
         "index; the DISTINCT benchmark gram set is broadcast (tiny vs corpus " +
         "at scale) so candidates never shuffle by gram"),
@@ -234,5 +241,78 @@ object Plans {
       |  state — click rows evict when the purchase watermark passes
       |  c_ts + 30min, so state is O(window x arrival rate), never O(N).
       |  Inner matches emit immediately (no watermark lag on emission).
+      |
+      |
+      |## r53/r54/i6: composite and per-image shapes (round-4 additions)
+      |
+      |- **r53 wetness (TWI/SPI)**: ONE row/col sort-merge/hash equi-join of two
+      |  already-audited operators — the r25 flow-accumulation condensation
+      |  (descriptor-only crossing-edge solve) and the r8 halo-exchange Horn
+      |  gradient. The arithmetic layer (sca/slope/spi/twi_arg) is a single
+      |  whole-stage-codegen span over the join output; no new kernel, no new
+      |  shuffle beyond the join itself. At 100 TB both inputs are tile-bounded
+      |  descriptor streams keyed by (row, col) band, so the join inherits the
+      |  partitioning already used by each side's finalize stage.
+      |- **r54 edit-DEM (the tutorial pipeline)**: pruned clip scan (cellId
+      |  cover predicate pushed into the icelite manifest) -> attribute burn
+      |  join (broadcast: 4 features) -> left join onto clipped cells -> one
+      |  partial/final hash agg over 16-row bands. The whole reference notebook
+      |  is one Spark job with one shuffle (the band group-by); the burn side
+      |  never exceeds the feature cover, so the plan is scan-bound at scale.
+      |- **i6 image quality gates**: scan -> per-image executor kernel
+      |  (fixed-point contrast/texture/L1-gradient stats, all-Long) -> write.
+      |  ZERO shuffle, no driver state; at 10^12 images the job is
+      |  embarrassingly parallel and bounded by decode bandwidth. The oracle
+      |  replicates the gradient sums by the mod-1000 neighbor-wrap rule, so
+      |  the gate covers the decode + kernel path end to end.
+      |
+      |## d20/d21/s6: dedup + streaming shapes (round-4 additions)
+      |
+      |- **d20 semantic dedup (SemDeDup)**: broadcast k-means assignment (driver
+      |  state = k centroids, k ~ sqrt(N)) -> ONE shuffle on the cluster id ->
+      |  within-cluster self-join whose per-list work is O((N/k)^2), exactly the
+      |  IVF inverted-list bound — never a corpus-all-pairs product. The cosine
+      |  is the shared codegen'd zip_with/aggregate expression; the removal
+      |  EXISTS reduces to a distinct + left join on vid. At 10^12 embeddings
+      |  the cluster lists are the same objects the e2/e4 ANN queries partition
+      |  by, so the pairing can ride the sign-LSH band join (d8) inside each
+      |  list when lists outgrow quadratic comfort — same plan, one more
+      |  pre-filter.
+      |- **d21 bloom incremental dedup**: the corpus index folds to a Bloom
+      |  filter via ONE treeAggregate (driver holds `1.2 * n * ln(1/fpp)` bits,
+      |  never signatures); the filter broadcasts to the incoming scan where a
+      |  per-row probe splits provably-new rows (bloom-negative, skip the
+      |  shuffle entirely) from candidates (true dups + ~fpp false positives)
+      |  that alone reach the LEFT ANTI sig shuffle. At a 1% dup rate the
+      |  anti-join probe volume drops ~99%; correctness is unchanged (no false
+      |  negatives; positives re-verified) so d18's oracle gates the whole
+      |  mechanism.
+      |- **s6 stream-static enrichment**: the static dimension is planned as a
+      |  per-batch BROADCAST into each micro-batch — stream-static inner joins
+      |  are STATELESS (no join state store at all); the only streaming state is
+      |  the downstream watermarked window aggregate's, identical to s1. At
+      |  scale the dimension is the curated user/source table: broadcast when
+      |  small, or a shuffled equi-join keyed like any batch join when not —
+      |  either way no state growth with stream length.
+      |- **d22 source rollup**: two shuffles total — the sig window (compact
+      |  md5 keys) marks per-doc duplication, then one partial/final hash agg
+      |  rolls up to sources. The keep rule is an integer compare
+      |  (n_dup * 5 <= n_docs), no float thresholds to drift cross-engine.
+      |- **e5 kNN classify**: the vote layer is a tiny (qid, label) groupBy +
+      |  row_number over at most k rows per query — its cost is the neighbour
+      |  search's, which at scale is the e2/e4 shortlist, not the brute oracle
+      |  path used for the gate.
+      |- **q12 set ops**: INTERSECT/EXCEPT compile to hash-aggregate + one
+      |  shuffle on user_id each (semi/anti after dedup); the union of the two
+      |  labeled branches adds no extra shuffle.
+      |- **i7 augmentation / a2 trim / v2 scene cuts**: all three are per-item
+      |  executor kernels (decode -> transform -> integer descriptors), ZERO
+      |  shuffle, no driver state — the i6/v1 shape; at 10^12 items each is
+      |  embarrassingly parallel and decode-bandwidth-bound. The gates are
+      |  integer-exact (weighted checksums / energies / SADs), so thresholds
+      |  carry no cross-engine float risk.
+      |
+      |
+
       |""".stripMargin
 }
