@@ -497,12 +497,9 @@ object SparkEntry {
         }
         val bytes = graft.codecs.WavCodec.encode(samples, 16000)
         val (dec, _) = graft.codecs.WavCodec.decode(bytes)
-        val silentW = graft.codecs.WavCodec.windowFeatures(dec, 250)
-          .map(_._3 < 1000000L)
-        val nLead = silentW.takeWhile(identity).length
-        val nTrail = silentW.reverse.takeWhile(identity).length
-        (k, silentW.length.toLong, nLead.toLong, nTrail.toLong,
-          (silentW.length - nLead - nTrail) * 250L)
+        val (nw, nLead, nTrail, kept) =
+          graft.codecs.WavCodec.trimSilence(dec, 250, energyThreshold = 1000000L)
+        (k, nw, nLead, nTrail, kept)
       }.toDF("clip_id", "n_win", "lead_silent", "trail_silent", "kept_samples")
         .orderBy($"clip_id")
     }),
@@ -1052,10 +1049,6 @@ object SparkEntry {
         .orderBy($"ia", $"ib")
     }),
 
-    // Image resize pipeline op: decode -> bilinear half-resolution resize
-    // (per-image kernel, no shuffle) -> deterministic integer stats of the
-    // resized plane (rows-only: no SQL-engine image decode; kernel parity
-    // is ScalaTest-gated against linear-ramp/constant/hand oracles)
     // Image AUGMENTATION kernels (flip / rotate / center-crop) — the
     // training-data transform stage: decode -> per-image permutation /
     // selection kernels -> position-WEIGHTED integer checksums, so the
@@ -1088,6 +1081,10 @@ object SparkEntry {
         .orderBy($"image_id")
     }),
 
+    // Image resize pipeline op: decode -> bilinear half-resolution resize
+    // (per-image kernel, no shuffle) -> deterministic integer stats of the
+    // resized plane (rows-only: no SQL-engine image decode; kernel parity
+    // is ScalaTest-gated against linear-ramp/constant/hand oracles)
     "i2_image_resize" -> ((s, _) => {
       import s.implicits._
       // Oracle-gated: the exact corpus's decoded pixels are code/64 with

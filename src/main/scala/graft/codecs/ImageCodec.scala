@@ -392,12 +392,6 @@ object ImageCodec {
     else 10.0 * math.log10(maxVal * maxVal / (se / n))
   }
 
-  /** Bilinear resize of a row-major plane with pixel-center alignment
-    * (output pixel (r, c) samples the source at
-    * ((r+0.5)*h/h2 - 0.5, (c+0.5)*w/w2 - 0.5), edges clamped) — the image
-    * `resize` feature-pipeline op; a purely per-image kernel, so the
-    * Spark shape is one map over decoded rows (no shuffle). Any NaN
-    * among the four taps propagates (sentinel pixels stay sentinels). */
   /** Horizontal mirror: dst(r, c) = src(r, w-1-c). */
   def flipH(src: Array[Double], w: Int, h: Int): Array[Double] = {
     require(src.length == w * h)
@@ -439,6 +433,12 @@ object ImageCodec {
     out
   }
 
+  /** Bilinear resize of a row-major plane with pixel-center alignment
+    * (output pixel (r, c) samples the source at
+    * ((r+0.5)*h/h2 - 0.5, (c+0.5)*w/w2 - 0.5), edges clamped) — the image
+    * `resize` feature-pipeline op; a purely per-image kernel, so the
+    * Spark shape is one map over decoded rows (no shuffle). Any NaN
+    * among the four taps propagates (sentinel pixels stay sentinels). */
   def resizeBilinear(src: Array[Double], w: Int, h: Int,
       w2: Int, h2: Int): Array[Double] = {
     require(src.length == w * h && w2 > 0 && h2 > 0)

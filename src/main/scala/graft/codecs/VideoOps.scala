@@ -56,7 +56,13 @@ object VideoOps {
     * [[frameStats]] — the shot-segmentation primitive of a video
     * curation pipeline; same per-clip no-shuffle kernel shape. Emits one
     * row per frame transition: (clip_id, frame_idx, sad, is_cut) with
-    * frame_idx the LATER frame of the pair. */
+    * frame_idx the LATER frame of the pair.
+    *
+    * Contract: every frame must be stored FULL-SIZE (as [[graft.sources.GifWriter]]
+    * writes them). GIFs whose later frames are delta sub-rectangles
+    * (common encoder output, with disposal-method compositing) would
+    * need frame compositing before differencing — such a clip fails
+    * LOUDLY here (size-mismatch error), it is never silently mis-scored. */
   def sceneCuts(clips: Dataset[(Long, Array[Byte])],
       threshold: Long): DataFrame = {
     require(threshold >= 0, s"sceneCuts: threshold must be >= 0, got $threshold")
@@ -79,7 +85,11 @@ object VideoOps {
             while (x < w) { cur(y * w + x) = img.getRGB(x, y) & 0xFF; x += 1 }
             y += 1
           }
-          val row = if (prev != null && prev.length == cur.length) {
+          val row = if (prev != null) {
+            require(prev.length == cur.length,
+              s"sceneCuts: clip $clipId frame $f is ${w}x$h but the previous " +
+                "frame differs — delta-encoded (sub-rectangle) GIF frames need " +
+                "compositing before SAD; this reader requires full-size frames")
             var sad = 0L
             var i = 0
             while (i < cur.length) { sad += math.abs(cur(i) - prev(i)); i += 1 }

@@ -86,4 +86,22 @@ object WavCodec {
     }
     out.result()
   }
+
+  /** Silence trimming (the VAD gate): windows whose energy (sum of
+    * squared samples) falls below `energyThreshold` are silent; the clip
+    * keeps everything between the first and last loud window. Returns
+    * (nWindows, leadingSilent, trailingSilent, keptSamples) — keptSamples
+    * counts the samples of the kept window span (0 when every window is
+    * silent). Integer-exact, so thresholds carry no float risk. */
+  def trimSilence(samples: Array[Short], win: Int,
+      energyThreshold: Long): (Long, Long, Long, Long) = {
+    val feats = windowFeatures(samples, win)
+    val silent = feats.map(_._3 < energyThreshold)
+    val lead = silent.takeWhile(identity).length
+    val trail =
+      if (lead == silent.length) 0 // all-silent: the lead run took it all
+      else silent.reverse.takeWhile(identity).length
+    val kept = feats.slice(lead, feats.length - trail).map(_._2).sum
+    (feats.length.toLong, lead.toLong, trail.toLong, kept)
+  }
 }

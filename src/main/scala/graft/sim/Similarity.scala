@@ -491,11 +491,16 @@ object Similarity {
     import spark.implicits._
     val clusters = kmeansClusters(spark, vecs.select(col("vid"), col("v")),
       "vid", "v", k, iters)
+    // norm precomputed ONCE per row (O(N*dim)) instead of per pair inside
+    // the cluster join (O(pairs*dim)); persisted because three consumers
+    // follow (both self-join sides + the final left join) — unpersisted,
+    // each would re-run the assignment scan
     val withCl = vecs.join(clusters, Seq("vid"))
+      .withColumn("nrm", sqrt(dot("v", "v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val removed = withCl.as("a").join(withCl.as("b"),
         col("a.cl") === col("b.cl") && col("a.vid") < col("b.vid"))
-      .withColumn("cos", dot("a.v", "b.v") /
-        (sqrt(dot("a.v", "a.v")) * sqrt(dot("b.v", "b.v"))))
+      .withColumn("cos", dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= tau)
       .select(col("b.vid").as("vid")).distinct()
       .withColumn("removed", lit(true))

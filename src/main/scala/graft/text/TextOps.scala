@@ -374,11 +374,21 @@ object TextOps {
   def incrementalDedupBloom(incoming: DataFrame, corpusSigs: DataFrame,
       sigCol: String, expectedItems: Long, fpp: Double): DataFrame = {
     val spark = incoming.sparkSession
+    // persisted: consumed by the bloomFilter treeAggregate AND the
+    // anti-join build — without it the corpus distinct computes twice
     val index = corpusSigs.select(col(sigCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = index.stat.bloomFilter(sigCol, expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((sig: String) => bc.value.mightContainString(sig))
+    // a NULL signature never equi-matches in the anti-join (the row is
+    // new), so the probe must route it to the definitely-new branch —
+    // mightContainString(null) would NPE inside the hash
+    val mightContain = udf((sig: String) =>
+      sig != null && bc.value.mightContainString(sig))
+    // persisted: the two branches below are independent plan consumers;
+    // unpersisted, the full incoming scan + sig + probe would run twice
     val flagged = incoming.withColumn("__maybe_dup", mightContain(col(sigCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = flagged.filter(!col("__maybe_dup"))
     val verifiedNew = flagged.filter(col("__maybe_dup"))
       .join(index, Seq(sigCol), "left_anti")

@@ -146,6 +146,23 @@ class CodecSpec extends AnyFunSuite {
     assert(allNaN == ImageCodec.QualityStats(0, 0, 0, 0, 0))
   }
 
+  test("trimSilence: lead/trail runs, all-silent, short tail window") {
+    import graft.codecs.WavCodec.trimSilence
+    def clip(pattern: String, loud: Short = 100, quiet: Short = 1): Array[Short] =
+      pattern.toSeq.flatMap(ch =>
+        Seq.fill(4)(if (ch == 'L') loud else quiet)).toArray
+    // threshold 4*quiet^2 < t <= 4*loud^2: window of 4 samples
+    val t = 100L
+    assert(trimSilence(clip("SSLS"), 4, t) == (4L, 2L, 1L, 4L))
+    assert(trimSilence(clip("LLLL"), 4, t) == (4L, 0L, 0L, 16L))
+    // all-silent: lead run takes every window, trail 0, kept 0
+    assert(trimSilence(clip("SSSS"), 4, t) == (4L, 4L, 0L, 0L))
+    // short tail window (9 samples, win 4 -> windows of 4/4/1); the final
+    // 1-sample loud window has energy 10000 >= t so it is kept
+    val tail = Array.fill[Short](4)(1) ++ Array.fill[Short](5)(100)
+    assert(trimSilence(tail, 4, t) == (3L, 1L, 0L, 5L))
+  }
+
   test("augmentation kernels: flipH / rot90cw / cropCenter exact semantics") {
     import graft.codecs.ImageCodec._
     // 3x2 (w=3, h=2): [0 1 2 / 3 4 5]
