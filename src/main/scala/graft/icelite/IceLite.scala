@@ -199,6 +199,25 @@ object IceLite {
     else spark.read.parquet(files: _*).as[Tile]
   }
 
+  /** Small-file COMPACTION — the Iceberg `rewrite_data_files` analog and
+    * the table-maintenance op a 100 TB ingest cannot live without: many
+    * small per-micro-batch buckets (the streaming-ingest debris) are
+    * read back once and rewritten as `targetBuckets` contiguous Z-range
+    * buckets under a NEW snapshot. Readers pinned to the old snapshot
+    * are untouched (its data files and manifest stay on disk — time
+    * travel preserved); the current-snapshot pointer flips atomically at
+    * the end, so a crash mid-compaction leaves the table on the old
+    * snapshot with only orphaned staging files to GC. Content is
+    * byte-identical by construction (one distributed read -> one
+    * dynamic-partition write; no kernel touches payloads), verified by
+    * the order-independent lineage checksums. Returns the new snapshot. */
+  def compact(spark: SparkSession, table: String, targetBuckets: Int): Long = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"compact: no committed snapshot in $table"))
+    commitResumable(spark, read(spark, table, snap), table,
+      targetBuckets, snap = snap + 1)
+  }
+
   /** Lineage rows of a snapshot (metrics surface). */
   def lineage(table: String, snap: Long): Seq[Lineage] = {
     val dir = Paths.get(table, "lineage", snap.toString)
