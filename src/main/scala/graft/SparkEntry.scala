@@ -425,6 +425,44 @@ object SparkEntry {
         .orderBy($"class")
     }),
 
+    // Hypsometric histogram (elevation-band areas + cumulative
+    // area-above-elevation — the hypsometric-curve prep of terrain
+    // analysis): exact integer counts per 25 m band over the DEM, one
+    // partial/final hash agg; the cumulative window runs over the 10
+    // band rows only. Band edges (k*25) divide the quarter-step fixture
+    // values exactly, so floor(v/25) is engine-identical.
+    "r55_hypsometry" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      val hist = TileOps.cells(dem).filter($"v".isNotNull && !isnan($"v"))
+        .withColumn("bucket", floor($"v" / 25.0).cast("long"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy($"bucket".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("n_at_or_above", sum($"n").over(w))
+        .select($"bucket", $"n", $"n_at_or_above")
+        .orderBy($"bucket")
+    }),
+
+    // Per-language length-distribution profile — how curation thresholds
+    // (p50/p90/p99 length cutoffs) are actually derived in a pipeline:
+    // exact-interpolation percentiles over integer n_chars (a + f*(b-a)
+    // of exact integers, identical in both engines), one hash agg.
+    // At 100 TB the same profile runs via approx_percentile with a
+    // documented error bound; the exact form here is the oracle-able
+    // gate of the GROUPING + interpolation semantics.
+    "d23_length_profile" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"),
+          expr("percentile(n_chars, 0.5D)").as("p50"),
+          expr("percentile(n_chars, 0.9D)").as("p90"),
+          expr("percentile(n_chars, 0.99D)").as("p99"))
+        .orderBy($"lang")
+    }),
+
     // image corpus invariants: decode + PSNR + caption lineage + phash dups
     // (rows-only gate — DuckDB cannot decode PNG/JPEG)
     "i1_image_invariants" -> ((s, _) => {
@@ -2235,6 +2273,27 @@ object SparkEntry {
          |SELECT max(v) AS max_v, min(v) AS min_v, median(v) AS median_v,
          |  CAST(count(v) AS BIGINT) AS valid_cells, sum(v) AS sum_v
          |FROM g""".stripMargin,
+
+    // r55: the same 25 m banding + reverse-cumulative window
+    "r55_hypsometry" ->
+      s"""WITH g AS ($demSql),
+         |h AS (SELECT CAST(floor(v / 25.0) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n
+         |  FROM g WHERE v IS NOT NULL GROUP BY 1)
+         |SELECT bucket, n,
+         |  CAST(sum(n) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_at_or_above
+         |FROM h ORDER BY bucket""".stripMargin,
+
+    // d23: quantile_cont uses the same a + f*(b-a) exact-integer
+    // interpolation as Spark's percentile
+    "d23_length_profile" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // r34: cell-center coordinates — integer header + (idx+0.5)·cellsize,
     // exact doubles both engines.
