@@ -62,6 +62,10 @@ object Plans {
       "q12_set_ops" -> ("INTERSECT/EXCEPT: each branch compiles to " +
         "hash-aggregate + one user_id exchange (semi/anti after dedup); the " +
         "labeled union adds no shuffle"),
+      "d24_chunking" -> ("token-window chunking: one Generate (explode of " +
+        "sequence) inside a single WholeStageCodegen scan-project span — " +
+        "slice/array_join/md5 all codegen'd, zero exchanges; the only " +
+        "shuffle in the plan is the display-only orderBy"),
       "d15_contamination" -> ("decontamination: distinct (doc, gram) inverted " +
         "index; the DISTINCT benchmark gram set is broadcast (tiny vs corpus " +
         "at scale) so candidates never shuffle by gram"),

@@ -777,6 +777,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Token-window chunking with overlap — the pretraining/RAG chunker:
+    // every doc splits into 32-token windows stepped by 24 (8-token
+    // overlap), each chunk keyed by the md5 of its rejoined window for
+    // downstream chunk-level dedup/contamination. One narrow generator
+    // pass per document (split/sequence/explode/slice — all codegen'd
+    // built-ins), NO shuffle or join: at 100 TB the fan-out happens
+    // inside each input split.
+    "d24_chunking" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextOps.chunkTokens(
+          table(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means clusters the
     // embedding space, then a doc is removed iff an EARLIER member of the
     // same cluster is cosine >= 0.95. Fixture = the e2 recipe extended
@@ -3216,6 +3231,23 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM sigs e
         |    WHERE e.doc_id % 2 = 0 AND e.sig = n.sig)
         |ORDER BY n.doc_id""".stripMargin,
+
+    // d24: the same window arithmetic in SQL — token list, chunk index
+    // range (end-exclusive range == Spark's inclusive sequence), 1-based
+    // clamped list slice, md5 of the space-rejoined window
+    "d24_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x != '') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |c AS (SELECT doc_id, t, n,
+        |  unnest(range(0, (n - 1) // 24 + 1)) AS chunk_idx FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(chunk_idx * 24 AS INT) AS start_tok,
+        |  CAST(least(32, n - chunk_idx * 24) AS INT) AS n_tok,
+        |  md5(array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // d20: regenerate the clustered fixture from closed form (cluster =
     // vid % 12, provably what k-means recovers), compute every within-

@@ -395,6 +395,42 @@ object TextOps {
     definitelyNew.unionByName(verifiedNew).drop("__maybe_dup")
   }
 
+  /** Token-window document chunking with overlap — the standard
+    * pretraining/RAG chunker (split long docs into model-context-sized
+    * pieces; adjacent chunks share `chunkSize - stride` tokens so no
+    * span is lost at a boundary). Tokens are `\s+`-split words; chunk k
+    * covers tokens `[k*stride, k*stride + chunkSize)` and starts are
+    * emitted while `k*stride < nTokens`, so every token lands in at
+    * least one chunk and the tail chunk may be shorter.
+    *
+    * Scale shape: entirely codegen'd built-ins (split / filter /
+    * sequence / posexplode / slice / array_join / md5) — one narrow
+    * generator pass per document, NO shuffle and no join; at 100 TB the
+    * fan-out happens inside each input split. Output one row per chunk:
+    * (idCol, chunk_idx, start_tok, n_tok, chunk_md5). `chunk_md5` is the
+    * md5 of the space-rejoined token window — the downstream chunk-level
+    * dedup/contamination key. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
+    docs.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          floor((col("__n") - 1) / lit(stride)).cast("int"))).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        least(lit(chunkSize), col("__n") - col("start_tok"))
+          .cast("int").as("n_tok"),
+        md5(array_join(
+          slice(col("__toks"), col("start_tok") + 1, lit(chunkSize)), " "))
+          .as("chunk_md5"))
+  }
+
   private def occurrences(text: Column, marker: String): Column =
     (length(text) - length(regexp_replace(text, marker, ""))) / marker.length
 

@@ -325,4 +325,54 @@ class TextSpec extends AnyFunSuite {
     trueDups.foreach(sg => assert(bloom.mightContainString(sg),
       s"false negative for $sg"))
   }
+
+  test("chunkTokens: full coverage, overlap, tail, md5 key semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 shapes: shorter than one chunk (1 chunk), exact multiple of
+    // stride (tail chunk of length chunkSize - ... ), long doc (many
+    // chunks); plus an empty/whitespace doc that must vanish
+    val docs = Seq(
+      (1L, (0 until 5).map(i => s"w$i").mkString(" ")),
+      (2L, (0 until 24).map(i => s"x$i").mkString(" ")),
+      (3L, (0 until 100).map(i => s"y$i").mkString("  ")), // double spaces
+      (4L, "   ")).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "doc_id", "text",
+      chunkSize = 8, stride = 6).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc 4 gone entirely
+    assert(!out.exists(_._1 == 4L))
+    // doc 1: 5 tokens < chunkSize -> exactly 1 chunk of n_tok 5
+    val c1 = out.filter(_._1 == 1L)
+    assert(c1.toSeq == Seq((1L, 0, 0, 5, c1.head._5)))
+    // doc 2: 24 tokens, stride 6 -> starts 0,6,12,18 -> n_tok 8,8,8,6
+    val c2 = out.filter(_._1 == 2L)
+    assert(c2.map(_._3).toSeq == Seq(0, 6, 12, 18))
+    assert(c2.map(_._4).toSeq == Seq(8, 8, 8, 6))
+    // doc 3: 100 tokens -> ceil coverage: starts 0,6,...,96; last n_tok 4
+    val c3 = out.filter(_._1 == 3L)
+    assert(c3.map(_._3).toSeq == (0 to 96 by 6).toSeq)
+    assert(c3.last._4 == 4)
+    // every token index covered by at least one chunk; adjacent chunks
+    // overlap by chunkSize - stride = 2
+    val covered = c3.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0 until 100).toSet)
+    // md5 key equals md5 of the literal window text
+    val w = (0 until 8).map(i => s"y$i").mkString(" ")
+    val wantMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(c3.head._5 == wantMd5)
+    // identical windows across different docs share the dedup key
+    val twin = Seq((9L, (0 until 8).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tOut = TextOps.chunkTokens(twin, "doc_id", "text", 8, 6).collect()
+    assert(tOut.head.getString(4) == c3.head._5)
+    // guard rails
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(docs, "doc_id", "text", 8, 0) }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(docs, "doc_id", "text", 8, 9) }
+  }
 }
