@@ -62,6 +62,11 @@ object Plans {
       "q12_set_ops" -> ("INTERSECT/EXCEPT: each branch compiles to " +
         "hash-aggregate + one user_id exchange (semi/anti after dedup); the " +
         "labeled union adds no shuffle"),
+      "g1_pagerank" -> ("PageRank iteration: the final round's plan is " +
+        "constant-size — Scan ExistingRDD (localCheckpoint'd rank vector) " +
+        "joined to the persisted outdegree'd edge table, ONE " +
+        "hashpartitioning(dst) exchange for the contribution agg, one id " +
+        "join back; lineage never grows with iteration count"),
       "d24_chunking" -> ("token-window chunking: one Generate (explode of " +
         "sequence) inside a single WholeStageCodegen scan-project span — " +
         "slice/array_join/md5 all codegen'd, zero exchanges; the only " +

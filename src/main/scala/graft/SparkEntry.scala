@@ -757,6 +757,27 @@ object SparkEntry {
         .orderBy($"qid")
     }),
 
+    // PageRank over a link graph — the crawl-graph source-quality prior
+    // of a web corpus pipeline. Fixture: 64 nodes, two deterministic
+    // out-edges each (2i+1 and i²+7 mod 64 — disjoint families, so
+    // outdeg = 2 everywhere, indegree irregular 0..8), damping 7/8,
+    // 3 power iterations. Every quantity is dyadic (rank/2, ×7/8,
+    // +1/512) with denominators ≤ 2⁻¹⁸, so Spark's shuffle-order sums
+    // and DuckDB's join sums produce IDENTICAL doubles and pr×2¹⁸ is an
+    // exact integer. Per iteration: one contribution shuffle on dst +
+    // one id join — the 100 TB plan shape.
+    "g1_pagerank" -> ((s, _) => {
+      import s.implicits._
+      val ids = s.range(64).toDF("id")
+      val edges = ids.select($"id".as("src"), (($"id" * 2 + 1) % 64).as("dst"))
+        .unionByName(ids.select($"id".as("src"),
+          (($"id" * $"id" + 7) % 64).as("dst")))
+      graft.operators.GraphOps.pageRank(edges, "src", "dst",
+          iters = 3, damping = 0.875)
+        .select($"node", $"pr", ($"pr" * 262144).cast("long").as("pr_scaled"))
+        .orderBy($"node")
+    }),
+
     // Bloom-prefiltered incremental dedup — d18's 100 TB steady-state
     // shape: the corpus sig index folds to a broadcast Bloom filter
     // (treeAggregate; driver holds bits, never sigs), bloom-NEGATIVE
@@ -3218,6 +3239,32 @@ object SparkEntry {
         |SELECT b.qid, CAST(e.label AS BIGINT) AS true_label, b.pred, b.votes
         |FROM best b JOIN embeddings e ON e.vec_id = b.qid
         |WHERE b.vr = 1 ORDER BY b.qid""".stripMargin,
+
+    // g1: the same 3 power iterations unrolled as CTEs — teleport
+    // 1/512, damping 7/8, contributions rank/outdeg summed by dst; all
+    // dyadic so the doubles match bit-for-bit and pr*2^18 is integral
+    "g1_pagerank" ->
+      """WITH nodes AS (SELECT i AS id FROM range(64) t(i)),
+        |e AS (
+        |  SELECT i AS src, (2*i+1) % 64 AS dst FROM range(64) t(i)
+        |  UNION ALL
+        |  SELECT i AS src, (i*i+7) % 64 AS dst FROM range(64) t(i)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1::DOUBLE/64 AS pr FROM nodes),
+        |c1 AS (SELECT e.dst AS id, sum(r0.pr / d.outdeg) AS c
+        |  FROM e JOIN r0 ON r0.id = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r1 AS (SELECT n.id, 1::DOUBLE/512 + (7::DOUBLE/8) * coalesce(c1.c, 0) AS pr
+        |  FROM nodes n LEFT JOIN c1 ON c1.id = n.id),
+        |c2 AS (SELECT e.dst AS id, sum(r1.pr / d.outdeg) AS c
+        |  FROM e JOIN r1 ON r1.id = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r2 AS (SELECT n.id, 1::DOUBLE/512 + (7::DOUBLE/8) * coalesce(c2.c, 0) AS pr
+        |  FROM nodes n LEFT JOIN c2 ON c2.id = n.id),
+        |c3 AS (SELECT e.dst AS id, sum(r2.pr / d.outdeg) AS c
+        |  FROM e JOIN r2 ON r2.id = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r3 AS (SELECT n.id, 1::DOUBLE/512 + (7::DOUBLE/8) * coalesce(c3.c, 0) AS pr
+        |  FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
+        |SELECT id AS node, pr, CAST(pr * 262144 AS BIGINT) AS pr_scaled
+        |FROM r3 ORDER BY id""".stripMargin,
 
     // d21: identical rule to d18 — the Bloom pre-filter cannot change
     // the result (no false negatives; positives are exact-verified)

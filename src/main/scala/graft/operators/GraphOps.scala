@@ -52,6 +52,53 @@ object GraphOps {
     out
   }
 
+  /** Distributed PageRank by power iteration over a directed edge table —
+    * the crawl-graph ranking op of a web-scale corpus pipeline (source
+    * quality priors for curation). Per iteration ONE shuffle builds the
+    * contribution table (rank/outdeg summed by dst) and one id-join
+    * rebuilds the rank vector; `localCheckpoint` truncates lineage each
+    * round so the plan stays constant-size over any iteration count
+    * (same rationale as [[minLabelComponents]]). Dangling nodes (no
+    * out-links) leak rank; the standard uniform redistribution is
+    * applied — their mass is a single scalar agg over the checkpointed
+    * rank vector, O(1) driver data per round. At 100 TB both the edge
+    * table (joined once with outdegree and persisted) and the rank
+    * vector shuffle on the node id only — no payload ever rides the
+    * loop. Multi-edges contribute multiply, matching the multigraph
+    * convention. Returns (node, pr) over all nodes appearing as src or
+    * dst. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist(mem)
+    val nodes = e.select($"src".as("id"))
+      .unionByName(e.select($"dst".as("id"))).distinct().persist(mem)
+    val n = nodes.count()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src").persist(mem)
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dangRow = ranks
+        .join(deg.select($"src".as("id")), Seq("id"), "left_anti")
+        .agg(sum($"pr")).collect()(0)
+      val dangling = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDouble(0)
+      val contribs = ed.join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy($"dst").agg(sum($"pr" / $"outdeg").as("c"))
+      ranks = nodes
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select($"id", (lit(teleport) + lit(damping) *
+          (coalesce($"c", lit(0.0)) + lit(dangling / n))).as("pr"))
+        .localCheckpoint()
+    }
+    e.unpersist(); ed.unpersist(); nodes.unpersist()
+    ranks.select($"id".as("node"), $"pr")
+  }
+
   /** `edges`: two long columns naming an undirected edge per row.
     * Returns (node, root) for every node appearing in `edges`, where
     * root is the component's minimum node id. */

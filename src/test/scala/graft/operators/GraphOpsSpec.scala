@@ -64,4 +64,42 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(dist == want.toMap)
   }
+
+  test("pageRank: == driver power iteration incl. dangling mass; sums to 1") {
+    import spark.implicits._
+    // deterministic irregular digraph WITH dangling nodes: node 7 and 11
+    // have no out-edges (their rank must redistribute uniformly), node 0
+    // is a hub, multi-edge 3->4 appears twice (multigraph convention)
+    val edges: Seq[(Long, Long)] = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (8L, 9L), (9L, 10L),
+      (10L, 8L), (10L, 11L), (12L, 0L))
+    val iters = 4; val d = 0.85
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters, d).as[(Long, Double)].collect().toMap
+    // driver reference: same formula, dense arrays
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val out = edges.groupBy(_._1).map { case (s, es) => idx(s) -> es.size }
+    val n = nodes.size
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iters) {
+      val dangling = r.indices.filter(i => !out.contains(i)).map(r).sum
+      val contrib = Array.fill(n)(0.0)
+      edges.foreach { case (s, t) =>
+        contrib(idx(t)) += r(idx(s)) / out(idx(s)) }
+      r = Array.tabulate(n)(i =>
+        (1.0 - d) / n + d * (contrib(i) + dangling / n))
+    }
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { nd =>
+      assert(math.abs(got(nd) - r(idx(nd))) < 1e-12,
+        s"node $nd: ${got(nd)} vs ${r(idx(nd))}") }
+    // total mass conserved (dangling correctly redistributed)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // hub 0 (indegree 3 incl. from 1,2,12) outranks a chain tail
+    assert(got(0L) > got(6L))
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst", 0) }
+  }
 }
