@@ -657,6 +657,58 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    // CUBE (all 4 grouping levels through one Expand, SURVEY §2.4): the
+    // day-of-week x type traffic matrix with both margins and the grand
+    // total in ONE partial/final hash agg — never 4 passes over events
+    "q13_cube" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "events")
+        .withColumn("dow", dayofweek($"ts").cast("long"))
+        .cube($"dow", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100, 0).cast("long")).as("sum_c"),
+          grouping_id($"dow", $"event_type").cast("long").as("lvl"))
+        .orderBy($"lvl", $"dow", $"event_type")
+    }),
+
+    // approx_count_distinct (HyperLogLog++) next to the exact count —
+    // the cardinality-estimation op a 100 TB profile pass runs where
+    // exact DISTINCT would shuffle every value: the sketch is a
+    // fixed-size mergeable partial (bytes per partition, not rows). The
+    // gate is the INVARIANT row: the exact count is cross-checked
+    // hash-exact and hll_ok asserts the sketch landed within its
+    // documented rsd envelope (5% config -> test at 3x = 15%).
+    "q14_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_exact"),
+          approx_count_distinct($"user_id", rsd = 0.05).as("n_hll"))
+        .select($"event_type", $"n_exact",
+          (abs($"n_hll" - $"n_exact") <=
+            round($"n_exact" * 0.15, 0).cast("long") + 1).as("hll_ok"))
+        .orderBy($"event_type")
+    }),
+
+    // OHLC time bars — the resample-to-bars op (metrics/time-series
+    // rollup): per user x hour, open/close by arg_min/arg_max on the
+    // (ts, event_id) order key (deterministic under duplicate
+    // timestamps), high/low/volume in exact cents. One partial/final
+    // hash agg, one shuffle on the bar key.
+    "q15_ohlc_bars" -> ((s, dir) => {
+      import s.implicits._
+      val cents = round($"value" * 100, 0).cast("long")
+      table(s, dir, "events")
+        .select($"user_id", date_trunc("hour", $"ts").as("bar"),
+          $"ts", $"event_id", cents.as("c"))
+        .groupBy($"user_id", $"bar")
+        .agg(min_by($"c", struct($"ts", $"event_id")).as("open_c"),
+          max_by($"c", struct($"ts", $"event_id")).as("close_c"),
+          max($"c").as("high_c"), min($"c").as("low_c"),
+          count(lit(1)).as("n"), sum($"c").as("vol_c"))
+        .orderBy($"user_id", $"bar")
+    }),
+
     // SET operations (INTERSECT / EXCEPT built-ins, SURVEY §2.7): the
     // audience-segmentation shape — users who both clicked and purchased
     // vs users who clicked but never purchased. Both compile to
@@ -3118,6 +3170,44 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 90)
         |ORDER BY grp, user_id""".stripMargin,
+
+    // q13: CUBE with DuckDB's 0-based dayofweek shifted to Spark's
+    // 1-based (both Sunday-first); GROUPING bit order matches q10
+    "q13_cube" ->
+      """SELECT dayofweek(ts) + 1 AS dow, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  CAST(GROUPING(dayofweek(ts) + 1, event_type) AS BIGINT) AS lvl
+        |FROM events
+        |GROUP BY CUBE(dayofweek(ts) + 1, event_type)
+        |ORDER BY lvl, dow, event_type""".stripMargin,
+
+    // q14: the exact count is the hash gate; hll_ok is the invariant the
+    // sketch must satisfy by construction (HLL++ rsd 0.05, asserted at
+    // 3x + 1 slack) — a wild sketch flips it and fails the hash
+    "q14_approx_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q15: Spark's min_by/max_by on the composite (ts, event_id) key
+    // expressed as first/last row ranks (DuckDB arg_min takes no
+    // struct keys) — same deterministic tie-break
+    "q15_ohlc_bars" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bar, ts, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        |o AS (SELECT user_id, bar, c,
+        |    row_number() OVER (PARTITION BY user_id, bar
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, bar
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM b)
+        |SELECT user_id, bar,
+        |  max(CASE WHEN rf = 1 THEN c END) AS open_c,
+        |  max(CASE WHEN rl = 1 THEN c END) AS close_c,
+        |  max(c) AS high_c, min(c) AS low_c,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS vol_c
+        |FROM o GROUP BY user_id, bar ORDER BY user_id, bar""".stripMargin,
 
     // i7: the augmentation checksums from the closed-form exact-corpus
     // codes — flip/rot are position-weighted over the PERMUTED arrays
