@@ -20,6 +20,41 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Unrolled full-BPE DuckDB oracle for d25: w0 = the word-freq table
+    * with each word as a '[sym][sym]' bracket-wrapped string; per round,
+    * OVERLAPPING pair counts come from adjacent positions of the re-split
+    * symbol list, the winner is (cnt desc, a, b), and the greedy
+    * left-to-right merge is exactly SQL replace()'s left-to-right
+    * non-overlapping substitution on the wrapped form (brackets make
+    * symbol boundaries unambiguous). */
+  private def bpeOracleSql(n: Int): String = {
+    val sb = new StringBuilder(
+      """WITH w0 AS (
+        |  SELECT x AS word, count(*) AS freq,
+        |    '[' || array_to_string(string_split(x, ''), '][') || ']' AS s
+        |  FROM documents d, unnest(string_split(d.text, ' ')) t(x)
+        |  GROUP BY x)""".stripMargin)
+    for (r <- 1 to n) {
+      val p = r - 1
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT t.toks[j.j + 1] AS a, t.toks[j.j + 2] AS b, sum(t.freq) AS cnt
+        |  FROM (SELECT freq, string_split(s[2:-2], '][') AS toks FROM w$p) t,
+        |       unnest(range(len(t.toks) - 1)) j(j)
+        |  GROUP BY 1, 2),
+        |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+        |w$r AS (
+        |  SELECT word, freq,
+        |    replace(s, '[' || m.a || '][' || m.b || ']', '[' || m.a || m.b || ']') AS s
+        |  FROM w$p, m$r m)""".stripMargin)
+    }
+    val parts = (1 to n).map(r =>
+      s"SELECT $r AS merge_rank, a AS left_sym, b AS right_sym, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM m$r").mkString(" UNION ALL ")
+    sb.append(s"\nSELECT * FROM ($parts) ORDER BY merge_rank")
+    sb.toString
+  }
+
   /** The DEM fixture served from an ICELITE-BACKED Parquet table (written
     * once, resumable commit), not from in-memory `spark.range` tiles — so
     * the correctness run exercises the engine's real scan path: manifest
@@ -863,6 +898,18 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // BPE merge learning — tokenizer training as a corpus job: corpus
+    // folds once to the word-freq table, then 6 vocab-sized rounds of
+    // (pair count -> deterministic argmax -> greedy merge). The oracle
+    // runs FULL unrolled BPE in SQL (round 6 fuses a round-1 product:
+    // genuinely second-order), so the gate covers overlap counting,
+    // tie-break, and the greedy re-tokenization rule.
+    "d25_bpe_merges" -> ((s, dir) => {
+      graft.text.TextOps.bpeLearnMerges(
+          table(s, dir, "documents"), "text", nMerges = 6)
+        .orderBy(col("merge_rank"))
     }),
 
     // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means clusters the
@@ -3385,6 +3432,9 @@ object SparkEntry {
         |  CAST(least(32, n - chunk_idx * 24) AS INT) AS n_tok,
         |  md5(array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // d25: full BPE in SQL — see bpeOracleSql
+    "d25_bpe_merges" -> bpeOracleSql(6),
 
     // d20: regenerate the clustered fixture from closed form (cluster =
     // vid % 12, provably what k-means recovers), compute every within-

@@ -431,6 +431,71 @@ object TextOps {
           .as("chunk_md5"))
   }
 
+  /** Distributed BPE merge learning (byte-pair encoding, Sennrich et al.
+    * 2016) — tokenizer training as a corpus job. The corpus folds ONCE to
+    * the word-frequency table (Heaps' law: |vocab| << corpus — the
+    * reduction that makes BPE trainable at 100 TB); every round after
+    * that is vocab-sized, never corpus-sized: one pair-key shuffle with
+    * map-side combine counts symbol bigrams (OVERLAPPING occurrences,
+    * the reference convention: "aaa" yields (a,a) twice), a top-1 agg
+    * picks the winner (count desc, then (left, right) lexicographic —
+    * fully deterministic), and a typed map applies the merge greedily
+    * left-to-right ("aaaa" + (a,a) -> [aa, aa], not three overlapping
+    * merges). localCheckpoint truncates each round's lineage so the plan
+    * stays constant-size over any merge count. Only the single winning
+    * row ever reaches the driver per round. Returns one row per learned
+    * merge: (merge_rank, left_sym, right_sym, pair_count). */
+  def bpeLearnMerges(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (f, w.map(_.toString).toArray) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val win = vocab.flatMap { case (f, s) =>
+          (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1), f)) }
+        .toDF("a", "b", "f")
+        .groupBy($"a", $"b").agg(sum($"f").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b").limit(1)
+        .as[(String, String, Long)].collect()
+      if (win.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = win(0)
+        merges += ((r, a, b, c))
+        vocab = vocab
+          .map { case (f, s) => (f, bpeApplyMerge(s, a, b)) }
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    spark.createDataset(merges.toSeq)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Greedy left-to-right application of one BPE merge: adjacent (a, b)
+    * becomes the fused symbol, and the scan resumes AFTER the fusion
+    * (the reference re-tokenization rule). */
+  private[text] def bpeApplyMerge(sym: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toArray
+  }
+
   private def occurrences(text: Column, marker: String): Column =
     (length(text) - length(regexp_replace(text, marker, ""))) / marker.length
 

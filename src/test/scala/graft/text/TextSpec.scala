@@ -375,4 +375,29 @@ class TextSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextOps.chunkTokens(docs, "doc_id", "text", 8, 9) }
   }
+
+  test("bpeLearnMerges: overlap counting, greedy merge, second-order fuse") {
+    import spark.implicits._
+    // corpus: "aaaa" x2, "ab" x3.
+    // round 1: (a,a) counts 3 pairs/word x2 = 6 (OVERLAPPING), beats
+    //   (a,b) = 3 -> merge (a,a); greedy: aaaa -> [aa, aa] (NOT 3 fusions)
+    // round 2: (aa,aa) = 2 < (a,b) = 3 -> merge (a,b)
+    // round 3: (aa,aa) = 2 -> the second-order fuse of round 1 products
+    // round 4: no pairs left -> learning stops early at 3 merges
+    val docs = Seq("aaaa aaaa ab", "ab ab").toDF("text")
+    val got = TextOps.bpeLearnMerges(docs, "text", nMerges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq((1, "a", "a", 6L), (2, "a", "b", 3L),
+      (3, "aa", "aa", 2L)))
+    // greedy kernel directly: scan resumes after a fusion
+    assert(TextOps.bpeApplyMerge(Array("a", "a", "a"), "a", "a").toSeq
+      == Seq("aa", "a"))
+    assert(TextOps.bpeApplyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq
+      == Seq("aa", "aa"))
+    assert(TextOps.bpeApplyMerge(Array("x", "a", "b", "y"), "a", "b").toSeq
+      == Seq("x", "ab", "y"))
+    intercept[IllegalArgumentException] {
+      TextOps.bpeLearnMerges(docs, "text", 0) }
+  }
 }
