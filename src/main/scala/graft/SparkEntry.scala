@@ -27,7 +27,7 @@ object SparkEntry {
     * left-to-right merge is exactly SQL replace()'s left-to-right
     * non-overlapping substitution on the wrapped form (brackets make
     * symbol boundaries unambiguous). */
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeChainSql(n: Int): String = {
     val sb = new StringBuilder(
       """WITH w0 AS (
         |  SELECT x AS word, count(*) AS freq,
@@ -48,12 +48,33 @@ object SparkEntry {
         |    replace(s, '[' || m.a || '][' || m.b || ']', '[' || m.a || m.b || ']') AS s
         |  FROM w$p, m$r m)""".stripMargin)
     }
+    sb.toString
+  }
+
+  private def bpeOracleSql(n: Int): String = {
     val parts = (1 to n).map(r =>
       s"SELECT $r AS merge_rank, a AS left_sym, b AS right_sym, " +
         s"CAST(cnt AS BIGINT) AS pair_count FROM m$r").mkString(" UNION ALL ")
-    sb.append(s"\nSELECT * FROM ($parts) ORDER BY merge_rank")
-    sb.toString
+    s"${bpeChainSql(n)}\nSELECT * FROM ($parts) ORDER BY merge_rank"
   }
+
+  /** d26 oracle: every corpus word mapped through the learned w$n
+    * bracket-form, re-assembled per document in word order; the md5 of
+    * the '|'-joined token stream gates the complete encoding. */
+  private def bpeEncodeOracleSql(n: Int): String =
+    s"""${bpeChainSql(n)},
+       |docw AS (
+       |  SELECT ws.doc_id, j.j AS pos, ws.w[j.j + 1] AS word
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+       |        FROM documents) ws,
+       |       unnest(range(len(ws.w))) j(j)),
+       |enc AS (
+       |  SELECT dw.doc_id, dw.pos, wn.s,
+       |    len(string_split(wn.s[2:-2], '][')) AS ntok
+       |  FROM docw dw JOIN w$n wn ON wn.word = dw.word)
+       |SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tok_bpe,
+       |  md5(replace((string_agg(s, '' ORDER BY pos))[2:-2], '][', '|')) AS tok_md5
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The DEM fixture served from an ICELITE-BACKED Parquet table (written
     * once, resumable commit), not from in-memory `spark.range` tiles — so
@@ -910,6 +931,21 @@ object SparkEntry {
       graft.text.TextOps.bpeLearnMerges(
           table(s, dir, "documents"), "text", nMerges = 6)
         .orderBy(col("merge_rank"))
+    }),
+
+    // BPE ENCODING — the apply side of d25: the corpus tokenized with
+    // the 6 learned merges (collected once, 6 rows to the driver, ride
+    // the closure). The md5 of each doc's exact '|'-joined token stream
+    // is the gate: a single wrong fusion anywhere flips it.
+    "d26_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val merges = graft.text.TextOps.bpeLearnMerges(docs, "text", 6)
+        .orderBy($"merge_rank")
+        .select($"left_sym", $"right_sym").as[(String, String)]
+        .collect().toSeq
+      graft.text.TextOps.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy($"doc_id")
     }),
 
     // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means clusters the
@@ -3435,6 +3471,9 @@ object SparkEntry {
 
     // d25: full BPE in SQL — see bpeOracleSql
     "d25_bpe_merges" -> bpeOracleSql(6),
+
+    // d26: the same learned chain applied back to the corpus
+    "d26_bpe_encode" -> bpeEncodeOracleSql(6),
 
     // d20: regenerate the clustered fixture from closed form (cluster =
     // vid % 12, provably what k-means recovers), compute every within-

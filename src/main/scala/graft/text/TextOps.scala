@@ -481,6 +481,42 @@ object TextOps {
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** BPE ENCODING — the apply side of [[bpeLearnMerges]]: tokenize each
+    * document with a learned merge list (applied in rank order, each
+    * greedily left-to-right — the reference encoder semantics). The
+    * merge table is tiny (50k rows for a production tokenizer) and rides
+    * into the closure by value — broadcast, never shuffled; the encode
+    * itself is a per-row typed kernel with NO shuffle, so at 100 TB it
+    * runs at input-split parallelism. Emits per document the BPE token
+    * count and the md5 of the exact '|'-joined token stream — the
+    * cross-engine gate of the complete tokenization, and the dedup key
+    * of the tokenized corpus. Documents with no tokens are dropped
+    * (same contract as [[chunkTokens]]). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = merges.toArray
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val words = t.trim.split("\\s+").filter(_.nonEmpty)
+        if (words.isEmpty) Iterator.empty else {
+          val toks = words.iterator.flatMap { w =>
+            var s = w.map(_.toString).toArray
+            var i = 0
+            while (i < m.length) { s = bpeApplyMerge(s, m(i)._1, m(i)._2); i += 1 }
+            s
+          }.toArray
+          val joined = toks.mkString("|")
+          val md5hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(joined.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          Iterator.single((id, toks.length.toLong, md5hex))
+        }
+      }.toDF(idCol, "n_tok_bpe", "tok_md5")
+  }
+
   /** Greedy left-to-right application of one BPE merge: adjacent (a, b)
     * becomes the fused symbol, and the scan resumes AFTER the fusion
     * (the reference re-tokenization rule). */

@@ -400,4 +400,20 @@ class TextSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextOps.bpeLearnMerges(docs, "text", 0) }
   }
+
+  test("bpeEncode: rank-ordered greedy application + stream md5") {
+    import spark.implicits._
+    // merges learned on the fixture above: (a,a), (a,b), (aa,aa)
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "aa"))
+    val docs = Seq((1L, "aaaa ab"), (2L, "aab ba"), (3L, " ")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    // doc 1: aaaa -> [aa,aa] -> [aaaa]; ab -> [ab]  => tokens aaaa|ab
+    // doc 2: aab -> [aa,b] ((a,a) fires first, leaving no (a,b));
+    //        ba -> [b,a]                            => aa|b|b|a
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Seq((1L, 2L, md5("aaaa|ab")), (2L, 4L, md5("aa|b|b|a"))))
+  }
 }
