@@ -1290,6 +1290,34 @@ object SparkEntry {
         .orderBy($"image_id")
     }),
 
+    // ViT-style patchification — decode -> 16x16 patch grid (256 patches
+    // per 256x256 image) with per-patch integer code sums/maxes. The
+    // position-WEIGHTED patch checksum (sum of patch_idx x patch_sum)
+    // gates the raster patch ORDER, the per-patch max gates the patch
+    // GROUPING (a plain total would pass any pixel partition). Per-image
+    // kernel, no shuffle.
+    "i8_patchify" -> ((s, _) => {
+      import s.implicits._
+      val corpus = ImageCorpus.generateExact(s, 64L, 8)
+      ImageCorpus.decodeTiles(corpus, 8).map { t =>
+        val patches = graft.codecs.ImageCodec.patchify(t.payload, t.w, t.h, 16)
+        var wsum = 0L; var maxSum = 0L
+        var pi = 0
+        while (pi < patches.length) {
+          val p = patches(pi)
+          var psum = 0L; var pmax = 0L
+          var j = 0
+          while (j < p.length) {
+            val code = Math.rint(p(j) * 64.0).toLong
+            psum += code; if (code > pmax) pmax = code; j += 1
+          }
+          wsum += pi.toLong * psum; maxSum += pmax; pi += 1
+        }
+        (t.imageId, patches.length.toLong, wsum, maxSum)
+      }.toDF("image_id", "n_patches", "patch_wsum", "sum_patch_max")
+        .orderBy($"image_id")
+    }),
+
     // Image resize pipeline op: decode -> bilinear half-resolution resize
     // (per-image kernel, no shuffle) -> deterministic integer stats of the
     // resized plane (rows-only: no SQL-engine image decode; kernel parity
@@ -3291,6 +3319,23 @@ object SparkEntry {
         |  max(c) AS high_c, min(c) AS low_c,
         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS vol_c
         |FROM o GROUP BY user_id, bar ORDER BY user_id, bar""".stripMargin,
+
+    // i8: the same patch grid from the closed-form exact-corpus codes —
+    // patch idx = (r/16)*16 + c/16, grouped per (image, patch)
+    "i8_patchify" ->
+      """WITH px AS (
+        |  SELECT t.i AS i, r.r AS r, c.c AS c,
+        |    ((((t.i // 8) * 256 + r.r) * 31
+        |      + ((t.i % 8) * 256 + c.c) * 17) % 1000) AS code
+        |  FROM range(64) t(i), range(256) r(r), range(256) c(c)),
+        |pp AS (SELECT i, (r // 16) * 16 + (c // 16) AS pidx,
+        |    sum(code) AS psum, max(code) AS pmax
+        |  FROM px GROUP BY 1, 2)
+        |SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        |  CAST(count(*) AS BIGINT) AS n_patches,
+        |  CAST(sum(pidx * psum) AS BIGINT) AS patch_wsum,
+        |  CAST(sum(pmax) AS BIGINT) AS sum_patch_max
+        |FROM pp GROUP BY i ORDER BY image_id""".stripMargin,
 
     // i7: the augmentation checksums from the closed-form exact-corpus
     // codes — flip/rot are position-weighted over the PERMUTED arrays

@@ -405,6 +405,40 @@ object ImageCodec {
     out
   }
 
+  /** ViT-style patchification: split an h x w plane into non-overlapping
+    * ps x ps patches in raster order (patch-row major, each patch itself
+    * raster order) — the vision-model input prep that turns one image
+    * into (h/ps)*(w/ps) token vectors. Requires exact tiling (the
+    * resize/crop kernels produce it); concatenating the output in order
+    * does NOT reproduce the plane (patches interleave rows), which is
+    * what the reassembly test pins down. Per-image kernel, no shuffle. */
+  def patchify(src: Array[Double], w: Int, h: Int,
+      ps: Int): Array[Array[Double]] = {
+    require(ps > 0 && w % ps == 0 && h % ps == 0,
+      s"patchify: $w x $h not tiled by $ps")
+    val pw = w / ps; val ph = h / ps
+    val out = new Array[Array[Double]](pw * ph)
+    var pr = 0
+    while (pr < ph) {
+      var pc = 0
+      while (pc < pw) {
+        val p = new Array[Double](ps * ps)
+        var r = 0
+        while (r < ps) {
+          var c = 0
+          while (c < ps) {
+            p(r * ps + c) = src((pr * ps + r) * w + (pc * ps + c)); c += 1
+          }
+          r += 1
+        }
+        out(pr * pw + pc) = p
+        pc += 1
+      }
+      pr += 1
+    }
+    out
+  }
+
   /** Clockwise quarter-turn: for an h x w source the output is w x h with
     * dst(r, c) = src(h-1-c, r). */
   def rot90cw(src: Array[Double], w: Int, h: Int): Array[Double] = {

@@ -181,4 +181,25 @@ class CodecSpec extends AnyFunSuite {
     val q = Array.tabulate(16)(_.toDouble)
     assert(cropCenter(q, 4, 4, 2, 2).toSeq == Seq(5.0, 6, 9, 10))
   }
+
+  test("patchify: raster patch order, exact contents, reassembly inverse") {
+    // 4x6 plane, 2x2 patches -> 3 patch cols x 2 patch rows, raster order
+    val w = 6; val h = 4
+    val src = Array.tabulate(w * h)(_.toDouble)
+    val ps = ImageCodec.patchify(src, w, h, 2)
+    assert(ps.length == 6 && ps.forall(_.length == 4))
+    // patch 0 = rows 0-1, cols 0-1; patch 4 = rows 2-3, cols 2-3
+    assert(ps(0).toSeq == Seq(0.0, 1.0, 6.0, 7.0))
+    assert(ps(4).toSeq == Seq(14.0, 15.0, 20.0, 21.0))
+    // reassembly by inverse indexing reproduces the plane exactly
+    val back = new Array[Double](w * h)
+    for (pi <- ps.indices; j <- 0 until 4) {
+      val pr = pi / 3; val pc = pi % 3
+      back((pr * 2 + j / 2) * w + (pc * 2 + j % 2)) = ps(pi)(j)
+    }
+    assert(back.toSeq == src.toSeq)
+    // plain concatenation does NOT reproduce the plane (rows interleave)
+    assert(ps.flatten.toSeq != src.toSeq)
+    intercept[IllegalArgumentException] { ImageCodec.patchify(src, w, h, 4) }
+  }
 }
