@@ -598,6 +598,30 @@ object SparkEntry {
         .orderBy($"clip_id")
     }),
 
+    // Audio RESAMPLING (decimate-by-2, 2-tap box pre-filter): the
+    // sample-rate normalization every audio corpus pass runs before
+    // feature extraction. Same real RIFF encode -> decode in-task as a1;
+    // the position-WEIGHTED checksum gates sample ORDER and the floor
+    // rounding, sum_abs gates magnitudes. All integer-exact.
+    "a3_audio_resample" -> ((s, _) => {
+      import s.implicits._
+      s.range(100).map { k =>
+        val samples = Array.tabulate(1000)(i =>
+          (((k * 7 + i * 31) % 2001) - 1000).toShort)
+        val bytes = graft.codecs.WavCodec.encode(samples, 16000)
+        val (dec, _) = graft.codecs.WavCodec.decode(bytes)
+        val out = graft.codecs.WavCodec.downsample2(dec)
+        var wsum = 0L; var sabs = 0L
+        var j = 0
+        while (j < out.length) {
+          wsum += (j + 1).toLong * out(j); sabs += math.abs(out(j).toLong)
+          j += 1
+        }
+        (k, out.length.toLong, wsum, sabs)
+      }.toDF("clip_id", "n_out", "wsum", "sum_abs")
+        .orderBy($"clip_id")
+    }),
+
     // Video SCENE-CHANGE detection: SAD between consecutive decoded
     // frames, cut where SAD > 65000. The fixture switches the pixel
     // formula at frame 6 (i -> 3i+97 remap), so the 5->6 transition SADs
@@ -3767,6 +3791,20 @@ object SparkEntry {
 
     // a2: regenerate the planted-silence samples, window the energies,
     // derive lead/trail runs from the four per-clip silent flags
+    // a3: the decimated stream from the closed-form sample rule —
+    // floor((a+b)/2) == the kernel's arithmetic shift for all ints
+    "a3_audio_resample" ->
+      """WITH s AS (
+        |  SELECT k.k AS clip_id, j.j AS j,
+        |    ((k.k * 7 + (2 * j.j) * 31) % 2001) - 1000 AS a,
+        |    ((k.k * 7 + (2 * j.j + 1) * 31) % 2001) - 1000 AS b
+        |  FROM range(100) k(k), range(500) j(j)),
+        |d AS (SELECT clip_id, j, CAST(floor((a + b) / 2.0) AS BIGINT) AS v FROM s)
+        |SELECT clip_id, CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum((j + 1) * v) AS BIGINT) AS wsum,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        |FROM d GROUP BY clip_id ORDER BY clip_id""".stripMargin,
+
     "a2_audio_trim" ->
       """WITH s AS (SELECT (i // 1000) AS clip, (i % 1000) AS idx,
         |  CASE WHEN (i % 1000) < 250 * ((i // 1000) % 3)

@@ -104,4 +104,23 @@ object WavCodec {
     val kept = feats.slice(lead, feats.length - trail).map(_._2).sum
     (feats.length.toLong, lead.toLong, trail.toLong, kept)
   }
+
+  /** Decimate-by-2 resampling with a 2-tap box pre-filter: each output
+    * sample is the floor-mean of an input pair ((a+b) >> 1 — arithmetic
+    * shift = floor, integer-exact for the full Short range). A trailing
+    * odd sample is dropped (floor(n/2) outputs). The 2-tap box is the
+    * standard cheap anti-alias decimator; a production pipeline would
+    * swap in a longer FIR — this fixes the CONTRACT (pairing, floor
+    * rounding, odd-tail drop) that any kernel upgrade must keep.
+    * Per-clip kernel, no shuffle. */
+  def downsample2(samples: Array[Short]): Array[Short] = {
+    val n = samples.length / 2
+    val out = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      out(j) = ((samples(2 * j) + samples(2 * j + 1)) >> 1).toShort
+      j += 1
+    }
+    out
+  }
 }

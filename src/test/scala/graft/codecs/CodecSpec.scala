@@ -202,4 +202,19 @@ class CodecSpec extends AnyFunSuite {
     assert(ps.flatten.toSeq != src.toSeq)
     intercept[IllegalArgumentException] { ImageCodec.patchify(src, w, h, 4) }
   }
+
+  test("downsample2: pair floor-mean, negative floor, odd-tail drop") {
+    assert(WavCodec.downsample2(Array[Short](10, 20, 30, 31)).toSeq
+      == Seq[Short](15, 30)) // (30+31)>>1 floors to 30
+    assert(WavCodec.downsample2(Array[Short](-3, -4)).toSeq
+      == Seq[Short](-4)) // floor(-3.5) = -4, NOT truncation's -3
+    assert(WavCodec.downsample2(Array[Short](1, 2, 99)).toSeq
+      == Seq[Short](1)) // odd tail dropped
+    assert(WavCodec.downsample2(Array.empty[Short]).isEmpty)
+    // Short extremes stay exact (sum computed in Int before the shift)
+    assert(WavCodec.downsample2(Array[Short](Short.MaxValue, Short.MaxValue))
+      .toSeq == Seq(Short.MaxValue))
+    assert(WavCodec.downsample2(Array[Short](Short.MinValue, Short.MinValue))
+      .toSeq == Seq(Short.MinValue))
+  }
 }
