@@ -957,6 +957,22 @@ object SparkEntry {
         .orderBy(col("merge_rank"))
     }),
 
+    // Sequence PACKING (GPT pretraining prep): whitespace token counts ->
+    // global token offsets via a DISTRIBUTED prefix sum (range partition
+    // + per-partition subtotals + driver scan of #partitions longs —
+    // never a single-partition global window) -> each doc's first/last
+    // 512-token training block.
+    "d27_seq_packing" -> ((s, dir) => {
+      import s.implicits._
+      val withTok = table(s, dir, "documents")
+        .select($"doc_id",
+          size(filter(split(trim($"text"), "\\s+"), t => t =!= lit("")))
+            .cast("long").as("n_tok"))
+        .where($"n_tok" > 0)
+      graft.text.TextOps.packContiguous(withTok, "doc_id", "n_tok", 512)
+        .orderBy($"doc_id")
+    }),
+
     // BPE ENCODING — the apply side of d25: the corpus tokenized with
     // the 6 learned merges (collected once, 6 rows to the driver, ride
     // the closure). The md5 of each doc's exact '|'-joined token stream
@@ -3543,6 +3559,21 @@ object SparkEntry {
 
     // d26: the same learned chain applied back to the corpus
     "d26_bpe_encode" -> bpeEncodeOracleSql(6),
+
+    // d27: the same packing arithmetic as one exclusive-prefix window
+    "d27_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x != '')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM t WHERE n_tok > 0)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(start_tok // 512 AS BIGINT) AS first_seq,
+        |  CAST((start_tok + n_tok - 1) // 512 AS BIGINT) AS last_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // d20: regenerate the clustered fixture from closed form (cluster =
     // vid % 12, provably what k-means recovers), compute every within-

@@ -481,6 +481,52 @@ object TextOps {
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** GPT-style contiguous sequence PACKING: concatenate all documents'
+    * tokens in id order and cut the stream into fixed seqLen training
+    * blocks — each doc is assigned its global token offset and the
+    * first/last sequence it lands in (docs straddle block boundaries by
+    * design; this is concat-and-chunk packing, not remainder-aware bin
+    * packing). The global running total is THE scale trap here: a
+    * window over a global ORDER BY collapses to one partition. This
+    * implementation is the canonical DISTRIBUTED prefix sum instead —
+    * range-partition by id, localCheckpoint to freeze the partitioning,
+    * one O(#partitions) pass collects per-partition subtotals (a few
+    * longs to the driver, never rows), the driver scan-prefixes them,
+    * and a second per-partition pass emits running offsets. Two narrow
+    * passes, no global sort bottleneck at any corpus size. Rows with
+    * n_tok = 0 get last_seq = first_seq. */
+  def packContiguous(docs: DataFrame, idCol: String, nTokCol: String,
+      seqLen: Int, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+      col(nTokCol).cast("long").as("n"))
+    val ranged = // 0 = planner default (AQE may coalesce small inputs)
+      if (partitions > 0) keyed.repartitionByRange(partitions, col("id"))
+      else keyed.repartitionByRange(col("id"))
+    val ds = ranged
+      .sortWithinPartitions(col("id"))
+      .as[(Long, Long)]
+      .localCheckpoint() // freeze range boundaries across the two passes
+    val rdd = ds.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (pi, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator.single((pi, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var run = bc.value(pi)
+      it.map { case (id, n) =>
+        val start = run; run += n
+        (id, n, start, start / seqLen,
+          (start + math.max(n, 1L) - 1L) / seqLen)
+      }
+    }
+    spark.createDataset(out)
+      .toDF(idCol, "n_tok", "start_tok", "first_seq", "last_seq")
+  }
+
   /** BPE ENCODING — the apply side of [[bpeLearnMerges]]: tokenize each
     * document with a learned merge list (applied in rank order, each
     * greedily left-to-right — the reference encoder semantics). The

@@ -416,4 +416,25 @@ class TextSpec extends AnyFunSuite {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(got == Seq((1L, 2L, md5("aaaa|ab")), (2L, 4L, md5("aa|b|b|a"))))
   }
+
+  test("packContiguous: distributed prefix sum == driver cumsum across >1 partition") {
+    import spark.implicits._
+    // 5000 docs with varying token counts; local[4] range partitioner
+    // gives several partitions, so the subtotal/offset path is exercised
+    val docs = (0L until 5000L).map(i => (i, (i % 37) + 1)).toDF("doc_id", "n_tok")
+    val got = TextOps.packContiguous(docs, "doc_id", "n_tok", 128,
+        partitions = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    (0L until 5000L).zip(got).foreach { case (i, (id, n, start, fs, ls)) =>
+      assert(id == i && n == (i % 37) + 1)
+      assert(start == run, s"doc $i offset")
+      assert(fs == start / 128 && ls == (start + n - 1) / 128)
+      run += n
+    }
+    // a doc straddling a boundary spans two sequences
+    assert(got.exists(g => g._5 == g._4 + 1))
+    intercept[IllegalArgumentException] {
+      TextOps.packContiguous(docs, "doc_id", "n_tok", 0) }
+  }
 }
