@@ -872,6 +872,20 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // SQ8 scalar-quantized ANN — int8 codes (4x scan compression), exact
+    // INTEGER candidate dots, shortlist 32, exact float re-rank to top-5.
+    // The oracle replicates the ENTIRE path in SQL: per-dim max-abs
+    // scales, floor(+0.5) quantization, integer dots, both rank layers.
+    "e6_ann_sq8" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      graft.sim.Similarity.sq8TopK(s,
+          e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+          e.filter($"vec_id" < 10).select($"vec_id", $"embedding"),
+          "vec_id", "embedding", k = 5, shortlist = 32)
+        .orderBy($"qid", $"rank")
+    }),
+
     // kNN label-vote classification — the embedding-eval op: each query
     // takes the majority label of its exact top-5 cosine neighbours
     // (ties -> smallest label). The vote layer is deterministic over the
@@ -3523,6 +3537,46 @@ object SparkEntry {
         |  FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
         |SELECT id AS node, pr, CAST(pr * 262144 AS BIGINT) AS pr_scaled
         |FROM r3 ORDER BY id""".stripMargin,
+
+    // e6: full SQ8 replication — scales, floor(+0.5) int8 codes, exact
+    // integer candidate dots, shortlist 32 by (idot, vid), exact cosine
+    // re-rank to top-5
+    "e6_ann_sq8" ->
+      """WITH sc AS (
+        |  SELECT i.i AS d, max(abs(e.embedding[i.i + 1]::DOUBLE)) AS s
+        |  FROM embeddings e, range(64) i(i) GROUP BY 1),
+        |cq AS (
+        |  SELECT e.vec_id AS vid, i.i AS d,
+        |    CASE WHEN sc.s = 0 THEN 0
+        |      ELSE CAST(greatest(-127, least(127,
+        |        floor(127 * e.embedding[i.i + 1]::DOUBLE / sc.s + 0.5))) AS BIGINT)
+        |    END AS q
+        |  FROM embeddings e, range(64) i(i), sc WHERE sc.d = i.i),
+        |dots AS (
+        |  SELECT q.vid AS qid, b.vid AS vid, sum(q.q * b.q) AS idot
+        |  FROM cq q JOIN cq b ON b.d = q.d AND b.vid != q.vid
+        |  WHERE q.vid < 10 GROUP BY 1, 2),
+        |short AS (
+        |  SELECT qid, vid, idot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY idot DESC, vid) AS srank
+        |  FROM dots),
+        |rer AS (
+        |  SELECT s.qid, s.vid, s.idot,
+        |    (SELECT sum(qe.embedding[i + 1]::DOUBLE * be.embedding[i + 1]::DOUBLE)
+        |       FROM range(64) t(i)) /
+        |    (sqrt((SELECT sum(qe.embedding[i + 1]::DOUBLE * qe.embedding[i + 1]::DOUBLE)
+        |       FROM range(64) t(i))) *
+        |     sqrt((SELECT sum(be.embedding[i + 1]::DOUBLE * be.embedding[i + 1]::DOUBLE)
+        |       FROM range(64) t(i)))) AS cos
+        |  FROM short s
+        |  JOIN embeddings qe ON qe.vec_id = s.qid
+        |  JOIN embeddings be ON be.vec_id = s.vid
+        |  WHERE s.srank <= 32)
+        |SELECT qid, rank, vid, idot FROM (
+        |  SELECT qid, vid, idot,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank
+        |  FROM rer)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // d21: identical rule to d18 — the Bloom pre-filter cannot change
     // the result (no false negatives; positives are exact-verified)

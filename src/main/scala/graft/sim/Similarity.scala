@@ -440,6 +440,84 @@ object Similarity {
       .select(col("ia"), col("ib"))
   }
 
+  /** SQ8 scalar-quantized ANN (the FAISS SQ8 shape — the third
+    * compression in the family next to PQ and IVF-PQ): per-dimension
+    * symmetric int8 quantization q_d = floor(127·v_d/scale_d + 0.5)
+    * with scale_d = max |v_d| over the corpus (one narrow posexplode
+    * agg; dim doubles to the driver, broadcast back). The candidate
+    * scan then runs on BYTE codes — 4× less memory traffic than floats
+    * and an exact INTEGER dot (no FMA drift), which is also what makes
+    * the shortlist deterministic and the whole path hash-checkable.
+    * Queries ride as broadcast code arrays (the small side by
+    * contract); the corpus STREAMS — one partition-local pass, no
+    * shuffle until the tiny (qid, vid, idot) candidate table. The top
+    * `shortlist` per query by (idot desc, vid) re-rank EXACTLY on the
+    * original floats; top k survive. At 100 TB compose with the IVF
+    * lists like [[ivfPqTopK]]: the byte scan replaces the float scan
+    * inside each probed list. Output (qid, rank, vid, idot). */
+  def sq8TopK(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, shortlist: Int): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1")
+    val scales = corpus
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(max(abs(col("x").cast("double"))).as("s"))
+      .orderBy(col("d")).select(col("s")).as[Double].collect()
+    val bcS = spark.sparkContext.broadcast(scales)
+    val qCodes = queries
+      .select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, sq8Quantize(v, scales)) }
+    val bcQ = spark.sparkContext.broadcast(qCodes)
+    val cands = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.flatMap { case (vid, v) =>
+          val code = sq8Quantize(v, bcS.value)
+          qs.iterator.filter(_._1 != vid).map { case (qid, qc) =>
+            var acc = 0L; var i = 0
+            while (i < code.length) { acc += qc(i).toLong * code(i); i += 1 }
+            (qid, vid, acc)
+          }
+        }
+      }.toDF("qid", "vid", "idot")
+    val ws = Window.partitionBy(col("qid")).orderBy(col("idot").desc, col("vid"))
+    val short = cands.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist).select(col("qid"), col("vid"), col("idot"))
+    val qv = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+    val bv = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    val rer = short.join(qv, "qid").join(bv, "vid")
+      .withColumn("cos", dot("qv", "v") /
+        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    rer.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vid"), col("idot"))
+  }
+
+  /** floor(127·v/s + 0.5) per dimension, clamped to [-127, 127]; a zero
+    * scale (constant-zero dimension) quantizes to 0. The floor(+0.5)
+    * form (not rint) is deliberate: it has ONE cross-engine convention,
+    * where half-even vs half-away round() conventions differ. */
+  private[sim] def sq8Quantize(v: Array[Float], s: Array[Double]): Array[Byte] = {
+    val q = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) {
+      val sv = s(i)
+      q(i) =
+        if (sv == 0.0) 0
+        else {
+          val x = math.floor(127.0 * v(i) / sv + 0.5)
+          math.max(-127.0, math.min(127.0, x)).toByte
+        }
+      i += 1
+    }
+    q
+  }
+
   /** kNN label-vote classification — the standard embedding-eval op
     * (label propagation / quality probing of a trained embedding space):
     * each query takes the majority label of its k nearest neighbours,

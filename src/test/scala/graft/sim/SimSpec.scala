@@ -271,4 +271,41 @@ class SimSpec extends AnyFunSuite {
     assert(got(4) == 2.0)
     assert(got(5).isNaN)
   }
+
+  test("SQ8: quantizer semantics; shortlist+re-rank == brute top-5 on clustered data") {
+    import spark.implicits._
+    // quantizer: floor(+0.5) half-up (NOT rint half-even), clamp, zero-scale
+    val s = Array(10.0, 10.0, 0.0, 4.0)
+    val q = Similarity.sq8Quantize(Array(10.0f, -10.0f, 3.0f, 2.0f), s)
+    assert(q.toSeq == Seq[Byte](127, -127, 0, 64)) // 127*2/4+0.5 = 64.0
+    val q2 = Similarity.sq8Quantize(Array(0.5f, -0.5f, 0.0f, -2.0f), s)
+    // 127*0.5/10 = 6.35 -> 6; -6.35+0.5 = -5.85 -> floor = -6; -127*2/4 = -63.5+0.5 -> -63
+    assert(q2.toSeq == Seq[Byte](6, -6, 0, -63))
+
+    // same clustered fixture as IVF. Within-cluster jitter (~0.5%) sits
+    // BELOW int8 resolution (1/127 ~ 0.8%), so quantized dots cannot
+    // order cluster members — the textbook SQ8 recall story. But the
+    // cross-cluster gap is huge, so a shortlist covering the cluster
+    // size (40 < 48) provably contains the true top-5 and the exact
+    // re-rank must then reproduce brute top-5 exactly
+    val dim = 16
+    val pts = (0 until 320).map { i =>
+      val cl = i % 8
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d % 8 == cl) 10.0f else 0.0f
+        center + (((i * 31 + d * 17) % 7) - 3) * 0.05f
+      }
+      (i.toLong, v)
+    }
+    val e = spark.createDataset(pts).toDF("vec_id", "embedding")
+    val q5 = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val brute = Similarity.bruteTopK(q5,
+        e.select($"vec_id".as("vid"), $"embedding".as("v")), 5)
+      .select("qid", "rank", "vid").as[(Long, Long, Long)].collect().toSet
+    val sq8 = Similarity.sq8TopK(spark, e, "vec_id", "embedding",
+        e.filter($"vec_id" < 16), "vec_id", "embedding", k = 5, shortlist = 48)
+      .select("qid", "rank", "vid").as[(Long, Long, Long)].collect().toSet
+    assert(sq8 == brute, "SQ8 shortlist+re-rank must equal brute here")
+  }
 }
