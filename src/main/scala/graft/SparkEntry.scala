@@ -645,6 +645,28 @@ object SparkEntry {
         .orderBy($"clip_id", $"frame_idx")
     }),
 
+    // Temporal CLIP WINDOWING — the video analog of d24 chunking: each
+    // 12-frame clip cut into 4-frame training windows stepped by 3
+    // (tail window = 3 frames). Same v2 fixture (formula switch at
+    // frame 6), all integers; the position-weighted gray-sum checksum
+    // pins frame order inside each window.
+    "v3_clip_windows" -> ((s, _) => {
+      import s.implicits._
+      val clips = s.range(8).map { cid =>
+        val frames = (0 until 12).map { f =>
+          Array.tabulate(48 * 32) { i =>
+            val code = if (f < 6) (cid * 37 + f * 11 + i) % 251
+                       else (cid * 37 + f * 11 + i * 3 + 97) % 251
+            code.toDouble
+          }
+        }
+        (cid.toLong, graft.sources.GifWriter.writeAnimatedBytes(
+          frames, 48, 32, lo = 0, hi = 250, delayCs = 10))
+      }
+      graft.codecs.VideoOps.clipWindows(clips, winFrames = 4, stride = 3)
+        .orderBy($"clip_id", $"win_idx")
+    }),
+
     // semi-structured: JSON props extraction + conditional agg
     "q6_json_props" -> ((s, dir) => {
       import s.implicits._
@@ -3931,6 +3953,29 @@ object SparkEntry {
         |SELECT cid AS clip_id, CAST(f AS INT) AS frame_idx,
         |  CAST(sad AS BIGINT) AS sad, sad > 65000 AS is_cut
         |FROM d ORDER BY 1, 2""".stripMargin,
+
+    // v3: same decoded-gray formula as v2 (incl. the GIF palette
+    // trunc(code/250*255) quantization), summed per frame, windowed
+    // 4-stride-3 with the position-weighted checksum
+    "v3_clip_windows" ->
+      """WITH px AS (
+        |  SELECT t1.cid AS cid, t2.f AS f, t3.i AS i,
+        |    CAST(trunc(CAST(CASE WHEN t2.f < 6
+        |        THEN (t1.cid*37 + t2.f*11 + t3.i) % 251
+        |        ELSE (t1.cid*37 + t2.f*11 + t3.i*3 + 97) % 251 END
+        |      AS DOUBLE) / 250.0 * 255.0) AS BIGINT) AS g
+        |  FROM range(8) t1(cid), range(12) t2(f), range(1536) t3(i)),
+        |fs AS (SELECT cid, f, sum(g) AS gsum FROM px GROUP BY 1, 2),
+        |wins AS (SELECT c.c AS clip_id, s.s AS win_idx, s.s * 3 AS first_frame
+        |  FROM range(8) c(c), range(4) s(s))
+        |SELECT w.clip_id, CAST(w.win_idx AS INT) AS win_idx,
+        |  CAST(w.first_frame AS INT) AS first_frame,
+        |  CAST(least(4, 12 - w.first_frame) AS INT) AS n_frames,
+        |  CAST(sum((fs.f - w.first_frame + 1) * fs.gsum) AS BIGINT) AS wsum
+        |FROM wins w JOIN fs ON fs.cid = w.clip_id
+        |  AND fs.f >= w.first_frame AND fs.f < w.first_frame + 4
+        |GROUP BY w.clip_id, w.win_idx, w.first_frame
+        |ORDER BY 1, 2""".stripMargin,
 
     // r17: full reproject replication — see r17Sql scaladoc
     "r17_reproject" -> r17Sql,

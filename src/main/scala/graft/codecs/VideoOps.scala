@@ -101,4 +101,54 @@ object VideoOps {
       } finally rd.dispose()
     }.toDF("clip_id", "frame_idx", "sad", "is_cut")
   }
+
+  /** Temporal CLIP WINDOWING — the video analog of token chunking
+    * (TextOps.chunkTokens): split each video into winFrames-frame
+    * training clips stepped by `stride` (overlapping when stride <
+    * winFrames; the tail window may be shorter; window starts are
+    * emitted while start < nFrames so every frame lands in at least one
+    * window). Each frame decodes ONCE per clip; windows are cut over
+    * the per-frame gray-sum array in memory. The position-weighted
+    * checksum (sum of (offset+1) x frame gray-sum) pins frame ORDER
+    * within the window, not just membership. Same per-clip no-shuffle
+    * kernel shape as [[frameStats]]. Emits (clip_id, win_idx,
+    * first_frame, n_frames, wsum). */
+  def clipWindows(clips: Dataset[(Long, Array[Byte])], winFrames: Int,
+      stride: Int): DataFrame = {
+    require(winFrames > 0, s"clipWindows: winFrames must be > 0, got $winFrames")
+    require(stride > 0 && stride <= winFrames,
+      s"clipWindows: stride must be in [1, winFrames], got $stride")
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.flatMap { case (clipId, bytes) =>
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val n = rd.getNumImages(true)
+        val gsum = Array.tabulate(n) { f =>
+          val img = rd.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          var s = 0L; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += (img.getRGB(x, y) & 0xFF); x += 1 }
+            y += 1
+          }
+          s
+        }
+        val wins = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Int, Long)]()
+        var wi = 0
+        while (wi * stride < n) {
+          val first = wi * stride
+          val len = math.min(winFrames, n - first)
+          var wsum = 0L; var j = 0
+          while (j < len) { wsum += (j + 1).toLong * gsum(first + j); j += 1 }
+          wins += ((clipId, wi, first, len, wsum))
+          wi += 1
+        }
+        wins.iterator
+      } finally rd.dispose()
+    }.toDF("clip_id", "win_idx", "first_frame", "n_frames", "wsum")
+  }
 }

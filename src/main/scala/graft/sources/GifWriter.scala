@@ -38,7 +38,13 @@ object GifWriter {
       writeAnimatedBytes(frames, w, h, lo, hi, delayCs))
 
   /** Same GIF89a stream as [[writeAnimated]] but in memory — the video
-    * binary-column producer (clips-as-bytes tables). */
+    * binary-column producer (clips-as-bytes tables).
+    *
+    * KNOWN JDK QUIRK: at very small frame heights (observed at 8x4) the
+    * JDK GIF writer drops the last pixel row on round trip; at the
+    * engine's clip sizes (48x32 and up) round trips are exact — pinned
+    * by the v1/v2 integer hash gates and the CodecSpec round-read. Keep
+    * test fixtures at 48x32+. */
   def writeAnimatedBytes(frames: Seq[Array[Double]], w: Int, h: Int,
       lo: Double, hi: Double, delayCs: Int = 50): Array[Byte] = {
     require(frames.nonEmpty)

@@ -5,6 +5,14 @@ import graft.corpus.ImageCorpus
 
 class CodecSpec extends AnyFunSuite {
 
+  // only the Dataset-level tests (clipWindows) touch Spark; kernels stay pure
+  lazy val spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
   val payload: Array[Double] = ImageCorpus.tilePayload(3, 2)
 
   test("PNG 16-bit round trip is exact on quantized values (lossless gate)") {
@@ -216,5 +224,32 @@ class CodecSpec extends AnyFunSuite {
       .toSeq == Seq(Short.MaxValue))
     assert(WavCodec.downsample2(Array[Short](Short.MinValue, Short.MinValue))
       .toSeq == Seq(Short.MinValue))
+  }
+
+  test("clipWindows: coverage, overlap, tail, weighted order vs direct decode") {
+    import spark.implicits._
+    // 7-frame constant-plane clip at the proven 48x32 frame size (the
+    // JDK GIF writer corrupts the last row below ~this size; v1/v2's
+    // hash-green gates pin exact round trips at 48x32): frame f is
+    // all-f, decoded gray = trunc(f/250*255) = f for f <= 6
+    val frames = (0 until 7).map(f => Array.fill(48 * 32)(f.toDouble))
+    val clips = Seq((5L, graft.sources.GifWriter.writeAnimatedBytes(
+      frames, 48, 32, lo = 0, hi = 250, delayCs = 10))).toDS()
+    val got = VideoOps.clipWindows(clips, winFrames = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).sortBy(_._2).toSeq
+    // gray-sum of frame f = 1536 * f; starts 0,2,4,6; lengths 3,3,3,1
+    def ws(first: Int, len: Int) =
+      (0 until len).map(j => (j + 1).toLong * 1536L * (first + j)).sum
+    assert(got == Seq(
+      (5L, 0, 0, 3, ws(0, 3)), (5L, 1, 2, 3, ws(2, 3)),
+      (5L, 2, 4, 3, ws(4, 3)), (5L, 3, 6, 1, ws(6, 1))))
+    // every frame covered at least once
+    val covered = got.flatMap(g => g._3 until (g._3 + g._4)).toSet
+    assert(covered == (0 until 7).toSet)
+    intercept[IllegalArgumentException] {
+      VideoOps.clipWindows(clips, 3, 0) }
+    intercept[IllegalArgumentException] {
+      VideoOps.clipWindows(clips, 3, 4) }
   }
 }
