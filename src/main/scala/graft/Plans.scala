@@ -62,6 +62,15 @@ object Plans {
       "q12_set_ops" -> ("INTERSECT/EXCEPT: each branch compiles to " +
         "hash-aggregate + one user_id exchange (semi/anti after dedup); the " +
         "labeled union adds no shuffle"),
+      "e6_ann_sq8" -> ("SQ8 scan: the candidate stage is one " +
+        "WholeStageCodegen-free typed scan with BROADCAST query codes " +
+        "(no join operator, no shuffle until the tiny (qid,vid,idot) " +
+        "table); shortlist window + exact re-rank join only touch " +
+        "survivor ids"),
+      "d27_seq_packing" -> ("sequence packing: NO single-partition global " +
+        "window anywhere — the plan is range exchange + Scan ExistingRDD " +
+        "(localCheckpoint'd frozen partitioning) feeding the two " +
+        "prefix-sum passes; the final orderBy is display-only"),
       "g1_pagerank" -> ("PageRank iteration: the final round's plan is " +
         "constant-size — Scan ExistingRDD (localCheckpoint'd rank vector) " +
         "joined to the persisted outdegree'd edge table, ONE " +

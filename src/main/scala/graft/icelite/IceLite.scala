@@ -179,24 +179,133 @@ object IceLite {
     snap
   }
 
+  /** Parsed data-file list of a snapshot's manifest. */
+  def manifestEntries(table: String, snap: Long): Seq[DataFileEntry] = {
+    val manifest = Files.readString(Paths.get(table, "manifests", s"m-$snap.json"))
+    val entryRe =
+      """\{"path": "([^"]+)", "bucket": (\d+), "rows": (\d+), "min_cell": (-?\d+), "max_cell": (-?\d+)\}""".r
+    entryRe.findAllMatchIn(manifest).map { m =>
+      DataFileEntry(m.group(1), m.group(2).toInt, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong)
+    }.toSeq
+  }
+
   /** Snapshot-pinned read; `cellRange` prunes whole data files via manifest
     * min/max before any parquet footer is opened. */
   def read(spark: SparkSession, table: String, snap: Long,
       cellRange: Option[(Long, Long)] = None): Dataset[Tile] = {
     import spark.implicits._
-    val manifest = Files.readString(Paths.get(table, "manifests", s"m-$snap.json"))
-    val entryRe =
-      """\{"path": "([^"]+)", "bucket": (\d+), "rows": (\d+), "min_cell": (-?\d+), "max_cell": (-?\d+)\}""".r
-    val files = entryRe.findAllMatchIn(manifest).flatMap { m =>
-      val (path, rows, lo, hi) = (m.group(1), m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)
-      if (rows == 0) None
+    val files = manifestEntries(table, snap).flatMap { e =>
+      if (e.rows == 0) None
       else cellRange match {
-        case Some((a, b)) if hi < a || lo > b => None // manifest-level pruning
-        case _ => Some(path)
+        case Some((a, b)) if e.maxCell < a || e.minCell > b => None // pruned
+        case _ => Some(e.path)
       }
-    }.toSeq
+    }
     if (files.isEmpty) spark.emptyDataset[Tile]
     else spark.read.parquet(files: _*).as[Tile]
+  }
+
+  /** Row-level UPSERT — the Iceberg MERGE INTO (copy-on-write) analog:
+    * update rows REPLACE current rows with the same cellId; new cellIds
+    * append. The copy-on-write unit is the DATA FILE, exactly Iceberg's
+    * COW mode: each update key is range-assigned to its owning bucket (a
+    * tiny broadcast range table built from the manifest; keys beyond
+    * every range land in the edge bucket, whose range widens), and ONLY
+    * the touched buckets are read back, LEFT ANTI-joined on cellId
+    * against the update keys, merged with the updates and rewritten
+    * under the NEW snapshot. Every untouched bucket enters the new
+    * manifest BY REFERENCE — its parquet files are never opened, moved
+    * or rewritten, and its lineage row is copied forward. Readers pinned
+    * to the old snapshot are untouched; the current-snapshot pointer
+    * flips atomically at the end (a crash mid-upsert leaves the table on
+    * the old snapshot with orphaned staging files to GC). At 100 TB the
+    * cost is proportional to the TOUCHED key ranges, not the table.
+    * Caller contract: one row per cellId in `updates` (dedupe upstream).
+    * Returns the new snapshot id. */
+  def upsert(spark: SparkSession, table: String, updates: Dataset[Tile]): Long = {
+    import spark.implicits._
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"upsert: no committed snapshot in $table"))
+    val newSnap = snap + 1
+    val entries = manifestEntries(table, snap)
+    require(entries.nonEmpty, s"upsert: empty manifest for $table@$snap")
+    val owned = entries.filter(_.rows > 0).sortBy(_.minCell)
+    require(owned.nonEmpty, s"upsert: no data files in $table@$snap")
+    // ownership ranges: contiguous Z-ranges by construction; edges open
+    val ranges = owned.zipWithIndex.map { case (e, i) =>
+      val lo = if (i == 0) Long.MinValue else owned(i).minCell
+      val hi = if (i == owned.length - 1) Long.MaxValue
+               else owned(i + 1).minCell - 1
+      (e.bucket, lo, hi)
+    }
+    val rangeDf = spark.createDataset(ranges).toDF("bucket", "lo", "hi")
+    val updB = updates.toDF()
+      .join(broadcast(rangeDf), $"cellId" >= $"lo" && $"cellId" <= $"hi")
+      .drop("lo", "hi").persist()
+    val touched = updB.select($"bucket").distinct().as[Int].collect().toSet
+    if (touched.isEmpty) { updB.unpersist(); return snap } // no-op upsert
+    val keys = updB.select($"cellId")
+    val oldTouchedFiles = owned.filter(e => touched.contains(e.bucket)).map(_.path)
+    // partition column `bucket` is not stored in the leaf files; survivors
+    // re-derive it from the same range table (contiguous ranges guarantee
+    // each row maps back to its own bucket)
+    val survivors = spark.read.parquet(oldTouchedFiles: _*)
+      .join(broadcast(rangeDf), $"cellId" >= $"lo" && $"cellId" <= $"hi")
+      .drop("lo", "hi")
+      .join(keys, Seq("cellId"), "left_anti")
+    val stageRoot = s"$table/data/$newSnap"
+    survivors.unionByName(updB)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(stageRoot)
+    updB.unpersist()
+    // stats of the rewritten buckets only (same read-back shape as
+    // commitResumable: rows, order-independent checksum, cell min/max)
+    val stats = spark.read.parquet(stageRoot)
+      .select($"bucket".cast("int"), $"cellId", size($"payload"))
+      .as[(Int, Long, Int)]
+      .map { case (b, cid, n) => (b, cid, cid * 31 + n) }
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        var rows = 0L; var chk = 0L
+        var lo = Long.MaxValue; var hi = Long.MinValue
+        it.foreach { case (_, cid, c) =>
+          rows += 1; chk ^= c
+          if (cid < lo) lo = cid
+          if (cid > hi) hi = cid
+        }
+        (b, rows, chk, lo, hi)
+      }.collect().map(s => s._1 -> s).toMap
+    mkdirs(Paths.get(table, "lineage", newSnap.toString))
+    val newEntries = entries.map { e =>
+      if (!touched.contains(e.bucket)) {
+        // BY REFERENCE: untouched bucket keeps its old data files; its
+        // lineage row carries forward unchanged
+        val oldLin = Paths.get(table, "lineage", snap.toString, s"b-${e.bucket}.json")
+        if (Files.exists(oldLin))
+          Files.copy(oldLin,
+            Paths.get(table, "lineage", newSnap.toString, s"b-${e.bucket}.json"),
+            StandardCopyOption.REPLACE_EXISTING)
+        s"""{"path": ${q(e.path)}, "bucket": ${e.bucket}, "rows": ${e.rows}, "min_cell": ${e.minCell}, "max_cell": ${e.maxCell}}"""
+      } else {
+        val (rows, chk, lo, hi) = stats.get(e.bucket)
+          .map(s => (s._2, s._3, s._4, s._5)).getOrElse((0L, 0L, 0L, 0L))
+        writeAtomic(Paths.get(table, "lineage", newSnap.toString, s"b-${e.bucket}.json"),
+          s"""{"bucket": ${e.bucket}, "rows": $rows, "checksum": $chk}""")
+        val dir = s"$stageRoot/bucket=${e.bucket}"
+        s"""{"path": ${q(dir)}, "bucket": ${e.bucket}, "rows": $rows, "min_cell": $lo, "max_cell": $hi}"""
+      }
+    }
+    writeAtomic(Paths.get(table, "manifests", s"m-$newSnap.json"),
+      newEntries.mkString("[", ",\n", "]"))
+    val v = currentVersion(table) + 1
+    writeAtomic(Paths.get(table, "metadata", s"v$v.json"),
+      s"""{"format": "icelite/1", "current_snapshot": $newSnap,
+         | "manifest": ${q(s"$table/manifests/m-$newSnap.json")},
+         | "buckets": ${entries.length}}""".stripMargin)
+    newSnap
   }
 
   /** Small-file COMPACTION — the Iceberg `rewrite_data_files` analog and
