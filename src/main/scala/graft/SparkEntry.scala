@@ -1366,6 +1366,31 @@ object SparkEntry {
         .orderBy($"image_id")
     }),
 
+    // CLIP-style contrastive BATCH construction over the image+caption
+    // pair table (the north-star table shape): content dedup by
+    // md5(bytes) kills false in-batch negatives (16 planted exact
+    // duplicates under 'dup-' ids — the keeper rule picks them over
+    // their 'img-' twins), md5(id) gives the deterministic shuffle, and
+    // the global batch position comes from the distributed
+    // range-partition + zipWithIndex pass — never a one-partition
+    // window. Oracle regenerates the keeper set and the md5 permutation
+    // in closed form.
+    "m1_contrastive_batches" -> ((s, _) => {
+      import s.implicits._
+      val base = ImageCorpus.generateExact(s, 64L, 8).toDF()
+      val dups = base
+        .withColumn("i", substring($"image_id", 5, 8).cast("long"))
+        .filter($"i" % 4 === 0)
+        .withColumn("image_id",
+          concat(lit("dup-"), lpad($"i".cast("string"), 8, "0")))
+        .drop("i")
+      val pairs = base.unionByName(dups)
+        .withColumn("content_key", md5($"bytes"))
+      graft.ml.Batching.contrastiveBatches(pairs, "image_id", "content_key",
+          batchSize = 16)
+        .orderBy($"image_id")
+    }),
+
     // ViT-style patchification — decode -> 16x16 patch grid (256 patches
     // per 256x256 image) with per-patch integer code sums/maxes. The
     // position-WEIGHTED patch checksum (sum of patch_idx x patch_sum)
@@ -3395,6 +3420,21 @@ object SparkEntry {
         |  max(c) AS high_c, min(c) AS low_c,
         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS vol_c
         |FROM o GROUP BY user_id, bar ORDER BY user_id, bar""".stripMargin,
+
+    // m1: keeper set + md5 permutation + batch arithmetic in closed
+    // form ('dup-k' < 'img-k' so planted duplicates win the keeper rule)
+    "m1_contrastive_batches" ->
+      """WITH ids AS (
+        |  SELECT CASE WHEN i.i % 4 = 0
+        |      THEN 'dup-' || lpad(CAST(i.i AS VARCHAR), 8, '0')
+        |      ELSE 'img-' || lpad(CAST(i.i AS VARCHAR), 8, '0') END AS image_id
+        |  FROM range(64) i(i)),
+        |r AS (SELECT image_id,
+        |    row_number() OVER (ORDER BY md5(image_id), image_id) - 1 AS idx
+        |  FROM ids)
+        |SELECT image_id, CAST(idx // 16 AS BIGINT) AS batch_id,
+        |  CAST(idx % 16 AS BIGINT) AS pos
+        |FROM r ORDER BY image_id""".stripMargin,
 
     // i8: the same patch grid from the closed-form exact-corpus codes —
     // patch idx = (r/16)*16 + c/16, grouped per (image, patch)
