@@ -1391,6 +1391,28 @@ object SparkEntry {
         .orderBy($"image_id")
     }),
 
+    // Modality MIXTURE INTERLEAVING — the data-mixing op: text/image/
+    // audio/video streams woven 4:2:1:1 per 8-slot period, each stream
+    // independently md5-shuffled and distributed-indexed, truncated at
+    // the last COMPLETE period (here 8 periods = video-limited, 64
+    // rows) so the ratio is exact everywhere. Oracle replicates the
+    // permutations and the slot arithmetic per modality.
+    "m2_mixture_interleave" -> ((s, dir) => {
+      import s.implicits._
+      val text = table(s, dir, "documents")
+        .select(concat(lit("doc-"), $"doc_id").as("item_id"))
+      val image = ImageCorpus.generateExact(s, 64L, 8)
+        .select($"image_id".as("item_id"))
+      val audio = s.range(100)
+        .select(concat(lit("wav-"), $"id").as("item_id"))
+      val video = s.range(8)
+        .select(concat(lit("gif-"), $"id").as("item_id"))
+      graft.ml.Batching.mixtureInterleave(
+          Seq(("text", text, 4), ("image", image, 2),
+            ("audio", audio, 1), ("video", video, 1)), "item_id")
+        .orderBy($"global_pos")
+    }),
+
     // ViT-style patchification — decode -> 16x16 patch grid (256 patches
     // per 256x256 image) with per-patch integer code sums/maxes. The
     // position-WEIGHTED patch checksum (sum of patch_idx x patch_sum)
@@ -3435,6 +3457,28 @@ object SparkEntry {
         |SELECT image_id, CAST(idx // 16 AS BIGINT) AS batch_id,
         |  CAST(idx % 16 AS BIGINT) AS pos
         |FROM r ORDER BY image_id""".stripMargin,
+
+    // m2: per-modality md5 permutations + the period/offset slot
+    // arithmetic; periods = min(500/4, 64/2, 100/1, 8/1) = 8
+    "m2_mixture_interleave" ->
+      """WITH t AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id FROM documents),
+        |i AS (SELECT 'img-' || lpad(CAST(x.x AS VARCHAR), 8, '0') AS id FROM range(64) x(x)),
+        |a AS (SELECT 'wav-' || CAST(x.x AS VARCHAR) AS id FROM range(100) x(x)),
+        |v AS (SELECT 'gif-' || CAST(x.x AS VARCHAR) AS id FROM range(8) x(x)),
+        |ti AS (SELECT id, row_number() OVER (ORDER BY md5(id), id) - 1 AS idx FROM t),
+        |ii AS (SELECT id, row_number() OVER (ORDER BY md5(id), id) - 1 AS idx FROM i),
+        |ai AS (SELECT id, row_number() OVER (ORDER BY md5(id), id) - 1 AS idx FROM a),
+        |vi AS (SELECT id, row_number() OVER (ORDER BY md5(id), id) - 1 AS idx FROM v)
+        |SELECT modality, id AS item_id, CAST(global_pos AS BIGINT) AS global_pos FROM (
+        |  SELECT 'text' AS modality, id, (idx // 4) * 8 + 0 + idx % 4 AS global_pos
+        |    FROM ti WHERE idx < 32
+        |  UNION ALL
+        |  SELECT 'image', id, (idx // 2) * 8 + 4 + idx % 2 FROM ii WHERE idx < 16
+        |  UNION ALL
+        |  SELECT 'audio', id, (idx // 1) * 8 + 6 + idx % 1 FROM ai WHERE idx < 8
+        |  UNION ALL
+        |  SELECT 'video', id, (idx // 1) * 8 + 7 + idx % 1 FROM vi WHERE idx < 8)
+        |ORDER BY global_pos""".stripMargin,
 
     // i8: the same patch grid from the closed-form exact-corpus codes —
     // patch idx = (r/16)*16 + c/16, grouped per (image, patch)

@@ -37,12 +37,57 @@ object Batching {
       .withColumn("__r", row_number().over(keep))
       .filter(col("__r") === 1)
       .select(col(idCol).as("id"), md5(col(idCol)).as("k"))
-    val indexed = deduped
-      .repartitionByRange(col("k"))
+    val indexed = globalIndex(deduped)
+      .map { case (id, idx) => (id, idx / batchSize, idx % batchSize) }
+    spark.createDataset(indexed).toDF(idCol, "batch_id", "pos")
+  }
+
+  /** Deterministic global index of (id, k) rows in (k, id) order:
+    * range partition + partition-local sort + zipWithIndex (one count
+    * pass for per-partition offsets) — the distributed row-number. */
+  private def globalIndex(rows: DataFrame) = {
+    import rows.sparkSession.implicits._
+    rows.repartitionByRange(col("k"))
       .sortWithinPartitions(col("k"), col("id"))
       .as[(String, String)]
       .rdd.zipWithIndex()
-      .map { case ((id, _), idx) => (id, idx / batchSize, idx % batchSize) }
-    spark.createDataset(indexed).toDF(idCol, "batch_id", "pos")
+      .map { case ((id, _), idx) => (id, idx) }
+  }
+
+  /** Modality MIXTURE INTERLEAVING — the data-mixing op of multimodal
+    * pretraining: each source stream (text/image/audio/video, each with
+    * an integer quota per period) is independently md5-shuffled and
+    * globally indexed (distributed, per source), then woven into one
+    * deterministic training order: period p carries quota(m) items of
+    * each modality m in declaration order, so every period realizes the
+    * exact target mixture ratio. The stream truncates at the last
+    * COMPLETE period (min over modalities of n_m / quota_m) — a partial
+    * period would silently skew the ratio. Only per-source counts reach
+    * the driver. Returns (modality, idCol, global_pos). */
+  def mixtureInterleave(sources: Seq[(String, DataFrame, Int)],
+      idCol: String): DataFrame = {
+    require(sources.nonEmpty, "mixtureInterleave: no sources")
+    require(sources.forall(_._3 > 0), "mixtureInterleave: quotas must be > 0")
+    val spark = sources.head._2.sparkSession
+    import spark.implicits._
+    val period = sources.map(_._3).sum
+    val offsets = sources.map(_._3).scanLeft(0)(_ + _)
+    val indexed = sources.map { case (mod, df, quota) =>
+      val rows = df.select(col(idCol).as("id"), md5(col(idCol)).as("k"))
+      (mod, quota, globalIndex(rows).cache())
+    }
+    val periods = indexed.zip(sources).map { case ((_, quota, rdd), _) =>
+      rdd.count() / quota
+    }.min
+    val out = indexed.zipWithIndex.map { case ((mod, quota, rdd), mi) =>
+      val off = offsets(mi)
+      spark.createDataset(
+        rdd.filter(_._2 < periods * quota).map { case (id, idx) =>
+          (mod, id, (idx / quota) * period + off + idx % quota)
+        })
+    }.reduce(_ union _)
+    // cached index RDDs stay referenced by `out`'s lineage; the
+    // ContextCleaner releases their blocks once the result is dropped
+    out.toDF("modality", idCol, "global_pos")
   }
 }

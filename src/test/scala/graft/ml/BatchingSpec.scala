@@ -48,4 +48,29 @@ class BatchingSpec extends AnyFunSuite {
       Batching.contrastiveBatches(df, "id", "key", 0)
     }
   }
+
+  test("mixtureInterleave: exact ratio per period, complete-period truncation") {
+    import spark.implicits._
+    val a = (0 until 23).map(i => s"a$i").toDF("id") // 23/2 = 11 periods
+    val b = (0 until 9).map(i => s"b$i").toDF("id")  // 9/1  =  9 periods <- min
+    val out = Batching.mixtureInterleave(
+        Seq(("A", a, 2), ("B", b, 1)), "id")
+      .as[(String, String, Long)].collect().sortBy(_._3)
+    // 9 complete periods of 3 slots -> 27 rows, positions 0..26 contiguous
+    assert(out.length == 27)
+    assert(out.map(_._3).toSeq == (0L until 27L).toSeq)
+    // every period is exactly [A, A, B]
+    out.grouped(3).foreach { p =>
+      assert(p.map(_._1).toSeq == Seq("A", "A", "B"))
+    }
+    // items within a modality appear in md5 order (stable shuffle)
+    val aOrder = out.filter(_._1 == "A").sortBy(_._3).map(_._2).toSeq
+    val aWant = (0 until 23).map(i => s"a$i")
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString, id))
+      .take(18)
+    assert(aOrder == aWant)
+    intercept[IllegalArgumentException] {
+      Batching.mixtureInterleave(Seq(("A", a, 0)), "id") }
+  }
 }
