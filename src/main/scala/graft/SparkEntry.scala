@@ -622,6 +622,31 @@ object SparkEntry {
         .orderBy($"clip_id")
     }),
 
+    // Audio GAIN NORMALIZATION — measure per-clip peak, derive the exact
+    // power-of-two gain (largest shift with peak<<s <= 32767), and
+    // checksum the normalized stream. The fixture divides the a1 pattern
+    // by 1 + k%4 so peaks (and hence shifts 5/6/6/7) vary per clip; all
+    // integer-exact (trunc division, bit-shift gain). Same real RIFF
+    // encode -> decode in-task as a1; per-clip kernel, zero shuffle.
+    "a4_audio_gain" -> ((s, _) => {
+      import s.implicits._
+      s.range(100).map { k =>
+        val div = (1 + k % 4).toInt
+        val samples = Array.tabulate(1000)(i =>
+          (((((k * 7 + i * 31) % 2001) - 1000) / div).toShort))
+        val bytes = graft.codecs.WavCodec.encode(samples, 16000)
+        val (dec, _) = graft.codecs.WavCodec.decode(bytes)
+        val (peak, shift) = graft.codecs.WavCodec.gainShift(dec)
+        var wsum = 0L
+        var j = 0
+        while (j < dec.length) {
+          wsum += (j + 1).toLong * (dec(j).toLong << shift); j += 1
+        }
+        (k, peak, shift.toLong, wsum)
+      }.toDF("clip_id", "peak", "shift", "norm_wsum")
+        .orderBy($"clip_id")
+    }),
+
     // Video SCENE-CHANGE detection: SAD between consecutive decoded
     // frames, cut where SAD > 65000. The fixture switches the pixel
     // formula at frame 6 (i -> 3i+97 remap), so the 5->6 transition SADs
@@ -664,6 +689,27 @@ object SparkEntry {
           frames, 48, 32, lo = 0, hi = 250, delayCs = 10))
       }
       graft.codecs.VideoOps.clipWindows(clips, winFrames = 4, stride = 3)
+        .orderBy($"clip_id", $"win_idx")
+    }),
+
+    // KEYFRAME selection — each v3 window elects its largest-gray-sum
+    // frame (ties -> smallest index). Same v2/v3 fixture; the formula
+    // switch at frame 6 makes gray-sums vary within windows, and the
+    // integer argmax is engine-independent. Per-clip kernel, no shuffle.
+    "v4_keyframes" -> ((s, _) => {
+      import s.implicits._
+      val clips = s.range(8).map { cid =>
+        val frames = (0 until 12).map { f =>
+          Array.tabulate(48 * 32) { i =>
+            val code = if (f < 6) (cid * 37 + f * 11 + i) % 251
+                       else (cid * 37 + f * 11 + i * 3 + 97) % 251
+            code.toDouble
+          }
+        }
+        (cid.toLong, graft.sources.GifWriter.writeAnimatedBytes(
+          frames, 48, 32, lo = 0, hi = 250, delayCs = 10))
+      }
+      graft.codecs.VideoOps.keyFrames(clips, winFrames = 4, stride = 3)
         .orderBy($"clip_id", $"win_idx")
     }),
 
@@ -1439,6 +1485,52 @@ object SparkEntry {
         (t.imageId, patches.length.toLong, wsum, maxSum)
       }.toDF("image_id", "n_patches", "patch_wsum", "sum_patch_max")
         .orderBy($"image_id")
+    }),
+
+    // Dataset PIXEL-NORMALIZATION statistics — the mean/std constants
+    // every vision training pipeline computes over the full corpus
+    // before training. Decode is the real PNG path; each image reduces
+    // to one partial row (n, sum, sum_sq, min, max of the integer
+    // codes), and a partial/final hash agg rolls the partials up per
+    // shard (grid column) — the exact two-level shape a 10^12-image
+    // corpus needs (no posexplode of pixels into the shuffle, ever).
+    "i9_pixel_stats" -> ((s, _) => {
+      import s.implicits._
+      val corpus = ImageCorpus.generateExact(s, 64L, 8)
+      ImageCorpus.decodeTiles(corpus, 8).map { t =>
+        val i = t.imageId.stripPrefix("img-").toLong
+        var n = 0L; var sm = 0L; var sq = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var j = 0
+        while (j < t.payload.length) {
+          val c = Math.rint(t.payload(j) * 64.0).toLong
+          n += 1; sm += c; sq += c * c
+          if (c < mn) mn = c
+          if (c > mx) mx = c
+          j += 1
+        }
+        (i % 8, n, sm, sq, mn, mx)
+      }.toDF("shard", "n", "sm", "sq", "mn", "mx")
+        .groupBy($"shard")
+        .agg(sum($"n").as("n_px"), sum($"sm").as("sum_code"),
+          sum($"sq").as("sum_sq"), min($"mn").as("min_code"),
+          max($"mx").as("max_code"))
+        .orderBy($"shard")
+    }),
+
+    // CURRICULUM ordering — easy-to-hard training order over the
+    // documents table: integer difficulty tiers from n_chars
+    // (<200 / <400 / rest -> 148/206/146 docs at sf0.01), md5-shuffled
+    // within tier, positioned by the distributed range-partition +
+    // zipWithIndex pass. Oracle replicates the composite-key
+    // row_number in closed form.
+    "m3_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+        .withColumn("tier",
+          when($"n_chars" < 200, 0L).when($"n_chars" < 400, 1L).otherwise(2L))
+      graft.ml.Batching.curriculumOrder(docs, "doc_id", "tier")
+        .orderBy($"global_pos")
     }),
 
     // Image resize pipeline op: decode -> bilinear half-resolution resize
@@ -3497,6 +3589,35 @@ object SparkEntry {
         |  CAST(sum(pmax) AS BIGINT) AS sum_patch_max
         |FROM pp GROUP BY i ORDER BY image_id""".stripMargin,
 
+    // i9: the normalization constants straight from the closed-form
+    // exact-corpus codes, grouped by grid column (shard = i % 8)
+    "i9_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT t.i AS i,
+        |    ((((t.i // 8) * 256 + r.r) * 31
+        |      + ((t.i % 8) * 256 + c.c) * 17) % 1000) AS code
+        |  FROM range(64) t(i), range(256) r(r), range(256) c(c))
+        |SELECT CAST(i % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(code) AS BIGINT) AS sum_code,
+        |  CAST(sum(code * code) AS BIGINT) AS sum_sq,
+        |  CAST(min(code) AS BIGINT) AS min_code,
+        |  CAST(max(code) AS BIGINT) AS max_code
+        |FROM px GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // m3: the composite curriculum key (zeropad(tier) | md5(id))
+    // replicated as a row_number in closed form
+    "m3_curriculum" ->
+      """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    CASE WHEN n_chars < 200 THEN 0
+        |         WHEN n_chars < 400 THEN 1 ELSE 2 END AS tier
+        |  FROM documents)
+        |SELECT id AS doc_id, CAST(tier AS BIGINT) AS tier,
+        |  row_number() OVER (
+        |    ORDER BY lpad(CAST(tier AS VARCHAR), 10, '0') || '|' || md5(id),
+        |      id) - 1 AS global_pos
+        |FROM d ORDER BY global_pos""".stripMargin,
+
     // i7: the augmentation checksums from the closed-form exact-corpus
     // codes — flip/rot are position-weighted over the PERMUTED arrays
     // (substituted back to source coordinates), crop is the center
@@ -3996,6 +4117,28 @@ object SparkEntry {
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
         |FROM d GROUP BY clip_id ORDER BY clip_id""".stripMargin,
 
+    // a4: peak per clip (trunc-divided pattern), the maximal shift with
+    // peak<<s <= 32767 from a 16-row shift table, and the normalized
+    // position-weighted checksum — all exact integers
+    "a4_audio_gain" ->
+      """WITH s AS (
+        |  SELECT k.k AS clip_id, i.i AS i,
+        |    CAST(trunc(CAST(((k.k * 7 + i.i * 31) % 2001) - 1000 AS DOUBLE)
+        |      / (1 + k.k % 4)) AS BIGINT) AS v
+        |  FROM range(100) k(k), range(1000) i(i)),
+        |p AS (SELECT clip_id, max(abs(v)) AS peak FROM s GROUP BY 1),
+        |g AS (SELECT p.clip_id, p.peak,
+        |    CASE WHEN p.peak = 0 THEN 0 ELSE
+        |      COALESCE(max(CASE WHEN (p.peak << sh.s) <= 32767
+        |                        THEN sh.s END), 0) END AS shift
+        |  FROM p CROSS JOIN range(16) sh(s)
+        |  GROUP BY 1, 2)
+        |SELECT s.clip_id, CAST(g.peak AS BIGINT) AS peak,
+        |  CAST(g.shift AS BIGINT) AS shift,
+        |  CAST(sum((s.i + 1) * (s.v * (1 << g.shift))) AS BIGINT) AS norm_wsum
+        |FROM s JOIN g ON g.clip_id = s.clip_id
+        |GROUP BY 1, 2, 3 ORDER BY s.clip_id""".stripMargin,
+
     "a2_audio_trim" ->
       """WITH s AS (SELECT (i // 1000) AS clip, (i % 1000) AS idx,
         |  CASE WHEN (i % 1000) < 250 * ((i // 1000) % 3)
@@ -4060,6 +4203,29 @@ object SparkEntry {
         |  AND fs.f >= w.first_frame AND fs.f < w.first_frame + 4
         |GROUP BY w.clip_id, w.win_idx, w.first_frame
         |ORDER BY 1, 2""".stripMargin,
+
+    // v4: the same per-frame gray-sums as v3; each window elects its
+    // argmax frame via row_number (gsum DESC, frame ASC = the engine's
+    // smallest-index tie-break)
+    "v4_keyframes" ->
+      """WITH px AS (
+        |  SELECT t1.cid AS cid, t2.f AS f, t3.i AS i,
+        |    CAST(trunc(CAST(CASE WHEN t2.f < 6
+        |        THEN (t1.cid*37 + t2.f*11 + t3.i) % 251
+        |        ELSE (t1.cid*37 + t2.f*11 + t3.i*3 + 97) % 251 END
+        |      AS DOUBLE) / 250.0 * 255.0) AS BIGINT) AS g
+        |  FROM range(8) t1(cid), range(12) t2(f), range(1536) t3(i)),
+        |fs AS (SELECT cid, f, sum(g) AS gsum FROM px GROUP BY 1, 2),
+        |wins AS (SELECT c.c AS clip_id, s.s AS win_idx, s.s * 3 AS first_frame
+        |  FROM range(8) c(c), range(4) s(s)),
+        |sel AS (SELECT w.clip_id, w.win_idx, fs.f, fs.gsum,
+        |    row_number() OVER (PARTITION BY w.clip_id, w.win_idx
+        |      ORDER BY fs.gsum DESC, fs.f) AS rn
+        |  FROM wins w JOIN fs ON fs.cid = w.clip_id
+        |    AND fs.f >= w.first_frame AND fs.f < w.first_frame + 4)
+        |SELECT clip_id, CAST(win_idx AS INT) AS win_idx,
+        |  CAST(f AS INT) AS key_frame, CAST(gsum AS BIGINT) AS key_gsum
+        |FROM sel WHERE rn = 1 ORDER BY 1, 2""".stripMargin,
 
     // r17: full reproject replication — see r17Sql scaladoc
     "r17_reproject" -> r17Sql,

@@ -151,4 +151,58 @@ object VideoOps {
       } finally rd.dispose()
     }.toDF("clip_id", "win_idx", "first_frame", "n_frames", "wsum")
   }
+
+  /** KEYFRAME selection — the representative-frame pick of video
+    * curation (thumbnailing, dedup keys, caption targets): each clip is
+    * cut into `winFrames`-frame windows stepped by `stride` (same
+    * windowing contract as [[clipWindows]]), and each window elects the
+    * frame with the LARGEST gray-sum; ties go to the SMALLEST frame
+    * index so the choice is deterministic. Gray-sums are integers from
+    * the decoded 8-bit planes, so two engines decoding the same frames
+    * elect identical keyframes — no float scoring to drift. Production
+    * swaps in a sharper salience score (e.g. Laplacian energy) over the
+    * same argmax contract. Per-clip kernel, frames decode once, no
+    * shuffle. Emits (clip_id, win_idx, key_frame, key_gsum). */
+  def keyFrames(clips: Dataset[(Long, Array[Byte])], winFrames: Int,
+      stride: Int): DataFrame = {
+    require(winFrames > 0, s"keyFrames: winFrames must be > 0, got $winFrames")
+    require(stride > 0 && stride <= winFrames,
+      s"keyFrames: stride must be in [1, winFrames], got $stride")
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.flatMap { case (clipId, bytes) =>
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val n = rd.getNumImages(true)
+        val gsum = Array.tabulate(n) { f =>
+          val img = rd.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          var s = 0L; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += (img.getRGB(x, y) & 0xFF); x += 1 }
+            y += 1
+          }
+          s
+        }
+        val wins = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Long)]()
+        var wi = 0
+        while (wi * stride < n) {
+          val first = wi * stride
+          val len = math.min(winFrames, n - first)
+          var best = first
+          var j = 1
+          while (j < len) {
+            if (gsum(first + j) > gsum(best)) best = first + j
+            j += 1
+          }
+          wins += ((clipId, wi, best, gsum(best)))
+          wi += 1
+        }
+        wins.iterator
+      } finally rd.dispose()
+    }.toDF("clip_id", "win_idx", "key_frame", "key_gsum")
+  }
 }

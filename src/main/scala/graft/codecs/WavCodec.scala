@@ -123,4 +123,30 @@ object WavCodec {
     }
     out
   }
+
+  /** Peak-normalization gain as an exact power-of-two shift: the loudness
+    * normalization every audio corpus pass runs before training. Returns
+    * (peak, shift) where peak = max |sample| and shift is the LARGEST
+    * s >= 0 with peak << s <= target (so one more doubling would clip).
+    * Power-of-two gain keeps the op integer-exact end to end — a float
+    * gain factor would make the gate engine-specific; production swaps
+    * in fractional gain on the same measured peak. All-zero input gets
+    * shift 0 (nothing to amplify; any shift would be vacuous). */
+  def gainShift(samples: Array[Short], target: Int = 32767): (Long, Int) = {
+    require(target > 0, s"gainShift: target must be positive, got $target")
+    var peak = 0L
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i).toLong)
+      if (a > peak) peak = a
+      i += 1
+    }
+    if (peak == 0L) (0L, 0)
+    else {
+      var shift = 0
+      while ((peak << (shift + 1)) <= target) shift += 1
+      // peak itself may already exceed target (hot clip): shift stays 0
+      (peak, shift)
+    }
+  }
 }

@@ -90,4 +90,31 @@ object Batching {
     // ContextCleaner releases their blocks once the result is dropped
     out.toDF("modality", idCol, "global_pos")
   }
+
+  /** CURRICULUM ordering — easy-to-hard training order: documents are
+    * sorted by an integer difficulty TIER (ascending: tier 0 trains
+    * first), md5-shuffled WITHIN each tier (well-mixed but reproducible,
+    * same rule as [[contrastiveBatches]]), and assigned a global
+    * position via the distributed range-partition + zipWithIndex pass —
+    * never a single-partition window. The composite sort key is
+    * `zeropad(tier) | md5(id)`, so the range partitioner both orders the
+    * tiers and balances within them. Returns (idCol, tier, global_pos).
+    * Tiers must be in [0, 10^9) — the key pads to 10 digits. */
+  def curriculumOrder(docs: DataFrame, idCol: String,
+      tierCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(
+      col(idCol).cast("string").as("id"),
+      col(tierCol).cast("long").as("tier"),
+      concat(lpad(col(tierCol).cast("string"), 10, "0"), lit("|"),
+        md5(col(idCol).cast("string"))).as("k"))
+    val indexed = keyed
+      .repartitionByRange(col("k"))
+      .sortWithinPartitions(col("k"), col("id"))
+      .as[(String, Long, String)]
+      .rdd.zipWithIndex()
+      .map { case ((id, tier, _), idx) => (id, tier, idx) }
+    spark.createDataset(indexed).toDF(idCol, "tier", "global_pos")
+  }
 }

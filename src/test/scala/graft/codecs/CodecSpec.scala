@@ -252,4 +252,49 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VideoOps.clipWindows(clips, 3, 4) }
   }
+
+  test("gainShift: maximal power-of-two gain, hot clip, silence, clip boundary") {
+    import graft.codecs.WavCodec.gainShift
+    // peak 1000: 1000*32 = 32000 <= 32767 < 64000 -> shift 5
+    assert(gainShift(Array[Short](1000, -3, 7)) == (1000L, 5))
+    // maximality property across a peak sweep
+    (1 to 40).foreach { p =>
+      val peak = p * 700
+      val (gotPeak, s) = gainShift(Array[Short](peak.toShort, 0, -1))
+      assert(gotPeak == peak.toLong)
+      assert((peak.toLong << s) <= 32767 || s == 0)
+      assert((peak.toLong << (s + 1)) > 32767)
+    }
+    // hot clip (peak already past target): no gain
+    assert(gainShift(Array[Short](32767)) == (32767L, 0))
+    assert(gainShift(Array[Short](-32768)) == (32768L, 0))
+    // silence: nothing to amplify
+    assert(gainShift(Array[Short](0, 0)) == (0L, 0))
+    // exact boundary: peak 16383 doubles to 32766 <= 32767 -> shift 1
+    assert(gainShift(Array[Short](16383)) == (16383L, 1))
+    intercept[IllegalArgumentException] { gainShift(Array[Short](1), 0) }
+  }
+
+  test("keyFrames: window argmax, smallest-index tie-break, tail window") {
+    import spark.implicits._
+    // 7 frames of constant gray g(f): 5, 9, 9, 2, 8, 8, 1 -> per-frame
+    // gray-sum 1536*g(f); window (0..2) ties 9@1 vs 9@2 -> picks 1
+    val g = Array(5, 9, 9, 2, 8, 8, 1)
+    val frames = (0 until 7).map(f =>
+      Array.fill(48 * 32)((g(f) * 25).toDouble))
+    val clips = Seq((3L, graft.sources.GifWriter.writeAnimatedBytes(
+      frames, 48, 32, lo = 0, hi = 250, delayCs = 10))).toDS()
+    val got = VideoOps.keyFrames(clips, winFrames = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._2).toSeq
+    // decoded gray = trunc(code/250*255); windows start 0,2,4,6
+    def gray(f: Int) = (g(f) * 25 / 250.0 * 255.0).toLong * 1536L
+    assert(got == Seq(
+      (3L, 0, 1, gray(1)),   // tie 9,9 -> frame 1
+      (3L, 1, 2, gray(2)),   // 9 beats 2, 8
+      (3L, 2, 4, gray(4)),   // tie 8,8 -> frame 4
+      (3L, 3, 6, gray(6)))) // tail window, single frame
+    intercept[IllegalArgumentException] { VideoOps.keyFrames(clips, 0, 1) }
+    intercept[IllegalArgumentException] { VideoOps.keyFrames(clips, 3, 4) }
+  }
 }

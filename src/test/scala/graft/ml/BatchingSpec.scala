@@ -73,4 +73,27 @@ class BatchingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Batching.mixtureInterleave(Seq(("A", a, 0)), "id") }
   }
+
+  test("curriculumOrder: tiers train in order, md5 shuffle within tier, partition-invariant") {
+    import spark.implicits._
+    val docs = (0 until 90).map(i => (f"d$i%02d", (i % 3).toLong))
+      .toDF("id", "tier")
+    val out = Batching.curriculumOrder(docs, "id", "tier")
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(out.length == 90)
+    // positions are contiguous 0..89 and tier is non-decreasing along them
+    assert(out.map(_._3).toSeq == (0L until 90L).toSeq)
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(identity).toSeq)
+    // all of tier 0 precedes all of tier 1 precedes all of tier 2
+    assert(out.take(30).forall(_._2 == 0L) && out.slice(30, 60).forall(_._2 == 1L))
+    // within a tier: md5(id) order (the deterministic shuffle)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val t1 = out.filter(_._2 == 1L).sortBy(_._3).map(_._1).toSeq
+    assert(t1 == t1.sortBy(id => (md5hex(id), id)))
+    // partition-invariance: a different input layout gives identical output
+    val out2 = Batching.curriculumOrder(docs.repartition(13), "id", "tier")
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(out2.toSeq == out.toSeq)
+  }
 }
