@@ -175,8 +175,95 @@ object IceLite {
     writeAtomic(Paths.get(table, "metadata", s"v$v.json"),
       s"""{"format": "icelite/1", "current_snapshot": $snap,
          | "manifest": ${q(s"$table/manifests/m-$snap.json")},
-         | "buckets": $buckets}""".stripMargin)
+         | "buckets": $buckets,
+         | "schema": ${schemaJson(tiles.toDF())}}""".stripMargin)
     snap
+  }
+
+  /** JSON schema record of a DataFrame (partition col `bucket` excluded). */
+  private def schemaJson(df: DataFrame): String =
+    df.schema.fields.filterNot(_.name == "bucket").map { f =>
+      s"""{"name": ${q(f.name)}, "type": ${q(f.dataType.sql)}}"""
+    }.mkString("[", ", ", "]")
+
+  /** Declared table schema (column name, Spark SQL type) from the current
+    * metadata version; None for tables written before schema tracking. */
+  def tableSchema(table: String): Option[Seq[(String, String)]] = {
+    val v = currentVersion(table)
+    if (v == 0) None
+    else {
+      val s = Files.readString(Paths.get(table, "metadata", s"v$v.json"))
+      val re = """\{"name": "([^"]+)", "type": "([^"]+)"\}""".r
+      val cols = re.findAllMatchIn(s).map(m => (m.group(1), m.group(2))).toSeq
+      if (cols.isEmpty) None else Some(cols)
+    }
+  }
+
+  /** SCHEMA EVOLUTION (add column) — Iceberg's metadata-ONLY evolution:
+    * a new metadata version extends the declared schema and is committed
+    * by the same atomic rename; NO data file, manifest or lineage row is
+    * touched and the current snapshot does not change. Existing rows
+    * surface the new column as NULL (see [[readDf]]) until a later
+    * commit/upsert writes values for them. Like Iceberg, reads always
+    * present the table's CURRENT schema — time-traveling to an old
+    * snapshot replays old DATA under the current column set. */
+  def evolveAddColumn(table: String, name: String, sqlType: String): Int = {
+    val v = currentVersion(table)
+    require(v > 0, s"evolveAddColumn: no committed metadata in $table")
+    val cur = tableSchema(table).getOrElse(throw new IllegalStateException(
+      s"evolveAddColumn: $table has no recorded schema (pre-evolution table)"))
+    require(!cur.exists(_._1 == name),
+      s"evolveAddColumn: column `$name` already exists in $table")
+    val old = Files.readString(Paths.get(table, "metadata", s"v$v.json"))
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"evolveAddColumn: no snapshot in $table"))
+    val manifest = "\"manifest\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(old)
+      .map(_.group(1)).getOrElse(s"$table/manifests/m-$snap.json")
+    val buckets = "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(old)
+      .map(_.group(1).toInt).getOrElse(0)
+    val schema = (cur :+ (name, sqlType)).map { case (n, t) =>
+      s"""{"name": ${q(n)}, "type": ${q(t)}}"""
+    }.mkString("[", ", ", "]")
+    writeAtomic(Paths.get(table, "metadata", s"v${v + 1}.json"),
+      s"""{"format": "icelite/1", "current_snapshot": $snap,
+         | "manifest": ${q(manifest)},
+         | "buckets": $buckets,
+         | "schema": $schema}""".stripMargin)
+    v + 1
+  }
+
+  /** Snapshot-pinned DataFrame read under the DECLARED schema: data
+    * files written before a column existed surface it as NULL (parquet
+    * mergeSchema union + explicit null-fill) — Iceberg's read-time
+    * schema resolution. Tables that predate schema tracking fall back
+    * to the observed parquet schema. Same manifest min/max pruning as
+    * [[read]]. */
+  def readDf(spark: SparkSession, table: String, snap: Long,
+      cellRange: Option[(Long, Long)] = None): DataFrame = {
+    val files = manifestEntries(table, snap).flatMap { e =>
+      if (e.rows == 0) None
+      else cellRange match {
+        case Some((a, b)) if e.maxCell < a || e.minCell > b => None // pruned
+        case _ => Some(e.path)
+      }
+    }
+    val declared = tableSchema(table)
+    if (files.isEmpty) {
+      val cols = declared.getOrElse(Seq("cellId" -> "BIGINT"))
+      spark.range(0).select(cols.map { case (n, t) =>
+        lit(null).cast(t).as(n) }: _*)
+    } else {
+      val base = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      declared match {
+        case Some(cols) =>
+          val have = base.columns.toSet
+          base.select(cols.map { case (n, t) =>
+            if (have.contains(n)) col(n).cast(t).as(n)
+            else lit(null).cast(t).as(n)
+          }: _*)
+        case None => base
+      }
+    }
   }
 
   /** Parsed data-file list of a snapshot's manifest. */
@@ -223,8 +310,19 @@ object IceLite {
     * cost is proportional to the TOUCHED key ranges, not the table.
     * Caller contract: one row per cellId in `updates` (dedupe upstream).
     * Returns the new snapshot id. */
-  def upsert(spark: SparkSession, table: String, updates: Dataset[Tile]): Long = {
+  def upsert(spark: SparkSession, table: String, updates: Dataset[Tile]): Long =
+    upsertDf(spark, table, updates.toDF())
+
+  /** DataFrame variant of [[upsert]] — the schema-evolution write path:
+    * updates may carry columns added by [[evolveAddColumn]] after the
+    * table's files were written. Touched buckets rewrite with the new
+    * columns (survivors null-fill via unionByName allowMissingColumns);
+    * untouched buckets still carry forward by reference, and [[readDf]]
+    * null-fills them at read time. Requires a `cellId` key column. */
+  def upsertDf(spark: SparkSession, table: String, updates: DataFrame): Long = {
     import spark.implicits._
+    require(updates.columns.contains("cellId"),
+      "upsertDf: updates must carry a cellId key column")
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"upsert: no committed snapshot in $table"))
     val newSnap = snap + 1
@@ -240,7 +338,7 @@ object IceLite {
       (e.bucket, lo, hi)
     }
     val rangeDf = spark.createDataset(ranges).toDF("bucket", "lo", "hi")
-    val updB = updates.toDF()
+    val updB = updates
       .join(broadcast(rangeDf), $"cellId" >= $"lo" && $"cellId" <= $"hi")
       .drop("lo", "hi").persist()
     val touched = updB.select($"bucket").distinct().as[Int].collect().toSet
@@ -255,18 +353,35 @@ object IceLite {
       .drop("lo", "hi")
       .join(keys, Seq("cellId"), "left_anti")
     val stageRoot = s"$table/data/$newSnap"
-    survivors.unionByName(updB)
+    // allowMissingColumns: survivors written before an evolveAddColumn
+    // lack the new columns — they null-fill here (schema evolution's
+    // write path); updates lacking a dropped-from-updates column would
+    // likewise null-fill rather than fail
+    val merged = survivors.unionByName(updB, allowMissingColumns = true)
+    merged
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(stageRoot)
     updB.unpersist()
     // stats of the rewritten buckets only (same read-back shape as
-    // commitResumable: rows, order-independent checksum, cell min/max)
-    val stats = spark.read.parquet(stageRoot)
-      .select($"bucket".cast("int"), $"cellId", size($"payload"))
-      .as[(Int, Long, Int)]
-      .map { case (b, cid, n) => (b, cid, cid * 31 + n) }
+    // commitResumable: rows, order-independent checksum, cell min/max).
+    // Checksum keeps the legacy payload form for tile tables and falls
+    // back to xxhash64 over the value columns for generic tables.
+    val staged = spark.read.parquet(stageRoot)
+    val chkRows =
+      if (staged.columns.contains("payload"))
+        // legacy tile checksum (cid*31+size wraps in JVM arithmetic —
+        // the SQL form would throw under ANSI overflow on high Z ids)
+        staged.select($"bucket".cast("int"), $"cellId", size($"payload"))
+          .as[(Int, Long, Int)]
+          .map { case (b, cid, nn) => (b, cid, cid * 31 + nn) }
+      else
+        staged.select($"bucket".cast("int"), $"cellId",
+          xxhash64(staged.columns.filterNot(_ == "bucket").sorted
+            .map(col): _*).cast("long"))
+          .as[(Int, Long, Long)]
+    val stats = chkRows
       .groupByKey(_._1)
       .mapGroups { (b, it) =>
         var rows = 0L; var chk = 0L
@@ -301,10 +416,20 @@ object IceLite {
     writeAtomic(Paths.get(table, "manifests", s"m-$newSnap.json"),
       newEntries.mkString("[", ",\n", "]"))
     val v = currentVersion(table) + 1
+    // declared schema survives an upsert that doesn't carry an evolved
+    // column; columns first seen in this upsert append at the end
+    val declared = tableSchema(table).getOrElse(Seq.empty)
+    val written = merged.schema.fields.filterNot(_.name == "bucket")
+      .map(f => (f.name, f.dataType.sql)).toSeq
+    val outSchema = declared ++ written.filterNot(c => declared.exists(_._1 == c._1))
+    val outSchemaJson = outSchema.map { case (n, t) =>
+      s"""{"name": ${q(n)}, "type": ${q(t)}}"""
+    }.mkString("[", ", ", "]")
     writeAtomic(Paths.get(table, "metadata", s"v$v.json"),
       s"""{"format": "icelite/1", "current_snapshot": $newSnap,
          | "manifest": ${q(s"$table/manifests/m-$newSnap.json")},
-         | "buckets": ${entries.length}}""".stripMargin)
+         | "buckets": ${entries.length},
+         | "schema": $outSchemaJson}""".stripMargin)
     newSnap
   }
 

@@ -156,4 +156,52 @@ class IceLiteSpec extends AnyFunSuite {
     val gained = l2.filter(l => l.rows != r1(l.bucket)).map(_.bucket)
     assert(gained.size == 1 && c2(gained.head) != c1(gained.head))
   }
+
+  test("schema evolution: metadata-only add column, null-fill read, COW backfill") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = Files.createTempDirectory("icelite").toString
+    IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 1L)
+    val schema1 = IceLite.tableSchema(table).get
+    assert(schema1.map(_._1) ==
+      Seq("cellId", "row0", "col0", "h", "w", "payload"))
+
+    // evolve: metadata bumps, snapshot/manifest/files untouched
+    val mBefore = IceLite.manifestEntries(table, 1L)
+    val vBefore = IceLite.currentVersion(table)
+    val v2 = IceLite.evolveAddColumn(table, "quality", "DOUBLE")
+    assert(v2 == vBefore + 1)
+    assert(IceLite.currentSnapshot(table).contains(1L))
+    assert(IceLite.manifestEntries(table, 1L) == mBefore)
+    assert(IceLite.tableSchema(table).get.last == ("quality", "DOUBLE"))
+    intercept[IllegalArgumentException] {
+      IceLite.evolveAddColumn(table, "quality", "DOUBLE") }
+
+    // read under the declared schema: the new column exists, all NULL
+    val df1 = IceLite.readDf(spark, table, 1L)
+    assert(df1.columns.toSeq ==
+      Seq("cellId", "row0", "col0", "h", "w", "payload", "quality"))
+    val n = df1.count()
+    assert(df1.filter($"quality".isNull).count() == n && n > 0)
+
+    // COW backfill: upsert two rows WITH quality; untouched files still
+    // null-fill, touched rows carry values, old snapshot time-travels
+    val ids = df1.select($"cellId").as[Long].collect().sorted
+    val twoLow = ids.take(2)  // same low bucket -> at most 1-2 buckets touched
+    val upd = IceLite.readDf(spark, table, 1L)
+      .filter($"cellId".isin(twoLow: _*))
+      .withColumn("quality", lit(0.875))
+    val s2 = IceLite.upsertDf(spark, table, upd)
+    assert(s2 == 2L)
+    val df2 = IceLite.readDf(spark, table, 2L)
+    assert(df2.filter($"quality" === 0.875).select($"cellId").as[Long]
+      .collect().sorted.toSeq == twoLow.toSeq)
+    assert(df2.filter($"quality".isNull).count() == n - 2)
+    // declared schema survives; by-reference files remain from snapshot 1
+    assert(IceLite.tableSchema(table).get.last == ("quality", "DOUBLE"))
+    val e2 = IceLite.manifestEntries(table, 2L)
+    assert(e2.exists(_.path.contains("/data/1/")))
+    // Tile-typed read of the old snapshot still works (pre-evolution view)
+    assert(IceLite.read(spark, table, 1L).count() == n)
+  }
 }
