@@ -1533,6 +1533,37 @@ object SparkEntry {
         .orderBy($"global_pos")
     }),
 
+    // End-to-end multimodal CURATION -> BATCHES flagship (the image-side
+    // d17): perceptual-hash near-dup graph (i4's banded hamming join) ->
+    // connected-component canonical keepers (i5's min-id rule; non-keeper
+    // members drop) -> CLIP-style contrastive batches over the SURVIVING
+    // unique content (m1's md5 shuffle + distributed global index) — the
+    // whole image curation chain as ONE composed Spark plan. The oracle
+    // replicates the full phash kernel, the recursive closure and the
+    // batch arithmetic end to end.
+    "m4_curated_batches" -> ((s, _) => {
+      import s.implicits._
+      import graft.codecs.ImageCodec
+      val corpus = perceptualCorpusTable(s)
+      val sig = corpus.select($"image_id", $"bytes", $"fmt")
+        .as[(String, Array[Byte], String)]
+        .map { case (id, bytes, fmt) =>
+          val (px, w, h) = ImageCodec.decode(bytes, fmt)
+          (id.stripPrefix("img-").toLong, ImageCodec.phash64(px, w, h))
+        }
+        .toDF("doc_id", "simhash")
+      val pairs = graft.text.TextOps.simhashNearPairs(sig, maxHamming = 6)
+        .select($"ia", $"ib")
+      val dropped = graft.operators.GraphOps.components(pairs, "ia", "ib")
+        .filter($"node" =!= $"root")
+        .select(format_string("img-%08d", $"node").as("image_id"))
+      val survivors = corpus.select($"image_id")
+        .join(dropped, Seq("image_id"), "left_anti")
+      graft.ml.Batching.contrastiveBatches(survivors, "image_id", "image_id",
+          batchSize = 16)
+        .orderBy($"image_id")
+    }),
+
     // Image resize pipeline op: decode -> bilinear half-resolution resize
     // (per-image kernel, no shuffle) -> deterministic integer stats of the
     // resized plane (rows-only: no SQL-engine image decode; kernel parity
@@ -3617,6 +3648,27 @@ object SparkEntry {
         |    ORDER BY lpad(CAST(tier AS VARCHAR), 10, '0') || '|' || md5(id),
         |      id) - 1 AS global_pos
         |FROM d ORDER BY global_pos""".stripMargin,
+
+    // m4: i4's full phash kernel -> i5's recursive closure (non-keeper
+    // members drop) -> m1's md5 permutation + batch arithmetic over the
+    // survivors
+    "m4_curated_batches" ->
+      s"""WITH RECURSIVE $i4PairCtes,
+        |p AS (SELECT ia, ib FROM ham WHERE hamming <= 6),
+        |e AS (SELECT ia AS n, ib AS m FROM p UNION ALL SELECT ib, ia FROM p),
+        |reach(n, lbl) AS (
+        |  SELECT n, n FROM (SELECT DISTINCT n FROM e) t
+        |  UNION
+        |  SELECT e.m, reach.lbl FROM reach JOIN e ON e.n = reach.n),
+        |dropped AS (SELECT n FROM reach GROUP BY n HAVING min(lbl) < n),
+        |ids AS (SELECT 'img-' || lpad(CAST(i.i AS VARCHAR), 8, '0') AS image_id
+        |  FROM range(1024) i(i) WHERE i.i NOT IN (SELECT n FROM dropped)),
+        |r AS (SELECT image_id,
+        |    row_number() OVER (ORDER BY md5(image_id), image_id) - 1 AS idx
+        |  FROM ids)
+        |SELECT image_id, CAST(idx // 16 AS BIGINT) AS batch_id,
+        |  CAST(idx % 16 AS BIGINT) AS pos
+        |FROM r ORDER BY image_id""".stripMargin,
 
     // i7: the augmentation checksums from the closed-form exact-corpus
     // codes — flip/rot are position-weighted over the PERMUTED arrays
