@@ -452,6 +452,86 @@ object IceLite {
       targetBuckets, snap = snap + 1)
   }
 
+  /** All snapshot ids with a manifest on disk, ascending. */
+  def snapshots(table: String): Seq[Long] = {
+    val dir = Paths.get(table, "manifests")
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val out = Seq.newBuilder[Long]
+      Files.list(dir).iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("m-") && n.endsWith(".json"))
+          out += n.stripPrefix("m-").stripSuffix(".json").toLong
+      }
+      out.result().sorted
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().forEachRemaining(deleteRecursively)
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  /** SNAPSHOT EXPIRY — the Iceberg `expire_snapshots` analog: keep the
+    * most recent `keepLast` snapshots (the current one always survives)
+    * and delete the manifests, lineage dirs and data files of the rest.
+    * Data files are REFCOUNTED across the surviving manifests before
+    * deletion — upsert/evolution share files across snapshots by
+    * reference, so a file owned by an expired snapshot but still listed
+    * in a live manifest must stay. Time travel to an expired snapshot
+    * stops working (that is the point: expiry is what bounds a 100 TB
+    * table's storage growth). Returns the deleted data-dir count. */
+  def expireSnapshots(table: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"expireSnapshots: keepLast must be >= 1, got $keepLast")
+    val all = snapshots(table)
+    val current = currentSnapshot(table)
+    val keep = (all.takeRight(keepLast) ++ current).toSet
+    val expired = all.filterNot(keep.contains)
+    if (expired.isEmpty) return 0
+    val liveFiles = keep.toSeq.flatMap(s => manifestEntries(table, s).map(_.path))
+      .map(Paths.get(_).normalize.toString).toSet
+    var deleted = 0
+    expired.foreach { s =>
+      manifestEntries(table, s).foreach { e =>
+        val p = Paths.get(e.path).normalize
+        if (!liveFiles.contains(p.toString) && Files.exists(p)) {
+          deleteRecursively(p); deleted += 1
+        }
+      }
+      Files.deleteIfExists(Paths.get(table, "manifests", s"m-$s.json"))
+      val lin = Paths.get(table, "lineage", s.toString)
+      if (Files.exists(lin)) deleteRecursively(lin)
+    }
+    deleted
+  }
+
+  /** ORPHAN-FILE GC — the Iceberg `remove_orphan_files` analog: delete
+    * every bucket dir under `table/data/` that no manifest on disk
+    * references (the debris of a commit or upsert that crashed before
+    * its atomic metadata flip). Never touches a referenced file, so it
+    * is safe to run at any time. Returns the deleted dir count. */
+  def removeOrphanFiles(table: String): Int = {
+    val dataRoot = Paths.get(table, "data")
+    if (!Files.exists(dataRoot)) return 0
+    val referenced = snapshots(table)
+      .flatMap(s => manifestEntries(table, s).map(_.path))
+      .map(Paths.get(_).normalize.toString).toSet
+    var deleted = 0
+    Files.list(dataRoot).iterator().forEachRemaining { snapDir =>
+      if (Files.isDirectory(snapDir)) {
+        Files.list(snapDir).iterator().forEachRemaining { bucketDir =>
+          if (!referenced.contains(bucketDir.normalize.toString)) {
+            deleteRecursively(bucketDir); deleted += 1
+          }
+        }
+        if (!Files.list(snapDir).iterator().hasNext) Files.deleteIfExists(snapDir)
+      }
+    }
+    deleted
+  }
+
   /** Lineage rows of a snapshot (metrics surface). */
   def lineage(table: String, snap: Long): Seq[Lineage] = {
     val dir = Paths.get(table, "lineage", snap.toString)

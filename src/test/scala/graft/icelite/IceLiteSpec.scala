@@ -204,4 +204,40 @@ class IceLiteSpec extends AnyFunSuite {
     // Tile-typed read of the old snapshot still works (pre-evolution view)
     assert(IceLite.read(spark, table, 1L).count() == n)
   }
+
+  test("expireSnapshots + removeOrphanFiles: refcounted GC, current intact") {
+    import spark.implicits._
+    import graft.core.Tile
+    val table = Files.createTempDirectory("icelite").toString
+    IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 1L)
+    val ids = IceLite.read(spark, table, 1L).collect().map(_.cellId).sorted
+    // upsert one low key: 3 of 4 buckets carry into snap 2 BY REFERENCE
+    val upd = IceLite.read(spark, table, 1L)
+      .filter(_.cellId == ids.head).collect()
+      .map(t => t.copy(payload = t.payload.map(_ => 7.0))).toSeq
+    assert(IceLite.upsert(spark, table, spark.createDataset(upd)) == 2L)
+    val n2 = IceLite.read(spark, table, 2L).count()
+
+    // plant a crashed-write orphan; GC removes exactly it
+    val orphan = java.nio.file.Paths.get(table, "data", "99", "bucket=0")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.parquet"), "not parquet")
+    assert(IceLite.removeOrphanFiles(table) == 1)
+    assert(!Files.exists(orphan))
+    assert(IceLite.read(spark, table, 2L).count() == n2)
+
+    // expire snapshot 1: only its EXCLUSIVE file dies (the pre-upsert
+    // copy of the touched bucket); the 3 shared-by-reference dirs live
+    assert(IceLite.snapshots(table) == Seq(1L, 2L))
+    val deleted = IceLite.expireSnapshots(table, keepLast = 1)
+    assert(deleted == 1)
+    assert(IceLite.snapshots(table) == Seq(2L))
+    assert(IceLite.read(spark, table, 2L).count() == n2)
+    assert(IceLite.lineage(table, 1L).isEmpty)
+    // time travel to the expired snapshot now fails (manifest gone)
+    intercept[Exception] { IceLite.manifestEntries(table, 1L) }
+    // idempotent: nothing left to expire or GC
+    assert(IceLite.expireSnapshots(table, keepLast = 1) == 0)
+    assert(IceLite.removeOrphanFiles(table) == 0)
+  }
 }
