@@ -104,10 +104,16 @@ object Batching {
       tierCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // a negative tier would lpad to "00000000-5" and silently misorder
+    // the string key — fail loudly on the executor instead
+    val tierChecked = when(col(tierCol).cast("long") < 0,
+      raise_error(concat(lit("curriculumOrder: negative tier for id "),
+        col(idCol).cast("string"))))
+      .otherwise(col(tierCol).cast("long"))
     val keyed = docs.select(
       col(idCol).cast("string").as("id"),
-      col(tierCol).cast("long").as("tier"),
-      concat(lpad(col(tierCol).cast("string"), 10, "0"), lit("|"),
+      tierChecked.as("tier"),
+      concat(lpad(tierChecked.cast("string"), 10, "0"), lit("|"),
         md5(col(idCol).cast("string"))).as("k"))
     val indexed = keyed
       .repartitionByRange(col("k"))
