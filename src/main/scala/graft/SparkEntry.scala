@@ -1832,6 +1832,24 @@ object SparkEntry {
       df
     }),
 
+    // STREAMING image curation — the modality counterpart of s1-s6: the
+    // exact corpus arrives as 8 micro-batches, each batch decodes +
+    // scores on the executors (the i6 quality kernel) and foreachBatch
+    // lands verdicts in a batch-id-keyed idempotent parquet sink. The
+    // drained table must equal the batch i6 computation — same closed-
+    // form oracle.
+    "s7_stream_image_quality" -> ((s, _) => {
+      val staged = java.nio.file.Files.createTempDirectory("s7_stream").toString
+      graft.streaming.StreamOps.stageImageChunks(s, 64L, 8, staged, chunks = 8)
+      val ckpt = java.nio.file.Files.createTempDirectory("s7_ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("s7_out").toString
+      val df = withFewPartitions(s) {
+        graft.streaming.StreamOps.imageQualityCuration(s, staged, ckpt, out)
+      }
+      dropCheckpoint(ckpt)
+      df
+    }),
+
     // Video modality: deterministic synthetic clips as REAL GIF89a binary
     // columns (8 clips x 12 frames), frame-sampled every 3rd frame and
     // reduced to integer stats on the executor (rows-only: no SQL-engine
@@ -2576,8 +2594,30 @@ object SparkEntry {
        |  GROUP BY p.it, t.r, t.c, t.v, t.drain)""".stripMargin
   }
 
+  /** The i6 image-quality oracle (exact-corpus codes by formula; span/
+    * distinct/gradient stats + keep rule) — shared by the batch i6 gate
+    * and the streamed s7 gate, which must produce identical tables. */
+  private val i6QualitySql: String =
+      """WITH px AS (
+        |  SELECT t.i AS i, r.r AS r, c.c AS c,
+        |    (((t.i // 8) * 256 + r.r) * 31 + ((t.i % 8) * 256 + c.c) * 17) % 1000 AS q
+        |  FROM range(64) t(i), range(256) r(r), range(256) c(c)),
+        |st AS (
+        |  SELECT i, min(q) AS q_min, max(q) AS q_max,
+        |    count(DISTINCT q) AS n_distinct,
+        |    sum(CASE WHEN c < 255 THEN (CASE WHEN q >= 983 THEN 983 ELSE 17 END) ELSE 0 END
+        |      + CASE WHEN r < 255 THEN (CASE WHEN q >= 969 THEN 969 ELSE 31 END) ELSE 0 END) AS grad_l1
+        |  FROM px GROUP BY i)
+        |SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        |  CAST(q_min AS BIGINT) AS q_min, CAST(q_max AS BIGINT) AS q_max,
+        |  CAST(q_max - q_min AS BIGINT) AS q_span,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(grad_l1 AS BIGINT) AS grad_l1,
+        |  (q_max - q_min >= 64 AND n_distinct >= 16) AS keep
+        |FROM st ORDER BY image_id""".stripMargin
+
   /** The i4 perceptual-hash pair CTE chain (block codes by formula, bit
-    * rule, all-pairs hamming) — shared by the i4 and i5 oracles. */
+    * rule, all-pairs hamming) — shared by the i4, i5 and m4 oracles. */
   private val i4PairCtes: String =
     """cell AS (
       |  SELECT t.i AS i, b.b AS b,
@@ -4119,24 +4159,12 @@ object SparkEntry {
     // neighbor code is (q+17) mod 1000 and the vertical (q+31) mod 1000,
     // so each |Δ| is 17 (983 on wrap, q >= 983) resp. 31 (969 on wrap,
     // q >= 969) — the gradient sums collapse to one scan, no self-join
-    "i6_image_quality" ->
-      """WITH px AS (
-        |  SELECT t.i AS i, r.r AS r, c.c AS c,
-        |    (((t.i // 8) * 256 + r.r) * 31 + ((t.i % 8) * 256 + c.c) * 17) % 1000 AS q
-        |  FROM range(64) t(i), range(256) r(r), range(256) c(c)),
-        |st AS (
-        |  SELECT i, min(q) AS q_min, max(q) AS q_max,
-        |    count(DISTINCT q) AS n_distinct,
-        |    sum(CASE WHEN c < 255 THEN (CASE WHEN q >= 983 THEN 983 ELSE 17 END) ELSE 0 END
-        |      + CASE WHEN r < 255 THEN (CASE WHEN q >= 969 THEN 969 ELSE 31 END) ELSE 0 END) AS grad_l1
-        |  FROM px GROUP BY i)
-        |SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
-        |  CAST(q_min AS BIGINT) AS q_min, CAST(q_max AS BIGINT) AS q_max,
-        |  CAST(q_max - q_min AS BIGINT) AS q_span,
-        |  CAST(n_distinct AS BIGINT) AS n_distinct,
-        |  CAST(grad_l1 AS BIGINT) AS grad_l1,
-        |  (q_max - q_min >= 64 AND n_distinct >= 16) AS keep
-        |FROM st ORDER BY image_id""".stripMargin,
+    "i6_image_quality" -> i6QualitySql,
+
+    // s7: the STREAMED i6 — same closed-form oracle; the gate proves the
+    // foreachBatch micro-batch path reproduces the batch kernel exactly
+    "s7_stream_image_quality" -> i6QualitySql,
+
 
     // v1: the GIF frame gray code is trunc((v-0)/250*255) of the integer
     // frame formula — identical IEEE double arithmetic in both engines

@@ -346,4 +346,71 @@ object StreamOps {
     spark.table(queryName).filter($"event_type" =!= "zz_flush")
       .orderBy($"w_start", $"segment", $"event_type")
   }
+
+  /** Stage an image corpus as a file stream: `chunks` flat parquet files
+    * (image i lands in chunk i % chunks), each one micro-batch under
+    * maxFilesPerTrigger=1. Rows are built on executors; only the staged
+    * part-files move (driver renames, no row materialization). */
+  def stageImageChunks(spark: SparkSession, n: Long, gridW: Int,
+      streamDir: String, chunks: Int): String = {
+    import spark.implicits._
+    val dir = Paths.get(streamDir)
+    Files.createDirectories(dir)
+    val corpus = graft.corpus.ImageCorpus.generateExact(spark, n, gridW)
+      .withColumn("idx",
+        substring($"image_id", 5, 8).cast("long") % chunks)
+    (0 until chunks).foreach { k =>
+      val tmp = Files.createTempDirectory("img_chunk").toString
+      corpus.filter($"idx" === k).drop("idx")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, dir.resolve(f"chunk-$k%03d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    streamDir
+  }
+
+  /** STREAMING image-quality curation — the modality counterpart of
+    * s1-s6: image rows arrive as micro-batches (file source, one staged
+    * chunk per trigger), each batch decodes and scores ON the executors
+    * (the i6 kernel: contrast span, distinct-code texture, L1-gradient
+    * blur proxy) and `foreachBatch` lands the verdicts in a
+    * batch-id-keyed parquet dir with overwrite mode — a RETRIED batch
+    * rewrites its own dir, so the sink is idempotent (the exactly-once
+    * recipe foreachBatch requires; a blind append would duplicate on
+    * retry). The stream is stateless — no watermark, no state store —
+    * so flush sentinels aren't needed; state lives only in the source's
+    * processed-files checkpoint, which is exactly what a resumed run
+    * skips. Drained with AvailableNow, the curated table equals the
+    * batch i6 computation row for row. */
+  def imageQualityCuration(spark: SparkSession, streamDir: String,
+      checkpoint: String, outDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(streamDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        import ss.implicits._
+        val scored = batch.select($"image_id", $"bytes", $"fmt")
+          .as[(String, Array[Byte], String)]
+          .map { case (id, bytes, fmt) =>
+            val (px, w, h) = graft.codecs.ImageCodec.decode(bytes, fmt)
+            val qs = graft.codecs.ImageCodec.qualityStats(px, w, h)
+            (id, qs.qMin, qs.qMax, qs.qMax - qs.qMin, qs.nDistinct, qs.gradL1,
+              qs.qMax - qs.qMin >= 64L && qs.nDistinct >= 16L)
+          }
+          .toDF("image_id", "q_min", "q_max", "q_span", "n_distinct",
+            "grad_l1", "keep")
+        scored.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).drop("batch").orderBy($"image_id")
+  }
 }

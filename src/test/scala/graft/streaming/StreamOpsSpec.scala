@@ -138,4 +138,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == want,
       s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
   }
+
+  test("foreachBatch image curation == batch quality kernel; one sink dir per batch") {
+    import spark.implicits._
+    import graft.codecs.ImageCodec
+    val staged = java.nio.file.Files.createTempDirectory("s7s").toString
+    StreamOps.stageImageChunks(spark, 16L, 4, staged, chunks = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("s7c").toString
+    val out = java.nio.file.Files.createTempDirectory("s7o").toString
+    val got = StreamOps.imageQualityCuration(spark, staged, ckpt, out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    // batch equivalent straight through the kernel
+    val want = graft.corpus.ImageCorpus.generateExact(spark, 16L, 4)
+      .collect().map { row =>
+        val (px, w, h) = ImageCodec.decode(row.bytes, row.fmt)
+        val q = ImageCodec.qualityStats(px, w, h)
+        (row.image_id, q.qMin, q.qMax, q.qMax - q.qMin, q.nDistinct, q.gradL1,
+          q.qMax - q.qMin >= 64L && q.nDistinct >= 16L)
+      }.toSet
+    assert(got == want && got.size == 16)
+    // one idempotent sink dir per micro-batch (4 staged files -> 4 batches)
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(batchDirs.length == 4, batchDirs.toSeq.toString)
+  }
 }
