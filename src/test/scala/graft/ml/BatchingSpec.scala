@@ -96,4 +96,28 @@ class BatchingSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().sortBy(_._3)
     assert(out2.toSeq == out.toSeq)
   }
+
+  test("scale smoke: 1M-row batch indexing is contiguous, full and driver-light") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 1000000L
+    val ids = spark.range(n).select(
+      concat(lit("x"), lpad($"id".cast("string"), 8, "0")).as("id"),
+      concat(lit("x"), lpad($"id".cast("string"), 8, "0")).as("key"))
+    val out = Batching.contrastiveBatches(ids, "id", "key", batchSize = 1024)
+    // aggregate-only checks: nothing row-sized ever reaches the driver
+    val agg = out.agg(
+      count(lit(1)), countDistinct($"batch_id" * 10000 + $"pos"),
+      min($"batch_id"), max($"batch_id"), min($"pos"), max($"pos"))
+      .collect()(0)
+    assert(agg.getLong(0) == n)
+    assert(agg.getLong(1) == n) // every (batch, pos) slot distinct
+    assert(agg.getLong(2) == 0L && agg.getLong(3) == (n - 1) / 1024)
+    assert(agg.getLong(4) == 0L && agg.getLong(5) == 1023L)
+    // every full batch holds exactly 1024 slots (tail may be short)
+    val sizes = out.groupBy($"batch_id").count()
+      .groupBy($"count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes(1024L) >= n / 1024 - 1)
+  }
 }
