@@ -522,7 +522,10 @@ object IceLite {
     Files.list(dataRoot).iterator().forEachRemaining { snapDir =>
       if (Files.isDirectory(snapDir)) {
         Files.list(snapDir).iterator().forEachRemaining { bucketDir =>
-          if (!referenced.contains(bucketDir.normalize.toString)) {
+          // only bucket DIRS are data-file units; commit markers
+          // (_SUCCESS etc.) at the snapshot level are never orphans
+          if (Files.isDirectory(bucketDir) &&
+              !referenced.contains(bucketDir.normalize.toString)) {
             deleteRecursively(bucketDir); deleted += 1
           }
         }
