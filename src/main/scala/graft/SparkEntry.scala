@@ -138,6 +138,13 @@ object SparkEntry {
           s, s"$dir/events.parquet", d, chunks = 2)
       })
     }
+  private def stagedImageStream(s: SparkSession): String =
+    SparkEntry.synchronized {
+      stagedStreams.getOrElseUpdate("__s7_images__", {
+        val d = java.nio.file.Files.createTempDirectory("s7_stream").toString
+        graft.streaming.StreamOps.stageImageChunks(s, 64L, 8, d, chunks = 8)
+      })
+    }
   private def withFewPartitions[A](s: SparkSession)(f: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -1839,8 +1846,7 @@ object SparkEntry {
     // drained table must equal the batch i6 computation — same closed-
     // form oracle.
     "s7_stream_image_quality" -> ((s, _) => {
-      val staged = java.nio.file.Files.createTempDirectory("s7_stream").toString
-      graft.streaming.StreamOps.stageImageChunks(s, 64L, 8, staged, chunks = 8)
+      val staged = stagedImageStream(s) // cached across runs like s1-s6
       val ckpt = java.nio.file.Files.createTempDirectory("s7_ckpt").toString
       val out = java.nio.file.Files.createTempDirectory("s7_out").toString
       val df = withFewPartitions(s) {

@@ -113,6 +113,43 @@ object VideoOps {
     * within the window, not just membership. Same per-clip no-shuffle
     * kernel shape as [[frameStats]]. Emits (clip_id, win_idx,
     * first_frame, n_frames, wsum). */
+  /** Per-frame integer gray-sums of one GIF clip, decoded with a
+    * per-call reader instance (ImageIO readers are stateful) — the
+    * shared kernel of [[clipWindows]] and [[keyFrames]]. */
+  private def graySums(bytes: Array[Byte]): Array[Long] = {
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      Array.tabulate(rd.getNumImages(true)) { f =>
+        val img = rd.read(f)
+        val w = img.getWidth; val h = img.getHeight
+        var s = 0L; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { s += (img.getRGB(x, y) & 0xFF); x += 1 }
+          y += 1
+        }
+        s
+      }
+    } finally rd.dispose()
+  }
+
+  /** Window bounds over an n-frame clip: (win_idx, first, len) with
+    * starts every `stride` while start < n — the one windowing contract
+    * [[clipWindows]] and [[keyFrames]] share. */
+  private def windowBounds(n: Int, winFrames: Int,
+      stride: Int): Seq[(Int, Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    var wi = 0
+    while (wi * stride < n) {
+      val first = wi * stride
+      out += ((wi, first, math.min(winFrames, n - first)))
+      wi += 1
+    }
+    out.result()
+  }
+
   def clipWindows(clips: Dataset[(Long, Array[Byte])], winFrames: Int,
       stride: Int): DataFrame = {
     require(winFrames > 0, s"clipWindows: winFrames must be > 0, got $winFrames")
@@ -121,34 +158,13 @@ object VideoOps {
     val spark = clips.sparkSession
     import spark.implicits._
     clips.flatMap { case (clipId, bytes) =>
-      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      try {
-        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes)))
-        val n = rd.getNumImages(true)
-        val gsum = Array.tabulate(n) { f =>
-          val img = rd.read(f)
-          val w = img.getWidth; val h = img.getHeight
-          var s = 0L; var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { s += (img.getRGB(x, y) & 0xFF); x += 1 }
-            y += 1
-          }
-          s
-        }
-        val wins = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Int, Long)]()
-        var wi = 0
-        while (wi * stride < n) {
-          val first = wi * stride
-          val len = math.min(winFrames, n - first)
+      val gsum = graySums(bytes)
+      windowBounds(gsum.length, winFrames, stride).iterator
+        .map { case (wi, first, len) =>
           var wsum = 0L; var j = 0
           while (j < len) { wsum += (j + 1).toLong * gsum(first + j); j += 1 }
-          wins += ((clipId, wi, first, len, wsum))
-          wi += 1
+          (clipId, wi, first, len, wsum)
         }
-        wins.iterator
-      } finally rd.dispose()
     }.toDF("clip_id", "win_idx", "first_frame", "n_frames", "wsum")
   }
 
@@ -171,38 +187,17 @@ object VideoOps {
     val spark = clips.sparkSession
     import spark.implicits._
     clips.flatMap { case (clipId, bytes) =>
-      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      try {
-        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes)))
-        val n = rd.getNumImages(true)
-        val gsum = Array.tabulate(n) { f =>
-          val img = rd.read(f)
-          val w = img.getWidth; val h = img.getHeight
-          var s = 0L; var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { s += (img.getRGB(x, y) & 0xFF); x += 1 }
-            y += 1
-          }
-          s
-        }
-        val wins = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Long)]()
-        var wi = 0
-        while (wi * stride < n) {
-          val first = wi * stride
-          val len = math.min(winFrames, n - first)
+      val gsum = graySums(bytes)
+      windowBounds(gsum.length, winFrames, stride).iterator
+        .map { case (wi, first, len) =>
           var best = first
           var j = 1
           while (j < len) {
             if (gsum(first + j) > gsum(best)) best = first + j
             j += 1
           }
-          wins += ((clipId, wi, best, gsum(best)))
-          wi += 1
+          (clipId, wi, best, gsum(best))
         }
-        wins.iterator
-      } finally rd.dispose()
     }.toDF("clip_id", "win_idx", "key_frame", "key_gsum")
   }
 }

@@ -1,6 +1,7 @@
 package graft.icelite
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
@@ -249,7 +250,16 @@ object IceLite {
     }
     val declared = tableSchema(table)
     if (files.isEmpty) {
-      val cols = declared.getOrElse(Seq("cellId" -> "BIGINT"))
+      // all files pruned/empty: the declared schema still shapes the
+      // result; a pre-schema-tracking table derives it from the manifest
+      // files themselves (limit(0) — footers only, no data) so pruned
+      // and unpruned reads stay union-compatible
+      val cols = declared.getOrElse {
+        val allFiles = manifestEntries(table, snap).filter(_.rows > 0).map(_.path)
+        if (allFiles.isEmpty) Seq("cellId" -> "BIGINT")
+        else spark.read.option("mergeSchema", "true").parquet(allFiles: _*)
+          .schema.fields.toSeq.map(f => (f.name, f.dataType.sql))
+      }
       spark.range(0).select(cols.map { case (n, t) =>
         lit(null).cast(t).as(n) }: _*)
     } else {
@@ -348,7 +358,14 @@ object IceLite {
     // partition column `bucket` is not stored in the leaf files; survivors
     // re-derive it from the same range table (contiguous ranges guarantee
     // each row maps back to its own bucket)
-    val survivors = spark.read.parquet(oldTouchedFiles: _*)
+    // mergeSchema: touched buckets may span SNAPSHOT EPOCHS with
+    // different physical schemas (one already backfilled an evolved
+    // column, another predates it) — without the union schema, parquet
+    // would pick one file's schema arbitrarily and a previously
+    // backfilled column could silently read as absent and be erased by
+    // the rewrite
+    val survivors = spark.read.option("mergeSchema", "true")
+      .parquet(oldTouchedFiles: _*)
       .join(broadcast(rangeDf), $"cellId" >= $"lo" && $"cellId" <= $"hi")
       .drop("lo", "hi")
       .join(keys, Seq("cellId"), "left_anti")
@@ -368,20 +385,20 @@ object IceLite {
     // commitResumable: rows, order-independent checksum, cell min/max).
     // Checksum keeps the legacy payload form for tile tables and falls
     // back to xxhash64 over the value columns for generic tables.
-    val staged = spark.read.parquet(stageRoot)
-    val chkRows =
-      if (staged.columns.contains("payload"))
-        // legacy tile checksum (cid*31+size wraps in JVM arithmetic —
-        // the SQL form would throw under ANSI overflow on high Z ids)
-        staged.select($"bucket".cast("int"), $"cellId", size($"payload"))
-          .as[(Int, Long, Int)]
-          .map { case (b, cid, nn) => (b, cid, cid * 31 + nn) }
-      else
-        staged.select($"bucket".cast("int"), $"cellId",
-          xxhash64(staged.columns.filterNot(_ == "bucket").sorted
-            .map(col): _*).cast("long"))
-          .as[(Int, Long, Long)]
-    val stats = chkRows
+    val staged = spark.read.option("mergeSchema", "true").parquet(stageRoot)
+    // lineage checksums carried forward BY REFERENCE for untouched
+    // buckets use the (cid*31 + payload size) formula — rewritten
+    // buckets must use the same one or the table's checksum set would
+    // mix two formulas; a payload-less table has no creation path here
+    require(staged.columns.contains("payload"),
+      "upsertDf: tables without a payload column are not supported " +
+        "(lineage checksum formula is payload-based)")
+    val stats = staged
+      .select($"bucket".cast("int"), $"cellId", size($"payload"))
+      .as[(Int, Long, Int)]
+      // JVM arithmetic wraps — the SQL form would throw under ANSI
+      // overflow on high Z ids
+      .map { case (b, cid, nn) => (b, cid, cid * 31 + nn) }
       .groupByKey(_._1)
       .mapGroups { (b, it) =>
         var rows = 0L; var chk = 0L
@@ -452,24 +469,27 @@ object IceLite {
       targetBuckets, snap = snap + 1)
   }
 
-  /** All snapshot ids with a manifest on disk, ascending. */
-  def snapshots(table: String): Seq[Long] = {
-    val dir = Paths.get(table, "manifests")
-    if (!Files.exists(dir)) Seq.empty
+  /** List a directory's children with the stream CLOSED afterwards
+    * (bare `Files.list(...).iterator()` leaks one fd per call). */
+  private def listDir(p: Path): Seq[Path] = {
+    if (!Files.exists(p)) Seq.empty
     else {
-      val out = Seq.newBuilder[Long]
-      Files.list(dir).iterator().forEachRemaining { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("m-") && n.endsWith(".json"))
-          out += n.stripPrefix("m-").stripSuffix(".json").toLong
-      }
-      out.result().sorted
+      val st = Files.list(p)
+      try st.iterator().asScala.toVector finally st.close()
     }
   }
 
+  /** All snapshot ids with a manifest on disk, ascending. */
+  def snapshots(table: String): Seq[Long] =
+    listDir(Paths.get(table, "manifests")).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("m-") && n.endsWith(".json"))
+        Some(n.stripPrefix("m-").stripSuffix(".json").toLong)
+      else None
+    }.sorted
+
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().forEachRemaining(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
     ()
   }
@@ -510,18 +530,27 @@ object IceLite {
   /** ORPHAN-FILE GC — the Iceberg `remove_orphan_files` analog: delete
     * every bucket dir under `table/data/` that no manifest on disk
     * references (the debris of a commit or upsert that crashed before
-    * its atomic metadata flip). Never touches a referenced file, so it
-    * is safe to run at any time. Returns the deleted dir count. */
+    * its atomic metadata flip). Never touches a referenced file.
+    *
+    * Resumability interplay: a manifest-LESS snapshot whose data is
+    * deleted must also lose its `lineage/<snap>` checkpoint rows —
+    * otherwise a resumed `commitResumable` would skip the checkpointed
+    * buckets, find their files gone, and commit EMPTY buckets silently.
+    * GC therefore clears both together (the resumed run redoes all
+    * buckets — progress lost, correctness kept). Do not run concurrently
+    * with an IN-FLIGHT commit on the same table: that job's staging
+    * looks identical to crash debris. Returns the deleted dir count. */
   def removeOrphanFiles(table: String): Int = {
     val dataRoot = Paths.get(table, "data")
     if (!Files.exists(dataRoot)) return 0
-    val referenced = snapshots(table)
+    val live = snapshots(table).toSet
+    val referenced = live.toSeq
       .flatMap(s => manifestEntries(table, s).map(_.path))
       .map(Paths.get(_).normalize.toString).toSet
     var deleted = 0
-    Files.list(dataRoot).iterator().forEachRemaining { snapDir =>
+    listDir(dataRoot).foreach { snapDir =>
       if (Files.isDirectory(snapDir)) {
-        Files.list(snapDir).iterator().forEachRemaining { bucketDir =>
+        listDir(snapDir).foreach { bucketDir =>
           // only bucket DIRS are data-file units; commit markers
           // (_SUCCESS etc.) at the snapshot level are never orphans
           if (Files.isDirectory(bucketDir) &&
@@ -529,7 +558,16 @@ object IceLite {
             deleteRecursively(bucketDir); deleted += 1
           }
         }
-        if (!Files.list(snapDir).iterator().hasNext) Files.deleteIfExists(snapDir)
+        val snapName = snapDir.getFileName.toString
+        val manifestLess = snapName.forall(_.isDigit) &&
+          !live.contains(snapName.toLong)
+        if (manifestLess) {
+          // the snapshot never committed: its checkpoint rows must die
+          // with its data (see scaladoc)
+          val lin = Paths.get(table, "lineage", snapName)
+          if (Files.exists(lin)) deleteRecursively(lin)
+        }
+        if (listDir(snapDir).isEmpty) Files.deleteIfExists(snapDir)
       }
     }
     deleted

@@ -99,17 +99,21 @@ object Batching {
     * never a single-partition window. The composite sort key is
     * `zeropad(tier) | md5(id)`, so the range partitioner both orders the
     * tiers and balances within them. Returns (idCol, tier, global_pos).
-    * Tiers must be in [0, 10^9) — the key pads to 10 digits. */
+    * Tiers must be non-null in [0, 10^10) — the key pads to 10 digits;
+    * anything else raises on the executor rather than misorder. */
   def curriculumOrder(docs: DataFrame, idCol: String,
       tierCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // a negative tier would lpad to "00000000-5" and silently misorder
-    // the string key — fail loudly on the executor instead
-    val tierChecked = when(col(tierCol).cast("long") < 0,
-      raise_error(concat(lit("curriculumOrder: negative tier for id "),
-        col(idCol).cast("string"))))
-      .otherwise(col(tierCol).cast("long"))
+    // a NULL tier would build a NULL key (range-sorts first), a negative
+    // tier would lpad to "00000000-5", and a tier past 10^10 would be
+    // TRUNCATED by lpad — all silent misorderings; fail loudly instead
+    val t = col(tierCol).cast("long")
+    val tierChecked = when(t.isNull || t < 0 || t >= 10000000000L,
+      raise_error(concat(lit("curriculumOrder: tier must be in [0, 1e10) "),
+        lit("but was "), coalesce(t.cast("string"), lit("NULL")),
+        lit(" for id "), col(idCol).cast("string"))))
+      .otherwise(t)
     val keyed = docs.select(
       col(idCol).cast("string").as("id"),
       tierChecked.as("tier"),

@@ -356,15 +356,19 @@ object StreamOps {
     import spark.implicits._
     val dir = Paths.get(streamDir)
     Files.createDirectories(dir)
-    val corpus = graft.corpus.ImageCorpus.generateExact(spark, n, gridW)
-      .withColumn("idx",
-        substring($"image_id", 5, 8).cast("long") % chunks)
+    // ONE generation pass: hash-repartition on the chunk id so each
+    // chunk's rows land in a single task -> exactly one part file per
+    // idx dir (a per-chunk filter loop would regenerate + PNG-encode
+    // the whole corpus `chunks` times)
+    val tmp = Files.createTempDirectory("img_chunks").toString
+    graft.corpus.ImageCorpus.generateExact(spark, n, gridW)
+      .withColumn("idx", substring($"image_id", 5, 8).cast("long") % chunks)
+      .repartition(chunks, $"idx")
+      .write.mode("overwrite").partitionBy("idx").parquet(tmp)
     (0 until chunks).foreach { k =>
-      val tmp = Files.createTempDirectory("img_chunk").toString
-      corpus.filter($"idx" === k).drop("idx")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
+      val part = new java.io.File(s"$tmp/idx=$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).getOrElse(
+          throw new IllegalStateException(s"stageImageChunks: empty chunk $k"))
       Files.move(part.toPath, dir.resolve(f"chunk-$k%03d.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }

@@ -203,6 +203,22 @@ class IceLiteSpec extends AnyFunSuite {
     assert(e2.exists(_.path.contains("/data/1/")))
     // Tile-typed read of the old snapshot still works (pre-evolution view)
     assert(IceLite.read(spark, table, 1L).count() == n)
+
+    // SECOND upsert touching the backfilled bucket AND a pre-evolution
+    // one: the survivor read spans two snapshot epochs with different
+    // physical schemas — mergeSchema must keep the earlier backfill
+    // (a single-file-schema read would silently erase it)
+    val ids2 = df2.select($"cellId").as[Long].collect().sorted
+    val midKey = ids2(ids2.length / 2)
+    val upd2 = IceLite.readDf(spark, table, 2L)
+      .filter($"cellId".isin(twoLow(0), midKey))
+      .withColumn("quality", lit(0.5))
+    val s3 = IceLite.upsertDf(spark, table, upd2)
+    val df3 = IceLite.readDf(spark, table, s3)
+    assert(df3.filter($"cellId" === twoLow(1))
+      .select($"quality").as[Double].head() == 0.875)
+    assert(df3.filter($"quality" === 0.5).count() == 2)
+    assert(df3.filter($"quality".isNull).count() == n - 3)
   }
 
   test("expireSnapshots + removeOrphanFiles: refcounted GC, current intact") {
@@ -239,5 +255,29 @@ class IceLiteSpec extends AnyFunSuite {
     // idempotent: nothing left to expire or GC
     assert(IceLite.expireSnapshots(table, keepLast = 1) == 0)
     assert(IceLite.removeOrphanFiles(table) == 0)
+
+    // crashed resumable commit: staged data + PARTIAL lineage, no
+    // manifest. GC must clear the lineage checkpoints WITH the data —
+    // otherwise a resumed run would skip the checkpointed buckets,
+    // find their files gone, and commit empty buckets silently.
+    val want = IceLite.read(spark, table, 2L).collect()
+      .map(t => t.cellId -> t.payload.toSeq).toMap
+    intercept[RuntimeException] {
+      IceLite.commitResumable(spark, IceLite.read(spark, table, 2L), table,
+        buckets = 4, snap = 3L, failAtBucket = Some(2))
+    }
+    assert(IceLite.committedBuckets(table, 3L).nonEmpty) // partial checkpoint
+    assert(IceLite.removeOrphanFiles(table) > 0)
+    assert(IceLite.committedBuckets(table, 3L).isEmpty)  // checkpoints died too
+    // the resumed (full-redo) run commits the complete content
+    IceLite.commitResumable(spark, IceLite.read(spark, table, 2L), table,
+      buckets = 4, snap = 3L)
+    val got3 = IceLite.read(spark, table, 3L).collect()
+      .map(t => t.cellId -> t.payload.toSeq).toMap
+    assert(got3.keySet == want.keySet)
+    got3.foreach { case (k, v) =>
+      assert(v.zip(want(k)).forall { case (x, y) =>
+        x == y || (x.isNaN && y.isNaN) })
+    }
   }
 }
