@@ -411,6 +411,37 @@ object SparkEntry {
         .orderBy($"qid", $"rank")
     }),
 
+    // FILTERED ANN (hybrid search) — the production retrieval shape:
+    // a metadata predicate (lang = 'en', i.e. vid % 3 = 0 — 10 of each
+    // cluster's 30 members) composes with the IVF scan by filtering the
+    // inverted lists BEFORE the candidate join; clustering and probe
+    // selection stay on the full corpus (the FAISS IDSelector pattern).
+    // On the e2 fixture every query's filtered exact top-5 lives in its
+    // own (always-probed) cluster, so IVF-filtered == exact-filtered and
+    // the DuckDB brute oracle gates it.
+    "e7_ann_filtered" -> ((s, _) => {
+      import s.implicits._
+      val C = 16; val M = 30; val dim = 16
+      val e = s.range(C.toLong * M).map { vid =>
+        val cl = (vid % C).toInt; val m = (vid / C).toInt
+        val v = Array.tabulate(dim) { d =>
+          val center = if (d == cl) 8.0f else 0.0f
+          center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
+        }
+        (vid, v, Seq("en", "de", "fr")((vid % 3).toInt))
+      }.toDF("vec_id", "embedding", "lang")
+      val (clusters, centroids) = graft.sim.Similarity.kmeansWithCentroids(
+        s, e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        k = C, iters = 2)
+      val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
+      val filtered = withCl.filter($"lang" === "en")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.sim.Similarity.ivfTopK(s, filtered, "vec_id", "embedding", "cl",
+          q, k = 5, nProbe = 2, centroidTable = Some(centroids))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Product-quantization ANN: m=4 byte codes per vector, broadcast ADC
     // lookup tables, shortlist by ADC + exact cosine re-rank of
     // SURVIVORS ONLY (the compressed exhaustive path — codes are 4 B vs
@@ -4889,6 +4920,30 @@ object SparkEntry {
         |pairs AS (
         |  SELECT q.vid AS qid, c.vid AS vid, sum(q.x * c.x) AS dot
         |  FROM v q JOIN v c ON q.d = c.d AND q.vid < 10 AND c.vid <> q.vid
+        |  GROUP BY q.vid, c.vid),
+        |cs AS (
+        |  SELECT p.qid, p.vid, p.dot / (nq.n * nc.n) AS cos
+        |  FROM pairs p JOIN norms nq ON nq.vid = p.qid
+        |              JOIN norms nc ON nc.vid = p.vid),
+        |rk AS (SELECT qid, vid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+        |  FROM cs)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid
+        |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // e7: the e2 brute oracle with the metadata predicate applied to the
+    // corpus side (vid % 3 = 0 <=> lang = 'en')
+    "e7_ann_filtered" ->
+      """WITH v AS (
+        |  SELECT t.vid AS vid, d.d AS d,
+        |    (CASE WHEN d.d = t.vid % 16 THEN 8.0 ELSE 0.0 END)
+        |      + (((t.vid // 16) * 31 + d.d * 17 + (t.vid % 16) * 7) % 13 - 6) * 0.125 AS x
+        |  FROM range(480) t(vid), range(16) d(d)),
+        |norms AS (SELECT vid, sqrt(sum(x*x)) AS n FROM v GROUP BY vid),
+        |pairs AS (
+        |  SELECT q.vid AS qid, c.vid AS vid, sum(q.x * c.x) AS dot
+        |  FROM v q JOIN v c ON q.d = c.d AND q.vid < 10 AND c.vid <> q.vid
+        |    AND c.vid % 3 = 0
         |  GROUP BY q.vid, c.vid),
         |cs AS (
         |  SELECT p.qid, p.vid, p.dot / (nq.n * nc.n) AS cos

@@ -308,4 +308,33 @@ class SimSpec extends AnyFunSuite {
       .select("qid", "rank", "vid").as[(Long, Long, Long)].collect().toSet
     assert(sq8 == brute, "SQ8 shortlist+re-rank must equal brute here")
   }
+
+  test("filtered IVF (hybrid search) == brute top-5 over the filtered corpus") {
+    import spark.implicits._
+    val C = 16; val M = 30; val dim = 16
+    val e = spark.range(C.toLong * M).map { vid =>
+      val cl = (vid % C).toInt; val m = (vid / C).toInt
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d == cl) 8.0f else 0.0f
+        center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
+      }
+      (vid, v, (vid % 3).toInt)
+    }.toDF("vec_id", "embedding", "lang")
+    val (clusters, centroids) = Similarity.kmeansWithCentroids(
+      spark, e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      k = C, iters = 2)
+    val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
+    val filtered = withCl.filter($"lang" === 0)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val ivf = Similarity.ivfTopK(spark, filtered, "vec_id", "embedding", "cl",
+        q, k = 5, nProbe = 2, centroidTable = Some(centroids))
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.bruteTopK(q,
+        filtered.select($"vec_id".as("vid"), $"embedding".as("v")), 5)
+      .select("qid", "rank", "vid").as[(Long, Long, Long)].collect().toSet
+    assert(ivf == brute, "filter must compose with the IVF list scan exactly")
+    // every result passes the predicate
+    assert(ivf.forall(_._3 % 3 == 0))
+  }
 }
