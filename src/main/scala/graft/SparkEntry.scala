@@ -1030,6 +1030,22 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    // Multi-source BFS hop distance over the g1 link graph (crawl depth
+    // from a seed set — the graph analog of the r42 distance transform):
+    // frontier relaxation, one (id, dist) shuffle per round, rounds =
+    // source-set eccentricity. Integer hop counts are engine-independent;
+    // the oracle walks the same edges with a recursive CTE.
+    "g2_bfs_depth" -> ((s, _) => {
+      import s.implicits._
+      val ids = s.range(64).toDF("id")
+      val edges = ids.select($"id".as("src"), (($"id" * 2 + 1) % 64).as("dst"))
+        .unionByName(ids.select($"id".as("src"),
+          (($"id" * $"id" + 7) % 64).as("dst")))
+      graft.operators.GraphOps.bfsDistances(edges, "src", "dst",
+          sources = Seq(0L, 13L))
+        .orderBy($"node")
+    }),
+
     // Bloom-prefiltered incremental dedup — d18's 100 TB steady-state
     // shape: the corpus sig index folds to a broadcast Bloom filter
     // (treeAggregate; driver holds bits, never sigs), bloom-NEGATIVE
@@ -3893,6 +3909,21 @@ object SparkEntry {
         |  FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
         |SELECT id AS node, pr, CAST(pr * 262144 AS BIGINT) AS pr_scaled
         |FROM r3 ORDER BY id""".stripMargin,
+
+    // g2: recursive-CTE walk over the same edges; min depth per node,
+    // depth bound 64 keeps the state space finite
+    "g2_bfs_depth" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT i AS src, (2*i+1) % 64 AS dst FROM range(64) t(i)
+        |  UNION ALL
+        |  SELECT i AS src, (i*i+7) % 64 AS dst FROM range(64) t(i)),
+        |walk(node, d) AS (
+        |  SELECT s.s, 0 FROM (VALUES (0), (13)) s(s)
+        |  UNION
+        |  SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.node
+        |  WHERE walk.d < 64)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     // e6: full SQ8 replication — scales, floor(+0.5) int8 codes, exact
     // integer candidate dots, shortlist 32 by (idot, vid), exact cosine

@@ -135,4 +135,49 @@ object GraphOps {
     sym.unpersist()
     labels.select($"n".as("node"), $"lbl".as("root"))
   }
+
+  /** Multi-source BFS hop distance over DIRECTED edges: for every node
+    * reachable from `sources`, the minimum hop count from the nearest
+    * source (the graph analog of the raster distance transform r42 —
+    * link-graph crawl depth, influence radius, taint propagation).
+    * Same iteration discipline as [[minLabelComponents]]: one
+    * relax-join + one improvement agg per round, localCheckpoint each
+    * round so the plan stays constant-size; rounds = eccentricity of
+    * the source set, shuffle carries (id, dist) pairs only. Unreached
+    * nodes are absent from the result (never a sentinel). Returns
+    * (node, dist). */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long]): DataFrame = {
+    require(sources.nonEmpty, "bfsDistances: no sources")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val INF = Long.MaxValue
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist(mem)
+    val nodes = e.select($"src".as("id"))
+      .unionByName(e.select($"dst".as("id"))).distinct()
+    var dist = nodes
+      .select($"id", when($"id".isin(sources: _*), 0L).otherwise(INF).as("d"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val relax = e
+        .join(dist.withColumnRenamed("id", "src").withColumnRenamed("d", "ds"),
+          "src")
+        .filter($"ds" =!= INF)
+        .groupBy($"dst").agg(min($"ds" + 1).as("cand"))
+        .withColumnRenamed("dst", "id")
+      val next = dist.join(relax, Seq("id"), "left")
+        .select($"id",
+          least($"d", coalesce($"cand", lit(INF))).as("d"),
+          (coalesce($"cand", lit(INF)) < $"d").cast("long").as("chg"))
+        .localCheckpoint()
+      val chgRow = next.agg(sum($"chg")).collect()(0)
+      changed = if (chgRow.isNullAt(0)) 0L else chgRow.getLong(0)
+      dist = next.select($"id", $"d")
+    }
+    e.unpersist()
+    dist.filter($"d" =!= INF).select($"id".as("node"), $"d".as("dist"))
+  }
 }

@@ -102,4 +102,37 @@ class GraphOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst", 0) }
   }
+
+  test("bfsDistances == driver BFS; multi-source min, unreachables absent") {
+    import spark.implicits._
+    // deterministic sparse digraph with unreachable pockets: 80 nodes,
+    // edges i -> (3i+1)%80 and i -> (7i+11)%80 only for i % 5 != 0
+    val edges = (0 until 80).filter(_ % 5 != 0).flatMap(i =>
+      Seq((i.toLong, ((3 * i + 1) % 80).toLong),
+        (i.toLong, ((7 * i + 11) % 80).toLong)))
+    val sources = Seq(1L, 52L)
+    val got = GraphOps.bfsDistances(edges.toDF("src", "dst"), "src", "dst",
+        sources)
+      .as[(Long, Long)].collect().toMap
+    // driver BFS over the same adjacency
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    var frontier = sources.toSet
+    sources.foreach(s => dist(s) = 0L)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = d)
+    }
+    // engine result covers exactly the reached nodes THAT APPEAR IN EDGES
+    val nodesInGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val want = dist.filter { case (k, _) => nodesInGraph.contains(k) }.toMap
+    assert(got == want, s"diff: ${(got.toSet diff want.toSet).take(5)} / ${(want.toSet diff got.toSet).take(5)}")
+    assert(got.values.exists(_ > 1)) // non-trivial depths
+    assert(nodesInGraph.exists(n => !got.contains(n))) // unreachable pocket exists
+    intercept[IllegalArgumentException] {
+      GraphOps.bfsDistances(edges.toDF("src", "dst"), "src", "dst", Seq.empty) }
+  }
 }
