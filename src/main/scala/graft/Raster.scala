@@ -413,6 +413,30 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   def renderPng(lo: Double, hi: Double): Dataset[(Long, Array[Byte])] =
     TileFns.renderPng(tiles, lo, hi)
 
+  /** XYZ slippy-map tile pyramid (beyond-reference; the raster-serving
+    * export): levels z = 0..levels-1, each average-downsampled by 2^z
+    * (real window agg) and rendered to per-tile PNGs. Returns
+    * (z, x, y, png). */
+  def tilePyramidPng(levels: Int, lo: Double, hi: Double)
+      : org.apache.spark.sql.DataFrame = {
+    require(levels >= 1, s"tilePyramidPng: levels must be >= 1, got $levels")
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    (0 until levels).map { z =>
+      val tilesZ =
+        if (z == 0) tiles
+        else {
+          val cellsZ = operators.Downsample.stats(tiles, ref, res, 1 << z,
+            "average")
+          TileOps.tilesFromCells(cellsZ,
+            operators.Downsample.targetRef(ref, 1 << z), res)
+        }
+      TileFns.renderPng(tilesZ, lo, hi).map { case (cid, png) =>
+        (z.toLong, core.CellId.cx(cid), core.CellId.cy(cid), png)
+      }.toDF("z", "x", "y", "png")
+    }.reduce(_ unionByName _)
+  }
+
   /** Driver-side dense array (row-major, NaN holes) — the reference's
     * `array` view; driver-bounded by construction. */
   def toArray: Array[Double] = {

@@ -538,6 +538,40 @@ object SparkEntry {
         .orderBy($"bucket")
     }),
 
+    // XYZ slippy-map TILE PYRAMID export — the raster-serving op: levels
+    // z=0..3 (fixed 64px tiles; average-downsample by 2^z via the real
+    // window-agg operator, reassembled through tilesFromCells), each tile
+    // rendered to a REAL PNG by renderPng, decoded back in-task and
+    // reduced to integer code sums. The fixture's integer values with
+    // lo=0/hi=1000 make every level's codes exact integers (64*s/4^z
+    // with 4^z <= 64), so DuckDB regenerates every tile's checksum from
+    // the closed form — render + encode + decode round-trip included.
+    // z=3's single 32x32 tile exercises the partial-tile edge.
+    "r56_xyz_tiles" -> ((s, _) => {
+      import s.implicits._
+      val ref = GridRef(256, 256, 0.0, 0.0, 1.0, -9999.0, "")
+      val dem = TileOps.tileGrid(s, ref, 6)(
+        (r, c) => ((r * 31 + c * 17) % 1000).toDouble)
+      val levels = (0 to 3).map { z =>
+        val tilesZ =
+          if (z == 0) dem
+          else {
+            val cellsZ = Downsample.stats(dem, ref, 6, 1 << z, "average")
+            TileOps.tilesFromCells(cellsZ, Downsample.targetRef(ref, 1 << z), 6)
+          }
+        TileFns.renderPng(tilesZ, 0.0, 1000.0).map { case (cid, png) =>
+          val (px, w, h) = graft.codecs.ImageCodec.decode(png, "png")
+          var sum = 0L; var j = 0
+          while (j < px.length) { sum += Math.rint(px(j) * 64.0).toLong; j += 1 }
+          (z.toLong, graft.core.CellId.cx(cid), graft.core.CellId.cy(cid),
+            w, h, sum)
+        }
+      }
+      levels.reduce(_ union _)
+        .toDF("z", "x", "y", "w", "h", "sum_code")
+        .orderBy($"z", $"y", $"x")
+    }),
+
     // Per-language length-distribution profile — how curation thresholds
     // (p50/p90/p99 length cutoffs) are actually derived in a pipeline:
     // exact-interpolation percentiles over integer n_chars (a + f*(b-a)
@@ -2821,6 +2855,28 @@ object SparkEntry {
          |SELECT bucket, n,
          |  CAST(sum(n) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_at_or_above
          |FROM h ORDER BY bucket""".stripMargin,
+
+    // r56: per-level block sums from the closed form; tile code sum =
+    // sum over blocks of 64*s/4^z (integer since 4^z <= 64)
+    "r56_xyz_tiles" ->
+      """WITH px AS (
+        |  SELECT r.r AS r, c.c AS c, (r.r*31 + c.c*17) % 1000 AS v
+        |  FROM range(256) r(r), range(256) c(c)),
+        |lv AS (
+        |  SELECT z.z AS z, r // (1 << z.z) AS br, c // (1 << z.z) AS bc,
+        |    sum(v) AS s
+        |  FROM px, range(4) z(z)
+        |  GROUP BY 1, 2, 3),
+        |tl AS (
+        |  SELECT z, bc // 64 AS x, br // 64 AS y,
+        |    sum(s * (64 // (1 << (2*z)))) AS sum_code
+        |  FROM lv GROUP BY 1, 2, 3)
+        |SELECT CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
+        |  CAST(y AS BIGINT) AS y,
+        |  CAST(least(64, (256 // (1 << z)) - x * 64) AS INT) AS w,
+        |  CAST(least(64, (256 // (1 << z)) - y * 64) AS INT) AS h,
+        |  CAST(sum_code AS BIGINT) AS sum_code
+        |FROM tl ORDER BY z, y, x""".stripMargin,
 
     // d23: quantile_cont uses the same a + f*(b-a) exact-integer
     // interpolation as Spark's percentile

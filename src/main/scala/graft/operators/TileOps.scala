@@ -72,6 +72,33 @@ object TileOps {
       .withColumn("v", when(isnan($"v"), lit(null)).otherwise($"v"))
   }
 
+  /** Reassemble (row, col, v) cell rows into tiles — the INVERSE of
+    * [[cells]], for feeding cell-level operator output (downsampled
+    * levels, stencil results) back into tile-level ops (render, write,
+    * stencils). Missing cells and null v become NaN. One shuffle on the
+    * tile key; payload assembly is per-group executor work. */
+  def tilesFromCells(cellRows: DataFrame, ref: GridRef, res: Int): Dataset[Tile] = {
+    import cellRows.sparkSession.implicits._
+    val size = 1 << res
+    val nrows = ref.nrows; val ncols = ref.ncols
+    cellRows.select($"row".cast("long"), $"col".cast("long"),
+        $"v".cast("double"))
+      .as[(Long, Long, java.lang.Double)]
+      .groupByKey { case (r, c, _) => CellId.encode(res, c / size, r / size) }
+      .mapGroups { (cid, it) =>
+        val tx = CellId.cx(cid); val ty = CellId.cy(cid)
+        val row0 = (ty * size).toInt; val col0 = (tx * size).toInt
+        val h = math.min(size, nrows - row0)
+        val w = math.min(size, ncols - col0)
+        val payload = Array.fill(h * w)(Double.NaN)
+        it.foreach { case (r, c, v) =>
+          if (v != null)
+            payload(((r - row0) * w + (c - col0)).toInt) = v.doubleValue()
+        }
+        Tile(cid, row0, col0, h, w, payload)
+      }
+  }
+
   /** Compile a same-res cell cover to a Z-range predicate on `cellId`:
     * a handful of `BETWEEN lo AND hi` disjuncts (CellId.zRanges) instead
     * of one literal per cell — a 10^5-tile window stays a small plan and

@@ -213,4 +213,19 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(run(1) == run(7))
   }
+
+  test("tilesFromCells is the inverse of cells (NaN holes, partial tiles)") {
+    import spark.implicits._
+    import graft.core.GridRef
+    // 37x29 grid: partial edge tiles at res 4 (16px); NaN holes planted
+    val ref = GridRef(29, 37, 0.0, 0.0, 1.0, -9999.0, "")
+    val dem = TileOps.tileGrid(spark, ref, 4)((r, c) =>
+      if ((r * 29 + c) % 11 == 0) Double.NaN else (r * 31 + c * 17).toDouble)
+    val back = TileOps.tilesFromCells(TileOps.cells(dem), ref, 4)
+    def dump(t: graft.core.Tile) = (t.cellId, t.row0, t.col0, t.h, t.w,
+      t.payload.map(v => if (v.isNaN) "nan" else v.toString).toSeq)
+    val a = dem.collect().map(dump).sortBy(_._1).toSeq
+    val b = back.collect().map(dump).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
