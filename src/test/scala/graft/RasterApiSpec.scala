@@ -115,6 +115,18 @@ class RasterApiSpec extends AnyFunSuite {
     assert(Files.size(dir.resolve("m.gif")) > 100)
     assert(graft.sources.MjpegAvi.readFrameJpegs(
       Files.readAllBytes(dir.resolve("m.avi"))).length == 2)
+    // XYZ pyramid: 64x64 grid at res 5 (32px tiles) -> z0: 2x2, z1: 1
+    val pyr = Raster.fromGrid(spark, GridRef(64, 64, 0, 0, 1), 5)(
+      (r, c) => ((r * 31 + c * 17) % 251).toDouble)
+      .tilePyramidPng(levels = 2, 0, 251)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getAs[Array[Byte]](3)))
+    assert(pyr.map(_._1).toSet ==
+      Set((0L, 0L, 0L), (0L, 0L, 1L), (0L, 1L, 0L), (0L, 1L, 1L), (1L, 0L, 0L)))
+    pyr.foreach { case (_, png) =>
+      val (px, w, h) = graft.codecs.ImageCodec.decode(png, "png")
+      assert(w == 32 && h == 32 && px.length == 1024)
+    }
   }
 
   test("resample family wiring: cellsize, window agg, convolution kernels") {
