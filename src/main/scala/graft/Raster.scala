@@ -413,27 +413,50 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   def renderPng(lo: Double, hi: Double): Dataset[(Long, Array[Byte])] =
     TileFns.renderPng(tiles, lo, hi)
 
-  /** XYZ slippy-map tile pyramid (beyond-reference; the raster-serving
-    * export): levels z = 0..levels-1, each average-downsampled by 2^z
-    * (real window agg) and rendered to per-tile PNGs. Returns
-    * (z, x, y, png). */
+  /** Tile-pyramid PNG export (beyond-reference; the raster-serving op):
+    * OVERVIEW levels 0..levels-1 in the GDAL/COG convention — level 0 is
+    * the full-resolution base, each next level average-downsamples by 2
+    * — with XYZ-style (x, y) tile addressing inside each level. To serve
+    * as slippy-map tiles, map `z = maxZoom - level` (slippy zoom counts
+    * the other way). Levels fold PROGRESSIVELY: level L+1 downsamples
+    * level L's tiles (factor 2), so the whole pyramid reads each level
+    * once (~4N/3 cells total) instead of re-scanning the base per level;
+    * while both dims stay even every 2x2 window is complete and the
+    * mean-of-means equals the direct mean exactly — an odd dimension
+    * falls back to a from-base downsample for that level to avoid
+    * partial-window mean-of-means bias. Returns (level, x, y, png). */
   def tilePyramidPng(levels: Int, lo: Double, hi: Double)
       : org.apache.spark.sql.DataFrame = {
-    require(levels >= 1, s"tilePyramidPng: levels must be >= 1, got $levels")
+    require(levels >= 1 && levels <= res + 1,
+      s"tilePyramidPng: levels must be in [1, res + 1 = ${res + 1}] " +
+        s"(factor 2^level must divide the ${1 << res}px tile), got $levels")
     val spark = tiles.sparkSession
     import spark.implicits._
-    (0 until levels).map { z =>
-      val tilesZ =
-        if (z == 0) tiles
-        else {
-          val cellsZ = operators.Downsample.stats(tiles, ref, res, 1 << z,
+    var cur = tiles
+    var curRef = ref
+    var exact = true // dims even so far -> progressive fold stays exact
+    (0 until levels).map { level =>
+      if (level > 0) {
+        if (exact && (curRef.nrows % 2 == 0) && (curRef.ncols % 2 == 0)) {
+          val cellsL = operators.Downsample.stats(cur, curRef, res, 2, "average")
+          curRef = operators.Downsample.targetRef(curRef, 2)
+          // persist each level: without it, evaluating level L lazily
+          // re-runs the whole chain from the base (O(levels^2) scans)
+          cur = TileOps.tilesFromCells(cellsL, curRef, res)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        } else {
+          // odd dimension: partial 2x2 windows would bias mean-of-means;
+          // this level (and the rest) downsample from the base directly
+          exact = false
+          val cellsL = operators.Downsample.stats(tiles, ref, res, 1 << level,
             "average")
-          TileOps.tilesFromCells(cellsZ,
-            operators.Downsample.targetRef(ref, 1 << z), res)
+          curRef = operators.Downsample.targetRef(ref, 1 << level)
+          cur = TileOps.tilesFromCells(cellsL, curRef, res)
         }
-      TileFns.renderPng(tilesZ, lo, hi).map { case (cid, png) =>
-        (z.toLong, core.CellId.cx(cid), core.CellId.cy(cid), png)
-      }.toDF("z", "x", "y", "png")
+      }
+      TileFns.renderPng(cur, lo, hi).map { case (cid, png) =>
+        (level.toLong, core.CellId.cx(cid), core.CellId.cy(cid), png)
+      }.toDF("level", "x", "y", "png")
     }.reduce(_ unionByName _)
   }
 

@@ -552,22 +552,16 @@ object SparkEntry {
       val ref = GridRef(256, 256, 0.0, 0.0, 1.0, -9999.0, "")
       val dem = TileOps.tileGrid(s, ref, 6)(
         (r, c) => ((r * 31 + c * 17) % 1000).toDouble)
-      val levels = (0 to 3).map { z =>
-        val tilesZ =
-          if (z == 0) dem
-          else {
-            val cellsZ = Downsample.stats(dem, ref, 6, 1 << z, "average")
-            TileOps.tilesFromCells(cellsZ, Downsample.targetRef(ref, 1 << z), 6)
-          }
-        TileFns.renderPng(tilesZ, 0.0, 1000.0).map { case (cid, png) =>
+      // the gate drives the SHIPPED facade method (progressive fold,
+      // render, PNG encode), then decodes each tile back for checksums
+      graft.Raster(dem, ref, 6).tilePyramidPng(levels = 4, 0.0, 1000.0)
+        .as[(Long, Long, Long, Array[Byte])]
+        .map { case (z, x, y, png) =>
           val (px, w, h) = graft.codecs.ImageCodec.decode(png, "png")
           var sum = 0L; var j = 0
           while (j < px.length) { sum += Math.rint(px(j) * 64.0).toLong; j += 1 }
-          (z.toLong, graft.core.CellId.cx(cid), graft.core.CellId.cy(cid),
-            w, h, sum)
+          (z, x, y, w, h, sum)
         }
-      }
-      levels.reduce(_ union _)
         .toDF("z", "x", "y", "w", "h", "sum_code")
         .orderBy($"z", $"y", $"x")
     }),

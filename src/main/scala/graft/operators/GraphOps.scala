@@ -155,8 +155,13 @@ object GraphOps {
     val INF = Long.MaxValue
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().persist(mem)
+    // node universe includes the seeds themselves: a source with no
+    // incident edges is still at distance 0 (matches the recursive-CTE
+    // oracle, which seeds every source unconditionally)
     val nodes = e.select($"src".as("id"))
-      .unionByName(e.select($"dst".as("id"))).distinct()
+      .unionByName(e.select($"dst".as("id")))
+      .unionByName(spark.createDataset(sources).toDF("id"))
+      .distinct()
     var dist = nodes
       .select($"id", when($"id".isin(sources: _*), 0L).otherwise(INF).as("d"))
       .localCheckpoint()

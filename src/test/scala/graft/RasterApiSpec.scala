@@ -127,6 +127,28 @@ class RasterApiSpec extends AnyFunSuite {
       val (px, w, h) = graft.codecs.ImageCodec.decode(png, "png")
       assert(w == 32 && h == 32 && px.length == 1024)
     }
+    // progressive fold == from-base downsample at every level, including
+    // the odd-dimension fallback (26 -> 13 rows: level 2 re-bases)
+    val oref = GridRef(40, 26, 0, 0, 1)
+    val og = Raster.fromGrid(spark, oref, 5)(
+      (r, c) => ((r * 7 + c * 3) % 97).toDouble)
+    val opyr = og.tilePyramidPng(3, 0, 97).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getAs[Array[Byte]](3))).toMap
+    (1 to 2).foreach { lvl =>
+      val fromBase = graft.operators.Downsample.stats(
+        og.tiles, oref, 5, 1 << lvl, "average")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      fromBase.foreach { case ((row, col), v) =>
+        val (tx, ty) = (col / 32, row / 32)
+        val (px, w, _) = graft.codecs.ImageCodec.decode(
+          opyr((lvl.toLong, tx.toLong, ty.toLong)), "png")
+        val got = px((row - ty * 32) * w + (col - tx * 32))
+        val want = Math.rint(v / 97.0 * 1000.0 * 64.0) / 64.0
+        assert(got == want, s"level $lvl cell ($row,$col): $got vs $want")
+      }
+    }
+    intercept[IllegalArgumentException] { og.tilePyramidPng(7, 0, 97) }
   }
 
   test("resample family wiring: cellsize, window agg, convolution kernels") {

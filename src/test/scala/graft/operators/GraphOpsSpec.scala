@@ -126,12 +126,16 @@ class GraphOpsSpec extends AnyFunSuite {
         .filterNot(dist.contains)
       frontier.foreach(n => dist(n) = d)
     }
-    // engine result covers exactly the reached nodes THAT APPEAR IN EDGES
-    val nodesInGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
-    val want = dist.filter { case (k, _) => nodesInGraph.contains(k) }.toMap
-    assert(got == want, s"diff: ${(got.toSet diff want.toSet).take(5)} / ${(want.toSet diff got.toSet).take(5)}")
+    assert(got == dist.toMap, s"diff: ${(got.toSet diff dist.toSet).take(5)} / ${(dist.toSet diff got.toSet).take(5)}")
     assert(got.values.exists(_ > 1)) // non-trivial depths
+    val nodesInGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
     assert(nodesInGraph.exists(n => !got.contains(n))) // unreachable pocket exists
+    // an isolated seed (no incident edges) is still at distance 0
+    val withIsolated = GraphOps.bfsDistances(edges.toDF("src", "dst"),
+        "src", "dst", sources :+ 9999L)
+      .as[(Long, Long)].collect().toMap
+    assert(withIsolated(9999L) == 0L)
+    assert((withIsolated - 9999L) == got)
     intercept[IllegalArgumentException] {
       GraphOps.bfsDistances(edges.toDF("src", "dst"), "src", "dst", Seq.empty) }
   }
