@@ -138,6 +138,14 @@ object SparkEntry {
           s, s"$dir/events.parquet", d, chunks = 2)
       })
     }
+  private def stagedLateEvents(s: SparkSession, dir: String): String =
+    SparkEntry.synchronized {
+      stagedStreams.getOrElseUpdate(s"__s8_late__$dir", {
+        val d = java.nio.file.Files.createTempDirectory("s8_stream").toString
+        graft.streaming.StreamOps.stageWithLateArrivals(
+          s, s"$dir/events.parquet", d)
+      })
+    }
   private def stagedImageStream(s: SparkSession): String =
     SparkEntry.synchronized {
       stagedStreams.getOrElseUpdate("__s7_images__", {
@@ -1920,6 +1928,22 @@ object SparkEntry {
     // lands verdicts in a batch-id-keyed idempotent parquet sink. The
     // drained table must equal the batch i6 computation — same closed-
     // form oracle.
+    // LATE-DATA DISCARD — the watermark semantics gate: a third staged
+    // file re-delivers 100 closed-window events (ids offset 10^9) AFTER
+    // the watermark has advanced past their windows; the engine must
+    // drop every one. The oracle aggregates the ORIGINAL events only —
+    // if late rows leak into closed windows, the counts inflate and the
+    // hash fails. Same windowed aggregate as s1.
+    "s8_stream_late_drop" -> ((s, dir) => {
+      val staged = stagedLateEvents(s, dir)
+      val ckpt = java.nio.file.Files.createTempDirectory("s8_ckpt").toString
+      val df = withFewPartitions(s) {
+        graft.streaming.StreamOps.windowedEventCounts(s, staged, ckpt, "s8_mem")
+      }
+      dropCheckpoint(ckpt)
+      df
+    }),
+
     "s7_stream_image_quality" -> ((s, _) => {
       val staged = stagedImageStream(s) // cached across runs like s1-s6
       val ckpt = java.nio.file.Files.createTempDirectory("s7_ckpt").toString
@@ -4885,6 +4909,14 @@ object SparkEntry {
     // date_trunc('hour') likewise), counts are longs and the money sum
     // uses the established exact-cents rule.
     "s1_stream_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // s8: the ORIGINAL events only — the 100 late re-deliveries must
+    // contribute nothing, so the expected table is exactly s1's
+    "s8_stream_late_drop" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS w_start, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

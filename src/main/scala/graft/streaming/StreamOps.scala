@@ -98,6 +98,64 @@ object StreamOps {
     streamDir
   }
 
+  /** Stage events as a 2-chunk chronological stream PLUS one deliberately
+    * LATE file: after both real chunks have advanced the watermark to
+    * (global max − 10 min), a third file re-delivers copies of 100 of the
+    * earliest events (ids offset by 10^9; only rows at least 2 h older
+    * than the global max, so their windows are provably closed). The
+    * watermark MUST discard every one of them — if the engine wrongly
+    * admits late rows into closed windows, the copies inflate real
+    * buckets and the oracle (computed from the original events only)
+    * hash-fails. Flush files as in [[stageChronological]]. */
+  def stageWithLateArrivals(spark: SparkSession, eventsParquet: String,
+      streamDir: String): String = {
+    import spark.implicits._
+    val dir = Paths.get(streamDir)
+    Files.createDirectories(dir)
+    val ev = spark.read.parquet(eventsParquet)
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    val evMs = ev.withColumn("ts_ms", unix_millis($"ts"))
+    val maxRow = evMs.agg(max($"ts_ms")).collect()(0)
+    require(!maxRow.isNullAt(0), s"no events in $eventsParquet")
+    val maxTs = maxRow.getLong(0)
+    val mid = evMs.stat.approxQuantile("ts_ms", Array(0.5), 0.01)(0).toLong
+    def moveChunk(name: String, df: org.apache.spark.sql.DataFrame,
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("stream_chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val partFile = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(name)
+      Files.move(partFile.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    val base = System.currentTimeMillis() - 8000L
+    moveChunk("c000.parquet", evMs.filter($"ts_ms" < mid).drop("ts_ms"), base)
+    moveChunk("c001.parquet", evMs.filter($"ts_ms" >= mid).drop("ts_ms"),
+      base + 1000L)
+    // the LATE file: closed-window re-deliveries, ids offset to mark them
+    val late = evMs.filter($"ts_ms" <= maxTs - 7200000L)
+      .orderBy($"ts_ms", $"event_id").limit(100)
+      .withColumn("event_id", $"event_id" + 1000000000L)
+      .drop("ts_ms")
+    moveChunk("c002.parquet", late, base + 2000L)
+    val schema = ev.schema
+    def sentinels(ts: Long, uids: Seq[Long]) = {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(uids.map(u => org.apache.spark.sql.Row(
+          -1L, new java.sql.Timestamp(ts), u, "zz_flush", 0.0, null)): _*)
+      spark.createDataFrame(rows, schema)
+    }
+    moveChunk("f001.parquet", sentinels(maxTs + 864000000L, Seq(-1L)),
+      base + 3000L)
+    moveChunk("f002.parquet", sentinels(maxTs + 867600000L, Seq(-1L, -2L)),
+      base + 4000L)
+    streamDir
+  }
+
   /** Watermarked 1-hour tumbling-window counts per event type, append
     * mode: readStream -> withWatermark -> groupBy(window) -> memory sink.
     * Returns the emitted (closed) windows — with the staged flush files,

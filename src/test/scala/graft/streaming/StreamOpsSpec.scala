@@ -139,6 +139,33 @@ class StreamOpsSpec extends AnyFunSuite {
       s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
   }
 
+  test("late re-deliveries are dropped by the watermark — and would differ if admitted") {
+    import spark.implicits._
+    val lateDir = StreamOps.stageWithLateArrivals(spark, eventsPath,
+      Files.createTempDirectory("stream-ops-late").toString)
+    val ckpt = Files.createTempDirectory("stream-ops-ckpt-l").toString
+    val got = StreamOps.windowedEventCounts(spark, lateDir, ckpt, "ltest")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts".cast("timestamp"), "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("value_cents"))
+      .select(unix_millis($"window.start").as("w_start"), $"event_type",
+        $"n", $"value_cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val originals = spark.read.parquet(eventsPath)
+    // stream result == batch over ORIGINALS (late rows contributed nothing)
+    assert(got == agg(originals))
+    // non-vacuous: the staged dir really contains the 100 late copies,
+    // and admitting them WOULD change the counts
+    val staged = spark.read.parquet(lateDir)
+      .filter($"event_type" =!= "zz_flush")
+    assert(staged.filter($"event_id" >= 1000000000L).count() == 100)
+    assert(got != agg(staged))
+  }
+
   test("foreachBatch image curation == batch quality kernel; one sink dir per batch") {
     import spark.implicits._
     import graft.codecs.ImageCodec
