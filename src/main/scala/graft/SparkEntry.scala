@@ -1623,6 +1623,17 @@ object SparkEntry {
         .orderBy($"global_pos")
     }),
 
+    // EPOCH RESHUFFLING — 3 epochs over the documents table, each a
+    // different reproducible md5(epoch:id) permutation, positions global
+    // across the run (epoch e = block [e*n, (e+1)*n)). Oracle replicates
+    // the salted-hash row_number in closed form.
+    "m5_epoch_order" -> ((s, dir) => {
+      import s.implicits._
+      graft.ml.Batching.epochOrder(table(s, dir, "documents"), "doc_id",
+          epochs = 3)
+        .orderBy($"global_pos")
+    }),
+
     // End-to-end multimodal CURATION -> BATCHES flagship (the image-side
     // d17): perceptual-hash near-dup graph (i4's banded hamming join) ->
     // connected-component canonical keepers (i5's min-id rule; non-keeper
@@ -3815,6 +3826,18 @@ object SparkEntry {
         |    ORDER BY lpad(CAST(tier AS VARCHAR), 10, '0') || '|' || md5(id),
         |      id) - 1 AS global_pos
         |FROM d ORDER BY global_pos""".stripMargin,
+
+    // m5: the salted-hash permutation per epoch as one row_number over
+    // the composite (zeropad(epoch) | md5(epoch:id)) key
+    "m5_epoch_order" ->
+      """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents),
+        |x AS (SELECT id, e.e AS epoch FROM d, range(3) e(e))
+        |SELECT id AS doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |  row_number() OVER (
+        |    ORDER BY lpad(CAST(epoch AS VARCHAR), 10, '0') || '|'
+        |      || md5(CAST(epoch AS VARCHAR) || ':' || id), id) - 1
+        |    AS global_pos
+        |FROM x ORDER BY global_pos""".stripMargin,
 
     // m4: i4's full phash kernel -> i5's recursive closure (non-keeper
     // members drop) -> m1's md5 permutation + batch arithmetic over the

@@ -127,4 +127,32 @@ object Batching {
       .map { case ((id, tier, _), idx) => (id, tier, idx) }
     spark.createDataset(indexed).toDF(idCol, "tier", "global_pos")
   }
+
+  /** EPOCH RESHUFFLING — multi-epoch training order without RNG state:
+    * every epoch sees the full corpus in a DIFFERENT but reproducible
+    * permutation (shuffle key = md5(epoch ":" id) — salting the hash by
+    * the epoch re-randomizes the order; a fixed per-row key would repeat
+    * epoch 0's order forever, correlating batch composition across
+    * epochs). Positions are GLOBAL across the run: epoch e occupies the
+    * contiguous block [e*n, (e+1)*n) because the composite range key
+    * leads with the zero-padded epoch. One range exchange of (id, epoch)
+    * descriptors covers all epochs. Returns (idCol, epoch, global_pos). */
+  def epochOrder(docs: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs > 0 && epochs < 10000000000L,
+      s"epochOrder: epochs must be in [1, 1e10), got $epochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(idCol).cast("string").as("id"))
+      .crossJoin(spark.range(epochs).toDF("epoch"))
+      .select($"id", $"epoch",
+        concat(lpad($"epoch".cast("string"), 10, "0"), lit("|"),
+          md5(concat($"epoch".cast("string"), lit(":"), $"id"))).as("k"))
+    val indexed = keyed
+      .repartitionByRange($"k")
+      .sortWithinPartitions($"k", $"id")
+      .as[(String, Long, String)]
+      .rdd.zipWithIndex()
+      .map { case ((id, e, _), idx) => (id, e, idx) }
+    spark.createDataset(indexed).toDF(idCol, "epoch", "global_pos")
+  }
 }

@@ -97,6 +97,31 @@ class BatchingSpec extends AnyFunSuite {
     assert(out2.toSeq == out.toSeq)
   }
 
+  test("epochOrder: contiguous epoch blocks, distinct permutations, determinism") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i => f"d$i%02d").toDF("id")
+    val out = Batching.epochOrder(docs, "id", epochs = 3)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(out.length == 180)
+    assert(out.map(_._3).toSeq == (0L until 180L).toSeq)
+    // epoch e occupies exactly [e*60, (e+1)*60)
+    (0 until 3).foreach { e =>
+      assert(out.slice(e * 60, (e + 1) * 60).forall(_._2 == e.toLong))
+      assert(out.slice(e * 60, (e + 1) * 60).map(_._1).toSet ==
+        docs.as[String].collect().toSet)
+    }
+    // the per-epoch permutations DIFFER (salted hash re-randomizes)
+    val p0 = out.slice(0, 60).map(_._1).toSeq
+    val p1 = out.slice(60, 120).map(_._1).toSeq
+    val p2 = out.slice(120, 180).map(_._1).toSeq
+    assert(p0 != p1 && p1 != p2 && p0 != p2)
+    // deterministic under a different input layout
+    val out2 = Batching.epochOrder(docs.repartition(7), "id", 3)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(out2.toSeq == out.toSeq)
+    intercept[IllegalArgumentException] { Batching.epochOrder(docs, "id", 0) }
+  }
+
   test("scale smoke: 1M-row batch indexing is contiguous, full and driver-light") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
