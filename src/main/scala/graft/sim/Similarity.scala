@@ -219,7 +219,7 @@ object Similarity {
     * by an id equi-join — raw vectors never join the full scan. */
   def pqTopK(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, queries: DataFrame, m: Int, ksub: Int, iters: Int,
-      shortlist: Int, k: Int): DataFrame = {
+      shortlist: Int, k: Int, qBroadcastLimit: Int = 4096): DataFrame = {
     import spark.implicits._
     val books = pqTrain(spark, corpus, idCol, vecCol, m, ksub, iters)
     val subDim = books(0)(0).length
@@ -243,31 +243,66 @@ object Similarity {
         }
         (vid, code)
       }
-    // per-query ADC lookup tables, broadcast (queries are the small side)
-    val luts = queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
-      .collect().map { case (qid, qv) =>
-        qid -> Array.tabulate(books.length, ksub) { (s, c) =>
-          val cw = books(s)(c); var d = 0.0; var j = 0
+    // ADC lookup table per query: m x ksub squared subspace distances,
+    // flattened s*ksub + c. Computed from the broadcast codebooks.
+    def lutOf(qv: Array[Float]): Array[Double] = {
+      val bks = bcBooks.value
+      val lut = new Array[Double](bks.length * ksub)
+      var s = 0
+      while (s < bks.length) {
+        var c = 0
+        while (c < bks(s).length) {
+          val cw = bks(s)(c); var d = 0.0; var j = 0
           while (j < subDim) { val t = qv(s * subDim + j) - cw(j); d += t * t; j += 1 }
-          d
+          lut(s * ksub + c) = d
+          c += 1
         }
+        s += 1
       }
-    val bcLuts = spark.sparkContext.broadcast(luts)
-    val adc = codes.flatMap { case (vid, code) =>
-      bcLuts.value.iterator.filter(_._1 != vid).map { case (qid, lut) =>
-        var d = 0.0; var s = 0
-        while (s < code.length) { d += lut(s)(code(s) & 0xFF); s += 1 }
-        (qid, vid, d)
+      lut
+    }
+    val qBase = queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
+    val nQBounded = qBase.limit(qBroadcastLimit + 1).count()
+    val largeQ = nQBounded > qBroadcastLimit
+    // Small Q: LUTs collect + broadcast; the code scan streams with NO
+    // shuffle before the candidate table. Large Q: LUTs stay a DATASET
+    // built on executors (queries never land on the driver) and the ADC
+    // scan runs as a partition-block product over m-byte codes x
+    // (m*ksub)-double LUT rows — Flat-PQ is an all-pairs scan by
+    // definition; the blocks keep it distributed and memory-bounded.
+    val adc =
+      if (!largeQ) {
+        val luts = qBase.collect().map { case (qid, qv) => qid -> lutOf(qv) }
+        val bcLuts = spark.sparkContext.broadcast(luts)
+        codes.flatMap { case (vid, code) =>
+          bcLuts.value.iterator.filter(_._1 != vid).map { case (qid, lut) =>
+            var d = 0.0; var s = 0
+            while (s < code.length) { d += lut(s * ksub + (code(s) & 0xFF)); s += 1 }
+            (qid, vid, d)
+          }
+        }.toDF("qid", "vid", "adc")
+      } else {
+        val qluts = qBase.map { case (qid, qv) => (qid, lutOf(qv)) }
+          .toDF("qid", "lut")
+        codes.toDF("vid", "code").crossJoin(qluts)
+          .filter(col("vid") =!= col("qid"))
+          .as[(Long, Array[Byte], Long, Array[Double])]
+          .map { case (vid, code, qid, lut) =>
+            var d = 0.0; var s = 0
+            while (s < code.length) { d += lut(s * ksub + (code(s) & 0xFF)); s += 1 }
+            (qid, vid, d)
+          }.toDF("qid", "vid", "adc")
       }
-    }.toDF("qid", "vid", "adc")
     val wShort = Window.partitionBy($"qid").orderBy($"adc", $"vid")
     val short = adc.withColumn("sr", row_number().over(wShort))
       .filter($"sr" <= shortlist)
       .select($"qid", $"vid")
-    // exact cosine re-rank of shortlist survivors only
+    // exact cosine re-rank of shortlist survivors only; the query side
+    // broadcasts only when it is genuinely the small side
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val qv = queries.select(col("qid"), col("qv"))
-    val cand = short.join(vecs, "vid").join(broadcast(qv), "qid")
+    val cand = short.join(vecs, "vid")
+      .join(if (largeQ) qv else broadcast(qv), "qid")
       .withColumn("cos", dot("qv", "v") /
         (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
@@ -288,7 +323,8 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, queries: DataFrame,
       centroidTable: DataFrame, m: Int, ksub: Int, iters: Int,
-      nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+      nProbe: Int, shortlist: Int, k: Int,
+      qBroadcastLimit: Int = 4096): DataFrame = {
     import spark.implicits._
     val books = pqTrain(spark, corpus, idCol, vecCol, m, ksub, iters)
     val subDim = books(0)(0).length
@@ -321,35 +357,73 @@ object Similarity {
     val probes = qc.withColumn("pr", row_number().over(wProbe))
       .filter($"pr" <= nProbe)
       .select($"qid", $"cl")
-    // ADC lookup tables broadcast with each query's probe set
-    val probeMap = probes.as[(Long, Int)].collect()
-      .groupBy(_._1).map { case (q, cls) => q -> cls.map(_._2).toSet }
-    val luts = queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
-      .collect().map { case (qid, qv) =>
-        (qid, probeMap.getOrElse(qid, Set.empty[Int]),
-          Array.tabulate(books.length, ksub) { (s, c) =>
-            val cw = books(s)(c); var d = 0.0; var j = 0
-            while (j < subDim) { val t = qv(s * subDim + j) - cw(j); d += t * t; j += 1 }
-            d
-          })
-      }
-    val bcLuts = spark.sparkContext.broadcast(luts)
-    val adc = codes.as[(Long, Int, Array[Byte])].flatMap { case (vid, cl, code) =>
-      bcLuts.value.iterator
-        .filter { case (qid, cls, _) => qid != vid && cls.contains(cl) }
-        .map { case (qid, _, lut) =>
-          var d = 0.0; var s = 0
-          while (s < code.length) { d += lut(s)(code(s) & 0xFF); s += 1 }
-          (qid, vid, d)
+    // per-query ADC lookup table, flattened s*ksub + c
+    def lutOf(qv: Array[Float]): Array[Double] = {
+      val bks = bcBooks.value
+      val lut = new Array[Double](bks.length * ksub)
+      var s = 0
+      while (s < bks.length) {
+        var c = 0
+        while (c < bks(s).length) {
+          val cw = bks(s)(c); var d = 0.0; var j = 0
+          while (j < subDim) { val t = qv(s * subDim + j) - cw(j); d += t * t; j += 1 }
+          lut(s * ksub + c) = d
+          c += 1
         }
-    }.toDF("qid", "vid", "adc")
+        s += 1
+      }
+      lut
+    }
+    val qBase = queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
+    val nQBounded = qBase.limit(qBroadcastLimit + 1).count()
+    val largeQ = nQBounded > qBroadcastLimit
+    // Small Q: LUTs + probe sets collect and broadcast; ONE streamed pass
+    // over the code table, no shuffle before the candidate rows. Large Q:
+    // the PROBE-BUCKET EQUI-JOIN path — (qid, cl, lut) rows join the
+    // cluster-keyed code table on cl, so per-query work stays bounded by
+    // its probed lists and the queries never land on the driver. The
+    // shuffle keys on the cluster id — exactly the partitioning the
+    // corpus side already has at 100 TB (lists ARE the layout).
+    val adc =
+      if (!largeQ) {
+        val probeMap = probes.as[(Long, Int)].collect()
+          .groupBy(_._1).map { case (q, cls) => q -> cls.map(_._2).toSet }
+        val luts = qBase.collect().map { case (qid, qv) =>
+          (qid, probeMap.getOrElse(qid, Set.empty[Int]), lutOf(qv))
+        }
+        val bcLuts = spark.sparkContext.broadcast(luts)
+        codes.as[(Long, Int, Array[Byte])].flatMap { case (vid, cl, code) =>
+          bcLuts.value.iterator
+            .filter { case (qid, cls, _) => qid != vid && cls.contains(cl) }
+            .map { case (qid, _, lut) =>
+              var d = 0.0; var s = 0
+              while (s < code.length) { d += lut(s * ksub + (code(s) & 0xFF)); s += 1 }
+              (qid, vid, d)
+            }
+        }.toDF("qid", "vid", "adc")
+      } else {
+        val qluts = qBase.map { case (qid, qv) => (qid, lutOf(qv)) }
+          .toDF("qid", "lut")
+        probes.join(qluts, "qid")
+          .select(col("cl"), col("qid"), col("lut"))
+          .join(codes, "cl")
+          .filter(col("vid") =!= col("qid"))
+          .select(col("qid"), col("lut"), col("vid"), col("code"))
+          .as[(Long, Array[Double], Long, Array[Byte])]
+          .map { case (qid, lut, vid, code) =>
+            var d = 0.0; var s = 0
+            while (s < code.length) { d += lut(s * ksub + (code(s) & 0xFF)); s += 1 }
+            (qid, vid, d)
+          }.toDF("qid", "vid", "adc")
+      }
     val wShort = Window.partitionBy($"qid").orderBy($"adc", $"vid")
     val short = adc.withColumn("sr", row_number().over(wShort))
       .filter($"sr" <= shortlist)
       .select($"qid", $"vid")
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val qv = queries.select(col("qid"), col("qv"))
-    val cand = short.join(vecs, "vid").join(broadcast(qv), "qid")
+    val cand = short.join(vecs, "vid")
+      .join(if (largeQ) qv else broadcast(qv), "qid")
       .withColumn("cos", dot("qv", "v") /
         (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
@@ -455,38 +529,83 @@ object Similarity {
     * original floats; top k survive. At 100 TB compose with the IVF
     * lists like [[ivfPqTopK]]: the byte scan replaces the float scan
     * inside each probed list. Output (qid, rank, vid, idot). */
-  def sq8TopK(spark: SparkSession, corpus: DataFrame, idCol: String,
+  /** The INTEGER layer of SQ8 alone: per-query top-`shortlist` candidates
+    * by exact int8-code dot product, ordered (idot desc, vid). Output
+    * (qid, rank, vid, idot) — every column an exact integer, so this
+    * layer is hash-gateable across engines with no float-tie risk (the
+    * float cosine re-rank that [[sq8TopK]] adds on top orders near-ties
+    * by accumulated-double comparisons that legitimately differ across
+    * engines; it is gated in ScalaTest instead — VERDICT r4 #1).
+    *
+    * Query-side scale: below `qBroadcastLimit` query rows the codes
+    * collect + broadcast and the corpus streams in ONE partition-local
+    * pass (no shuffle before the tiny candidate table). Above it the
+    * queries NEVER land on the driver: both sides quantize on executors
+    * and the candidate scan runs as a partition-block product
+    * (CartesianProductExec over m-byte code rows — the distributed form
+    * of a Flat scan; corpus-sized Q is a deliberate all-pairs job and
+    * the blocks keep it memory-bounded). */
+  def sq8Shortlist(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, shortlist: Int): DataFrame = {
+      shortlist: Int, qBroadcastLimit: Int = 4096): DataFrame = {
     import spark.implicits._
-    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1")
+    require(shortlist >= 1, "need shortlist >= 1")
     val scales = corpus
       .select(posexplode(col(vecCol)).as(Seq("d", "x")))
       .groupBy(col("d")).agg(max(abs(col("x").cast("double"))).as("s"))
       .orderBy(col("d")).select(col("s")).as[Double].collect()
     val bcS = spark.sparkContext.broadcast(scales)
-    val qCodes = queries
-      .select(col(qidCol).cast("long"), col(qvecCol))
+    val qBase = queries.select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])]
-      .collect().map { case (id, v) => (id, sq8Quantize(v, scales)) }
-    val bcQ = spark.sparkContext.broadcast(qCodes)
-    val cands = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val qs = bcQ.value
-        it.flatMap { case (vid, v) =>
-          val code = sq8Quantize(v, bcS.value)
-          qs.iterator.filter(_._1 != vid).map { case (qid, qc) =>
+    val nQBounded = qBase.limit(qBroadcastLimit + 1).count()
+    val cands =
+      if (nQBounded <= qBroadcastLimit) {
+        val qCodes = qBase.collect()
+          .map { case (id, v) => (id, sq8Quantize(v, scales)) }
+        val bcQ = spark.sparkContext.broadcast(qCodes)
+        corpus.select(col(idCol).cast("long"), col(vecCol))
+          .as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            val qs = bcQ.value
+            it.flatMap { case (vid, v) =>
+              val code = sq8Quantize(v, bcS.value)
+              qs.iterator.filter(_._1 != vid).map { case (qid, qc) =>
+                var acc = 0L; var i = 0
+                while (i < code.length) { acc += qc(i).toLong * code(i); i += 1 }
+                (qid, vid, acc)
+              }
+            }
+          }.toDF("qid", "vid", "idot")
+      } else {
+        val qCodes = qBase.map { case (id, v) => (id, sq8Quantize(v, bcS.value)) }
+          .toDF("qid", "qcode")
+        val cCodes = corpus.select(col(idCol).cast("long"), col(vecCol))
+          .as[(Long, Array[Float])]
+          .map { case (vid, v) => (vid, sq8Quantize(v, bcS.value)) }
+          .toDF("vid", "code")
+        cCodes.crossJoin(qCodes)
+          .filter(col("vid") =!= col("qid"))
+          .as[(Long, Array[Byte], Long, Array[Byte])]
+          .map { case (vid, code, qid, qc) =>
             var acc = 0L; var i = 0
             while (i < code.length) { acc += qc(i).toLong * code(i); i += 1 }
             (qid, vid, acc)
-          }
-        }
-      }.toDF("qid", "vid", "idot")
+          }.toDF("qid", "vid", "idot")
+      }
     val ws = Window.partitionBy(col("qid")).orderBy(col("idot").desc, col("vid"))
-    val short = cands.withColumn("srank", row_number().over(ws))
-      .filter(col("srank") <= shortlist).select(col("qid"), col("vid"), col("idot"))
+    cands.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("srank").cast("long").as("rank"),
+        col("vid"), col("idot"))
+  }
+
+  def sq8TopK(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, shortlist: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1")
+    val short = sq8Shortlist(spark, corpus, idCol, vecCol,
+      queries, qidCol, qvecCol, shortlist)
+      .select(col("qid"), col("vid"), col("idot"))
     val qv = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
     val bv = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
     val rer = short.join(qv, "qid").join(bv, "vid")

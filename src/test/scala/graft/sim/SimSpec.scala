@@ -337,4 +337,57 @@ class SimSpec extends AnyFunSuite {
     // every result passes the predicate
     assert(ivf.forall(_._3 % 3 == 0))
   }
+
+  test("large-Q join paths (Q = corpus size) == broadcast paths: sq8/pq/ivf-pq") {
+    import spark.implicits._
+    // Q = CORPUS: every vector queries every other. qBroadcastLimit = 0
+    // forces the distributed join path (queries never collect to the
+    // driver); the default limit takes the broadcast path. Both must
+    // produce identical rows — the paths differ only in plan shape.
+    val dim = 16
+    val pts = (0 until 96).map { i =>
+      val cl = i % 4
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d % 4 == cl) 10.0f else 0.0f
+        center + (((i * 31 + d * 17) % 7) - 3) * 0.05f
+      }
+      (i.toLong, v)
+    }
+    val e = spark.createDataset(pts).toDF("vec_id", "embedding")
+    val qAll = e.select($"vec_id".as("qid"), $"embedding".as("qv"))
+
+    // SQ8 integer shortlist
+    val sqB = Similarity.sq8Shortlist(spark, e, "vec_id", "embedding",
+        e, "vec_id", "embedding", shortlist = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sqJ = Similarity.sq8Shortlist(spark, e, "vec_id", "embedding",
+        e, "vec_id", "embedding", shortlist = 8, qBroadcastLimit = 0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sqJ == sqB, "sq8 join path must equal broadcast path")
+    assert(sqJ.nonEmpty)
+
+    // Flat-PQ
+    val pqB = Similarity.pqTopK(spark, e, "vec_id", "embedding", qAll,
+        m = 4, ksub = 8, iters = 2, shortlist = 16, k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val pqJ = Similarity.pqTopK(spark, e, "vec_id", "embedding", qAll,
+        m = 4, ksub = 8, iters = 2, shortlist = 16, k = 5,
+        qBroadcastLimit = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pqJ == pqB, "pq join path must equal broadcast path")
+
+    // IVF-PQ (probe-bucket equi-join on the cluster id)
+    val (clusters, centroids) = Similarity.kmeansWithCentroids(
+      spark, e, "vec_id", "embedding", k = 4, iters = 3)
+    val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
+    val ipB = Similarity.ivfPqTopK(spark, withCl, "vec_id", "embedding",
+        "cl", qAll, centroids, m = 4, ksub = 8, iters = 2,
+        nProbe = 2, shortlist = 16, k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val ipJ = Similarity.ivfPqTopK(spark, withCl, "vec_id", "embedding",
+        "cl", qAll, centroids, m = 4, ksub = 8, iters = 2,
+        nProbe = 2, shortlist = 16, k = 5, qBroadcastLimit = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ipJ == ipB, "ivf-pq probe-bucket join path must equal broadcast path")
+  }
 }
