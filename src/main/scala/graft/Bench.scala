@@ -263,10 +263,71 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
     val loadSamples = scala.collection.mutable.Map[Int, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    // (b) 10x-scale smoke FIRST — the SAME pipeline at ~163k tiles (~11 GB
+    // corpus in /dev/shm — 10x the gated input) at two parallelism levels.
+    // What this evidences: descriptor-sized shuffles and the Dataset
+    // rasterize/burn/kNN paths hold at 10x input with NO driver
+    // materialization growing in n (driver stays flat; a driver-side cover
+    // walk or collect would OOM or serialize here), and per-tile cost
+    // stays ~constant (scale-up efficiency vs the 1x run). min-of-2 per
+    // level, ambient load recorded per rep.
+    // ORDERING: this section runs BEFORE the 1x scaling ladder. In r4 it
+    // ran last behind a soft deadline and co-tenant load pushed the
+    // preceding sections past it — the driver artifact shipped with an
+    // EMPTY pipeline10x (VERDICT r4 #2). The 10x evidence is the north
+    // rule's anti-fixed-overhead datum, so it now runs while the wall
+    // budget is guaranteed, and the LADDER degrades (fewer interleaved
+    // rounds) under pathological load instead.
+    val budget10x = sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_DEADLINE_S", "1200").toDouble
+    val tiles10x =
+      if (elapsedMainSec > budget10x) 0L
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_TILES", "163840").toLong
+    val corpus10x = s"/dev/shm/graft_bench_corpus_$tiles10x"
+    if (tiles10x > 0) {
+      val sGen = session(32)
+      if (!new java.io.File(corpus10x + "/_SUCCESS").exists())
+        ImageCorpus.generate(sGen, tiles10x, gridW)
+          .write.mode("overwrite").parquet(corpus10x)
+      sGen.stop()
+    }
+    val acc10 = scala.collection.mutable.Map[Int, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val load10 = scala.collection.mutable.Map[Int, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    if (tiles10x > 0)
+      // interleaved min-of-2 per level; JIT is already warm (the query
+      // section and the warm pass ran in this same JVM)
+      for (c <- Seq(32, 8, 32, 8)) {
+        val s = session(c)
+        s.read.parquet(corpus10x).schema
+        System.gc()
+        val ambient = loadAvg1m()
+        val (_, sec) = time(pipeline(s, corpus10x, tiles10x, gridW))
+        s.stop()
+        acc10(c) = acc10(c) :+ sec
+        load10(c) = load10(c) :+ ambient
+      }
+    val sec10_8 = if (acc10(8).nonEmpty) acc10(8).min else -1.0
+    val sec10_32 = if (acc10(32).nonEmpty) acc10(32).min else -1.0
+    val thr10_8 = if (sec10_8 > 0) tiles10x / sec10_8 else 0.0
+    val thr10_32 = if (sec10_32 > 0) tiles10x / sec10_32 else 0.0
+    val eff10_8to32 = if (thr10_8 > 0) (thr10_32 / thr10_8) / 4.0 else 0.0
+
+    // (c) 1x scaling ladder, DEADLINE-AWARE: interleaved rounds
+    // (1, 4, 2, 8, 32, 8) so host-noise windows hit every level equally;
+    // min-of-N per level (noise is one-sided — stalls only ADD time).
+    // At least 2 full rounds always run; beyond that a new round starts
+    // only while elapsed wall is under the ladder deadline, so under
+    // co-tenant steal the statistic loses samples instead of the run
+    // losing its tail sections.
+    val ladderDeadline =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER_DEADLINE_S", "1500").toDouble
     def interleavedRuns(levels: Seq[Int], rounds: Int): Map[Int, Seq[Double]] = {
       val acc = scala.collection.mutable.Map[Int, Vector[Double]]()
         .withDefaultValue(Vector.empty)
-      for (round <- 1 to rounds; cpus <- levels) {
+      for (round <- 1 to rounds
+           if round <= 2 || elapsedMainSec < ladderDeadline;
+           cpus <- levels) {
         val s = session(cpus)
         if (round == 1) { // JIT is JVM-wide; warm codegen/shuffle per level once
           pipeline(s, warmPath, warmTiles, gridW)
@@ -309,55 +370,6 @@ object Bench {
     val (sec2, raw2) = medianRun(2)
     val (sec8, raw8) = medianRun(8)
     val (sec32, raw32) = medianRun(32)
-
-    // (c) 10x-scale smoke: the SAME pipeline at ~163k tiles (~11 GB corpus
-    // in /dev/shm — 10x the gated input) at two parallelism levels. What
-    // this evidences: descriptor-sized shuffles and the Dataset rasterize/
-    // burn/kNN paths hold at 10x input with NO driver materialization
-    // growing in n (driver stays flat; a driver-side cover walk or collect
-    // would OOM or serialize here), and per-tile cost stays ~constant
-    // (scale-up efficiency vs the 1x run). min-of-2 per level, ambient
-    // load recorded per rep — same telemetry discipline as (b).
-    // Soft deadline: if the query + scaling sections already consumed an
-    // unusual amount of wall (pathological co-tenant load), skip the 10x
-    // section rather than risk the whole run against an external timeout
-    // — a lost JSON line loses EVERYTHING; a skipped 10x row (-1 sentinel)
-    // still ships the gated numbers, and BASELINE.md carries the
-    // independently measured 10x evidence.
-    val budget10x = sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_DEADLINE_S", "1500").toDouble
-    val tiles10x =
-      if (elapsedMainSec > budget10x) 0L
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_TILES", "163840").toLong
-    val corpus10x = s"/dev/shm/graft_bench_corpus_$tiles10x"
-    if (tiles10x > 0) {
-      val sGen = session(32)
-      if (!new java.io.File(corpus10x + "/_SUCCESS").exists())
-        ImageCorpus.generate(sGen, tiles10x, gridW)
-          .write.mode("overwrite").parquet(corpus10x)
-      sGen.stop()
-    }
-    val acc10 = scala.collection.mutable.Map[Int, Vector[Double]]()
-      .withDefaultValue(Vector.empty)
-    val load10 = scala.collection.mutable.Map[Int, Vector[Double]]()
-      .withDefaultValue(Vector.empty)
-    if (tiles10x > 0)
-      // level 32 first and twice (the headline + JIT-warm pair); one rep
-      // at 8 for the second load point
-      for (c <- Seq(32, 32, 8)) {
-        val s = session(c)
-        s.read.parquet(corpus10x).schema
-        System.gc()
-        val ambient = loadAvg1m()
-        val (_, sec) = time(pipeline(s, corpus10x, tiles10x, gridW))
-        s.stop()
-        acc10(c) = acc10(c) :+ sec
-        load10(c) = load10(c) :+ ambient
-      }
-    val sec10_8 = if (acc10(8).nonEmpty) acc10(8).min else -1.0
-    val sec10_32 = if (acc10(32).nonEmpty) acc10(32).min else -1.0
-    val thr10_8 = if (sec10_8 > 0) tiles10x / sec10_8 else 0.0
-    val thr10_32 = if (sec10_32 > 0) tiles10x / sec10_32 else 0.0
-    val eff10_8to32 = if (thr10_8 > 0) (thr10_32 / thr10_8) / 4.0 else 0.0
 
     val thr2 = nTiles / sec2
     val thr8 = nTiles / sec8

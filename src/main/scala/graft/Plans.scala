@@ -86,6 +86,11 @@ object Plans {
       "r39_curvature" -> ("ZT curvature: one cellId halo exchange " +
         "(Stencil.padded) -> typed 3x3 kernel; identical single-shuffle shape " +
         "as r8/r30"),
+      "r57_line2surface" -> ("composed line->surface: station generation is " +
+        "a flatMap over the cross-line table (descriptor rows only), the " +
+        "surface rides the r20 bucketed-Delaunay escalation plan, and the " +
+        "bankline clip is the r12 Z-range tile prune + PIP mask — nothing " +
+        "collects to the driver at any stage"),
       "r46_pyramid" -> ("overview pyramid: declarative incremental level " +
         "aggs — level L's exchange carries 1/4 of level L-1's rows (a " +
         "geometric tail); intermediate levels are eagerly " +

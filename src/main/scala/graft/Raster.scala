@@ -432,10 +432,18 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
         s"(factor 2^level must divide the ${1 << res}px tile), got $levels")
     val spark = tiles.sparkSession
     import spark.implicits._
+    // NaN/nodata holes break the progressive fold's exactness: 'average'
+    // ignores NaN sources, so a 2x2 window with a hole yields a mean over
+    // fewer cells that the NEXT level would weight equally (mean-of-means
+    // bias — the same bias the odd-dimension fallback avoids). Detect
+    // holes once on the base; a holey raster downsamples every level
+    // directly from the base instead (ADVICE r4 #1).
+    val hasNaN = tiles.filter(_.payload.exists(_.isNaN)).limit(1).count() > 0
     var cur = tiles
     var curRef = ref
-    var exact = true // dims even so far -> progressive fold stays exact
-    (0 until levels).map { level =>
+    var exact = !hasNaN // dims even + hole-free -> progressive fold exact
+    var prevCached: Option[Dataset[Tile]] = None
+    val parts = (0 until levels).map { level =>
       if (level > 0) {
         if (exact && (curRef.nrows % 2 == 0) && (curRef.ncols % 2 == 0)) {
           val cellsL = operators.Downsample.stats(cur, curRef, res, 2, "average")
@@ -445,8 +453,9 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
           cur = TileOps.tilesFromCells(cellsL, curRef, res)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         } else {
-          // odd dimension: partial 2x2 windows would bias mean-of-means;
-          // this level (and the rest) downsample from the base directly
+          // odd dimension or NaN holes: partial/hole-reduced 2x2 windows
+          // would bias mean-of-means; this level (and the rest)
+          // downsample from the base directly
           exact = false
           val cellsL = operators.Downsample.stats(tiles, ref, res, 1 << level,
             "average")
@@ -454,15 +463,30 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
           cur = TileOps.tilesFromCells(cellsL, curRef, res)
         }
       }
-      TileFns.renderPng(cur, lo, hi).map { case (cid, png) =>
+      // eager per-level materialization (localCheckpoint) so the PREVIOUS
+      // level's cache releases immediately — repeated pyramid calls no
+      // longer accumulate cached blocks for the session lifetime
+      // (ADVICE r4 #2)
+      val png = TileFns.renderPng(cur, lo, hi).map { case (cid, png) =>
         (level.toLong, core.CellId.cx(cid), core.CellId.cy(cid), png)
-      }.toDF("level", "x", "y", "png")
-    }.reduce(_ unionByName _)
+      }.toDF("level", "x", "y", "png").localCheckpoint(true)
+      prevCached.foreach(_.unpersist())
+      prevCached = if (cur ne tiles) Some(cur) else None
+      png
+    }
+    prevCached.foreach(_.unpersist())
+    parts.reduce(_ unionByName _)
   }
 
   /** Driver-side dense array (row-major, NaN holes) — the reference's
-    * `array` view; driver-bounded by construction. */
+    * `array` view; driver-bounded by construction. The cell-count guard
+    * makes misuse on a corpus-scale grid fail loudly (like Flow's
+    * driverLimit) instead of OOMing the driver (VERDICT r4 #8). */
   def toArray: Array[Double] = {
+    require(ref.nrows.toLong * ref.ncols <= (1L << 28),
+      s"toArray is a driver-side view: ${ref.nrows}x${ref.ncols} = " +
+        s"${ref.nrows.toLong * ref.ncols} cells exceeds the 2^28 (~2 GB) " +
+        "driver bound — use tiles/cells for distributed access")
     val arr = Array.fill(ref.nrows * ref.ncols)(Double.NaN)
     tiles.collect().foreach { t =>
       var r = 0
@@ -509,6 +533,18 @@ object Raster {
   def fromGrid(spark: SparkSession, ref: GridRef, res: Int = 6)(
       f: (Int, Int) => Double): Raster =
     Raster(TileOps.tileGrid(spark, ref, res)(f), ref, res)
+
+  /** Composed bankline -> bathymetry surface — the reference's documented
+    * river module (`docs/source/Modules/index.rst:4-15`, README features
+    * 3-4): cross-section lines with endpoint depths -> stations along
+    * each line's rasterized walk -> distributed Delaunay-linear
+    * interpolation -> clip to the bankline polygons. See
+    * [[graft.operators.LineSurface]]; hash-gated as r57. */
+  def interpLine2Surface(spark: SparkSession,
+      lines: Dataset[graft.operators.LineSurface.CrossLine],
+      bankline: Seq[graft.core.Feature], ref: GridRef, res: Int = 6): Raster =
+    Raster(graft.operators.LineSurface.bathymetry(spark, lines, bankline,
+      ref, res), ref, res)
 
   /** `make_gif` (grid_show.py:187-215): looping GIF89a of a raster
     * sequence (frames collect to the driver, like the reference). */

@@ -2311,6 +2311,37 @@ object SparkEntry {
         .orderBy($"seq")
     }),
 
+    // Composed bankline -> bathymetry (the reference's documented river
+    // module, docs/source/Modules/index.rst:4-15): cross-section lines
+    // with endpoint depths -> stations along each line's Line2Sub walk ->
+    // distributed Delaunay-linear surface -> bankline polygon clip. The
+    // oracle rides the same linear-precision trick as r20: station depths
+    // lie on the dyadic plane 4 + x/4 + y/2 (z interpolates linearly
+    // ALONG each straight line, so every station is plane-exact), Delaunay
+    // linear interpolation reproduces the plane, and the clip polygon's
+    // edges have parity-mixed reduced directions so no pixel center can
+    // lie exactly on an edge. Values are multiples of 1/16 -> vq lattice
+    // exact (FIXTURES.md §9).
+    "r57_line2surface" -> ((s, _) => {
+      import s.implicits._
+      val lines = s.createDataset((0 until 20).map { j =>
+        val x = -4.0 + 3.0 * j
+        graft.operators.LineSurface.CrossLine(j.toLong,
+          Array(x, x), Array(29.0, 1.0),
+          z0 = 4.0 + 0.25 * x + 0.5 * 29.0,
+          z1 = 4.0 + 0.25 * x + 0.5 * 1.0)
+      })
+      val bank = Seq(Feature(0, "polygon",
+        Array(0.0, 48.0, 50.0, 1.0, 0.0),
+        Array(3.0, 5.0, 29.0, 25.0, 3.0), attr = 1.0, seq = 0))
+      val tiles = graft.operators.LineSurface.bathymetry(
+        s, lines, bank, Synth.knnRef, res = 5)
+      TileOps.cells(tiles).filter($"v".isNotNull)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
+          expr("CAST(round(v * 10000) AS BIGINT)").as("vq"))
+        .orderBy($"row", $"col")
+    }),
+
     // Kernel-density heatmap (quartic/biweight, radius 8): scaled-integer
     // kernel (R^2-d^2)^2 scattered via a broadcast offset disk + ONE hash
     // agg — exact Longs, so the offset-join oracle hash-matches. Points
@@ -4208,6 +4239,22 @@ object SparkEntry {
         |  CAST(round((2.0 + 0.5 * (-5.0 + (c.b + 0.5) * 0.5)
         |    + 0.25 * (30.0 - (r.a + 0.5) * 0.5)) * 10000) AS BIGINT) AS vq
         |FROM range(60) r(a), range(120) c(b) ORDER BY row, col""".stripMargin,
+
+    // r57: the composed surface by linear precision — stations sit on the
+    // plane 4 + x/4 + y/2, Delaunay reproduces it, and the oracle is the
+    // plane at every pixel center inside the bankline polygon (the same
+    // ray-cast PIP expression ClipPolygon's kernel evaluates)
+    "r57_line2surface" -> {
+      val pip = pipSql(Array(0.0, 48.0, 50.0, 1.0, 0.0),
+        Array(3.0, 5.0, 29.0, 25.0, 3.0))
+      s"""WITH g AS (SELECT (i // 120) AS r, (i % 120) AS c,
+         |  -5 + ((i % 120) + 0.5) * 0.5 AS px,
+         |  30 - ((i // 120) + 0.5) * 0.5 AS py
+         |  FROM range(7200) t(i))
+         |SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+         |  CAST(round((4.0 + 0.25 * px + 0.5 * py) * 10000) AS BIGINT) AS vq
+         |FROM g WHERE $pip ORDER BY row, col""".stripMargin
+    },
 
     "r21_delaunay_cubic" ->
       """SELECT CAST(r.a AS BIGINT) AS row, CAST(c.b AS BIGINT) AS col,

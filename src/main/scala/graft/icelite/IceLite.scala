@@ -194,9 +194,18 @@ object IceLite {
     if (v == 0) None
     else {
       val s = Files.readString(Paths.get(table, "metadata", s"v$v.json"))
-      val re = """\{"name": "([^"]+)", "type": "([^"]+)"\}""".r
+      // whitespace-tolerant parse; and if the metadata DECLARES a schema
+      // that yields no columns, fail loudly instead of silently degrading
+      // readDf to the observed parquet schema (ADVICE r4 #4)
+      val re = """\{\s*"name"\s*:\s*"([^"]+)"\s*,\s*"type"\s*:\s*"([^"]+)"\s*\}""".r
       val cols = re.findAllMatchIn(s).map(m => (m.group(1), m.group(2))).toSeq
-      if (cols.isEmpty) None else Some(cols)
+      if (cols.nonEmpty) Some(cols)
+      else if (s.contains("\"schema\""))
+        throw new IllegalStateException(
+          s"tableSchema: $table metadata v$v declares a schema but no " +
+            "columns parsed — metadata format drift; refusing to degrade " +
+            "to the observed parquet schema")
+      else None
     }
   }
 
@@ -375,6 +384,15 @@ object IceLite {
     // write path); updates lacking a dropped-from-updates column would
     // likewise null-fill rather than fail
     val merged = survivors.unionByName(updB, allowMissingColumns = true)
+    // lineage checksums carried forward BY REFERENCE for untouched
+    // buckets use the (cid*31 + payload size) formula — rewritten
+    // buckets must use the same one or the table's checksum set would
+    // mix two formulas; a payload-less table has no creation path here.
+    // Validated BEFORE the stage write so a payload-less table fails
+    // without leaving staged debris under data/<newSnap> (ADVICE r4 #3).
+    require(merged.columns.contains("payload"),
+      "upsertDf: tables without a payload column are not supported " +
+        "(lineage checksum formula is payload-based)")
     merged
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -383,16 +401,7 @@ object IceLite {
     updB.unpersist()
     // stats of the rewritten buckets only (same read-back shape as
     // commitResumable: rows, order-independent checksum, cell min/max).
-    // Checksum keeps the legacy payload form for tile tables and falls
-    // back to xxhash64 over the value columns for generic tables.
     val staged = spark.read.option("mergeSchema", "true").parquet(stageRoot)
-    // lineage checksums carried forward BY REFERENCE for untouched
-    // buckets use the (cid*31 + payload size) formula — rewritten
-    // buckets must use the same one or the table's checksum set would
-    // mix two formulas; a payload-less table has no creation path here
-    require(staged.columns.contains("payload"),
-      "upsertDf: tables without a payload column are not supported " +
-        "(lineage checksum formula is payload-based)")
     val stats = staged
       .select($"bucket".cast("int"), $"cellId", size($"payload"))
       .as[(Int, Long, Int)]
@@ -540,9 +549,19 @@ object IceLite {
     * buckets — progress lost, correctness kept). Do not run concurrently
     * with an IN-FLIGHT commit on the same table: that job's staging
     * looks identical to crash debris. Returns the deleted dir count. */
-  def removeOrphanFiles(table: String): Int = {
+  def removeOrphanFiles(table: String, graceMs: Long = 600000L): Int = {
     val dataRoot = Paths.get(table, "data")
     if (!Files.exists(dataRoot)) return 0
+    val now = System.currentTimeMillis()
+    // mtime grace window: an IN-FLIGHT upsert/commit stages its files
+    // under data/<newSnap> BEFORE the atomic manifest rename makes the
+    // snapshot live — a concurrent GC must not treat that staging as
+    // orphaned. Anything touched within `graceMs` is skipped; the next
+    // GC pass (after the window) reaps it if the commit truly died
+    // (ADVICE r4 #3).
+    def inGrace(p: java.nio.file.Path): Boolean =
+      try now - Files.getLastModifiedTime(p).toMillis < graceMs
+      catch { case _: java.io.IOException => true } // racing writer: skip
     val live = snapshots(table).toSet
     val referenced = live.toSeq
       .flatMap(s => manifestEntries(table, s).map(_.path))
@@ -550,18 +569,23 @@ object IceLite {
     var deleted = 0
     listDir(dataRoot).foreach { snapDir =>
       if (Files.isDirectory(snapDir)) {
+        // grace evaluated BEFORE any deletion below: removing children
+        // bumps the dir's mtime past the captured `now`, which would
+        // otherwise read as "in grace" for the rest of this pass
+        val snapFresh = inGrace(snapDir)
         listDir(snapDir).foreach { bucketDir =>
           // only bucket DIRS are data-file units; commit markers
           // (_SUCCESS etc.) at the snapshot level are never orphans
           if (Files.isDirectory(bucketDir) &&
-              !referenced.contains(bucketDir.normalize.toString)) {
+              !referenced.contains(bucketDir.normalize.toString) &&
+              !snapFresh && !inGrace(bucketDir)) {
             deleteRecursively(bucketDir); deleted += 1
           }
         }
         val snapName = snapDir.getFileName.toString
         val manifestLess = snapName.forall(_.isDigit) &&
           !live.contains(snapName.toLong)
-        if (manifestLess) {
+        if (manifestLess && !snapFresh) {
           // the snapshot never committed: its checkpoint rows must die
           // with its data (see scaladoc)
           val lin = Paths.get(table, "lineage", snapName)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.core._
 
 /** D8 hydrological flow operators — beyond-reference additions in the
@@ -194,12 +195,14 @@ object Flow {
     val cs = ref.cellsize
     val padded = Stencil.padded(tiles, ref, res).persist()
     try {
-      // (padded is consumed twice: the summary collect and the seeded
+      // (padded is consumed twice: the summary pass and the seeded
       // finalize; the finalize is handed off via eager localCheckpoint so
       // the cache can be released before returning — the GraphOps/Knn
       // loop-cache discipline.)
-      // pass 1: per-tile local accumulation + boundary summary
-      val summaries: Array[TileSummary] = padded.mapPartitions { it =>
+      // pass 1: per-tile local accumulation + boundary summary (a
+      // DATASET — whether it ever lands on the driver depends on the
+      // crossing count vs driverLimit below)
+      val summariesDs: Dataset[TileSummary] = padded.mapPartitions { it =>
         it.map { pt =>
           val dirs = dirPlane(pt, cs)
           val acc = localAcc(pt, dirs, Map.empty)
@@ -236,56 +239,135 @@ object Flow {
           }
           TileSummary(crossing.result(), routing.result())
         }
-      }.collect()
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nCross = summariesDs.map(_.crossing.length.toLong)
+          .toDF("n").agg(coalesce(sum($"n"), lit(0L))).collect()(0).getLong(0)
+        if (nCross <= driverLimit) {
+          // condensed solve on the driver: crossing edges keyed by source
+          // cell — O(perimeter) rows, tiny next to cells
+          val summaries = summariesDs.collect()
+          val crossings = summaries.flatMap(_.crossing)
+          val route = summaries.flatMap(_.routing)
+            .map { case (br, bc, er, ec) => (br, bc) -> (er, ec) }.toMap
+          val base = crossings.map { case (ur, uc, _, _, b) => (ur, uc) -> b }.toMap
+          val target = crossings.map { case (ur, uc, tr, tc, _) => (ur, uc) -> (tr, tc) }.toMap
+          // succ over crossing edges: x exits at target(x); the owning tile
+          // routes that entry cell on to its own exit crossing edge (or dies)
+          val succ: Map[(Long, Long), Option[(Long, Long)]] = target.map { case (u, t) =>
+            u -> route.get(t).filter(_._1 >= 0).filter(base.contains)
+          }
+          val w = scala.collection.mutable.Map(base.toSeq: _*)
+          val indeg = scala.collection.mutable.Map[(Long, Long), Int]().withDefaultValue(0)
+          succ.values.flatten.foreach(v => indeg(v) += 1)
+          val q = scala.collection.mutable.Queue(base.keys.filter(indeg(_) == 0).toSeq: _*)
+          var processed = 0
+          while (q.nonEmpty) {
+            val u = q.dequeue()
+            processed += 1
+            succ(u).foreach { v =>
+              w(v) += w(u)
+              indeg(v) -= 1
+              if (indeg(v) == 0) q.enqueue(v)
+            }
+          }
+          require(processed == base.size, "condensed flow graph is cyclic — non-monotone dirs")
+          // external inflow per entry cell
+          val seeds: Map[(Long, Long), Long] =
+            crossings.groupBy { case (_, _, tr, tc, _) => (tr, tc) }
+              .map { case (t, xs) => t -> xs.map { case (ur, uc, _, _, _) => w((ur, uc)) }.sum }
 
-      // condensed solve on the driver: crossing edges keyed by source cell
-      val crossings = summaries.flatMap(_.crossing)
-      require(crossings.length <= driverLimit,
-        s"condensed flow graph ${crossings.length} exceeds driverLimit=$driverLimit; " +
-          "re-run with coarser tiles (higher res) to condense further")
-      val route = summaries.flatMap(_.routing)
-        .map { case (br, bc, er, ec) => (br, bc) -> (er, ec) }.toMap
-      val base = crossings.map { case (ur, uc, _, _, b) => (ur, uc) -> b }.toMap
-      val target = crossings.map { case (ur, uc, tr, tc, _) => (ur, uc) -> (tr, tc) }.toMap
-      // succ over crossing edges: x exits at target(x); the owning tile
-      // routes that entry cell on to its own exit crossing edge (or dies)
-      val succ: Map[(Long, Long), Option[(Long, Long)]] = target.map { case (u, t) =>
-        u -> route.get(t).filter(_._1 >= 0).filter(base.contains)
-      }
-      val w = scala.collection.mutable.Map(base.toSeq: _*)
-      val indeg = scala.collection.mutable.Map[(Long, Long), Int]().withDefaultValue(0)
-      succ.values.flatten.foreach(v => indeg(v) += 1)
-      val q = scala.collection.mutable.Queue(base.keys.filter(indeg(_) == 0).toSeq: _*)
-      var processed = 0
-      while (q.nonEmpty) {
-        val u = q.dequeue()
-        processed += 1
-        succ(u).foreach { v =>
-          w(v) += w(u)
-          indeg(v) -= 1
-          if (indeg(v) == 0) q.enqueue(v)
+          // pass 2: seed external inflows and finalize
+          val bc = tiles.sparkSession.sparkContext.broadcast(seeds)
+          padded.flatMap { pt =>
+            val dirs = dirPlane(pt, cs)
+            val acc = localAcc(pt, dirs, bc.value)
+            val out = Array.newBuilder[(Long, Long, Long)]
+            var i = 0
+            while (i < dirs.length) {
+              if (dirs(i) >= 0)
+                out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong, acc(i)))
+              i += 1
+            }
+            out.result().iterator
+          }.toDF("row", "col", "acc").localCheckpoint(true)
+        } else {
+          // ABOVE-LIMIT branch: the condensed solve runs FULLY ON THE
+          // CLUSTER — a distributed batched topological peel over the
+          // crossing-edge DAG (VERDICT r4 #4 replaced the former
+          // require-refusal). Each round finalizes EVERY current
+          // indegree-0 crossing, pushes its subtree sum to its successor
+          // and drops it; rounds = condensed-DAG depth (the longest
+          // tile-crossing chain), each round shuffling only the
+          // still-active O(perimeter) descriptor rows. No driver
+          // materialization anywhere: seeds reach pass 2 via an equi-join
+          // on the owning tile's cell id.
+          val crossDf = summariesDs.flatMap(_.crossing.iterator)
+            .toDF("xr", "xc", "tr", "tc", "b")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val routeDf = summariesDs.flatMap(_.routing.iterator)
+            .toDF("br", "bc", "er", "ec")
+          val keys = crossDf.select($"xr".as("kr"), $"xc".as("kc"))
+          // succ(x) = route(target(x)) when that exit exists and is
+          // itself a crossing edge (mirrors the driver path's filters)
+          var active = crossDf
+            .join(routeDf, $"tr" === $"br" && $"tc" === $"bc", "left")
+            .join(keys, $"er" === $"kr" && $"ec" === $"kc", "left")
+            .select($"xr", $"xc", $"b".as("w"),
+              when($"kr".isNotNull && $"er" >= 0, $"er").as("sr"),
+              when($"kr".isNotNull && $"er" >= 0, $"ec").as("sc"))
+            .localCheckpoint(true)
+          var remaining = active.count()
+          val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+          while (remaining > 0) {
+            val predKeys = active.where($"sr".isNotNull)
+              .select($"sr".as("xr"), $"sc".as("xc")).distinct()
+            val frontier = active.join(predKeys, Seq("xr", "xc"), "left_anti")
+              .localCheckpoint(true)
+            val nf = frontier.count()
+            require(nf > 0, "condensed flow graph is cyclic — non-monotone dirs")
+            doneParts += frontier.select($"xr", $"xc", $"w")
+            val contrib = frontier.where($"sr".isNotNull)
+              .groupBy($"sr", $"sc").agg(sum($"w").as("add"))
+              .select($"sr".as("xr"), $"sc".as("xc"), $"add")
+            active = active
+              .join(frontier.select($"xr", $"xc"), Seq("xr", "xc"), "left_anti")
+              .join(contrib, Seq("xr", "xc"), "left")
+              .select($"xr", $"xc",
+                ($"w" + coalesce($"add", lit(0L))).as("w"), $"sr", $"sc")
+              .localCheckpoint(true)
+            remaining -= nf
+          }
+          val resolved = doneParts.reduce(_ unionByName _)
+          // seeds per entry cell, keyed by the owning tile for pass 2
+          val seedRows = resolved
+            .join(crossDf.select($"xr", $"xc", $"tr", $"tc"), Seq("xr", "xc"))
+            .groupBy($"tr", $"tc").agg(sum($"w").as("inflow"))
+            .as[(Long, Long, Long)]
+            .map { case (tr, tc, inflow) =>
+              (CellId.ofPixel(tr, tc, res), tr, tc, inflow) }
+            .groupByKey(_._1)
+            .mapGroups { (cid, it) =>
+              (cid, it.map(t => (t._2, t._3, t._4)).toArray) }
+          crossDf.unpersist()
+          padded.joinWith(seedRows, padded("cellId") === seedRows("_1"), "left_outer")
+            .flatMap { case (pt, sd) =>
+              val seeds: Map[(Long, Long), Long] =
+                if (sd == null) Map.empty
+                else sd._2.iterator.map(t => (t._1, t._2) -> t._3).toMap
+              val dirs = dirPlane(pt, cs)
+              val acc = localAcc(pt, dirs, seeds)
+              val out = Array.newBuilder[(Long, Long, Long)]
+              var i = 0
+              while (i < dirs.length) {
+                if (dirs(i) >= 0)
+                  out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong, acc(i)))
+                i += 1
+              }
+              out.result().iterator
+            }.toDF("row", "col", "acc").localCheckpoint(true)
         }
-      }
-      require(processed == base.size, "condensed flow graph is cyclic — non-monotone dirs")
-      // external inflow per entry cell
-      val seeds: Map[(Long, Long), Long] =
-        crossings.groupBy { case (_, _, tr, tc, _) => (tr, tc) }
-          .map { case (t, xs) => t -> xs.map { case (ur, uc, _, _, _) => w((ur, uc)) }.sum }
-
-      // pass 2: seed external inflows and finalize
-      val bc = tiles.sparkSession.sparkContext.broadcast(seeds)
-      padded.flatMap { pt =>
-        val dirs = dirPlane(pt, cs)
-        val acc = localAcc(pt, dirs, bc.value)
-        val out = Array.newBuilder[(Long, Long, Long)]
-        var i = 0
-        while (i < dirs.length) {
-          if (dirs(i) >= 0)
-            out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong, acc(i)))
-          i += 1
-        }
-        out.result().iterator
-      }.toDF("row", "col", "acc").localCheckpoint(true)
+      } finally summariesDs.unpersist()
     } finally padded.unpersist()
   }
 
@@ -424,8 +506,8 @@ object Flow {
 
   /** Collect the pass-1 trace summaries (shared by [[downstream]] and
     * [[longestUpstream]]): per tile, crossing edges + border routing. */
-  private def traceSummaries(padded: Dataset[Stencil.Padded], cs: Double)
-      : Array[TraceSummary] = {
+  private def traceSummariesDs(padded: Dataset[Stencil.Padded], cs: Double)
+      : Dataset[TraceSummary] = {
     import padded.sparkSession.implicits._
     padded.mapPartitions { it =>
       it.map { pt =>
@@ -459,7 +541,63 @@ object Flow {
         }
         TraceSummary(crossing.result(), routing.result())
       }
-    }.collect()
+    }
+  }
+
+  /** Crossing count of a persisted summary Dataset — the driver-vs-
+    * distributed branch decision reads ONLY this aggregate. */
+  private def crossingCount(ds: Dataset[TraceSummary]): Long = {
+    import ds.sparkSession.implicits._
+    ds.map(_.crossing.length.toLong).toDF("n")
+      .agg(coalesce(sum($"n"), lit(0L))).collect()(0).getLong(0)
+  }
+
+  /** Distributed chain resolve over the crossing FUNCTIONAL graph by
+    * pointer doubling with additive carry — the above-driverLimit branch
+    * shared by [[downstream]] and [[nearestDrainage]] (the same loop
+    * shape [[strahlerOrder]] uses for chain heads, plus count carries).
+    * Init columns (xr, xc, done, ok, lr, lc, nc, nd): done rows carry the
+    * terminal label in (lr, lc) and final counts; active rows point (lr,
+    * lc) at ANOTHER crossing with (nc, nd) covering the walked segment.
+    * Each round every active row jumps to its pointer's pointer and adds
+    * its pointer's carry — O(log chainLen) rounds, each a descriptor-only
+    * self-join + eager localCheckpoint (constant-size plan). */
+  private def resolveChainsDoubling(init: DataFrame): DataFrame = {
+    val spark = init.sparkSession
+    import spark.implicits._
+    var l = init.localCheckpoint(true)
+    var remaining = l.where(!$"done").count()
+    while (remaining > 0) {
+      val tgt = l.select($"xr".as("lr"), $"xc".as("lc"),
+        $"done".as("tdone"), $"ok".as("tok"), $"lr".as("tlr"),
+        $"lc".as("tlc"), $"nc".as("tnc"), $"nd".as("tnd"))
+      l = l.join(tgt, Seq("lr", "lc"), "left")
+        .select($"xr", $"xc",
+          ($"done" || coalesce($"tdone", lit(false))).as("done"),
+          when($"done", $"ok").otherwise(coalesce($"tok", lit(false))).as("ok"),
+          when($"done", $"lr").otherwise($"tlr").as("lr"),
+          when($"done", $"lc").otherwise($"tlc").as("lc"),
+          when($"done", $"nc").otherwise($"nc" + $"tnc").as("nc"),
+          when($"done", $"nd").otherwise($"nd" + $"tnd").as("nd"))
+        .localCheckpoint(true)
+      val next = l.where(!$"done").count()
+      require(next < remaining, "pointer doubling stalled — crossing chain cycle")
+      remaining = next
+    }
+    l
+  }
+
+  /** Group per-crossing resolutions by their owning tile's cell id so
+    * pass 2 can join them tile-locally (each tile only ever looks up its
+    * OWN crossing cells — the resolution table never lands on the
+    * driver). Rows: (xr, xc, ok, lr, lc, nc, nd). */
+  private def byTile(resolved: DataFrame, res: Int)
+      : Dataset[(Long, Array[(Long, Long, Boolean, Long, Long, Long, Long)])] = {
+    import resolved.sparkSession.implicits._
+    resolved.select("xr", "xc", "ok", "lr", "lc", "nc", "nd")
+      .as[(Long, Long, Boolean, Long, Long, Long, Long)]
+      .groupByKey(t => CellId.ofPixel(t._1, t._2, res))
+      .mapGroups { (cid, it) => (cid, it.toArray) }
   }
 
   /** Watershed + downstream flow length: for every valid cell, the basin
@@ -473,76 +611,105 @@ object Flow {
     val cs = ref.cellsize
     val padded = Stencil.padded(tiles, ref, res).persist()
     try {
-      val summaries = traceSummaries(padded, cs)
-      val crossings = summaries.flatMap(_.crossing)
-      require(crossings.length <= driverLimit,
-        s"condensed trace graph ${crossings.length} exceeds driverLimit=$driverLimit; " +
-          "re-run with coarser tiles (higher res) to condense further")
-      val target = crossings.map { case (xr, xc, tr, tc, dg, _, _) =>
-        (xr, xc) -> (tr, tc, dg) }.toMap
-      val route = summaries.flatMap(_.routing)
-        .map { case (br, bc, k, tr, tc, nc, nd) => (br, bc) -> (k, tr, tc, nc, nd) }.toMap
-      // resolve every crossing cell to (pitR, pitC, nc, nd) — counts from
-      // the crossing cell INCLUSIVE of its crossing step. Iterative chain
-      // walk with memoization; acyclic because z strictly decreases.
-      val memo = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long, Long)]()
-      target.keys.foreach { x0 =>
-        if (!memo.contains(x0)) {
-          // walk the crossing chain until a memoized cell or an in-tile pit,
-          // recording each chain cell's own step+route counts; then unwind.
-          val chain = scala.collection.mutable.ArrayBuffer[((Long, Long), Long, Long)]()
-          var cur = x0
-          var base: (Long, Long, Long, Long) = null // F(cell after the chain)
-          while (base == null) {
-            memo.get(cur) match {
-              case Some(f) => base = f
-              case None =>
-                val (tr, tc, dg) = target(cur)
-                val stepNc = if (dg == 1) 0L else 1L
-                val stepNd = if (dg == 1) 1L else 0L
-                val (k, er, ec, nc, nd) = route.getOrElse((tr, tc),
-                  throw new IllegalStateException(s"no routing for crossing target ($tr,$tc)"))
-                if (k == 1) { // dies at pit (er, ec) in the target tile
-                  base = (er, ec, stepNc + nc, stepNd + nd)
-                  memo(cur) = base
-                } else {
-                  chain += ((cur, stepNc + nc, stepNd + nd))
-                  require(chain.length <= target.size, "crossing chain cycle — non-monotone dirs")
-                  cur = (er, ec) // the exit crossing cell of the target tile
+      val summariesDs = traceSummariesDs(padded, cs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val resolvedByTile: Dataset[(Long, Array[(Long, Long, Boolean, Long, Long, Long, Long)])] =
+          if (crossingCount(summariesDs) <= driverLimit) {
+            // driver condensed solve: chain walk with memoization over
+            // O(perimeter) crossing edges
+            val summaries = summariesDs.collect()
+            val crossings = summaries.flatMap(_.crossing)
+            val target = crossings.map { case (xr, xc, tr, tc, dg, _, _) =>
+              (xr, xc) -> (tr, tc, dg) }.toMap
+            val route = summaries.flatMap(_.routing)
+              .map { case (br, bc, k, tr, tc, nc, nd) => (br, bc) -> (k, tr, tc, nc, nd) }.toMap
+            // resolve every crossing cell to (pitR, pitC, nc, nd) — counts from
+            // the crossing cell INCLUSIVE of its crossing step. Iterative chain
+            // walk with memoization; acyclic because z strictly decreases.
+            val memo = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long, Long)]()
+            target.keys.foreach { x0 =>
+              if (!memo.contains(x0)) {
+                // walk the crossing chain until a memoized cell or an in-tile pit,
+                // recording each chain cell's own step+route counts; then unwind.
+                val chain = scala.collection.mutable.ArrayBuffer[((Long, Long), Long, Long)]()
+                var cur = x0
+                var base: (Long, Long, Long, Long) = null // F(cell after the chain)
+                while (base == null) {
+                  memo.get(cur) match {
+                    case Some(f) => base = f
+                    case None =>
+                      val (tr, tc, dg) = target(cur)
+                      val stepNc = if (dg == 1) 0L else 1L
+                      val stepNd = if (dg == 1) 1L else 0L
+                      val (k, er, ec, nc, nd) = route.getOrElse((tr, tc),
+                        throw new IllegalStateException(s"no routing for crossing target ($tr,$tc)"))
+                      if (k == 1) { // dies at pit (er, ec) in the target tile
+                        base = (er, ec, stepNc + nc, stepNd + nd)
+                        memo(cur) = base
+                      } else {
+                        chain += ((cur, stepNc + nc, stepNd + nd))
+                        require(chain.length <= target.size, "crossing chain cycle — non-monotone dirs")
+                        cur = (er, ec) // the exit crossing cell of the target tile
+                      }
+                  }
                 }
+                var k = chain.length - 1
+                while (k >= 0) {
+                  val (x, addNc, addNd) = chain(k)
+                  base = (base._1, base._2, base._3 + addNc, base._4 + addNd)
+                  memo(x) = base
+                  k -= 1
+                }
+              }
             }
+            val rows = memo.iterator.map { case ((xr, xc), (pr, pc, nc, nd)) =>
+              (xr, xc, true, pr, pc, nc, nd) }.toSeq
+            byTile(tiles.sparkSession.createDataset(rows)
+              .toDF("xr", "xc", "ok", "lr", "lc", "nc", "nd"), res)
+          } else {
+            // ABOVE-LIMIT branch: pointer doubling with carry over the
+            // crossing functional graph, fully on the cluster (VERDICT r4
+            // #4). The crossing set never lands on the driver.
+            val crossDf = summariesDs.flatMap(_.crossing.iterator)
+              .toDF("xr", "xc", "tr", "tc", "dg", "bnc", "bnd")
+            val routeDf = summariesDs.flatMap(_.routing.iterator)
+              .toDF("br", "bc", "k", "er", "ec", "rnc", "rnd")
+            val init = crossDf
+              .join(routeDf, $"tr" === $"br" && $"tc" === $"bc")
+              .select($"xr", $"xc",
+                ($"k" === 1).as("done"), lit(true).as("ok"),
+                $"er".as("lr"), $"ec".as("lc"),
+                (when($"dg" === 1, 0L).otherwise(1L) + $"rnc").as("nc"),
+                (when($"dg" === 1, 1L).otherwise(0L) + $"rnd").as("nd"))
+            byTile(resolveChainsDoubling(init), res)
           }
-          var k = chain.length - 1
-          while (k >= 0) {
-            val (x, addNc, addNd) = chain(k)
-            base = (base._1, base._2, base._3 + addNc, base._4 + addNd)
-            memo(x) = base
-            k -= 1
-          }
-        }
-      }
-      val bc = tiles.sparkSession.sparkContext.broadcast(memo.toMap)
-      padded.flatMap { pt =>
-        val dirs = dirPlane(pt, cs)
-        val (typ, term, cnc, cnd) = localTrace(pt, dirs)
-        val m = bc.value
-        val out = Array.newBuilder[(Long, Long, Long, Long, Long, Long)]
-        var i = 0
-        while (i < dirs.length) {
-          if (typ(i) == 1) {
-            out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
-              (pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong,
-              cnc(i).toLong, cnd(i).toLong))
-          } else if (typ(i) == 2) {
-            val x = ((pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong)
-            val (pr, pc, nc, nd) = m(x)
-            out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
-              pr, pc, cnc(i) + nc, cnd(i) + nd))
-          }
-          i += 1
-        }
-        out.result().iterator
-      }.toDF("row", "col", "basin_r", "basin_c", "ncard", "ndiag").localCheckpoint(true)
+        padded
+          .joinWith(resolvedByTile, padded("cellId") === resolvedByTile("_1"), "left_outer")
+          .flatMap { case (pt, rv) =>
+            val m: Map[(Long, Long), (Long, Long, Long, Long)] =
+              if (rv == null) Map.empty
+              else rv._2.iterator.map(t => (t._1, t._2) -> ((t._4, t._5, t._6, t._7))).toMap
+            val dirs = dirPlane(pt, cs)
+            val (typ, term, cnc, cnd) = localTrace(pt, dirs)
+            val out = Array.newBuilder[(Long, Long, Long, Long, Long, Long)]
+            var i = 0
+            while (i < dirs.length) {
+              if (typ(i) == 1) {
+                out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+                  (pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong,
+                  cnc(i).toLong, cnd(i).toLong))
+              } else if (typ(i) == 2) {
+                val x = ((pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong)
+                val (pr, pc, nc, nd) = m(x)
+                out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+                  pr, pc, cnc(i) + nc, cnd(i) + nd))
+              }
+              i += 1
+            }
+            out.result().iterator
+          }.toDF("row", "col", "basin_r", "basin_c", "ncard", "ndiag").localCheckpoint(true)
+      } finally summariesDs.unpersist()
     } finally padded.unpersist()
   }
 
@@ -557,72 +724,157 @@ object Flow {
     val cs = ref.cellsize
     val padded = Stencil.padded(tiles, ref, res).persist()
     try {
-      val summaries = traceSummaries(padded, cs)
-      val crossings = summaries.flatMap(_.crossing)
-      require(crossings.length <= driverLimit,
-        s"condensed trace graph ${crossings.length} exceeds driverLimit=$driverLimit")
-      val route = summaries.flatMap(_.routing)
-        .map { case (br, bcc, k, tr, tc, nc, nd) => (br, bcc) -> (k, tr, tc, nc, nd) }.toMap
-      // condensed max-plus: node = crossing cell; W init = tile-local best;
-      // edge x -> x2 when x's target routes to exit x2, weight = crossing
-      // step + in-tile path(target -> x2)
-      val w = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
-      val targetOf = scala.collection.mutable.Map[(Long, Long), (Long, Long, Int)]()
-      crossings.foreach { case (xr, xc, tr, tc, dg, bnc, bnd) =>
-        w((xr, xc)) = (bnc, bnd)
-        targetOf((xr, xc)) = (tr, tc, dg)
-      }
-      val succ: Map[(Long, Long), Option[((Long, Long), Long, Long)]] =
-        targetOf.map { case (x, (tr, tc, dg)) =>
-          val stepNc = if (dg == 1) 0L else 1L
-          val stepNd = if (dg == 1) 1L else 0L
-          x -> route.get((tr, tc)).flatMap { case (k, er, ec, nc, nd) =>
-            if (k == 2 && w.contains((er, ec)))
-              Some(((er, ec), stepNc + nc, stepNd + nd))
-            else None
+      val summariesDs = traceSummariesDs(padded, cs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // seeds: best (nc, nd) arriving INTO each crossing target cell,
+        // grouped by its owning tile for the pass-2 equi-join
+        val seedsByTile: Dataset[(Long, Array[(Long, Long, Long, Long)])] =
+          if (crossingCount(summariesDs) <= driverLimit) {
+            val summaries = summariesDs.collect()
+            val crossings = summaries.flatMap(_.crossing)
+            val route = summaries.flatMap(_.routing)
+              .map { case (br, bcc, k, tr, tc, nc, nd) => (br, bcc) -> (k, tr, tc, nc, nd) }.toMap
+            // condensed max-plus: node = crossing cell; W init = tile-local best;
+            // edge x -> x2 when x's target routes to exit x2, weight = crossing
+            // step + in-tile path(target -> x2)
+            val w = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+            val targetOf = scala.collection.mutable.Map[(Long, Long), (Long, Long, Int)]()
+            crossings.foreach { case (xr, xc, tr, tc, dg, bnc, bnd) =>
+              w((xr, xc)) = (bnc, bnd)
+              targetOf((xr, xc)) = (tr, tc, dg)
+            }
+            val succ: Map[(Long, Long), Option[((Long, Long), Long, Long)]] =
+              targetOf.map { case (x, (tr, tc, dg)) =>
+                val stepNc = if (dg == 1) 0L else 1L
+                val stepNd = if (dg == 1) 1L else 0L
+                x -> route.get((tr, tc)).flatMap { case (k, er, ec, nc, nd) =>
+                  if (k == 2 && w.contains((er, ec)))
+                    Some(((er, ec), stepNc + nc, stepNd + nd))
+                  else None
+                }
+              }.toMap
+            val indeg = scala.collection.mutable.Map[(Long, Long), Int]().withDefaultValue(0)
+            succ.values.flatten.foreach { case (v, _, _) => indeg(v) += 1 }
+            val q = scala.collection.mutable.Queue(w.keys.filter(indeg(_) == 0).toSeq: _*)
+            var processed = 0
+            while (q.nonEmpty) {
+              val u = q.dequeue()
+              processed += 1
+              succ(u).foreach { case (v, addNc, addNd) =>
+                val (unc, und) = w(u)
+                val cand = (unc + addNc, und + addNd)
+                val (vnc, vnd) = w(v)
+                if (longer(cand._1, cand._2, vnc, vnd)) w(v) = cand
+                indeg(v) -= 1
+                if (indeg(v) == 0) q.enqueue(v)
+              }
+            }
+            require(processed == w.size, "condensed trace graph is cyclic — non-monotone dirs")
+            // seeds: best value arriving INTO each crossing target (step counted)
+            val seeds = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+            crossings.foreach { case (xr, xc, tr, tc, dg, _, _) =>
+              val (unc, und) = w((xr, xc))
+              val cand = (unc + (if (dg == 1) 0L else 1L), und + (if (dg == 1) 1L else 0L))
+              seeds.get((tr, tc)) match {
+                case Some((snc, snd)) if !longer(cand._1, cand._2, snc, snd) => ()
+                case _ => seeds((tr, tc)) = cand
+              }
+            }
+            val rows = seeds.iterator.map { case ((tr, tc), (nc, nd)) =>
+              (tr, tc, nc, nd) }.toSeq
+            tiles.sparkSession.createDataset(rows)
+              .groupByKey(t => CellId.ofPixel(t._1, t._2, res))
+              .mapGroups { (cid, it) => (cid, it.toArray) }
+          } else {
+            // ABOVE-LIMIT branch: distributed batched topological peel
+            // with MAX-PLUS semantics over the crossing DAG (VERDICT r4
+            // #4) — each round finalizes every crossing with no active
+            // predecessor and offers its best path to its successor;
+            // rounds = condensed depth, rows stay O(perimeter), nothing
+            // lands on the driver. The (length, ncard) ordering of
+            // [[longer]] maps to a lexicographic struct max.
+            val crossDf = summariesDs.flatMap(_.crossing.iterator)
+              .toDF("xr", "xc", "tr", "tc", "dg", "bnc", "bnd")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val routeDf = summariesDs.flatMap(_.routing.iterator)
+              .toDF("br", "bc", "k", "er", "ec", "rnc", "rnd")
+            val keys = crossDf.select($"xr".as("kr"), $"xc".as("kc"))
+            var active = crossDf
+              .join(routeDf, $"tr" === $"br" && $"tc" === $"bc", "left")
+              .join(keys, $"er" === $"kr" && $"ec" === $"kc", "left")
+              .select($"xr", $"xc", $"bnc".as("wnc"), $"bnd".as("wnd"),
+                when($"k" === 2 && $"kr".isNotNull, $"er").as("sr"),
+                when($"k" === 2 && $"kr".isNotNull, $"ec").as("sc"),
+                (when($"dg" === 1, 0L).otherwise(1L) + coalesce($"rnc", lit(0L))).as("anc"),
+                (when($"dg" === 1, 1L).otherwise(0L) + coalesce($"rnd", lit(0L))).as("and"))
+              .localCheckpoint(true)
+            var remaining = active.count()
+            val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+            while (remaining > 0) {
+              val predKeys = active.where($"sr".isNotNull)
+                .select($"sr".as("xr"), $"sc".as("xc")).distinct()
+              val frontier = active.join(predKeys, Seq("xr", "xc"), "left_anti")
+                .localCheckpoint(true)
+              val nf = frontier.count()
+              require(nf > 0, "condensed trace graph is cyclic — non-monotone dirs")
+              doneParts += frontier.select($"xr", $"xc", $"wnc", $"wnd")
+              val offer = frontier.where($"sr".isNotNull)
+                .select($"sr".as("xr"), $"sc".as("xc"),
+                  ($"wnc" + $"anc").as("cnc"), ($"wnd" + $"and").as("cnd"))
+                .groupBy($"xr", $"xc")
+                .agg(max(struct(($"cnc" + $"cnd" * lit(Sqrt2)).as("la"),
+                  $"cnc", $"cnd")).as("best"))
+                .select($"xr", $"xc", $"best.cnc".as("cnc"), $"best.cnd".as("cnd"))
+              val better = $"cnc".isNotNull &&
+                (($"cnc" + $"cnd" * lit(Sqrt2)) > ($"wnc" + $"wnd" * lit(Sqrt2)) ||
+                 (($"cnc" + $"cnd" * lit(Sqrt2)) === ($"wnc" + $"wnd" * lit(Sqrt2)) &&
+                  $"cnc" > $"wnc"))
+              active = active
+                .join(frontier.select($"xr", $"xc"), Seq("xr", "xc"), "left_anti")
+                .join(offer, Seq("xr", "xc"), "left")
+                .select($"xr", $"xc",
+                  when(better, $"cnc").otherwise($"wnc").as("wnc"),
+                  when(better, $"cnd").otherwise($"wnd").as("wnd"),
+                  $"sr", $"sc", $"anc", $"and")
+                .localCheckpoint(true)
+              remaining -= nf
+            }
+            val resolved = doneParts.reduce(_ unionByName _)
+            val seedRows = resolved
+              .join(crossDf.select($"xr", $"xc", $"tr", $"tc", $"dg"), Seq("xr", "xc"))
+              .select($"tr", $"tc",
+                ($"wnc" + when($"dg" === 1, 0L).otherwise(1L)).as("cnc"),
+                ($"wnd" + when($"dg" === 1, 1L).otherwise(0L)).as("cnd"))
+              .groupBy($"tr", $"tc")
+              .agg(max(struct(($"cnc" + $"cnd" * lit(Sqrt2)).as("la"),
+                $"cnc", $"cnd")).as("best"))
+              .select($"tr", $"tc", $"best.cnc".as("nc"), $"best.cnd".as("nd"))
+              .as[(Long, Long, Long, Long)]
+            crossDf.unpersist()
+            seedRows
+              .groupByKey(t => CellId.ofPixel(t._1, t._2, res))
+              .mapGroups { (cid, it) => (cid, it.toArray) }
           }
-        }.toMap
-      val indeg = scala.collection.mutable.Map[(Long, Long), Int]().withDefaultValue(0)
-      succ.values.flatten.foreach { case (v, _, _) => indeg(v) += 1 }
-      val q = scala.collection.mutable.Queue(w.keys.filter(indeg(_) == 0).toSeq: _*)
-      var processed = 0
-      while (q.nonEmpty) {
-        val u = q.dequeue()
-        processed += 1
-        succ(u).foreach { case (v, addNc, addNd) =>
-          val (unc, und) = w(u)
-          val cand = (unc + addNc, und + addNd)
-          val (vnc, vnd) = w(v)
-          if (longer(cand._1, cand._2, vnc, vnd)) w(v) = cand
-          indeg(v) -= 1
-          if (indeg(v) == 0) q.enqueue(v)
-        }
-      }
-      require(processed == w.size, "condensed trace graph is cyclic — non-monotone dirs")
-      // seeds: best value arriving INTO each crossing target (step counted)
-      val seeds = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
-      crossings.foreach { case (xr, xc, tr, tc, dg, _, _) =>
-        val (unc, und) = w((xr, xc))
-        val cand = (unc + (if (dg == 1) 0L else 1L), und + (if (dg == 1) 1L else 0L))
-        seeds.get((tr, tc)) match {
-          case Some((snc, snd)) if !longer(cand._1, cand._2, snc, snd) => ()
-          case _ => seeds((tr, tc)) = cand
-        }
-      }
-      val bc = tiles.sparkSession.sparkContext.broadcast(seeds.toMap)
-      padded.flatMap { pt =>
-        val dirs = dirPlane(pt, cs)
-        val (bnc, bnd) = localLongest(pt, dirs, bc.value)
-        val out = Array.newBuilder[(Long, Long, Long, Long)]
-        var i = 0
-        while (i < dirs.length) {
-          if (dirs(i) >= 0)
-            out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
-              bnc(i), bnd(i)))
-          i += 1
-        }
-        out.result().iterator
-      }.toDF("row", "col", "ncard", "ndiag").localCheckpoint(true)
+        padded
+          .joinWith(seedsByTile, padded("cellId") === seedsByTile("_1"), "left_outer")
+          .flatMap { case (pt, sd) =>
+            val seeds: Map[(Long, Long), (Long, Long)] =
+              if (sd == null) Map.empty
+              else sd._2.iterator.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+            val dirs = dirPlane(pt, cs)
+            val (bnc, bnd) = localLongest(pt, dirs, seeds)
+            val out = Array.newBuilder[(Long, Long, Long, Long)]
+            var i = 0
+            while (i < dirs.length) {
+              if (dirs(i) >= 0)
+                out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+                  bnc(i), bnd(i)))
+              i += 1
+            }
+            out.result().iterator
+          }.toDF("row", "col", "ncard", "ndiag").localCheckpoint(true)
+      } finally summariesDs.unpersist()
     } finally padded.unpersist()
   }
 
@@ -838,7 +1090,7 @@ object Flow {
       .persist()
     try {
       // pass 1: per-tile crossing edges + border routing, stream-aware
-      val summaries = padded.mapPartitions { it =>
+      val summariesDs: Dataset[TraceSummary] = padded.mapPartitions { it =>
         it.map { case (pt, streamIdx) =>
           val stop = new Array[Boolean](pt.h * pt.w)
           streamIdx.foreach(stop(_) = true)
@@ -871,81 +1123,111 @@ object Flow {
           }
           TraceSummary(crossing.result(), routing.result())
         }
-      }.collect()
-      val crossings = summaries.flatMap(_.crossing)
-      require(crossings.length <= driverLimit,
-        s"condensed trace graph ${crossings.length} exceeds driverLimit=$driverLimit; " +
-          "re-run with coarser tiles (higher res) to condense further")
-      val target = crossings.map { case (xr, xc, tr, tc, dg, _, _) =>
-        (xr, xc) -> (tr, tc, dg) }.toMap
-      val route = summaries.flatMap(_.routing)
-        .map { case (br, bc, k, tr, tc, nc, nd) => (br, bc) -> (k, tr, tc, nc, nd) }.toMap
-      // resolve each crossing cell to (defined, streamR, streamC, nc, nd) —
-      // counts from the crossing cell inclusive of its crossing step;
-      // defined=false when the chain dies at a pit before any stream cell.
-      val memo = scala.collection.mutable.Map[(Long, Long), (Boolean, Long, Long, Long, Long)]()
-      target.keys.foreach { x0 =>
-        if (!memo.contains(x0)) {
-          val chain = scala.collection.mutable.ArrayBuffer[((Long, Long), Long, Long)]()
-          var cur = x0
-          var base: (Boolean, Long, Long, Long, Long) = null
-          while (base == null) {
-            memo.get(cur) match {
-              case Some(f) => base = f
-              case None =>
-                val (tr, tc, dg) = target(cur)
-                val stepNc = if (dg == 1) 0L else 1L
-                val stepNd = if (dg == 1) 1L else 0L
-                val (k, er, ec, nc, nd) = route.getOrElse((tr, tc),
-                  throw new IllegalStateException(s"no routing for crossing target ($tr,$tc)"))
-                if (k == 4) { // first stream cell (er, ec) in the target tile
-                  base = (true, er, ec, stepNc + nc, stepNd + nd)
-                  memo(cur) = base
-                } else if (k == 1) { // pit before any stream — undefined
-                  base = (false, 0L, 0L, 0L, 0L)
-                  memo(cur) = base
-                } else {
-                  chain += ((cur, stepNc + nc, stepNd + nd))
-                  require(chain.length <= target.size, "crossing chain cycle — non-monotone dirs")
-                  cur = (er, ec)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val resolvedByTile: Dataset[(Long, Array[(Long, Long, Boolean, Long, Long, Long, Long)])] =
+          if (crossingCount(summariesDs) <= driverLimit) {
+            val summaries = summariesDs.collect()
+            val crossings = summaries.flatMap(_.crossing)
+            val target = crossings.map { case (xr, xc, tr, tc, dg, _, _) =>
+              (xr, xc) -> (tr, tc, dg) }.toMap
+            val route = summaries.flatMap(_.routing)
+              .map { case (br, bc, k, tr, tc, nc, nd) => (br, bc) -> (k, tr, tc, nc, nd) }.toMap
+            // resolve each crossing cell to (defined, streamR, streamC, nc, nd) —
+            // counts from the crossing cell inclusive of its crossing step;
+            // defined=false when the chain dies at a pit before any stream cell.
+            val memo = scala.collection.mutable.Map[(Long, Long), (Boolean, Long, Long, Long, Long)]()
+            target.keys.foreach { x0 =>
+              if (!memo.contains(x0)) {
+                val chain = scala.collection.mutable.ArrayBuffer[((Long, Long), Long, Long)]()
+                var cur = x0
+                var base: (Boolean, Long, Long, Long, Long) = null
+                while (base == null) {
+                  memo.get(cur) match {
+                    case Some(f) => base = f
+                    case None =>
+                      val (tr, tc, dg) = target(cur)
+                      val stepNc = if (dg == 1) 0L else 1L
+                      val stepNd = if (dg == 1) 1L else 0L
+                      val (k, er, ec, nc, nd) = route.getOrElse((tr, tc),
+                        throw new IllegalStateException(s"no routing for crossing target ($tr,$tc)"))
+                      if (k == 4) { // first stream cell (er, ec) in the target tile
+                        base = (true, er, ec, stepNc + nc, stepNd + nd)
+                        memo(cur) = base
+                      } else if (k == 1) { // pit before any stream — undefined
+                        base = (false, 0L, 0L, 0L, 0L)
+                        memo(cur) = base
+                      } else {
+                        chain += ((cur, stepNc + nc, stepNd + nd))
+                        require(chain.length <= target.size, "crossing chain cycle — non-monotone dirs")
+                        cur = (er, ec)
+                      }
+                  }
                 }
+                var k = chain.length - 1
+                while (k >= 0) {
+                  val (x, addNc, addNd) = chain(k)
+                  base = if (base._1) (true, base._2, base._3, base._4 + addNc, base._5 + addNd)
+                         else base
+                  memo(x) = base
+                  k -= 1
+                }
+              }
             }
+            val rows = memo.iterator.map { case ((xr, xc), (ok, sr, sc, nc, nd)) =>
+              (xr, xc, ok, sr, sc, nc, nd) }.toSeq
+            byTile(tiles.sparkSession.createDataset(rows)
+              .toDF("xr", "xc", "ok", "lr", "lc", "nc", "nd"), res)
+          } else {
+            // ABOVE-LIMIT branch: the same pointer-doubling carry resolve
+            // as [[downstream]], with the ok flag carrying "reached a
+            // stream cell" vs "died at a pit first" (VERDICT r4 #4).
+            val crossDf = summariesDs.flatMap(_.crossing.iterator)
+              .toDF("xr", "xc", "tr", "tc", "dg", "bnc", "bnd")
+            val routeDf = summariesDs.flatMap(_.routing.iterator)
+              .toDF("br", "bc", "k", "er", "ec", "rnc", "rnd")
+            val init = crossDf
+              .join(routeDf, $"tr" === $"br" && $"tc" === $"bc")
+              .select($"xr", $"xc",
+                ($"k" === 4 || $"k" === 1).as("done"),
+                ($"k" === 4).as("ok"),
+                when($"k" === 1, 0L).otherwise($"er").as("lr"),
+                when($"k" === 1, 0L).otherwise($"ec").as("lc"),
+                when($"k" === 1, 0L)
+                  .otherwise(when($"dg" === 1, 0L).otherwise(1L) + $"rnc").as("nc"),
+                when($"k" === 1, 0L)
+                  .otherwise(when($"dg" === 1, 1L).otherwise(0L) + $"rnd").as("nd"))
+            byTile(resolveChainsDoubling(init), res)
           }
-          var k = chain.length - 1
-          while (k >= 0) {
-            val (x, addNc, addNd) = chain(k)
-            base = if (base._1) (true, base._2, base._3, base._4 + addNc, base._5 + addNd)
-                   else base
-            memo(x) = base
-            k -= 1
-          }
-        }
-      }
-      val bc = tiles.sparkSession.sparkContext.broadcast(memo.toMap)
-      padded.flatMap { case (pt, streamIdx) =>
-        val stop = new Array[Boolean](pt.h * pt.w)
-        streamIdx.foreach(stop(_) = true)
-        val dirs = dirPlane(pt, cs)
-        val (typ, term, cnc, cnd) = localTrace(pt, dirs, stop)
-        val m = bc.value
-        val out = Array.newBuilder[(Long, Long, Long, Long, Long, Long)]
-        var i = 0
-        while (i < dirs.length) {
-          if (typ(i) == 4) {
-            out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
-              (pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong,
-              cnc(i).toLong, cnd(i).toLong))
-          } else if (typ(i) == 2) {
-            val x = ((pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong)
-            val (defined, sr, sc, nc, nd) = m(x)
-            if (defined)
-              out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
-                sr, sc, cnc(i) + nc, cnd(i) + nd))
-          }
-          i += 1
-        }
-        out.result().iterator
-      }.toDF("row", "col", "stream_r", "stream_c", "ncard", "ndiag").localCheckpoint(true)
+        padded
+          .joinWith(resolvedByTile, padded("_1.cellId") === resolvedByTile("_1"), "left_outer")
+          .flatMap { case ((pt, streamIdx), rv) =>
+            val m: Map[(Long, Long), (Boolean, Long, Long, Long, Long)] =
+              if (rv == null) Map.empty
+              else rv._2.iterator.map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6, t._7))).toMap
+            val stop = new Array[Boolean](pt.h * pt.w)
+            streamIdx.foreach(stop(_) = true)
+            val dirs = dirPlane(pt, cs)
+            val (typ, term, cnc, cnd) = localTrace(pt, dirs, stop)
+            val out = Array.newBuilder[(Long, Long, Long, Long, Long, Long)]
+            var i = 0
+            while (i < dirs.length) {
+              if (typ(i) == 4) {
+                out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+                  (pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong,
+                  cnc(i).toLong, cnd(i).toLong))
+              } else if (typ(i) == 2) {
+                val x = ((pt.row0 + term(i) / pt.w).toLong, (pt.col0 + term(i) % pt.w).toLong)
+                val (defined, sr, sc, nc, nd) = m(x)
+                if (defined)
+                  out += (((pt.row0 + i / pt.w).toLong, (pt.col0 + i % pt.w).toLong,
+                    sr, sc, cnc(i) + nc, cnd(i) + nd))
+              }
+              i += 1
+            }
+            out.result().iterator
+          }.toDF("row", "col", "stream_r", "stream_c", "ncard", "ndiag").localCheckpoint(true)
+      } finally summariesDs.unpersist()
     } finally padded.unpersist()
   }
 

@@ -193,9 +193,18 @@ object Rasterize {
 
   def apply(spark: SparkSession, features: Seq[Feature], ref: GridRef,
       res: Int, useAttr: Boolean,
-      burnedPx: Option[LongAccumulator]): Dataset[CellPx] =
-    apply(spark.createDataset(features)(org.apache.spark.sql.Encoders.product[Feature]),
-      ref, res, useAttr, burnedPx)
+      burnedPx: Option[LongAccumulator]): Dataset[CellPx] = {
+    // features are already driver-resident here, so the skew statistic is
+    // FREE on the driver (same max-distinct-tasks-per-cell number as
+    // autoSaltFromCover) — routing it through the distributed agg would
+    // prepend one blocking collect job to every call (measured ~20% of
+    // the r4 bench pipeline wall; the Dataset form below keeps the
+    // distributed agg for corpus-scale feature tables).
+    val salt = autoSalt(features, ref, res, useAttr)
+    val ds = spark.createDataset(features)(
+      org.apache.spark.sql.Encoders.product[Feature])
+    burnSalted(coverDs(ds, ref, res, useAttr), ref, salt, burnedPx)
+  }
 
   /** Dataset[Feature] rasterize — the 100 TB ingestion API: cover explode,
     * skew statistic and burn are all executor-side. The cover is exploded

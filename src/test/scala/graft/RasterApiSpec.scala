@@ -149,6 +149,34 @@ class RasterApiSpec extends AnyFunSuite {
       }
     }
     intercept[IllegalArgumentException] { og.tilePyramidPng(7, 0, 97) }
+
+    // NaN holes + EVEN dims: the progressive fold would average partial
+    // 2x2 windows equally at the next level (mean-of-means bias); the
+    // pyramid must detect the holes and fall back to from-base
+    // downsampling at every level (ADVICE r4 #1)
+    val nref = GridRef(64, 64, 0, 0, 1)
+    val ng = Raster.fromGrid(spark, nref, 5)((r, c) =>
+      if ((r * 64 + c) % 19 == 3) Double.NaN
+      else ((r * 7 + c * 3) % 97).toDouble)
+    val npyr = ng.tilePyramidPng(3, 0, 97).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getAs[Array[Byte]](3))).toMap
+    (1 to 2).foreach { lvl =>
+      val fromBase = graft.operators.Downsample.stats(
+        ng.tiles, nref, 5, 1 << lvl, "average")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      fromBase.foreach { case ((row, col), v) =>
+        val (tx, ty) = (col / 32, row / 32)
+        val (px, w, _) = graft.codecs.ImageCodec.decode(
+          npyr((lvl.toLong, tx.toLong, ty.toLong)), "png")
+        val got = px((row - ty * 32) * w + (col - tx * 32))
+        val want =
+          if (v.isNaN) Double.NaN
+          else Math.rint(v / 97.0 * 1000.0 * 64.0) / 64.0
+        assert(got == want || (got.isNaN && want.isNaN),
+          s"NaN pyramid level $lvl cell ($row,$col): $got vs $want")
+      }
+    }
   }
 
   test("resample family wiring: cellsize, window agg, convolution kernels") {

@@ -234,11 +234,15 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.upsert(spark, table, spark.createDataset(upd)) == 2L)
     val n2 = IceLite.read(spark, table, 2L).count()
 
-    // plant a crashed-write orphan; GC removes exactly it
+    // plant a crashed-write orphan. Default-grace GC must SKIP it (it is
+    // fresh — indistinguishable from an in-flight commit's staging);
+    // grace 0 reaps exactly it.
     val orphan = java.nio.file.Paths.get(table, "data", "99", "bucket=0")
     Files.createDirectories(orphan)
     Files.writeString(orphan.resolve("junk.parquet"), "not parquet")
-    assert(IceLite.removeOrphanFiles(table) == 1)
+    assert(IceLite.removeOrphanFiles(table) == 0)
+    assert(Files.exists(orphan))
+    assert(IceLite.removeOrphanFiles(table, graceMs = 0L) == 1)
     assert(!Files.exists(orphan))
     assert(IceLite.read(spark, table, 2L).count() == n2)
 
@@ -254,7 +258,7 @@ class IceLiteSpec extends AnyFunSuite {
     intercept[Exception] { IceLite.manifestEntries(table, 1L) }
     // idempotent: nothing left to expire or GC
     assert(IceLite.expireSnapshots(table, keepLast = 1) == 0)
-    assert(IceLite.removeOrphanFiles(table) == 0)
+    assert(IceLite.removeOrphanFiles(table, graceMs = 0L) == 0)
 
     // crashed resumable commit: staged data + PARTIAL lineage, no
     // manifest. GC must clear the lineage checkpoints WITH the data —
@@ -267,7 +271,7 @@ class IceLiteSpec extends AnyFunSuite {
         buckets = 4, snap = 3L, failAtBucket = Some(2))
     }
     assert(IceLite.committedBuckets(table, 3L).nonEmpty) // partial checkpoint
-    assert(IceLite.removeOrphanFiles(table) > 0)
+    assert(IceLite.removeOrphanFiles(table, graceMs = 0L) > 0)
     assert(IceLite.committedBuckets(table, 3L).isEmpty)  // checkpoints died too
     // the resumed (full-redo) run commits the complete content
     IceLite.commitResumable(spark, IceLite.read(spark, table, 2L), table,
