@@ -206,7 +206,9 @@ object Bench {
     // measures steady-state operator cost, the thing the engine is judged
     // on at 100TB where warmup is amortized to zero.
     val s1 = session(cpus, coalesce = true)
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_10X_ONLY")
+    val sorted =
+      if (skipQueries) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
     sorted.foreach { case (_, fn) =>
       try fn(s1, sfDir).count() catch { case _: Throwable => }
     }
@@ -278,9 +280,14 @@ object Bench {
     // rule's anti-fixed-overhead datum, so it now runs while the wall
     // budget is guaranteed, and the LADDER degrades (fewer interleaved
     // rounds) under pathological load instead.
+    // local-iteration mode: run ONLY the 10x section (reps from
+    // SPARK_GRAFT_BENCH_10X_REPS, e.g. "32,8,32,8") and print one line —
+    // for quiet-window capability measurements without the ~25-min full
+    // harness (the driver never sets this)
+    val only10x = sys.env.contains("SPARK_GRAFT_BENCH_10X_ONLY")
     val budget10x = sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_DEADLINE_S", "1200").toDouble
     val tiles10x =
-      if (elapsedMainSec > budget10x) 0L
+      if (!only10x && elapsedMainSec > budget10x) 0L
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_TILES", "163840").toLong
     val corpus10x = s"/dev/shm/graft_bench_corpus_$tiles10x"
     if (tiles10x > 0) {
@@ -294,10 +301,12 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val load10 = scala.collection.mutable.Map[Int, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    val reps10x = sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_REPS", "32,8,32,8")
+      .split(",").map(_.trim.toInt).toSeq
     if (tiles10x > 0)
       // interleaved min-of-2 per level; JIT is already warm (the query
       // section and the warm pass ran in this same JVM)
-      for (c <- Seq(32, 8, 32, 8)) {
+      for (c <- reps10x) {
         val s = session(c)
         s.read.parquet(corpus10x).schema
         System.gc()
@@ -312,6 +321,11 @@ object Bench {
     val thr10_8 = if (sec10_8 > 0) tiles10x / sec10_8 else 0.0
     val thr10_32 = if (sec10_32 > 0) tiles10x / sec10_32 else 0.0
     val eff10_8to32 = if (thr10_8 > 0) (thr10_32 / thr10_8) / 4.0 else 0.0
+    if (only10x) {
+      def a10(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      println(f"""{"metric":"pipeline10x_only","tiles":$tiles10x,"sec_8":$sec10_8%.2f,"sec_32":$sec10_32%.2f,"tiles_per_sec_8":$thr10_8%.2f,"tiles_per_sec_32":$thr10_32%.2f,"raw_8":${a10(acc10(8))},"raw_32":${a10(acc10(32))},"load_raw_8":${a10(load10(8))},"load_raw_32":${a10(load10(32))},"scaling_efficiency_8_to_32":$eff10_8to32%.3f}""")
+      return
+    }
 
     // (c) 1x scaling ladder, DEADLINE-AWARE: interleaved rounds
     // (1, 4, 2, 8, 32, 8) so host-noise windows hit every level equally;
