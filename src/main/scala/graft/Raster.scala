@@ -413,6 +413,37 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   def renderPng(lo: Double, hi: Double): Dataset[(Long, Array[Byte])] =
     TileFns.renderPng(tiles, lo, hi)
 
+  /** `mapshow` STYLED figure (grid_show.py:33-95): continuous-colormap
+    * RGB PNG of the whole raster + colorbar strip — the figure's data
+    * content without matplotlib chrome. Driver-side single image like
+    * the reference (bounded by the [[toArray]] guard); the distributed
+    * tile-served form is [[operators.Style.rgbTiles]]. */
+  def mapshowPng(lo: Double, hi: Double,
+      ramp: operators.Style.Ramp = operators.Style.Terrain): Array[Byte] =
+    operators.Style.mapshowPng(toArray, ref.ncols, ref.nrows, lo, hi, ramp)
+
+  /** `rankshow` STYLED figure (grid_show.py:96-135): discrete rank
+    * classes from `breaks` (below the first break -> nodata, the
+    * reference rule), Blues ramp, rank legend strip. */
+  def rankshowPng(breaks: Array[Double],
+      ramp: operators.Style.Ramp = operators.Style.Blues): Array[Byte] =
+    operators.Style.rankshowPng(toArray, ref.ncols, ref.nrows, breaks, ramp)
+
+  /** `vectorshow` (grid_show.py:160-186): U/V quiver arrow field; `this`
+    * carries U, `other` V on the same grid. */
+  def vectorshowPng(other: Raster, step: Int = 8,
+      scale: Double = 1.0): Array[Byte] = {
+    require(other.ref.ncols == ref.ncols && other.ref.nrows == ref.nrows,
+      "vectorshow: the shapes must be the same") // the reference's check
+    operators.Style.quiverPng(toArray, other.toArray, ref.ncols, ref.nrows,
+      step, scale)
+  }
+
+  /** `plot_shape_file` (grid_show.py:239-292): feature outlines drawn on
+    * this raster's pixel frame. */
+  def plotShapePng(features: Seq[core.Feature]): Array[Byte] =
+    operators.Style.plotShapePng(features, ref)
+
   /** Tile-pyramid PNG export (beyond-reference; the raster-serving op):
     * OVERVIEW levels 0..levels-1 in the GDAL/COG convention — level 0 is
     * the full-resolution base, each next level average-downsamples by 2

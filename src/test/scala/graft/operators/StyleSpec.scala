@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Raster
+import graft.core._
+
+/** Styled rendering (grid_show.py pixel content): deterministic RGB
+  * figures — colormap correctness, colorbar/legend ramps, rank breaks,
+  * quiver strokes, shape outlines, distributed == driver styling. */
+class StyleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def decode(png: Array[Byte]) =
+    ImageIO.read(new ByteArrayInputStream(png))
+
+  test("mapshow: ramp endpoints, NaN grey, colorbar gradient hi-at-top") {
+    val ref = GridRef(32, 16, 0, 0, 1)
+    val g = Raster.fromGrid(spark, ref, 5) { (r, c) =>
+      if (r == 3 && c == 3) Double.NaN
+      else (r * 32 + c).toDouble
+    }
+    val png = g.mapshowPng(0, 511)
+    val img = decode(png)
+    assert(img.getWidth == 32 + 10 && img.getHeight == 16)
+    // v=0 at (0,0) -> ramp(0); v=511 at (31,15) -> ramp(1)
+    assert((img.getRGB(0, 0) & 0xFFFFFF) == Style.Terrain(0.0))
+    assert((img.getRGB(31, 15) & 0xFFFFFF) == Style.Terrain(1.0))
+    assert((img.getRGB(3, 3) & 0xFFFFFF) == Style.NoDataRgb)
+    // colorbar: top row = ramp(1), bottom row = ramp(0); 2px gap is white
+    assert((img.getRGB(32, 0) & 0xFFFFFF) == Style.Background)
+    assert((img.getRGB(38, 0) & 0xFFFFFF) == Style.Terrain(1.0))
+    assert((img.getRGB(38, 15) & 0xFFFFFF) == Style.Terrain(0.0))
+  }
+
+  test("rankshow: break classes, below-first -> nodata, legend blocks") {
+    val vals = Array(0.1, 0.25, 0.4, 0.7, 1.5, 3.0, Double.NaN, 2.0)
+    val breaks = Array(0.2, 0.3, 0.5, 1.0, 2.0)
+    val png = Style.rankshowPng(vals, 4, 2, breaks)
+    val img = decode(png)
+    def at(i: Int) = img.getRGB(i % 4, i / 4) & 0xFFFFFF
+    def cls(k: Int) = Style.Blues(k.toDouble / 4)
+    assert(at(0) == Style.NoDataRgb) // 0.1 < first break
+    assert(at(1) == cls(0)) // [0.2, 0.3)
+    assert(at(2) == cls(1)) // [0.3, 0.5)
+    assert(at(3) == cls(2)) // [0.5, 1.0)
+    assert(at(4) == cls(3)) // [1.0, 2.0)
+    assert(at(5) == cls(4)) // >= 2.0 (open top)
+    assert(at(6) == Style.NoDataRgb) // NaN
+    assert(at(7) == cls(4)) // 2.0 boundary inclusive
+    // legend blocks need >= n rows to show every class: render a taller
+    // frame — bottom row block = class 0, top row = highest class
+    val tall = decode(Style.rankshowPng(
+      Array.fill(2 * 10)(1.5), 2, 10, breaks))
+    assert((tall.getRGB(5, 9) & 0xFFFFFF) == cls(0))
+    assert((tall.getRGB(5, 0) & 0xFFFFFF) == cls(4))
+    intercept[IllegalArgumentException] {
+      Style.rankshowPng(vals, 4, 2, Array(2.0, 1.0))
+    }
+  }
+
+  test("quiver: strided arrows drawn, NaN cells skipped, background clean") {
+    val w = 32; val h = 32
+    val u = Array.fill(w * h)(6.0)
+    val v = Array.fill(w * h)(0.0)
+    u(16 * w + 16) = Double.NaN // the (16,16) anchor cell goes quiet
+    val png = Style.quiverPng(u, v, w, h, step = 8, scale = 1.0)
+    val img = decode(png)
+    // arrow anchored at (4,4) pointing +x: shaft pixels black
+    assert((img.getRGB(4, 4) & 0xFFFFFF) == 0x000000)
+    assert((img.getRGB(9, 4) & 0xFFFFFF) == 0x000000)
+    // far from any arrow: background
+    assert((img.getRGB(0, 31) & 0xFFFFFF) == Style.Background)
+    // count black pixels: 16 anchors - 1 NaN = 15 arrows, each >= 6 px
+    var black = 0
+    for (y <- 0 until h; x <- 0 until w)
+      if ((img.getRGB(x, y) & 0xFFFFFF) == 0) black += 1
+    assert(black >= 15 * 6 && black < 15 * 30, s"black=$black")
+  }
+
+  test("plot_shape_file: polygon ring closes, polyline does not") {
+    val ref = GridRef(40, 40, 0, 0, 1)
+    val poly = Feature(0, "polygon",
+      Array(5.0, 30.0, 30.0, 5.0), Array(5.0, 5.0, 30.0, 30.0), 1.0, 0)
+    val line = Feature(1, "polyline",
+      Array(2.0, 2.0), Array(2.0, 38.0), 1.0, 1)
+    val png = Style.plotShapePng(Seq(poly, line), ref)
+    val img = decode(png)
+    def red(x: Int, y: Int) = (img.getRGB(x, y) & 0xFFFFFF) == 0xFF0000
+    // polygon edge (5,5)-(30,5) in map coords -> row 34ish in pixels
+    assert(red(10, ((ref.top - 5.0) / 1.0).toInt - 1 + 0) ||
+      red(10, 34) || red(10, 35))
+    // the CLOSING edge (5,30)-(5,5) must be drawn (vertical at x=5)
+    assert(red(5, 15))
+    // polyline column at x=2 drawn end to end, but no closing stroke
+    assert(red(2, 10) && red(2, 30))
+    assert(img.getWidth == 40 && img.getHeight == 40)
+  }
+
+  test("distributed rgbTiles == driver mapshow pixels (no colorbar)") {
+    val ref = GridRef(64, 32, 0, 0, 1)
+    val g = Raster.fromGrid(spark, ref, 5) { (r, c) =>
+      if ((r * 64 + c) % 23 == 5) Double.NaN else ((r * 7 + c * 3) % 97).toDouble
+    }
+    val driver = decode(Style.mapshowPng(g.toArray, 64, 32, 0, 97,
+      colorbar = false))
+    val tilesPng = Style.rgbTiles(g.tiles, 0, 97).collect().toMap
+    g.tiles.collect().foreach { t =>
+      val img = decode(tilesPng(t.cellId))
+      for (r <- 0 until t.h; c <- 0 until t.w)
+        assert((img.getRGB(c, r) & 0xFFFFFF) ==
+          (driver.getRGB(t.col0 + c, t.row0 + r) & 0xFFFFFF),
+          s"tile ${t.cellId} ($r,$c)")
+    }
+  }
+}
