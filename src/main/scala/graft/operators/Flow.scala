@@ -1337,45 +1337,101 @@ object Flow {
       // condensed edges: stream edges whose target is a node, keyed by the
       // source cell's head — one edge per incoming chain
       val nodeKeys = nodesDF.select($"row".as("to_r"), $"col".as("to_c"))
-      val condensed = net.join(nodeKeys, Seq("to_r", "to_c"))
+      val condensedDf = net.join(nodeKeys, Seq("to_r", "to_c"))
         .join(lab.select($"row", $"col", $"hr", $"hc"), Seq("row", "col"))
         .select($"hr", $"hc", $"to_r", $"to_c")
-        .as[(Long, Long, Long, Long)].collect()
-      require(condensed.length <= driverLimit,
-        s"condensed junction forest ${condensed.length} exceeds driverLimit=$driverLimit; " +
-          "raise the threshold or solve recursively at supertile granularity")
-      val nodes = nodesDF.as[(Long, Long)].collect()
-      // Kahn over the junction forest: order(node with no incoming) = 1;
-      // order(w) = max incoming head orders, +1 when >=2 share the max
-      val incoming = condensed.groupBy(e => (e._3, e._4))
-        .map { case (w, es) => w -> es.map(e => (e._1, e._2)) }
-      val outEdge = condensed.map(e => (e._1, e._2) -> ((e._3, e._4))).toMap
-      val pending = scala.collection.mutable.Map[(Long, Long), Int]() ++
-        nodes.map(n => n -> incoming.get(n).map(_.length).getOrElse(0))
-      val order = scala.collection.mutable.Map[(Long, Long), Int]()
-      val queue = new java.util.ArrayDeque[(Long, Long)]()
-      pending.foreach { case (n, p) => if (p == 0) queue.add(n) }
-      var seen = 0
-      while (!queue.isEmpty) {
-        val u = queue.poll(); seen += 1
-        val ins = incoming.getOrElse(u, Array.empty[(Long, Long)])
-        order(u) =
-          if (ins.isEmpty) 1
-          else {
-            val os = ins.map(order).sorted(Ordering[Int].reverse)
-            os(0) + (if (os.length >= 2 && os(1) == os(0)) 1 else 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val orderDf: DataFrame =
+        if (condensedDf.count() <= driverLimit) {
+          // Kahn over the junction forest on the driver: order(node with
+          // no incoming) = 1; order(w) = max incoming head orders, +1
+          // when >=2 share the max
+          val condensed = condensedDf.as[(Long, Long, Long, Long)].collect()
+          val nodes = nodesDF.as[(Long, Long)].collect()
+          val incoming = condensed.groupBy(e => (e._3, e._4))
+            .map { case (w, es) => w -> es.map(e => (e._1, e._2)) }
+          val outEdge = condensed.map(e => (e._1, e._2) -> ((e._3, e._4))).toMap
+          val pending = scala.collection.mutable.Map[(Long, Long), Int]() ++
+            nodes.map(n => n -> incoming.get(n).map(_.length).getOrElse(0))
+          val order = scala.collection.mutable.Map[(Long, Long), Int]()
+          val queue = new java.util.ArrayDeque[(Long, Long)]()
+          pending.foreach { case (n, p) => if (p == 0) queue.add(n) }
+          var seen = 0
+          while (!queue.isEmpty) {
+            val u = queue.poll(); seen += 1
+            val ins = incoming.getOrElse(u, Array.empty[(Long, Long)])
+            order(u) =
+              if (ins.isEmpty) 1
+              else {
+                val os = ins.map(order).sorted(Ordering[Int].reverse)
+                os(0) + (if (os.length >= 2 && os(1) == os(0)) 1 else 0)
+              }
+            outEdge.get(u).foreach { w =>
+              pending(w) -= 1
+              if (pending(w) == 0) queue.add(w)
+            }
           }
-        outEdge.get(u).foreach { w =>
-          pending(w) -= 1
-          if (pending(w) == 0) queue.add(w)
+          require(seen == nodes.length, "junction forest cyclic — non-monotone dirs")
+          tiles.sparkSession.createDataset(
+            order.iterator.map { case ((r, c), o) => (r, c, o.toLong) }.toSeq)
+            .toDF("hr", "hc", "ord")
+        } else {
+          // ABOVE-LIMIT branch (VERDICT r4 #4's family, completed for the
+          // junction forest too): distributed batched topological peel.
+          // Each round finalizes every junction with no still-active
+          // predecessor; its order flows along its out-edges and targets
+          // fold the (max, count-of-max) pair — the Strahler rule
+          // order = maxIn + (1 when >=2 share maxIn) — associatively
+          // across rounds. Rounds = junction-forest depth; rows stay
+          // O(#junctions); nothing lands on the driver.
+          var active = nodesDF.select($"row", $"col")
+            .withColumn("b", lit(0L)).withColumn("k", lit(0L))
+            .localCheckpoint(true)
+          var remaining = active.count()
+          val done = scala.collection.mutable.ArrayBuffer[DataFrame]()
+          while (remaining > 0) {
+            val activeSrc = active.select($"row".as("hr"), $"col".as("hc"))
+            val blocked = condensedDf.join(activeSrc, Seq("hr", "hc"))
+              .select($"to_r".as("row"), $"to_c".as("col")).distinct()
+            val frontier = active.join(blocked, Seq("row", "col"), "left_anti")
+              .localCheckpoint(true)
+            val nf = frontier.count()
+            require(nf > 0, "junction forest cyclic — non-monotone dirs")
+            val fOrd = frontier.select($"row", $"col",
+              when($"k" === 0L, 1L)
+                .otherwise($"b" + when($"k" >= 2L, 1L).otherwise(0L)).as("ord"))
+              .localCheckpoint(true)
+            done += fOrd
+            val raw = condensedDf
+              .join(fOrd.select($"row".as("hr"), $"col".as("hc"), $"ord"),
+                Seq("hr", "hc"))
+              .select($"to_r", $"to_c", $"ord")
+            val mx = raw.groupBy($"to_r", $"to_c").agg(max($"ord").as("m"))
+            val contrib = raw.join(mx, Seq("to_r", "to_c"))
+              .where($"ord" === $"m")
+              .groupBy($"to_r", $"to_c")
+              .agg(max($"m").as("m"), count(lit(1)).as("c"))
+              .select($"to_r".as("row"), $"to_c".as("col"), $"m", $"c")
+            active = active
+              .join(frontier.select($"row", $"col"), Seq("row", "col"), "left_anti")
+              .join(contrib, Seq("row", "col"), "left")
+              .select($"row", $"col",
+                when($"m".isNotNull && $"m" > $"b", $"m").otherwise($"b").as("b"),
+                when($"m".isNotNull && $"m" > $"b", $"c")
+                  .when($"m".isNotNull && $"m" === $"b", $"k" + $"c")
+                  .otherwise($"k").as("k"))
+              .localCheckpoint(true)
+            remaining -= nf
+          }
+          done.reduce(_ unionByName _)
+            .select($"row".as("hr"), $"col".as("hc"), $"ord")
         }
-      }
-      require(seen == nodes.length, "junction forest cyclic — non-monotone dirs")
-      val bc = tiles.sparkSession.sparkContext.broadcast(order.toMap)
+      condensedDf.unpersist()
       nodesDF.unpersist()
-      lab.as[(Long, Long, Long, Long, Boolean)]
-        .map { case (r, c, hr, hc, _) => (r, c, bc.value((hr, hc)).toLong) }
-        .toDF("row", "col", "strahler").localCheckpoint(true)
+      lab.select($"row", $"col", $"hr", $"hc")
+        .join(orderDf, Seq("hr", "hc"))
+        .select($"row", $"col", $"ord".cast("long").as("strahler"))
+        .localCheckpoint(true)
     } finally { net.unpersist(); streamCells.unpersist() }
     // (chainPtrDF unpersists with the session; the final localCheckpoint
     // already cut the lineage so nothing downstream re-reads it)

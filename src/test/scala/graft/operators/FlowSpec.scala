@@ -374,6 +374,10 @@ class FlowSpec extends AnyFunSuite {
       m(Flow.longestUpstream(tiles, ref, 4)), "longestUpstream")
     assert(m(Flow.nearestDrainage(tiles, ref, 4, threshold = 25L, driverLimit = 0)) ==
       m(Flow.nearestDrainage(tiles, ref, 4, threshold = 25L)), "nearestDrainage")
+    // strahler: driverLimit=0 forces BOTH the chain-head pointer doubling
+    // AND the distributed junction-forest peel
+    assert(m(Flow.strahlerOrder(tiles, ref, 4, threshold = 25L, driverLimit = 0)) ==
+      m(Flow.strahlerOrder(tiles, ref, 4, threshold = 25L)), "strahler")
   }
 
   test("flow routing scale smoke: 2048x2048 grid, condensed solve stays O(perimeter)") {
