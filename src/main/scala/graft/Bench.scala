@@ -303,10 +303,17 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val reps10x = sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_REPS", "32,8,32,8")
       .split(",").map(_.trim.toInt).toSeq
+    // per-rep guard: under pathological co-tenant load a single 10x rep
+    // can cost minutes — stop STARTING reps past this elapsed wall so the
+    // run always reaches the ladder and the JSON line (min-of-fewer beats
+    // a lost artifact; the first rep always runs)
+    val repCutoff10x =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_10X_REP_CUTOFF_S", "1100").toDouble
     if (tiles10x > 0)
       // interleaved min-of-2 per level; JIT is already warm (the query
       // section and the warm pass ran in this same JVM)
-      for (c <- reps10x) {
+      for ((c, i) <- reps10x.zipWithIndex
+           if only10x || i == 0 || elapsedMainSec < repCutoff10x) {
         val s = session(c)
         s.read.parquet(corpus10x).schema
         System.gc()
@@ -334,13 +341,21 @@ object Bench {
     // only while elapsed wall is under the ladder deadline, so under
     // co-tenant steal the statistic loses samples instead of the run
     // losing its tail sections.
+    // Round 1 (one sample per level) always runs — min-of-N needs at
+    // least one sample. Round 2 is guaranteed only under the HARD cap;
+    // rounds 3+ only under the soft deadline. Under pathological load the
+    // harness degrades to single samples instead of risking the whole
+    // JSON line against an external timeout.
     val ladderDeadline =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER_DEADLINE_S", "1500").toDouble
+    val ladderHardCap =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER_HARD_CAP_S", "1850").toDouble
     def interleavedRuns(levels: Seq[Int], rounds: Int): Map[Int, Seq[Double]] = {
       val acc = scala.collection.mutable.Map[Int, Vector[Double]]()
         .withDefaultValue(Vector.empty)
       for (round <- 1 to rounds
-           if round <= 2 || elapsedMainSec < ladderDeadline;
+           if round <= 1 || (round <= 2 && elapsedMainSec < ladderHardCap) ||
+             elapsedMainSec < ladderDeadline;
            cpus <- levels) {
         val s = session(cpus)
         if (round == 1) { // JIT is JVM-wide; warm codegen/shuffle per level once

@@ -402,6 +402,16 @@ class FlowSpec extends AnyFunSuite {
     val pitMass = acc.join(dir.where($"dir" === 0), Seq("row", "col"))
       .agg(org.apache.spark.sql.functions.sum($"acc")).collect()(0).getLong(0)
     assert(pitMass == valid, s"pit mass $pitMass != $valid")
+    // the trace family through ITS distributed branch at the same size:
+    // every cell's basin outlet must be a pit (a dir=0 cell) — the
+    // closure invariant survives the pointer-doubling carry resolve
+    val ds = Flow.downstream(tiles, big, 6, driverLimit = 1000)
+    assert(ds.count() == valid)
+    val pits = dir.where($"dir" === 0)
+      .select($"row".as("basin_r"), $"col".as("basin_c"))
+    val nonPitOutlets = ds.select($"basin_r", $"basin_c").distinct()
+      .join(pits, Seq("basin_r", "basin_c"), "left_anti").count()
+    assert(nonPitOutlets == 0, s"$nonPitOutlets outlets are not pits")
   }
 
   test("flowAcc conservation: accumulation at pits sums to the valid cell count") {
