@@ -241,8 +241,7 @@ object Flow {
         }
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val nCross = summariesDs.map(_.crossing.length.toLong)
-          .toDF("n").agg(coalesce(sum($"n"), lit(0L))).collect()(0).getLong(0)
+        val nCross = crossingLenCount(summariesDs.map(_.crossing.length.toLong))
         if (nCross <= driverLimit) {
           // condensed solve on the driver: crossing edges keyed by source
           // cell — O(perimeter) rows, tiny next to cells
@@ -349,8 +348,8 @@ object Flow {
             .groupByKey(_._1)
             .mapGroups { (cid, it) =>
               (cid, it.map(t => (t._2, t._3, t._4)).toArray) }
-          crossDf.unpersist()
-          padded.joinWith(seedRows, padded("cellId") === seedRows("_1"), "left_outer")
+          val accDf = padded
+            .joinWith(seedRows, padded("cellId") === seedRows("_1"), "left_outer")
             .flatMap { case (pt, sd) =>
               val seeds: Map[(Long, Long), Long] =
                 if (sd == null) Map.empty
@@ -366,6 +365,11 @@ object Flow {
               }
               out.result().iterator
             }.toDF("row", "col", "acc").localCheckpoint(true)
+          // only after the eager checkpoint above — seedRows joins
+          // crossDf lazily, so an earlier unpersist would force its
+          // second read to recompute the crossing flatMap
+          crossDf.unpersist()
+          accDf
         }
       } finally summariesDs.unpersist()
     } finally padded.unpersist()
@@ -545,11 +549,17 @@ object Flow {
   }
 
   /** Crossing count of a persisted summary Dataset — the driver-vs-
-    * distributed branch decision reads ONLY this aggregate. */
+    * distributed branch decision reads ONLY this aggregate. One
+    * definition of the threshold statistic for BOTH summary shapes
+    * (TileSummary in flowAcc, TraceSummary in the trace family). */
+  private def crossingLenCount(lens: Dataset[Long]): Long = {
+    import lens.sparkSession.implicits._
+    lens.toDF("n").agg(coalesce(sum($"n"), lit(0L))).collect()(0).getLong(0)
+  }
+
   private def crossingCount(ds: Dataset[TraceSummary]): Long = {
     import ds.sparkSession.implicits._
-    ds.map(_.crossing.length.toLong).toDF("n")
-      .agg(coalesce(sum($"n"), lit(0L))).collect()(0).getLong(0)
+    crossingLenCount(ds.map(_.crossing.length.toLong))
   }
 
   /** Distributed chain resolve over the crossing FUNCTIONAL graph by
@@ -851,10 +861,14 @@ object Flow {
                 $"cnc", $"cnd")).as("best"))
               .select($"tr", $"tc", $"best.cnc".as("nc"), $"best.cnd".as("nd"))
               .as[(Long, Long, Long, Long)]
-            crossDf.unpersist()
-            seedRows
+            // checkpoint eagerly BEFORE dropping crossDf — seedRows
+            // reads it lazily, and the outer flatMap runs later
+            val byTile = seedRows
               .groupByKey(t => CellId.ofPixel(t._1, t._2, res))
               .mapGroups { (cid, it) => (cid, it.toArray) }
+              .localCheckpoint(true)
+            crossDf.unpersist()
+            byTile
           }
         padded
           .joinWith(seedsByTile, padded("cellId") === seedsByTile("_1"), "left_outer")

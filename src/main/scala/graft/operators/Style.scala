@@ -57,6 +57,12 @@ object Style {
   val NoDataRgb: Int = 0xC8C8C8 // matplotlib's "bad" grey family
   val Background: Int = 0xFFFFFF
 
+  /** matplotlib `Normalize` semantics: a degenerate range (lo == hi, or
+    * a non-finite span) maps every value to 0 rather than dividing to
+    * NaN — a flat raster renders as the ramp's low color, not black. */
+  private def normed(v: Double, lo: Double, span: Double): Double =
+    if (span > 0 && !span.isInfinite) (v - lo) / span else 0.0
+
   private def toPng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
@@ -76,7 +82,7 @@ object Style {
     while (i < values.length) {
       val v = values(i)
       img.setRGB(i % w, i / w,
-        if (v.isNaN) NoDataRgb else ramp((v - lo) / span))
+        if (v.isNaN) NoDataRgb else ramp(normed(v, lo, span)))
       i += 1
     }
     if (colorbar) {
@@ -243,7 +249,7 @@ object Style {
       while (i < t.payload.length) {
         val v = t.payload(i)
         img.setRGB(i % t.w, i / t.w,
-          if (v.isNaN) NoDataRgb else ramp((v - lo) / span))
+          if (v.isNaN) NoDataRgb else ramp(normed(v, lo, span)))
         i += 1
       }
       (t.cellId, toPng(img))

@@ -14,7 +14,9 @@ import org.apache.spark.sql.expressions.Window
   *    searches exactly ONLY inside those inverted lists — the scale path:
   *    the big side is partitioned by cluster id, per-query work drops from
   *    O(N) to O(N * nProbe / nlist), recall measured vs brute in tests. */
-object Similarity {
+// Serializable: executor-side closures call the private adcLut helper,
+// which captures the (stateless) module instance
+object Similarity extends Serializable {
 
   /** dot(a, b) as a codegen'd expression (double accumulation). */
   def dot(a: String, b: String) =
@@ -207,6 +209,29 @@ object Similarity {
     books
   }
 
+  /** ADC lookup table for one query against broadcast PQ codebooks:
+    * m x ksub squared subspace distances, flattened `s*ksub + c`.
+    * Shared by the Flat-PQ and IVF-PQ scans — one definition keeps the
+    * two distance tables from diverging. */
+  private def adcLut(
+      bcBooks: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+      ksub: Int, subDim: Int, qv: Array[Float]): Array[Double] = {
+    val bks = bcBooks.value
+    val lut = new Array[Double](bks.length * ksub)
+    var s = 0
+    while (s < bks.length) {
+      var c = 0
+      while (c < bks(s).length) {
+        val cw = bks(s)(c); var d = 0.0; var j = 0
+        while (j < subDim) { val t = qv(s * subDim + j) - cw(j); d += t * t; j += 1 }
+        lut(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
   /** PQ top-k by ADC (asymmetric distance computation) + exact re-rank —
     * the compressed exhaustive path (FAISS "Flat-PQ"; compose with the
     * [[ivfTopK]] inverted lists for the sublinear IVF-PQ variant).
@@ -245,22 +270,7 @@ object Similarity {
       }
     // ADC lookup table per query: m x ksub squared subspace distances,
     // flattened s*ksub + c. Computed from the broadcast codebooks.
-    def lutOf(qv: Array[Float]): Array[Double] = {
-      val bks = bcBooks.value
-      val lut = new Array[Double](bks.length * ksub)
-      var s = 0
-      while (s < bks.length) {
-        var c = 0
-        while (c < bks(s).length) {
-          val cw = bks(s)(c); var d = 0.0; var j = 0
-          while (j < subDim) { val t = qv(s * subDim + j) - cw(j); d += t * t; j += 1 }
-          lut(s * ksub + c) = d
-          c += 1
-        }
-        s += 1
-      }
-      lut
-    }
+    def lutOf(qv: Array[Float]): Array[Double] = adcLut(bcBooks, ksub, subDim, qv)
     val qBase = queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
     val nQBounded = qBase.limit(qBroadcastLimit + 1).count()
     val largeQ = nQBounded > qBroadcastLimit
@@ -358,22 +368,7 @@ object Similarity {
       .filter($"pr" <= nProbe)
       .select($"qid", $"cl")
     // per-query ADC lookup table, flattened s*ksub + c
-    def lutOf(qv: Array[Float]): Array[Double] = {
-      val bks = bcBooks.value
-      val lut = new Array[Double](bks.length * ksub)
-      var s = 0
-      while (s < bks.length) {
-        var c = 0
-        while (c < bks(s).length) {
-          val cw = bks(s)(c); var d = 0.0; var j = 0
-          while (j < subDim) { val t = qv(s * subDim + j) - cw(j); d += t * t; j += 1 }
-          lut(s * ksub + c) = d
-          c += 1
-        }
-        s += 1
-      }
-      lut
-    }
+    def lutOf(qv: Array[Float]): Array[Double] = adcLut(bcBooks, ksub, subDim, qv)
     val qBase = queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
     val nQBounded = qBase.limit(qBroadcastLimit + 1).count()
     val largeQ = nQBounded > qBroadcastLimit

@@ -364,8 +364,11 @@ class FlowSpec extends AnyFunSuite {
     // the tests above gate against driver-global oracles).
     val ref = Synth.demRef
     val tiles = TileOps.tileGrid(spark, ref, 4)(Synth.demValue)
+    // multiset compare (row -> count): a Set would mask duplicated rows
+    // from a frontier fan-out regression in the distributed branches
     def m(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (0 until r.length).map(r.get).toSeq).toSet
+      df.collect().map(r => (0 until r.length).map(r.get).toSeq)
+        .groupBy(identity).map { case (k, v) => (k, v.size) }
     assert(m(Flow.flowAcc(tiles, ref, 4, driverLimit = 0)) ==
       m(Flow.flowAcc(tiles, ref, 4)), "flowAcc")
     assert(m(Flow.downstream(tiles, ref, 4, driverLimit = 0)) ==

@@ -40,6 +40,17 @@ class StyleSpec extends AnyFunSuite {
     assert((img.getRGB(38, 15) & 0xFFFFFF) == Style.Terrain(0.0))
   }
 
+  test("mapshow: flat raster (lo == hi) renders ramp(0), not NaN-black") {
+    // matplotlib Normalize semantics: degenerate range maps to 0; the
+    // 0/0 division would otherwise NaN-propagate to black pixels
+    val vals = Array(5.0, 5.0, Double.NaN, 5.0)
+    val img = decode(Style.mapshowPng(vals, 2, 2, lo = 5.0, hi = 5.0,
+      colorbar = false))
+    assert((img.getRGB(0, 0) & 0xFFFFFF) == Style.Terrain(0.0))
+    assert((img.getRGB(1, 1) & 0xFFFFFF) == Style.Terrain(0.0))
+    assert((img.getRGB(0, 1) & 0xFFFFFF) == Style.NoDataRgb)
+  }
+
   test("rankshow: break classes, below-first -> nodata, legend blocks") {
     val vals = Array(0.1, 0.25, 0.4, 0.7, 1.5, 3.0, Double.NaN, 2.0)
     val breaks = Array(0.2, 0.3, 0.5, 1.0, 2.0)
