@@ -145,14 +145,24 @@ object Bench {
         burnedPx = metrics.map(_.cellsBurned))
       .groupBy($"v").count()
 
-    // kNN slab: one 256px-tall band across the full corpus width (scales
-    // with n so the stage weight is constant per tile), 2 points per tile
+    // kNN slab: a band across the full corpus width, 2 points per tile.
+    // The band HEIGHT scales with the corpus tile-row count (256 px per
+    // 512 tile rows — identical to the historical fixed-256px band at
+    // the 16,384-tile 1x reference size) so point DENSITY is constant in
+    // n and the stage weight is constant per tile. A fixed-height band
+    // made the stage quadratic: at 20x input, 655k points shared the
+    // same 1,024 res-6 buckets (~640/bucket -> ~3.8B ring comparisons)
+    // and per-tile throughput fell 2.3x vs 10x. Density, not point
+    // count, is the workload property a scale ladder must hold fixed.
     val slabW = gridW * ImageCorpus.TileSize
-    val slabRef = GridRef(slabW, 256, ref.left, ref.top - 256 * ref.cellsize, ref.cellsize)
+    val slabHpx = 256 * math.max(1, rows / 512)
+    val slabRef = GridRef(slabW, slabHpx, ref.left,
+      ref.top - slabHpx * ref.cellsize, ref.cellsize)
     val slabWm = slabW * ref.cellsize
+    val yMod = 4L * slabHpx // 1024 at the 1x reference size
     val pts = spark.range(2 * n).map { i =>
       PtRec(i, slabRef.left + (((i * 37.0) % slabWm) + 0.125),
-        slabRef.bottom + ((i * 53) % 1024) * 1.25 + 0.0625, (i % 400) / 4.0)
+        slabRef.bottom + ((i * 53) % yMod) * 1.25 + 0.0625, (i % 400) / 4.0)
     }
     // NOTE: nearestBucketed's construction runs its escalation guard (a
     // driver-side action) — built lazily INSIDE the kNN future below so

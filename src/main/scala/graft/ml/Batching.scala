@@ -36,7 +36,7 @@ object Batching {
     val deduped = pairs
       .withColumn("__r", row_number().over(keep))
       .filter(col("__r") === 1)
-      .select(col(idCol).as("id"), md5(col(idCol)).as("k"))
+      .select(col(idCol).as("id"), md5(col(idCol).cast("string")).as("k"))
     val indexed = globalIndex(deduped)
       .map { case (id, idx) => (id, idx / batchSize, idx % batchSize) }
     spark.createDataset(indexed).toDF(idCol, "batch_id", "pos")
@@ -73,10 +73,11 @@ object Batching {
     val period = sources.map(_._3).sum
     val offsets = sources.map(_._3).scanLeft(0)(_ + _)
     val indexed = sources.map { case (mod, df, quota) =>
-      val rows = df.select(col(idCol).as("id"), md5(col(idCol)).as("k"))
+      val rows = df.select(col(idCol).as("id"),
+        md5(col(idCol).cast("string")).as("k"))
       (mod, quota, globalIndex(rows).cache())
     }
-    val periods = indexed.zip(sources).map { case ((_, quota, rdd), _) =>
+    val periods = indexed.map { case (_, quota, rdd) =>
       rdd.count() / quota
     }.min
     val out = indexed.zipWithIndex.map { case ((mod, quota, rdd), mi) =>
@@ -138,8 +139,7 @@ object Batching {
     * leads with the zero-padded epoch. One range exchange of (id, epoch)
     * descriptors covers all epochs. Returns (idCol, epoch, global_pos). */
   def epochOrder(docs: DataFrame, idCol: String, epochs: Int): DataFrame = {
-    require(epochs > 0 && epochs < 10000000000L,
-      s"epochOrder: epochs must be in [1, 1e10), got $epochs")
+    require(epochs > 0, s"epochOrder: epochs must be positive, got $epochs")
     val spark = docs.sparkSession
     import spark.implicits._
     val keyed = docs.select(col(idCol).cast("string").as("id"))

@@ -81,10 +81,14 @@ object GraphOps {
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, "src").persist(mem)
     val teleport = (1.0 - damping) / n
+    // the dangling-node SET is iteration-invariant — compute it once;
+    // only its rank MASS changes per round (one semi-join + scalar agg)
+    val dangIds = nodes
+      .join(deg.select($"src".as("id")), Seq("id"), "left_anti")
+      .persist(mem)
     var ranks = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint()
     for (_ <- 1 to iters) {
-      val dangRow = ranks
-        .join(deg.select($"src".as("id")), Seq("id"), "left_anti")
+      val dangRow = ranks.join(dangIds, Seq("id"), "left_semi")
         .agg(sum($"pr")).collect()(0)
       val dangling = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDouble(0)
       val contribs = ed.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -95,7 +99,7 @@ object GraphOps {
           (coalesce($"c", lit(0.0)) + lit(dangling / n))).as("pr"))
         .localCheckpoint()
     }
-    e.unpersist(); ed.unpersist(); nodes.unpersist()
+    e.unpersist(); ed.unpersist(); nodes.unpersist(); dangIds.unpersist()
     ranks.select($"id".as("node"), $"pr")
   }
 

@@ -30,6 +30,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * does) and none of the staging applies. */
 object StreamOps {
 
+  /** Write `df` as a single parquet part and move it to `dir/name` with
+    * a controlled mtime (the file source orders batches by mtime). One
+    * definition for both stagers; the temp staging dir is removed after
+    * the move (it previously leaked one dir per chunk per call). */
+  private def moveChunk(dir: java.nio.file.Path, name: String,
+      df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("stream_chunk").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val partFile = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = dir.resolve(name)
+    Files.move(partFile.toPath, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(mtime)
+    deleteRecursively(new java.io.File(tmp))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+
   /** Per-user session state: last event time (ms), closed+open session
     * count, event count. Public top-level so Dataset encoders resolve. */
   final case class SessState(lastTs: Long, sessions: Long, events: Long)
@@ -62,17 +85,7 @@ object StreamOps {
       (1 until chunks).map(_.toDouble / chunks).toArray, 0.01)
       .map(_.toLong).distinct.sorted
     def moveChunk(name: String, df: org.apache.spark.sql.DataFrame,
-        mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("stream_chunk").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val partFile = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = dir.resolve(name)
-      Files.move(partFile.toPath, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(mtime)
-      ()
-    }
+        mtime: Long): Unit = StreamOps.moveChunk(dir, name, df, mtime)
     val base = System.currentTimeMillis() - 1000L * (chunks + 4)
     val cuts = (Vector(Long.MinValue) ++ bounds) :+ Long.MaxValue
     cuts.sliding(2).zipWithIndex.foreach { case (pair, i) =>
@@ -121,17 +134,7 @@ object StreamOps {
     val maxTs = maxRow.getLong(0)
     val mid = evMs.stat.approxQuantile("ts_ms", Array(0.5), 0.01)(0).toLong
     def moveChunk(name: String, df: org.apache.spark.sql.DataFrame,
-        mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("stream_chunk").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val partFile = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = dir.resolve(name)
-      Files.move(partFile.toPath, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(mtime)
-      ()
-    }
+        mtime: Long): Unit = StreamOps.moveChunk(dir, name, df, mtime)
     val base = System.currentTimeMillis() - 8000L
     moveChunk("c000.parquet", evMs.filter($"ts_ms" < mid).drop("ts_ms"), base)
     moveChunk("c001.parquet", evMs.filter($"ts_ms" >= mid).drop("ts_ms"),
@@ -424,12 +427,16 @@ object StreamOps {
       .repartition(chunks, $"idx")
       .write.mode("overwrite").partitionBy("idx").parquet(tmp)
     (0 until chunks).foreach { k =>
-      val part = new java.io.File(s"$tmp/idx=$k").listFiles()
-        .find(_.getName.endsWith(".parquet")).getOrElse(
-          throw new IllegalStateException(s"stageImageChunks: empty chunk $k"))
+      // listFiles() is null for a MISSING dir (partitionBy writes no dir
+      // for an empty chunk) — fold that into the empty-chunk error too
+      val files = Option(new java.io.File(s"$tmp/idx=$k").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+      val part = files.find(_.getName.endsWith(".parquet")).getOrElse(
+        throw new IllegalStateException(s"stageImageChunks: empty chunk $k"))
       Files.move(part.toPath, dir.resolve(f"chunk-$k%03d.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    deleteRecursively(new java.io.File(tmp))
     streamDir
   }
 

@@ -165,6 +165,10 @@ object TextOps {
       threshold10: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands): bands > k would " +
+        "hash empty slices (every doc collides -> O(N^2) candidates), " +
+        "k % bands != 0 silently drops trailing signature slots")
     val rowsPerBand = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
       .toDF("doc_id", "hs", "sig")
@@ -287,14 +291,19 @@ object TextOps {
       dfCap: Int = 1000): DataFrame = {
     val spark = hashed.sparkSession
     import spark.implicits._
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     val nChunks = maxHamming + 1
     val widths = Array.tabulate(nChunks)(j =>
       64 / nChunks + (if (j < 64 % nChunks) 1 else 0))
     val los = widths.scanLeft(0)(_ + _)
+    // a 64-bit chunk (maxHamming = 0) needs the all-ones mask: Scala's
+    // 1L << 64 wraps to 1, so (1L << 64) - 1 would be 0, not -1
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val chunks = (0 until nChunks).map { j =>
       struct(lit(j).as("ci"),
         (shiftrightunsigned($"simhash", los(j))
-          .bitwiseAND(lit((1L << widths(j)) - 1))).as("cv"))
+          .bitwiseAND(lit(mask(widths(j))))).as("cv"))
     }
     // persisted: feeds the df-cap aggregate AND both self-join sides —
     // without it the document scan + simhash kernel + explode recompute
@@ -639,7 +648,10 @@ object TextOps {
     val es = langScore(text, "es")
     val fr = langScore(text, "fr")
     val mx = greatest(en, de, es, fr)
-    when(mx === 0, "und")
+    // NULL text: every score is NULL, every when-predicate is NULL, and
+    // the bare otherwise would mislabel a null document "fr"
+    when(text.isNull, lit(null).cast("string"))
+      .when(mx === 0, "und")
       .when(en === mx, "en")
       .when(de === mx, "de")
       .when(es === mx, "es")

@@ -40,6 +40,41 @@ class TextSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "und"))
   }
 
+  test("langId: NULL text -> NULL label, not a spurious language") {
+    import spark.implicits._
+    val df = Seq((1L, Option("le chat et les")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+    val got = df.select($"id", TextOps.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("fr"), 2L -> None))
+  }
+
+  test("simhashNearPairs maxHamming=0: exact simhash duplicates found " +
+      "(64-bit chunk mask must be all-ones, not (1L<<64)-1 == 0)") {
+    import spark.implicits._
+    val hashed = Seq((1L, 0x0123456789ABCDEFL), (2L, 0x0123456789ABCDEFL),
+      (3L, 0x7EDCBA9876543210L), (4L, 0x7EDCBA9876543210L),
+      (5L, 0x5555AAAA5555AAAAL)).toDF("doc_id", "simhash")
+    val pairs = TextOps.simhashNearPairs(hashed, maxHamming = 0)
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+    intercept[IllegalArgumentException] {
+      TextOps.simhashNearPairs(hashed, maxHamming = -1)
+    }
+  }
+
+  test("minhashLshPairs rejects band configs that would explode or drop slots") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.minhashLshPairs(docs, "doc_id", "text", k = 8, bands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.minhashLshPairs(docs, "doc_id", "text", k = 64, bands = 12)
+    }
+  }
+
   test("simhash pigeonhole banding == all-pairs hamming join (sf0.001)") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
