@@ -40,6 +40,10 @@ object WavCodec {
     while (o + 8 <= bytes.length && (rate < 0 || samples == null)) {
       val id = new String(bytes, o, 4, "ASCII")
       val len = buf.getInt(o + 4)
+      // a corrupt/hostile length field must not stall the walk (len < 0
+      // stops o advancing) or overrun the buffer (len > remaining)
+      require(len >= 0 && o + 8 + len <= bytes.length,
+        s"WAV chunk '$id' at $o claims $len bytes of ${bytes.length - o - 8} remaining")
       id match {
         case "fmt " =>
           require(buf.getShort(o + 8) == 1, "PCM only")

@@ -44,15 +44,11 @@ object IceLite {
   def currentVersion(table: String): Int = {
     val md = Paths.get(table, "metadata")
     if (!Files.exists(md)) 0
-    else {
-      val vs = Files.list(md).iterator()
-      var best = 0
-      vs.forEachRemaining { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("v") && n.endsWith(".json"))
-          best = math.max(best, n.stripPrefix("v").stripSuffix(".json").toInt)
-      }
-      best
+    else listDir(md).foldLeft(0) { (best, p) =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && n.endsWith(".json"))
+        math.max(best, n.stripPrefix("v").stripSuffix(".json").toInt)
+      else best
     }
   }
 
@@ -69,15 +65,9 @@ object IceLite {
   def committedBuckets(table: String, snap: Long): Set[Int] = {
     val dir = Paths.get(table, "lineage", snap.toString)
     if (!Files.exists(dir)) Set.empty
-    else {
-      val out = Set.newBuilder[Int]
-      Files.list(dir).iterator().forEachRemaining { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("b-") && n.endsWith(".json"))
-          out += n.stripPrefix("b-").stripSuffix(".json").toInt
-      }
-      out.result()
-    }
+    else listDir(dir).iterator.map(_.getFileName.toString)
+      .filter(n => n.startsWith("b-") && n.endsWith(".json"))
+      .map(_.stripPrefix("b-").stripSuffix(".json").toInt).toSet
   }
 
   /** Resumable ingest: ONE dynamic-partition write of every

@@ -113,7 +113,10 @@ object Knn {
               Hit(r, c, Double.NaN, -1L, Double.PositiveInfinity, proven = false)
             else {
               val (pid, v, d2) = localTree.nearest(cx, cy)
-              Hit(r, c, v, pid, d2, proven = d2 <= guard2)
+              // STRICT: an unexamined point one bucket outside the ring
+              // can sit at exactly ringK*bucketW and win the lowest-pid
+              // tie — equality must escalate, not prove
+              Hit(r, c, v, pid, d2, proven = d2 < guard2)
             }
           }
         }
@@ -280,7 +283,8 @@ object Knn {
             else {
               val best = tree.knn(cx, cy, k)
               val dk = best.last._3
-              if (best.length == k && dk <= guard2)
+              // strict, same boundary-tie rule as nearestBucketed
+              if (best.length == k && dk < guard2)
                 Hit(r, c, idwOf(best), 0L, dk, proven = true)
               else Hit(r, c, Double.NaN,
                 if (best.length == k) 0L else -1L,

@@ -246,20 +246,28 @@ object Rasterize {
           if (r1 < r0 || c1 < c0) Iterator.empty
           else {
             val w = c1 - c0 + 1
+            // bounding boxes once per feature, not per pixel row (burn()
+            // does the same ahead of its pixel loops)
+            val bbox = fs.map { f =>
+              var xmin = Double.MaxValue; var xmax = Double.MinValue
+              var ymin = Double.MaxValue; var ymax = Double.MinValue
+              var k = 0
+              while (k < f.xs.length) {
+                val x = f.xs(k); val y = f.ys(k)
+                if (x < xmin) xmin = x; if (x > xmax) xmax = x
+                if (y < ymin) ymin = y; if (y > ymax) ymax = y
+                k += 1
+              }
+              (xmin, xmax, ymin, ymax)
+            }
             val out = Array.newBuilder[CellPx]
             var r = r0 + ((s - (r0 % salt)) % salt + salt) % salt // first row with r % salt == s
             while (r <= r1) {
               val rowVals = Array.fill(w)(Double.NaN)
-              fs.foreach { f =>
-                var xmin = Double.MaxValue; var xmax = Double.MinValue
-                var ymin = Double.MaxValue; var ymax = Double.MinValue
-                var k = 0
-                while (k < f.xs.length) {
-                  val x = f.xs(k); val y = f.ys(k)
-                  if (x < xmin) xmin = x; if (x > xmax) xmax = x
-                  if (y < ymin) ymin = y; if (y > ymax) ymax = y
-                  k += 1
-                }
+              var fi = 0
+              while (fi < fs.length) {
+                val f = fs(fi)
+                val (xmin, xmax, ymin, ymax) = bbox(fi)
                 val py = ref.top - (r + 0.5) * ref.cellsize
                 if (py >= ymin && py <= ymax) {
                   val fc0 = math.max(c0, math.ceil((xmin - ref.left) / ref.cellsize - 0.5).toInt)
@@ -272,6 +280,7 @@ object Rasterize {
                     c += 1
                   }
                 }
+                fi += 1
               }
               var c = 0
               while (c < w) {

@@ -672,7 +672,9 @@ object TileFns {
   def renderPng(tiles: Dataset[Tile], lo: Double, hi: Double)
       : Dataset[(Long, Array[Byte])] = {
     import tiles.sparkSession.implicits._
-    val span = hi - lo
+    // constant raster (lo == hi): render flat 0, not 0/0 = NaN-as-nodata
+    // everywhere (same guard GifWriter/MjpegAvi use)
+    val span = if (hi > lo) hi - lo else 1.0
     tiles.map { t =>
       val scaled = t.payload.map(v =>
         if (v.isNaN) Double.NaN else (v - lo) / span * 1000.0)

@@ -120,17 +120,20 @@ object AscIO {
   def formatG(v: Double): String = {
     if (v.isNaN) return "nan"
     if (v == 0.0) return "0"
-    val exp = math.floor(math.log10(math.abs(v))).toInt
     def trim(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s
-    if (exp < -4 || exp >= 6) {
-      val m = String.format("%.5e", Double.box(v)) // 6 significant digits
-      val Array(mant, e) = m.split("[eE]")
-      s"${trim(mant)}e$e"
-    } else {
-      trim(String.format(s"%.${5 - exp}f", Double.box(v)))
-    }
+    // the %e-vs-%f branch is chosen from the exponent AFTER rounding to
+    // 6 significant digits (C %g rounds first): 999999.5 must print
+    // "1e+06", not a 7-digit "1000000"; 9.9999951e-5 must print
+    // "0.0001", not "1e-04". (Residual divergence from C: Java %e
+    // rounds decimal ties HALF_UP where C uses the FP rounding mode —
+    // only exact-tie mantissas differ.)
+    val sci = String.format("%.5e", Double.box(v)) // 6 significant digits
+    val Array(mant, e) = sci.split("[eE]")
+    val exp = e.toInt
+    if (exp < -4 || exp >= 6) s"${trim(mant)}e$e"
+    else trim(String.format(s"%.${5 - exp}f", Double.box(v)))
   }
 
   /** Write one grid as ASC (gzip if path ends .gz) — arcgridwrite parity

@@ -112,8 +112,17 @@ object GeoTiffReader {
   private def mmap(path: String): ByteBuffer = {
     val ch = java.nio.channels.FileChannel.open(Paths.get(path),
       java.nio.file.StandardOpenOption.READ)
-    try ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size())
-    finally ch.close()
+    try {
+      // classic TIFF offsets are 32-bit; this reader additionally binds
+      // itself to one <= 2 GiB mapping (Int-indexed ByteBuffer, strip
+      // offsets narrowed via toInt). Fail loudly rather than wrapping an
+      // offset negative — BigTIFF (64-bit offsets) is the extension
+      // point for anything larger, not a bigger map.
+      require(ch.size() <= Int.MaxValue,
+        s"$path is ${ch.size()} bytes — classic-TIFF reader supports " +
+          "<= 2 GiB per file; split the export or use BigTIFF tooling")
+      ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size())
+    } finally ch.close()
   }
 
   private def toLocalPath(uri: String): String =
@@ -283,8 +292,10 @@ object GeoTiffReader {
     * byte ranges via [[readRowBand]] -> tile split (same contract as
     * AscIO.readTiles). One large file spreads across ceil(nrows/band)
     * tasks instead of one task decoding the whole raster — the windowed
-    * reader IS the task body, so a multi-GB strip-organized file never
-    * materializes in a single executor. Paths are local/POSIX (this
+    * reader IS the task body, so a large strip-organized file (<= 2 GiB
+    * each — the classic-TIFF bound [[mmap]] enforces; a 100 TB corpus is
+    * MANY such files, globbed here) never decodes whole in one
+    * executor. Paths are local/POSIX (this
     * engine's FS); on a cluster store the identical two-pass shape runs
     * on ranged opens. Bands are tile-aligned (bandTiles * 2^res source
     * rows) so the emitted tile set is byte-identical to a whole-file

@@ -22,7 +22,12 @@ object GeoTiffWriter {
     // an EPSG-coded crs on the header wins over the parameter default
     val epsgEff = if (ref.epsg > 0) ref.epsg else epsg
     val tiled = tileSize > 0
-    val nodataAscii = (AscIO.formatG(ref.nodata) + "\u0000").getBytes("ASCII")
+    // padded to >= 5 bytes (extra NULs are legal ASCII padding): a count
+    // <= 4 would require the value INLINE in the tag slot per the TIFF
+    // spec, but this writer always emits an offset — short nodata strings
+    // like "0" would otherwise round-trip as garbage
+    val nodataAscii = (AscIO.formatG(ref.nodata) + "\u0000")
+      .padTo(5, '\u0000').getBytes("ASCII")
 
     val tilesX = if (tiled) (ref.ncols + tileSize - 1) / tileSize else 1
     val tilesY = if (tiled) (ref.nrows + tileSize - 1) / tileSize else 1
@@ -63,15 +68,17 @@ object GeoTiffWriter {
         case _ => buf.putInt(value.toInt)
       }
     }
-    tag(256, 3, 1, ref.ncols) // ImageWidth
-    tag(257, 3, 1, ref.nrows) // ImageLength
+    // dims and RowsPerStrip as LONG (type 4), not SHORT: a SHORT value
+    // silently truncates any dimension > 65535 (value.toShort)
+    tag(256, 4, 1, ref.ncols) // ImageWidth
+    tag(257, 4, 1, ref.nrows) // ImageLength
     tag(258, 3, 1, 32) // BitsPerSample
     tag(259, 3, 1, 1) // Compression = none
     tag(262, 3, 1, 1) // Photometric = BlackIsZero
     if (!tiled) tag(273, 4, 1, dataOff) // StripOffsets
     tag(277, 3, 1, 1) // SamplesPerPixel
     if (!tiled) {
-      tag(278, 3, 1, ref.nrows) // RowsPerStrip (single strip)
+      tag(278, 4, 1, ref.nrows) // RowsPerStrip (single strip)
       tag(279, 4, 1, tileBytes) // StripByteCounts
     } else {
       tag(322, 3, 1, tileSize) // TileWidth

@@ -46,6 +46,11 @@ object ShpReader {
     while (pos < bytes.length) {
       buf.order(ByteOrder.BIG_ENDIAN)
       val contentWords = buf.getInt(pos + 4)
+      // record content length is untrusted input: <= 0 would stall the
+      // walk or move it backwards (infinite loop on a truncated file)
+      require(contentWords > 0 && pos + 8 + contentWords * 2L <= bytes.length,
+        s"shapefile record at $pos claims $contentWords words of " +
+          s"${(bytes.length - pos - 8) / 2} remaining: $path")
       val content = pos + 8
       buf.order(ByteOrder.LITTLE_ENDIAN)
       val shapeType = buf.getInt(content)

@@ -108,6 +108,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(AscIO.formatG(0.25) == "0.25")
     assert(AscIO.formatG(123.456789) == "123.457")
     assert(AscIO.formatG(0.00001) == "1e-05")
+    // rounding-boundary cases: branch selection must use the exponent
+    // AFTER rounding to 6 significant digits (python/C %g rounds first)
+    assert(AscIO.formatG(999999.5) == "1e+06")
+    assert(AscIO.formatG(999999.4) == "999999")
+    assert(AscIO.formatG(0.000099999951) == "0.0001")
+    assert(AscIO.formatG(0.000099999941) == "9.99999e-05")
   }
 
   test("distributed ASC export == single-buffer writer byte-for-byte; sparse bands -> nodata rows") {
