@@ -147,8 +147,12 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
     val xmax = all.map(_.ref.right).max
     val ymin = all.map(_.ref.bottom).min
     val ymax = all.map(_.ref.top).max
-    val u = GridRef(Math.rint((xmax - xmin) / ref.cellsize).toInt,
-      Math.rint((ymax - ymin) / ref.cellsize).toInt,
+    // TRUNCATION, not rounding: the reference computes the union dims
+    // with int() (spatial_analysis.py:267-279) and RefKernel.combine
+    // replicates that — a fractional extent/cellsize ratio must produce
+    // the same (smaller) grid here or the parity oracle diverges
+    val u = GridRef(((xmax - xmin) / ref.cellsize).toInt,
+      ((ymax - ymin) / ref.cellsize).toInt,
       xmin, ymin, ref.cellsize, ref.nodata, ref.crs)
     val patches = all.zipWithIndex.map { case (r, i) =>
       TileOps.alignedPatches(r.tiles, r.ref, u, res, seq = i, coverAll = true)

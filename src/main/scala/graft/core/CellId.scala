@@ -45,6 +45,10 @@ object CellId {
 
   def encode(res: Int, cx: Long, cy: Long): Long = {
     require(res >= 0 && res <= MaxRes, s"res out of range: $res")
+    // spread() keeps 29 bits per axis — out-of-range coords would alias
+    // to WRONG cells (silently merged buckets), so fail loudly instead
+    require(((cx | cy) >>> 29) == 0,
+      s"cell coords out of the 29-bit lattice: ($cx, $cy)")
     (res.toLong << 58) | zOrder(cx, cy)
   }
 
@@ -150,7 +154,11 @@ object CellId {
     val cy1 = maxRow >> res
     val cx0 = math.max(0L, minCol >> res)
     val cx1 = maxCol >> res
-    val buf = new Array[Long](((cy1 - cy0 + 1) * (cx1 - cx0 + 1)).toInt)
+    val n = (cy1 - cy0 + 1) * (cx1 - cx0 + 1)
+    require(n <= (1L << 28), // fail loudly, never a truncated .toInt alloc
+      s"coverWindow: $n cells — materialized covers are bounded at 2^28; " +
+        "enumerate per-band or raise res")
+    val buf = new Array[Long](n.toInt)
     var i = 0
     var y = cy0
     while (y <= cy1) {

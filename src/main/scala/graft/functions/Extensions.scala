@@ -24,12 +24,19 @@ object RewriteCellWindowPredicates extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case CellInWindowExpr(Seq(cell, a, b, c, d, r))
+      case orig @ CellInWindowExpr(Seq(cell, a, b, c, d, r))
           if Seq(a, b, c, d, r).forall(lit(_).isDefined) =>
         val (minRow, maxRow) = (lit(a).get, lit(b).get)
         val (minCol, maxCol) = (lit(c).get, lit(d).get)
         val res = lit(r).get.toInt
+        val cells = // cover size BEFORE materializing: this runs at PLAN
+          // time, and an unbounded user window (e.g. 2e9 x 2e9 px) would
+          // otherwise overflow coverWindow's Int allocation or OOM the
+          // driver — past the cap the predicate simply stays interpreted
+          (math.max(0L, maxRow >> res) - math.max(0L, minRow >> res) + 1) *
+            (math.max(0L, maxCol >> res) - math.max(0L, minCol >> res) + 1)
         if (minRow > maxRow || minCol > maxCol) Literal.FalseLiteral
+        else if (cells > (1L << 20)) orig // returned UNCHANGED -> fixpoint
         else {
           val ranges = CellId.zRanges(
             CellId.coverWindow(math.max(0, minRow), maxRow,

@@ -45,8 +45,12 @@ object AsOfJoin {
       lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(rType).as("__r"))
     // a NULL right timestamp would sort nulls-first and become "earlier
     // than everything" — SQL as-of semantics (ts <= ts) never match it,
-    // so drop such rows up front
-    val ru = right.filter(right(rightTs).isNotNull)
+    // so drop such rows up front. A NULL right KEY is dropped for the
+    // same reason: Window.partitionBy groups NULLs together, which would
+    // match NULL-key left rows (an equi/sort-merge join never matches
+    // NULL = NULL; pandas merge_asof and DuckDB ASOF JOIN agree).
+    // NULL-key LEFT rows stay — left-join semantics, payload null.
+    val ru = right.filter(right(rightTs).isNotNull && right(key).isNotNull)
       .select(right(key).as("__k"), right(rightTs).as("__ts"),
       lit(0).as("__side"), lit(null).cast(lType).as("__l"), rStruct.as("__r"))
     val w = Window.partitionBy(col("__k"))
@@ -73,6 +77,9 @@ object AsOfJoin {
       leftTs: String, rightTs: String, tolSec: Long,
       leftCols: Seq[String], rightCols: Seq[String],
       rightPrefix: String = "r_"): DataFrame = {
+    require(tolSec > 0, // tol=0 would divide __lus by zero -> NULL
+      s"rangeJoin: tolSec must be positive, got $tolSec (for exact-" +
+        "timestamp pairing use an equi-join on the timestamp)")
     val tolUs = tolSec * 1000000L
     val l = left.select((Seq(left(key).as("__k"),
       unix_micros(left(leftTs).cast("timestamp")).as("__lus")) ++ leftCols.map(left(_))): _*)

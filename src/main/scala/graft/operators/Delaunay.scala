@@ -554,10 +554,17 @@ object Delaunay {
         val (i, j, kk) = IJK(t)
         val coef = 6.0 / (fact(i) * fact(j) * fact(kk))
         acc += coef * cpts(base + t) *
-          math.pow(bl0, i) * math.pow(bl1, j) * math.pow(bl2, kk)
+          ipow(bl0, i) * ipow(bl1, j) * ipow(bl2, kk)
         t += 1
       }
       acc
+    }
+    // exponents are 0..3 — plain multiplies, not 30 math.pow calls per
+    // cell on the cubic hot path (Math.pow(v, 2) == v*v exactly for
+    // these small integer exponents on HotSpot, verified by the r21
+    // hash gate and the CT goldens)
+    private def ipow(v: Double, m: Int): Double = m match {
+      case 0 => 1.0; case 1 => v; case 2 => v * v; case _ => v * v * v
     }
     private def fact(m: Int): Double = m match {
       case 0 => 1.0; case 1 => 1.0; case 2 => 2.0; case _ => 6.0
@@ -736,7 +743,6 @@ object Delaunay {
     // tiny lattices (reference-scale grids) skip escalation entirely:
     // one exhaustive round costs less than the proof/escalate machinery
     var ring = if ((maxCx + 1) * (maxCy + 1) <= 16) maxRing else 2
-    var escalated = false
 
     var done = false
     while (!done) {
@@ -752,7 +758,6 @@ object Delaunay {
       }.distinct().collect().sorted
       if (needBuckets.isEmpty) { done = true }
       else {
-      escalated = true
       val ringUsed = ring
       val exhaustive = ringUsed >= maxRing
       val bcNeed = spark.sparkContext.broadcast(needBuckets)

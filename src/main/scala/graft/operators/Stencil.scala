@@ -18,8 +18,12 @@ object Stencil {
   final case class Frag(targetCell: Long, row0: Int, col0: Int, h: Int, w: Int,
       payload: Array[Double])
 
-  /** Emit self + 8 border fragments per tile. */
-  def withHalo(tiles: Dataset[Tile], res: Int): Dataset[Frag] = {
+  /** Emit self + 8 border fragments per tile. `maxCx`/`maxCy` bound the
+    * neighbor lattice ABOVE as well: without them every right/bottom
+    * edge tile ships up to 3 fragments addressed past the grid through
+    * the shuffle only for [[padded]] to discard them. */
+  def withHalo(tiles: Dataset[Tile], res: Int,
+      maxCx: Long = Long.MaxValue, maxCy: Long = Long.MaxValue): Dataset[Frag] = {
     import tiles.sparkSession.implicits._
     tiles.flatMap { t =>
       val self = Frag(t.cellId, t.row0, t.col0, t.h, t.w, t.payload)
@@ -45,7 +49,8 @@ object Stencil {
       val left = t.col0
       val right = t.col0 + t.w - 1
       def neigh(dx: Long, dy: Long): Option[Long] =
-        if (cx + dx < 0 || cy + dy < 0) None
+        if (cx + dx < 0 || cy + dy < 0 || cx + dx > maxCx || cy + dy > maxCy)
+          None
         else Some(CellId.encode(CellId.res(t.cellId), cx + dx, cy + dy))
       // edges
       neigh(0, -1).foreach(n => frags += Frag(n, top, left, 1, t.w, strip(top, left, 1, t.w)))
@@ -74,7 +79,9 @@ object Stencil {
     import tiles.sparkSession.implicits._
     val nrows = ref.nrows
     val ncols = ref.ncols
-    withHalo(tiles, res).groupByKey(_.targetCell).flatMapGroups { (cid, it) =>
+    withHalo(tiles, res, maxCx = (ncols - 1).toLong >> res,
+        maxCy = (nrows - 1).toLong >> res)
+      .groupByKey(_.targetCell).flatMapGroups { (cid, it) =>
       val frags = it.toArray
       val (r0L, c0L, size) = CellId.pixelWindow(cid)
       val r0 = r0L.toInt
