@@ -119,10 +119,50 @@ object SparkEntry {
       s.read.parquet(perceptualCorpusDir)
     }
 
-  /** Cents helper: exact integer money (round-half-away on positives in
-    * both engines). */
+
+  /** Shared e-family fixture: 16 true clusters x 30 members, dim 16,
+    * dyadic coordinates (bit-identical cosines across engines). e2/e3/e4
+    * consume it verbatim (e7 rebuilds it with a lang column) and their
+    * DuckDB oracles regenerate this exact closed form — ONE definition
+    * keeps the four hash gates synchronized. */
+  private def clusteredEmbeddings(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val C = 16; val M = 30; val dim = 16
+    s.range(C.toLong * M).map { vid =>
+      val cl = (vid % C).toInt; val m = (vid / C).toInt
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d == cl) 8.0f else 0.0f
+        center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
+      }
+      (vid, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Shared v-family fixture: 8 GIF clips x 12 frames with a planted
+    * scene cut at frame 6 (v2/v3/v4; v1 uses a cut-free variant). Same
+    * single-source-of-truth rule as [[clusteredEmbeddings]]. */
+  private def sceneCutGifClips(s: SparkSession) = {
+    import s.implicits._
+    s.range(8).map { cid =>
+      val frames = (0 until 12).map { f =>
+        Array.tabulate(48 * 32) { i =>
+          val code = if (f < 6) (cid * 37 + f * 11 + i) % 251
+                     else (cid * 37 + f * 11 + i * 3 + 97) % 251
+          code.toDouble
+        }
+      }
+      (cid.toLong, graft.sources.GifWriter.writeAnimatedBytes(
+        frames, 48, 32, lo = 0, hi = 250, delayCs = 10))
+    }
+  }
+
+  /** Cents helper: exact integer money via floor(v*100 + 0.5) — pure
+    * IEEE multiply/add/floor, bit-identical in Spark and DuckDB. round()
+    * is banned for gated money columns: Spark rounds the shortest-decimal
+    * BigDecimal HALF_UP while DuckDB rounds the binary double, so a
+    * dyadic *.x5 boundary row flips the hash (the r4 q9 regression). */
   private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100).cast("long")
+    floor(c * 100 + lit(0.5)).cast("long")
 
   /** Chronologically staged event stream for the s1/s2 streaming queries
     * (one staging per events table per JVM; each query run gets a fresh
@@ -397,20 +437,12 @@ object SparkEntry {
     // ULP. Recall-vs-brute on a clustered fixture also stays in SimSpec.
     "e2_ann_ivf" -> ((s, _) => {
       import s.implicits._
-      val C = 16; val M = 30; val dim = 16
-      val e = s.range(C.toLong * M).map { vid =>
-        val cl = (vid % C).toInt; val m = (vid / C).toInt
-        val v = Array.tabulate(dim) { d =>
-          val center = if (d == cl) 8.0f else 0.0f
-          center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
-        }
-        (vid, v)
-      }.toDF("vec_id", "embedding")
+      val e = clusteredEmbeddings(s)
       // init (lowest 16 vids) is already one member per true cluster, so
       // Lloyd's converges on iteration 1; 2 iterations = convergence proof
       // at half the fixed per-job overhead of 4
       val (clusters, centroids) = graft.sim.Similarity.kmeansWithCentroids(
-        s, e, "vec_id", "embedding", k = C, iters = 2)
+        s, e, "vec_id", "embedding", k = 16, iters = 2) // k = #true clusters
       val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
@@ -460,15 +492,7 @@ object SparkEntry {
     // output equals DuckDB's exact top-5 — hash-gated.
     "e3_ann_pq" -> ((s, _) => {
       import s.implicits._
-      val C = 16; val M = 30; val dim = 16
-      val e = s.range(C.toLong * M).map { vid =>
-        val cl = (vid % C).toInt; val m = (vid / C).toInt
-        val v = Array.tabulate(dim) { d =>
-          val center = if (d == cl) 8.0f else 0.0f
-          center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
-        }
-        (vid, v)
-      }.toDF("vec_id", "embedding")
+      val e = clusteredEmbeddings(s)
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
       graft.sim.Similarity.pqTopK(s, e, "vec_id", "embedding", q,
@@ -483,17 +507,9 @@ object SparkEntry {
     // quantization error, so shortlist + exact re-rank == exact top-5.
     "e4_ann_ivfpq" -> ((s, _) => {
       import s.implicits._
-      val C = 16; val M = 30; val dim = 16
-      val e = s.range(C.toLong * M).map { vid =>
-        val cl = (vid % C).toInt; val m = (vid / C).toInt
-        val v = Array.tabulate(dim) { d =>
-          val center = if (d == cl) 8.0f else 0.0f
-          center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
-        }
-        (vid, v)
-      }.toDF("vec_id", "embedding")
+      val e = clusteredEmbeddings(s)
       val (clusters, centroids) = graft.sim.Similarity.kmeansWithCentroids(
-        s, e, "vec_id", "embedding", k = C, iters = 2)
+        s, e, "vec_id", "embedding", k = 16, iters = 2) // k = #true clusters
       val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
@@ -729,17 +745,7 @@ object SparkEntry {
     // as v1.
     "v2_scene_cuts" -> ((s, _) => {
       import s.implicits._
-      val clips = s.range(8).map { cid =>
-        val frames = (0 until 12).map { f =>
-          Array.tabulate(48 * 32) { i =>
-            val code = if (f < 6) (cid * 37 + f * 11 + i) % 251
-                       else (cid * 37 + f * 11 + i * 3 + 97) % 251
-            code.toDouble
-          }
-        }
-        (cid.toLong, graft.sources.GifWriter.writeAnimatedBytes(
-          frames, 48, 32, lo = 0, hi = 250, delayCs = 10))
-      }
+      val clips = sceneCutGifClips(s)
       graft.codecs.VideoOps.sceneCuts(clips, threshold = 65000L)
         .orderBy($"clip_id", $"frame_idx")
     }),
@@ -751,17 +757,7 @@ object SparkEntry {
     // pins frame order inside each window.
     "v3_clip_windows" -> ((s, _) => {
       import s.implicits._
-      val clips = s.range(8).map { cid =>
-        val frames = (0 until 12).map { f =>
-          Array.tabulate(48 * 32) { i =>
-            val code = if (f < 6) (cid * 37 + f * 11 + i) % 251
-                       else (cid * 37 + f * 11 + i * 3 + 97) % 251
-            code.toDouble
-          }
-        }
-        (cid.toLong, graft.sources.GifWriter.writeAnimatedBytes(
-          frames, 48, 32, lo = 0, hi = 250, delayCs = 10))
-      }
+      val clips = sceneCutGifClips(s)
       graft.codecs.VideoOps.clipWindows(clips, winFrames = 4, stride = 3)
         .orderBy($"clip_id", $"win_idx")
     }),
@@ -772,17 +768,7 @@ object SparkEntry {
     // integer argmax is engine-independent. Per-clip kernel, no shuffle.
     "v4_keyframes" -> ((s, _) => {
       import s.implicits._
-      val clips = s.range(8).map { cid =>
-        val frames = (0 until 12).map { f =>
-          Array.tabulate(48 * 32) { i =>
-            val code = if (f < 6) (cid * 37 + f * 11 + i) % 251
-                       else (cid * 37 + f * 11 + i * 3 + 97) % 251
-            code.toDouble
-          }
-        }
-        (cid.toLong, graft.sources.GifWriter.writeAnimatedBytes(
-          frames, 48, 32, lo = 0, hi = 250, delayCs = 10))
-      }
+      val clips = sceneCutGifClips(s)
       graft.codecs.VideoOps.keyFrames(clips, winFrames = 4, stride = 3)
         .orderBy($"clip_id", $"win_idx")
     }),
@@ -863,7 +849,7 @@ object SparkEntry {
         .withColumn("day", to_date($"ts"))
         .rollup($"day", $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum(round($"value" * 100, 0).cast("long")).as("sum_c"),
+          sum(floor($"value" * 100 + lit(0.5)).cast("long")).as("sum_c"),
           grouping_id($"day", $"event_type").cast("long").as("lvl"))
         .orderBy($"lvl", $"day", $"event_type")
     }),
@@ -893,7 +879,7 @@ object SparkEntry {
         .withColumn("dow", dayofweek($"ts").cast("long"))
         .cube($"dow", $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum(round($"value" * 100, 0).cast("long")).as("sum_c"),
+          sum(floor($"value" * 100 + lit(0.5)).cast("long")).as("sum_c"),
           grouping_id($"dow", $"event_type").cast("long").as("lvl"))
         .orderBy($"lvl", $"dow", $"event_type")
     }),
@@ -924,7 +910,7 @@ object SparkEntry {
     // hash agg, one shuffle on the bar key.
     "q15_ohlc_bars" -> ((s, dir) => {
       import s.implicits._
-      val cents = round($"value" * 100, 0).cast("long")
+      val cents = floor($"value" * 100 + lit(0.5)).cast("long")
       table(s, dir, "events")
         .select($"user_id", date_trunc("hour", $"ts").as("bar"),
           $"ts", $"event_id", cents.as("c"))
@@ -1217,7 +1203,9 @@ object SparkEntry {
           graft.text.TextOps.wordShingles(split($"text", " "), 8)).as("g"))
         .select($"doc_id", xxhash64($"g").as("h"))
         .groupBy($"h", $"doc_id").agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // eager, blocks freed with the plan — a persist()
+        // here pins the CacheManager for the SESSION (three cached
+        // relations would survive every later query of a 138-query sweep)
       val cross = gc.groupBy($"h").agg(count(lit(1)).as("df"))
         .filter($"df" >= 2).select($"h")
       val nGrams = gc.groupBy($"doc_id").agg(sum($"c").as("n_grams"))
@@ -1322,7 +1310,9 @@ object SparkEntry {
       val terms = table(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
       val cnt = terms.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // eager, blocks freed with the plan — a persist()
+        // here pins the CacheManager for the SESSION (three cached
+        // relations would survive every later query of a 138-query sweep)
       val df = cnt.groupBy($"tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy($"doc_id")
         .orderBy($"score".desc, $"tok".asc)
@@ -1379,7 +1369,9 @@ object SparkEntry {
         .select($"doc_id", explode(array_distinct(
           graft.text.TextOps.wordShingles(split($"text", " "), 4))).as("g"))
         .select($"doc_id", xxhash64($"g").as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // eager, blocks freed with the plan — a persist()
+        // here pins the CacheManager for the SESSION (three cached
+        // relations would survive every later query of a 138-query sweep)
       val bench = grams.filter($"doc_id" % 7 === 0).select($"h").distinct()
       grams.filter($"doc_id" % 7 =!= 0)
         .join(broadcast(bench), "h")
@@ -2868,15 +2860,15 @@ object SparkEntry {
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
-        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
-        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
         | count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q2_top_orders" ->
       """WITH rev AS (
         |  SELECT l_orderkey,
-        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM lineitem GROUP BY 1)
         |SELECT o.o_orderkey, c.c_name, rev.rev_cents,
         |  epoch_ms(o.o_orderdate) AS order_epoch
@@ -3725,7 +3717,7 @@ object SparkEntry {
     "q10_rollup" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c,
         |  CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS lvl
         |FROM events
         |GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
@@ -3759,7 +3751,7 @@ object SparkEntry {
     "q13_cube" ->
       """SELECT dayofweek(ts) + 1 AS dow, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c,
         |  CAST(GROUPING(dayofweek(ts) + 1, event_type) AS BIGINT) AS lvl
         |FROM events
         |GROUP BY CUBE(dayofweek(ts) + 1, event_type)
@@ -3778,7 +3770,7 @@ object SparkEntry {
     // struct keys) — same deterministic tie-break
     "q15_ohlc_bars" ->
       """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bar, ts, event_id,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
         |o AS (SELECT user_id, bar, c,
         |    row_number() OVER (PARTITION BY user_id, bar
         |      ORDER BY ts, event_id) AS rf,
@@ -5083,7 +5075,7 @@ object SparkEntry {
     "s1_stream_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS w_start, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // s8: the ORIGINAL events only — the 100 late re-deliveries must
@@ -5091,7 +5083,7 @@ object SparkEntry {
     "s8_stream_late_drop" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS w_start, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // s6: the stream-static broadcast enrichment + windowed aggregate ==
@@ -5101,7 +5093,7 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS w_start,
         |  'seg' || CAST(user_id % 5 AS VARCHAR) AS segment, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // s2: the streaming sessionizer's final per-user rows equal the batch

@@ -16,7 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: comma-separated query names (driver sets none)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // trimmed, blanks dropped; an effectively-empty filter means none
+    // (SPARK_GRAFT_ONLY="" silently selecting ZERO queries would dump an
+    // empty oracle_sql.json that "passes" with nothing checked)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -200,11 +200,16 @@ object ImageCorpus {
     * The tile position comes from the CAPTION-INDEPENDENT source index
     * embedded in the grid layout (tx, ty parsed back from pixel geometry is
     * not needed — the corpus is position-keyed by construction). */
-  def decodeTiles(corpus: Dataset[ImageRow], gridW: Int): Dataset[DecodedTile] = {
+  def decodeTiles(corpus: Dataset[ImageRow], gridW: Int,
+      plantedDups: Boolean = true): Dataset[DecodedTile] = {
     import corpus.sparkSession.implicits._
     corpus.map { row =>
       val i = row.image_id.stripPrefix("img-").toLong
-      val src = if (i > 0 && i % 251 == 0) i - 1 else i
+      // the i % 251 re-key mirrors generate()'s PLANTED duplicate rule
+      // (row i carries a copy of row i-1's tile). Corpora without that
+      // rule (generateExact/generatePerceptual at n > 251) must pass
+      // plantedDups = false or tile 251k would land on 251k-1's cell.
+      val src = if (plantedDups && i > 0 && i % 251 == 0) i - 1 else i
       val tx = (src % gridW).toInt
       val ty = (src / gridW).toInt
       val (payload, w, h) = ImageCodec.decode(row.bytes, row.fmt)

@@ -29,9 +29,20 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[ImageRow], batchId: Long) =>
-        val tiles = ImageCorpus.decodeTiles(batch, gridW).map { d =>
-          graft.core.Tile(d.cellId, d.row0, d.col0, d.h, d.w, d.payload)
-        }(org.apache.spark.sql.Encoders.product[graft.core.Tile])
+        import batch.sparkSession.implicits._
+        // last-wins by image index per micro-batch (the mosaic seq
+        // rule the class doc promises): generate()-style corpora plant
+        // duplicate-cell rows, and icelite treats cellId as the row
+        // key — committing both would double-count the cell
+        val tiles = ImageCorpus.decodeTiles(batch, gridW)
+          .groupByKey(_.cellId)
+          .reduceGroups { (a: graft.corpus.DecodedTile,
+              b: graft.corpus.DecodedTile) =>
+            if (a.imageId >= b.imageId) a else b // zero-padded ids
+          }
+          .map { case (_, d) =>
+            graft.core.Tile(d.cellId, d.row0, d.col0, d.h, d.w, d.payload)
+          }(org.apache.spark.sql.Encoders.product[graft.core.Tile])
         IceLite.commitResumable(batch.sparkSession, tiles, table, buckets,
           snap = batchId + 1)
         batches += 1

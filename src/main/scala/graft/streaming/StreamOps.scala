@@ -174,7 +174,7 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum(round($"value" * 100).cast("long")).as("value_cents"))
+        sum(floor($"value" * 100 + lit(0.5)).cast("long")).as("value_cents"))
       .select(unix_millis($"window.start").as("w_start"), $"event_type",
         $"n", $"value_cents")
       .writeStream.outputMode("append").format("memory").queryName(queryName)
@@ -397,7 +397,7 @@ object StreamOps {
       .join(broadcast(dim), Seq("user_id"))
       .groupBy(window($"ts", "1 hour"), $"segment", $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum(round($"value" * 100).cast("long")).as("value_cents"))
+        sum(floor($"value" * 100 + lit(0.5)).cast("long")).as("value_cents"))
       .select(unix_millis($"window.start").as("w_start"), $"segment",
         $"event_type", $"n", $"value_cents")
       .writeStream.outputMode("append").format("memory").queryName(queryName)
