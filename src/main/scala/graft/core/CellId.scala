@@ -154,6 +154,9 @@ object CellId {
     val cy1 = maxRow >> res
     val cx0 = math.max(0L, minCol >> res)
     val cx1 = maxCol >> res
+    // an inverted or fully-off-grid window (maxRow/maxCol below the
+    // clamped min) covers nothing — return empty, never a negative alloc
+    if (cy1 < cy0 || cx1 < cx0) return Array.emptyLongArray
     val n = (cy1 - cy0 + 1) * (cx1 - cx0 + 1)
     require(n <= (1L << 28), // fail loudly, never a truncated .toInt alloc
       s"coverWindow: $n cells — materialized covers are bounded at 2^28; " +

@@ -35,7 +35,11 @@ object RewriteCellWindowPredicates extends Rule[LogicalPlan] {
           // driver — past the cap the predicate simply stays interpreted
           (math.max(0L, maxRow >> res) - math.max(0L, minRow >> res) + 1) *
             (math.max(0L, maxCol >> res) - math.max(0L, minCol >> res) + 1)
-        if (minRow > maxRow || minCol > maxCol) Literal.FalseLiteral
+        // inverted OR entirely-off-grid (all-negative) windows match no
+        // cell — fold to false instead of handing coverWindow an empty
+        // clamped range
+        if (minRow > maxRow || minCol > maxCol || maxRow < 0 || maxCol < 0)
+          Literal.FalseLiteral
         else if (cells > (1L << 20)) orig // returned UNCHANGED -> fixpoint
         else {
           val ranges = CellId.zRanges(

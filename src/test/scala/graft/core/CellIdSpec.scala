@@ -61,6 +61,13 @@ class CellIdSpec extends AnyFunSuite {
     assert(ids2.length == 4) // rows 0..1 x cols 0..1 at block16
   }
 
+  test("coverWindow of inverted / fully-off-grid windows is empty") {
+    assert(CellId.coverWindow(20, 10, 0, 50, 4).isEmpty)   // inverted rows
+    assert(CellId.coverWindow(0, 50, 20, 10, 4).isEmpty)   // inverted cols
+    assert(CellId.coverWindow(-40, -1, 0, 50, 4).isEmpty)  // above the grid
+    assert(CellId.coverWindow(0, 50, -40, -1, 4).isEmpty)  // left of it
+  }
+
   test("compact folds 4 siblings into parent") {
     val p = CellId.encode(9, 3, 4)
     val cover = CellId.children(p) ++ Array(CellId.encode(8, 99, 99))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{expr, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core._
 import graft.corpus.Synth
@@ -56,6 +56,41 @@ class ExtensionsSpec extends AnyFunSuite {
 
   private def naiveAll(dir: String): Set[Long] =
     spark.read.parquet(dir).select("cellId").collect().map(_.getLong(0)).toSet
+
+  test("degenerate windows fold to false at plan time (never a bad alloc)") {
+    GraftFunctions.register(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteCellWindowPredicates
+    try {
+      import spark.implicits._
+      // NOT a LocalRelation: ConvertToLocalRelation would fold a
+      // literal-backed filter away before the extra optimization ever
+      // ran, so the rule would go unexercised
+      val df = spark.range(1)
+        .select(lit(CellId.encode(6, 0, 0)).as("cellId"))
+      // inverted, fully-above-grid, fully-left-of-grid: all must plan
+      // (no NegativeArraySizeException) and return zero rows
+      for (pred <- Seq(
+          "cell_in_window(cellId, 90, 20, 0, 100, 6)",
+          "cell_in_window(cellId, -40, -1, 0, 100, 6)",
+          "cell_in_window(cellId, 0, 100, -40, -1, 6)")) {
+        val q = df.filter(expr(pred))
+        assert(q.count() == 0, pred)
+        assert(!q.queryExecution.optimizedPlan.toString
+          .toLowerCase.contains("cellinwindow"), pred)
+      }
+      // huge window: stays interpreted (no plan-time materialization)
+      val big = df.filter(expr(
+        s"cell_in_window(cellId, 0, ${1L << 40}, 0, ${1L << 40}, 6)"))
+      assert(big.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("cellinwindow"))
+      assert(big.count() == 1)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq RewriteCellWindowPredicates)
+    }
+  }
 
   test("GraftExtensions injects functions + rule without error") {
     val ext = new SparkSessionExtensions
