@@ -102,7 +102,11 @@ object CellId {
     val x0 = math.max(0L, x - k); val x1 = math.min(maxCx, x + k)
     val y0 = math.max(0L, y - k); val y1 = math.min(maxCy, y + k)
     if (x0 > x1 || y0 > y1) return Array.empty
-    val buf = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    val n = (x1 - x0 + 1) * (y1 - y0 + 1)
+    require(n <= (1L << 28), // fail loudly, never a truncated .toInt alloc
+      s"kRingClamped: $n cells — materialized rings are bounded at 2^28; " +
+        "an exhaustive ring over a lattice this size must batch its probes")
+    val buf = new Array[Long](n.toInt)
     var i = 0
     var yy = y0
     while (yy <= y1) {

@@ -39,6 +39,11 @@ object LineSurface {
     import lines.sparkSession.implicits._
     lines.flatMap { ln =>
       val n = RefKernel.line2sub(ref, ln.xs, ln.ys).length
+      // station ids pack (lineId << 20 | k): overflowing the 2^20 budget
+      // would silently collide with the NEXT line's stations — fail loudly
+      require(n < (1 << 20),
+        s"stations: line ${ln.lineId} rasterizes to $n cells, past the " +
+          "2^20 per-line station-id budget (split the line)")
       if (n == 0) Iterator.empty
       else {
         // arc-length parameterization of the polyline
