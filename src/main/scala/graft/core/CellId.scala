@@ -161,10 +161,16 @@ object CellId {
     // an inverted or fully-off-grid window (maxRow/maxCol below the
     // clamped min) covers nothing — return empty, never a negative alloc
     if (cy1 < cy0 || cx1 < cx0) return Array.emptyLongArray
-    val n = (cy1 - cy0 + 1) * (cx1 - cx0 + 1)
-    require(n <= (1L << 28), // fail loudly, never a truncated .toInt alloc
-      s"coverWindow: $n cells — materialized covers are bounded at 2^28; " +
-        "enumerate per-band or raise res")
+    // per-axis spans bounded BEFORE the +1/product: a planet-scale window
+    // (maxRow = Long.MaxValue) would wrap the arithmetic and hand the
+    // require a negative n, defeating the bound it exists to enforce
+    val rowsN = cy1 - cy0 // both >= 0 here, no overflow
+    val colsN = cx1 - cx0
+    require(rowsN < (1L << 28) && colsN < (1L << 28) &&
+      (rowsN + 1) * (colsN + 1) <= (1L << 28),
+      s"coverWindow: ${rowsN + 1} x ${colsN + 1} cells — materialized " +
+        "covers are bounded at 2^28; enumerate per-band or raise res")
+    val n = (rowsN + 1) * (colsN + 1)
     val buf = new Array[Long](n.toInt)
     var i = 0
     var y = cy0

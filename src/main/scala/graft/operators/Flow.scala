@@ -685,10 +685,18 @@ object Flow {
               .toDF("xr", "xc", "tr", "tc", "dg", "bnc", "bnd")
             val routeDf = summariesDs.flatMap(_.routing.iterator)
               .toDF("br", "bc", "k", "er", "ec", "rnc", "rnd")
+            // LEFT join + per-row raise, not an inner join: an inner join
+            // would silently DROP a crossing whose routing row is missing
+            // (the invariant the driver branch guards with
+            // IllegalStateException) and the loss would surface rows later
+            // as an undiagnosable pointer-doubling stall
             val init = crossDf
-              .join(routeDf, $"tr" === $"br" && $"tc" === $"bc")
+              .join(routeDf, $"tr" === $"br" && $"tc" === $"bc", "left")
               .select($"xr", $"xc",
-                ($"k" === 1).as("done"), lit(true).as("ok"),
+                ($"k" === 1).as("done"),
+                when($"br".isNull, raise_error(format_string(
+                  "no routing for crossing target (%d,%d)", $"tr", $"tc")))
+                  .otherwise(lit(true)).as("ok"),
                 $"er".as("lr"), $"ec".as("lc"),
                 (when($"dg" === 1, 0L).otherwise(1L) + $"rnc").as("nc"),
                 (when($"dg" === 1, 1L).otherwise(0L) + $"rnd").as("nd"))
@@ -1200,11 +1208,15 @@ object Flow {
               .toDF("xr", "xc", "tr", "tc", "dg", "bnc", "bnd")
             val routeDf = summariesDs.flatMap(_.routing.iterator)
               .toDF("br", "bc", "k", "er", "ec", "rnc", "rnd")
+            // LEFT join + per-row raise — same missing-routing loudness
+            // contract as [[downstream]]'s above-limit branch
             val init = crossDf
-              .join(routeDf, $"tr" === $"br" && $"tc" === $"bc")
+              .join(routeDf, $"tr" === $"br" && $"tc" === $"bc", "left")
               .select($"xr", $"xc",
                 ($"k" === 4 || $"k" === 1).as("done"),
-                ($"k" === 4).as("ok"),
+                when($"br".isNull, raise_error(format_string(
+                  "no routing for crossing target (%d,%d)", $"tr", $"tc")))
+                  .otherwise($"k" === 4).as("ok"),
                 when($"k" === 1, 0L).otherwise($"er").as("lr"),
                 when($"k" === 1, 0L).otherwise($"ec").as("lc"),
                 when($"k" === 1, 0L)

@@ -186,7 +186,14 @@ object Knn {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // proven: found within the searched ring's guard (cells that queried
       // their own bound-derived ring always pass — the true nearest cannot
-      // lie outside that ring), or the search was exhaustive
+      // lie outside that ring), or the search was exhaustive.
+      // Boundary-tie soundness of `<=`: queries are CELL CENTERS, which
+      // sit at least cellsize/2 inside their bucket on every axis, so any
+      // UNEXAMINED point (bucket Chebyshev >= ring+1) is at distance
+      // >= ring*bucketW + cellsize/2 — STRICTLY beyond the guard. A
+      // candidate at exactly ring*bucketW can therefore never be tied by
+      // a hidden lower-pid point; equality proves. (Pass 1's strict `<`
+      // is belt-and-braces, not a requirement of this geometry.)
       val provenCond =
         ($"pid" >= 0) && ($"d2" <= ($"ring" * bucketW) * ($"ring" * bucketW) ||
           lit(exhaustive))
@@ -349,6 +356,9 @@ object Knn {
             .sortBy(t => (t._3, t._1)).take(k)
           val dk = if (best.length == k) best.last._3 else Double.PositiveInfinity
           val g = ringQ.toDouble * bucketW
+          // `<=` boundary-tie soundness: same cell-center margin lemma as
+          // nearestBucketed's provenCond — unexamined points sit at
+          // >= g + cellsize/2, strictly beyond a k-th neighbor at exactly g
           if (best.nonEmpty && (dk <= g * g || exhaustive))
             (r, c, idwOf(best), 0L, dk, true)
           else (r, c, Double.NaN, if (best.length == k) 0L else -1L, dk, false)

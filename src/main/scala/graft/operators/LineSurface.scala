@@ -39,11 +39,15 @@ object LineSurface {
     import lines.sparkSession.implicits._
     lines.flatMap { ln =>
       val n = RefKernel.line2sub(ref, ln.xs, ln.ys).length
-      // station ids pack (lineId << 20 | k): overflowing the 2^20 budget
-      // would silently collide with the NEXT line's stations — fail loudly
+      // station ids pack (lineId << 20 | k): overflowing the 2^20 station
+      // budget OR the 43-bit lineId field would silently collide with
+      // another line's ids — fail loudly on both
       require(n < (1 << 20),
         s"stations: line ${ln.lineId} rasterizes to $n cells, past the " +
           "2^20 per-line station-id budget (split the line)")
+      require(ln.lineId >= 0 && ln.lineId < (1L << 43),
+        s"stations: lineId ${ln.lineId} outside [0, 2^43) — the packed " +
+          "station id would alias another line")
       if (n == 0) Iterator.empty
       else {
         // arc-length parameterization of the polyline

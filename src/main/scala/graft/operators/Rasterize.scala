@@ -154,13 +154,20 @@ object Rasterize {
     * task into row-interleaved shards while last-wins stays exact. */
   private[operators] def autoSalt(features: Seq[Feature], ref: GridRef,
       res: Int, useAttr: Boolean): Int = {
+    // dedup the DISTINCT (value, geometry) tasks ONCE — O(#features)
+    // vertex hashing — then count covers with plain Long keys. Keying a
+    // seen-set by (cid, value, xs, ys) re-wrapped and re-hashed the full
+    // vertex arrays once per covered cell: O(cells x vertices) driver CPU
+    // serialized in front of every pipeline's job submission.
+    val seenTasks =
+      scala.collection.mutable.Set[(Double, Seq[Double], Seq[Double])]()
     val perCell = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
-    val seen = scala.collection.mutable.Set[(Long, Double, Seq[Double], Seq[Double])]()
     features.foreach { f =>
       val burnValue = if (useAttr) f.attr else f.seq.toDouble // kernel's dedup key
-      CellId.coverPolygon(ref, f.xs.zip(f.ys), res).foreach { cid =>
-        if (seen.add((cid, burnValue, f.xs.toSeq, f.ys.toSeq))) perCell(cid) += 1
-      }
+      if (seenTasks.add((burnValue, f.xs.toSeq, f.ys.toSeq)))
+        // a distinct task covers each of its cells exactly once, so the
+        // per-cell increment needs no per-cell dedup key
+        CellId.coverPolygon(ref, f.xs.zip(f.ys), res).foreach(perCell(_) += 1)
     }
     val hot = if (perCell.isEmpty) 0 else perCell.values.max
     math.max(1, math.min(16, hot / 8))

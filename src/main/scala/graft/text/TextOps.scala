@@ -497,7 +497,20 @@ object TextOps {
         }
         if (cnt.isEmpty) exhausted = true
         else {
-          val ((a, b), c) = cnt.minBy { case ((a, b), n) => (-n, a, b) }
+          // tie-break with UTF-8 BYTE order, not JVM String (UTF-16 code
+          // unit) order: the distributed fallback's orderBy compares
+          // UTF8String bytes, and the two orders disagree for
+          // supplementary characters vs [U+E000, U+FFFF] BMP chars — a
+          // mixed-script corpus would otherwise learn DIFFERENT
+          // vocabularies on the two branches from the first such tie on
+          val ((a, b), c) = cnt.min(Ordering.fromLessThan[((String, String), Long)] {
+            case (((a1, b1), n1), ((a2, b2), n2)) =>
+              if (n1 != n2) n1 > n2
+              else {
+                val ca = utf8Cmp(a1, a2)
+                if (ca != 0) ca < 0 else utf8Cmp(b1, b2) < 0
+              }
+          })
           merges += ((r, a, b, c))
           i = 0
           while (i < syms.length) {
@@ -616,6 +629,22 @@ object TextOps {
           Iterator.single((id, toks.length.toLong, md5hex))
         }
       }.toDF(idCol, "n_tok_bpe", "tok_md5")
+  }
+
+  /** Lexicographic comparison of the UTF-8 BYTES of two strings — the
+    * order Spark's UTF8String.compareTo implements. The driver-side BPE
+    * tie-break uses this so both learn branches agree on every corpus. */
+  private[text] def utf8Cmp(x: String, y: String): Int = {
+    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(xb.length, yb.length)
+    var i = 0
+    while (i < n) {
+      val d = (xb(i) & 0xFF) - (yb(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    xb.length - yb.length
   }
 
   /** Greedy left-to-right application of one BPE merge: adjacent (a, b)

@@ -68,6 +68,20 @@ class CellIdSpec extends AnyFunSuite {
     assert(CellId.coverWindow(0, 50, -40, -1, 4).isEmpty)  // left of it
   }
 
+  test("coverWindow: planet-scale spans fail loudly, never wrap the bound") {
+    // (Long.MaxValue span + 1) * 1 wraps negative — a naive product bound
+    // would accept it and the alloc would throw AIOOBE mid-fill
+    intercept[IllegalArgumentException] {
+      CellId.coverWindow(0, Long.MaxValue, 0, 0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      CellId.coverWindow(0, 0, 0, Long.MaxValue, 0)
+    }
+    intercept[IllegalArgumentException] { // product overflow, both axes big
+      CellId.coverWindow(0, 1L << 40, 0, 1L << 40, 4)
+    }
+  }
+
   test("compact folds 4 siblings into parent") {
     val p = CellId.encode(9, 3, 4)
     val cover = CellId.children(p) ++ Array(CellId.encode(8, 99, 99))

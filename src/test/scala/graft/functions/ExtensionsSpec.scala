@@ -85,6 +85,19 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(big.queryExecution.optimizedPlan.toString
         .toLowerCase.contains("cellinwindow"))
       assert(big.count() == 1)
+      // planet-scale literal: the span arithmetic must not WRAP past the
+      // cap and hand coverWindow a negative count — stays interpreted
+      val planet = df.filter(expr(
+        s"cell_in_window(cellId, 0, ${Long.MaxValue}, 0, 0, 6)"))
+      assert(planet.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("cellinwindow"))
+      assert(planet.count() == 1)
+      // res outside the 5-bit id field: rewrite declines (Long >> wraps
+      // shift counts mod 64 — plan-time must not reinterpret)
+      val badRes = df.filter(expr("cell_in_window(cellId, 0, 100, 0, 100, 64)"))
+      assert(badRes.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("cellinwindow"))
+      assert(badRes.count() == 0) // interpreted eval: res mismatch = false
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations

@@ -79,9 +79,19 @@ class StyleSpec extends AnyFunSuite {
 
   test("quiver: strided arrows drawn, NaN cells skipped, background clean") {
     val w = 32; val h = 32
+    def blackCount(img: java.awt.image.BufferedImage): Int = {
+      var black = 0
+      for (y <- 0 until h; x <- 0 until w)
+        if ((img.getRGB(x, y) & 0xFFFFFF) == 0) black += 1
+      black
+    }
     val u = Array.fill(w * h)(6.0)
     val v = Array.fill(w * h)(0.0)
-    u(16 * w + 16) = Double.NaN // the (16,16) anchor cell goes quiet
+    val clean = decode(Style.quiverPng(u, v, w, h, step = 8, scale = 1.0))
+    // anchors sit at step/2 + k*step = {4,12,20,28}: (20,20) IS an anchor
+    // ((16,16) is not — a NaN there would never reach the mask branch and
+    // the skip assertion below would hold vacuously)
+    u(20 * w + 20) = Double.NaN
     val png = Style.quiverPng(u, v, w, h, step = 8, scale = 1.0)
     val img = decode(png)
     // arrow anchored at (4,4) pointing +x: shaft pixels black
@@ -89,10 +99,24 @@ class StyleSpec extends AnyFunSuite {
     assert((img.getRGB(9, 4) & 0xFFFFFF) == 0x000000)
     // far from any arrow: background
     assert((img.getRGB(0, 31) & 0xFFFFFF) == Style.Background)
-    // count black pixels: 16 anchors - 1 NaN = 15 arrows, each >= 6 px
-    var black = 0
-    for (y <- 0 until h; x <- 0 until w)
-      if ((img.getRGB(x, y) & 0xFFFFFF) == 0) black += 1
+    // the NaN anchor's whole arrow is masked. The +x arrow at (20,20)
+    // (shaft to x=26, arrowhead strokes back to ~(24, 20±1)) lives alone
+    // inside rows 18..22 x cols 19..27 — neighbors' pixels stay outside
+    // (col-12 arrow ends at x=18, col-28 starts at x=28)
+    def boxBlack(img: java.awt.image.BufferedImage): Int = {
+      var n = 0
+      for (y <- 18 to 22; x <- 19 to 27)
+        if ((img.getRGB(x, y) & 0xFFFFFF) == 0) n += 1
+      n
+    }
+    val inBoxClean = boxBlack(clean)
+    assert(inBoxClean >= 6, s"clean arrow box black=$inBoxClean")
+    assert(boxBlack(img) == 0, "NaN anchor's arrow must vanish entirely")
+    // and nothing OUTSIDE the masked arrow changed
+    val black = blackCount(img)
+    val cleanBlack = blackCount(clean)
+    assert(black == cleanBlack - inBoxClean,
+      s"black=$black cleanBlack=$cleanBlack inBox=$inBoxClean")
     assert(black >= 15 * 6 && black < 15 * 30, s"black=$black")
   }
 

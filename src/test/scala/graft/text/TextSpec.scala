@@ -475,6 +475,31 @@ class TextSpec extends AnyFunSuite {
     assert(dist == got.take(8), "distributed path must learn the same merges")
   }
 
+  test("bpeLearnMerges: non-BMP ties break identically on both paths") {
+    import spark.implicits._
+    // Atoms are UTF-16 code units, so U+1F600 starts as two lone
+    // surrogates — which the UTF8String round-trip through the vocab
+    // Dataset replaces with '?' (JDK UTF-8 encoder replacement) on BOTH
+    // branches. That mangling is what makes JVM UTF-16 order and UTF-8
+    // byte order agree for every reachable symbol (surrogate-free
+    // strings order identically in both); the driver tie-break
+    // nonetheless compares UTF-8 BYTES (TextOps.utf8Cmp) so the
+    // agreement is by construction, not by the mangling accident.
+    // Counts tie 3-way in round 1, 2-way in rounds 2-3.
+    val docs = Seq("\uD83D\uDE00a \uE000b").toDF("text")
+    def learn(limit: Long) =
+      TextOps.bpeLearnMerges(docs, "text", nMerges = 3, driverVocabLimit = limit)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    val driver = learn(2000000L)
+    val dist = learn(0L)
+    assert(driver == dist,
+      s"branch divergence on tie: driver=$driver dist=$dist")
+    // ("?","?") beats ("?","a") beats ("\uE000","b") in UTF-8 byte order
+    assert(driver.map(m => (m._2, m._3)) ==
+      Seq(("?", "?"), ("??", "a"), ("\uE000", "b")), driver.toString)
+  }
+
   test("bpeEncode: rank-ordered greedy application + stream md5") {
     import spark.implicits._
     // merges learned on the fixture above: (a,a), (a,b), (aa,aa)
