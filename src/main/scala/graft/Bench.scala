@@ -340,7 +340,21 @@ object Bench {
     val eff10_8to32 = if (thr10_8 > 0) (thr10_32 / thr10_8) / 4.0 else 0.0
     if (only10x) {
       def a10(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-      println(f"""{"metric":"pipeline10x_only","tiles":$tiles10x,"sec_8":$sec10_8%.2f,"sec_32":$sec10_32%.2f,"tiles_per_sec_8":$thr10_8%.2f,"tiles_per_sec_32":$thr10_32%.2f,"raw_8":${a10(acc10(8))},"raw_32":${a10(acc10(32))},"load_raw_8":${a10(load10(8))},"load_raw_32":${a10(load10(32))},"scaling_efficiency_8_to_32":$eff10_8to32%.3f}""")
+      // generic per-level emission: SPARK_GRAFT_BENCH_10X_REPS accepts any
+      // cpu counts (e.g. "2,8,2,8" measures the N->4N gate AT 10x input),
+      // so print every level actually measured, plus the two N->4N pairs
+      // when both ends exist
+      val levels = acc10.keys.toSeq.sorted
+      val perLevel = levels.map { c =>
+        val mn = acc10(c).min
+        f""""sec_$c":$mn%.2f,"tiles_per_sec_$c":${tiles10x / mn}%.2f,"raw_$c":${a10(acc10(c))},"load_raw_$c":${a10(load10(c))}"""
+      }.mkString(",")
+      def eff(lo: Int, hi: Int): String =
+        if (acc10(lo).nonEmpty && acc10(hi).nonEmpty)
+          f""","scaling_efficiency_${lo}_to_$hi":${(acc10(lo).min / acc10(hi).min) / (hi.toDouble / lo)}%.3f"""
+        else ""
+      println(s"""{"metric":"pipeline10x_only","tiles":$tiles10x,""" +
+        perLevel + eff(1, 4) + eff(2, 8) + eff(8, 32) + "}")
       return
     }
 

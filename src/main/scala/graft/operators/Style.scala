@@ -141,6 +141,43 @@ object Style {
     toPng(img)
   }
 
+  /** Segment raster with BOUNDED work: endpoints are clipped in double
+    * space (Liang-Barsky) to the canvas padded by max(w, h) pixels per
+    * side, then rounded and Bresenham-drawn. Without the clip, an
+    * endpoint far off-canvas (a huge quiver `u*scale`, a shapefile
+    * vertex thousands of cells outside the grid — `Double.toInt`
+    * SATURATES at Int.MaxValue) makes the per-pixel-clipped Bresenham
+    * walk up to ~2^31 steps: an effective hang. Endpoints inside the
+    * padded box are untouched, so all in/near-canvas rendering is
+    * pixel-identical; a clipped far segment's visible strokes drift
+    * <= 1 px over the canvas span (the clip point rounds once).
+    * Non-finite endpoints skip the stroke (quiver's NaN masking). */
+  private def drawLineD(img: BufferedImage, x0d: Double, y0d: Double,
+      x1d: Double, y1d: Double, rgb: Int): Unit = {
+    if (!java.lang.Double.isFinite(x0d) || !java.lang.Double.isFinite(y0d) ||
+        !java.lang.Double.isFinite(x1d) || !java.lang.Double.isFinite(y1d))
+      return
+    val pad = math.max(img.getWidth, img.getHeight).toDouble
+    val (xlo, xhi) = (-pad, img.getWidth - 1 + pad)
+    val (ylo, yhi) = (-pad, img.getHeight - 1 + pad)
+    var t0 = 0.0; var t1 = 1.0
+    val dx = x1d - x0d; val dy = y1d - y0d
+    def clip(p: Double, q: Double): Boolean =
+      if (p == 0.0) q >= 0.0 // parallel: inside iff q >= 0 (NaN q rejects)
+      else {
+        val r = q / p
+        if (p < 0) { if (r > t1) false else { if (r > t0) t0 = r; true } }
+        else { if (r < t0) false else { if (r < t1) t1 = r; true } }
+      }
+    val visible =
+      clip(-dx, x0d - xlo) && clip(dx, xhi - x0d) &&
+        clip(-dy, y0d - ylo) && clip(dy, yhi - y0d) && t0 <= t1
+    if (visible)
+      drawLine(img,
+        math.round(x0d + t0 * dx).toInt, math.round(y0d + t0 * dy).toInt,
+        math.round(x0d + t1 * dx).toInt, math.round(y0d + t1 * dy).toInt, rgb)
+  }
+
   private def drawLine(img: BufferedImage, x0: Int, y0: Int, x1: Int,
       y1: Int, rgb: Int): Unit = {
     // Bresenham, clipped per-pixel
@@ -185,15 +222,14 @@ object Style {
         if (!uu.isNaN && !vv.isNaN && (uu != 0 || vv != 0)) {
           val x1 = c + uu * scale
           val y1 = r - vv * scale
-          drawLine(img, c, r, math.round(x1).toInt, math.round(y1).toInt, arrowRgb)
+          drawLineD(img, c, r, x1, y1, arrowRgb)
           // arrowhead: two strokes at +-150 degrees off the shaft
           val ang = math.atan2(y1 - r, x1 - c)
           val hl = math.max(2.0, math.hypot(x1 - c, y1 - r) * 0.3)
           for (da <- Seq(2.618, -2.618)) { // pi - pi/6
             val hx = x1 + hl * math.cos(ang + da)
             val hy = y1 + hl * math.sin(ang + da)
-            drawLine(img, math.round(x1).toInt, math.round(y1).toInt,
-              math.round(hx).toInt, math.round(hy).toInt, arrowRgb)
+            drawLineD(img, x1, y1, hx, hy, arrowRgb)
           }
         }
         c += step
@@ -217,20 +253,23 @@ object Style {
       while (x < w) { img.setRGB(x, y, Background); x += 1 }
       y += 1
     }
-    def px(mx: Double): Int = math.floor((mx - ref.left) / ref.cellsize).toInt
-    def py(my: Double): Int = math.floor((ref.top - my) / ref.cellsize).toInt
+    // Double pixel coords (floored to the containing cell, no .toInt —
+    // Double.toInt saturates far-off vertices at Int.MaxValue); drawLineD
+    // bounds the stroke work for vertices any distance off-canvas
+    def px(mx: Double): Double = math.floor((mx - ref.left) / ref.cellsize)
+    def py(my: Double): Double = math.floor((ref.top - my) / ref.cellsize)
     features.foreach { f =>
       val n = f.xs.length
       val closed = f.kind == "polygon" &&
         (f.xs(0) != f.xs(n - 1) || f.ys(0) != f.ys(n - 1))
       var i = 0
       while (i < n - 1) {
-        drawLine(img, px(f.xs(i)), py(f.ys(i)),
+        drawLineD(img, px(f.xs(i)), py(f.ys(i)),
           px(f.xs(i + 1)), py(f.ys(i + 1)), lineRgb)
         i += 1
       }
       if (closed)
-        drawLine(img, px(f.xs(n - 1)), py(f.ys(n - 1)),
+        drawLineD(img, px(f.xs(n - 1)), py(f.ys(n - 1)),
           px(f.xs(0)), py(f.ys(0)), lineRgb)
     }
     toPng(img)

@@ -139,6 +139,35 @@ class StyleSpec extends AnyFunSuite {
     assert(img.getWidth == 40 && img.getHeight == 40)
   }
 
+  test("far-off-canvas strokes are clipped, bounded, and keep visible pixels") {
+    // quiver with a huge displacement: pre-clip this was a ~2^31-step
+    // Bresenham walk (Double.toInt saturates) — must complete instantly
+    // and still paint the visible shaft leaving the anchor
+    val w = 16; val h = 16
+    val u = Array.fill(w * h)(1.0e9)
+    val v = Array.fill(w * h)(0.0)
+    val t0 = System.nanoTime()
+    val img = decode(Style.quiverPng(u, v, w, h, step = 16, scale = 1.0e6))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "quiver stroke not bounded")
+    // anchor (8,8), shaft +x: visible row painted from the anchor to the edge
+    assert((img.getRGB(8, 8) & 0xFFFFFF) == 0x000000)
+    assert((img.getRGB(15, 8) & 0xFFFFFF) == 0x000000)
+    // non-finite displacement: stroke skipped, no crash, anchor untouched
+    val u2 = Array.fill(w * h)(Double.PositiveInfinity)
+    val img2 = decode(Style.quiverPng(u2, v, w, h, step = 16, scale = 1.0))
+    assert((img2.getRGB(8, 8) & 0xFFFFFF) == Style.Background)
+    // shapefile vertex ~1e8 cells off-grid: the visible portion of the
+    // edge through the canvas must still be drawn, instantly
+    val ref = GridRef(40, 40, 0, 0, 1)
+    val far = Feature(0, "polyline",
+      Array(20.0, 20.0), Array(-1.0e8, 1.0e8), 1.0, 0)
+    val t1 = System.nanoTime()
+    val img3 = decode(Style.plotShapePng(Seq(far), ref))
+    assert((System.nanoTime() - t1) / 1e9 < 5.0, "shape stroke not bounded")
+    assert((img3.getRGB(20, 0) & 0xFFFFFF) == 0xFF0000)
+    assert((img3.getRGB(20, 39) & 0xFFFFFF) == 0xFF0000)
+  }
+
   test("distributed rgbTiles == driver mapshow pixels (no colorbar)") {
     val ref = GridRef(64, 32, 0, 0, 1)
     val g = Raster.fromGrid(spark, ref, 5) { (r, c) =>
