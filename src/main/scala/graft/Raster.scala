@@ -473,7 +473,10 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
     // bias — the same bias the odd-dimension fallback avoids). Detect
     // holes once on the base; a holey raster downsamples every level
     // directly from the base instead (ADVICE r4 #1).
-    val hasNaN = tiles.filter(_.payload.exists(_.isNaN)).limit(1).count() > 0
+    // (levels == 1 never downsamples, so skip the detection scan — the
+    // flag is only consulted by the level > 0 fold branch)
+    val hasNaN = levels > 1 &&
+      tiles.filter(_.payload.exists(_.isNaN)).limit(1).count() > 0
     var cur = tiles
     var curRef = ref
     var exact = !hasNaN // dims even + hole-free -> progressive fold exact

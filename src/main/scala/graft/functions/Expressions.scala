@@ -108,10 +108,17 @@ case class CellInWindowExpr(children: Seq[Expression]) extends Expression
 
 object GraftFunctions {
 
-  /** interpreted kernel for cell_in_window */
+  /** interpreted kernel for cell_in_window. An INVERTED window
+    * (minRow > maxRow or minCol > maxCol) is an empty set of pixels and
+    * matches nothing — this must agree with the plan-time fold in
+    * [[RewriteCellWindowPredicates]] (which folds inverted literal
+    * windows to FALSE); without the explicit check, a cell whose pixel
+    * block straddles both inverted bounds would satisfy the two
+    * interval comparisons and the same query would return different
+    * rows depending on whether the optimizer rule fired. */
   def cellInWindow(cell: Long, minRow: Long, maxRow: Long, minCol: Long,
       maxCol: Long, res: Int): Boolean = {
-    if (CellId.res(cell) != res) false
+    if (CellId.res(cell) != res || minRow > maxRow || minCol > maxCol) false
     else {
       val (r0, c0, size) = CellId.pixelWindow(cell)
       r0 <= maxRow && r0 + size - 1 >= minRow &&

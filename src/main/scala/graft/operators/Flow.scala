@@ -241,8 +241,9 @@ object Flow {
         }
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val nCross = crossingLenCount(summariesDs.map(_.crossing.length.toLong))
-        if (nCross <= driverLimit) {
+        val nCollect = collectLenCount(
+          summariesDs.map(s => (s.crossing.length + s.routing.length).toLong))
+        if (nCollect <= driverLimit) {
           // condensed solve on the driver: crossing edges keyed by source
           // cell — O(perimeter) rows, tiny next to cells
           val summaries = summariesDs.collect()
@@ -548,18 +549,23 @@ object Flow {
     }
   }
 
-  /** Crossing count of a persisted summary Dataset — the driver-vs-
-    * distributed branch decision reads ONLY this aggregate. One
-    * definition of the threshold statistic for BOTH summary shapes
-    * (TileSummary in flowAcc, TraceSummary in the trace family). */
-  private def crossingLenCount(lens: Dataset[Long]): Long = {
+  /** Driver-collect row count of a persisted summary Dataset — the
+    * driver-vs-distributed branch decision reads ONLY this aggregate.
+    * It counts EVERYTHING the driver branch's `collect()` would pull —
+    * crossing AND routing arrays — not just the crossing edges: a tiling
+    * where most border cells drain inward has crossings << routing rows,
+    * and a crossing-only gate would admit an O(total border cells)
+    * driver materialization the limit was meant to bound. One definition
+    * of the threshold statistic for BOTH summary shapes (TileSummary in
+    * flowAcc, TraceSummary in the trace family). */
+  private def collectLenCount(lens: Dataset[Long]): Long = {
     import lens.sparkSession.implicits._
     lens.toDF("n").agg(coalesce(sum($"n"), lit(0L))).collect()(0).getLong(0)
   }
 
-  private def crossingCount(ds: Dataset[TraceSummary]): Long = {
+  private def collectCount(ds: Dataset[TraceSummary]): Long = {
     import ds.sparkSession.implicits._
-    crossingLenCount(ds.map(_.crossing.length.toLong))
+    collectLenCount(ds.map(s => (s.crossing.length + s.routing.length).toLong))
   }
 
   /** Distributed chain resolve over the crossing FUNCTIONAL graph by
@@ -625,7 +631,7 @@ object Flow {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val resolvedByTile: Dataset[(Long, Array[(Long, Long, Boolean, Long, Long, Long, Long)])] =
-          if (crossingCount(summariesDs) <= driverLimit) {
+          if (collectCount(summariesDs) <= driverLimit) {
             // driver condensed solve: chain walk with memoization over
             // O(perimeter) crossing edges
             val summaries = summariesDs.collect()
@@ -748,7 +754,7 @@ object Flow {
         // seeds: best (nc, nd) arriving INTO each crossing target cell,
         // grouped by its owning tile for the pass-2 equi-join
         val seedsByTile: Dataset[(Long, Array[(Long, Long, Long, Long)])] =
-          if (crossingCount(summariesDs) <= driverLimit) {
+          if (collectCount(summariesDs) <= driverLimit) {
             val summaries = summariesDs.collect()
             val crossings = summaries.flatMap(_.crossing)
             val route = summaries.flatMap(_.routing)
@@ -1148,7 +1154,7 @@ object Flow {
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val resolvedByTile: Dataset[(Long, Array[(Long, Long, Boolean, Long, Long, Long, Long)])] =
-          if (crossingCount(summariesDs) <= driverLimit) {
+          if (collectCount(summariesDs) <= driverLimit) {
             val summaries = summariesDs.collect()
             val crossings = summaries.flatMap(_.crossing)
             val target = crossings.map { case (xr, xc, tr, tc, dg, _, _) =>
@@ -1312,8 +1318,13 @@ object Flow {
       // driver work replacing O(log chainLen) rounds of join+checkpoint+
       // count (each round is 3 Spark jobs; the distributed loop cost ~10s
       // of pure job overhead at fixture scale). Above the limit, the
-      // pointer-doubling loop below is the scale path.
-      var lab: DataFrame = if (!headsViaDoubling && chainPtrDF.count() <= driverLimit) {
+      // pointer-doubling loop below is the scale path. The gate bounds
+      // BOTH collected sets — the chain pointers AND the junction nodes
+      // (a network of millions of short disjoint segments has few chain
+      // cells but a junction set as large as the stream mask).
+      val nNodes = nodesDF.count()
+      var lab: DataFrame = if (!headsViaDoubling &&
+          chainPtrDF.count() + nNodes <= driverLimit) {
         val nodeSet = nodesDF.as[(Long, Long)].collect().toSet
         val chain = chainPtrDF.as[(Long, Long, Long, Long)].collect()
         val ptr = chain.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
@@ -1368,10 +1379,12 @@ object Flow {
         .select($"hr", $"hc", $"to_r", $"to_c")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val orderDf: DataFrame =
-        if (condensedDf.count() <= driverLimit) {
+        if (condensedDf.count() + nNodes <= driverLimit) {
           // Kahn over the junction forest on the driver: order(node with
           // no incoming) = 1; order(w) = max incoming head orders, +1
-          // when >=2 share the max
+          // when >=2 share the max. Gate includes the NODE count — this
+          // branch collects nodesDF too, and zero-edge forests (all
+          // single-junction streams) can still carry millions of nodes.
           val condensed = condensedDf.as[(Long, Long, Long, Long)].collect()
           val nodes = nodesDF.as[(Long, Long)].collect()
           val incoming = condensed.groupBy(e => (e._3, e._4))

@@ -260,7 +260,11 @@ object Style {
     def py(my: Double): Double = math.floor((ref.top - my) / ref.cellsize)
     features.foreach { f =>
       val n = f.xs.length
-      val closed = f.kind == "polygon" &&
+      require(f.ys.length == n, s"plotShapePng: feature with ${n} xs but " +
+        s"${f.ys.length} ys")
+      // a degenerate record with no vertices draws nothing (and must not
+      // index xs(0)/xs(-1) below)
+      val closed = n > 0 && f.kind == "polygon" &&
         (f.xs(0) != f.xs(n - 1) || f.ys(0) != f.ys(n - 1))
       var i = 0
       while (i < n - 1) {

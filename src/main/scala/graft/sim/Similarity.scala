@@ -272,8 +272,12 @@ object Similarity extends Serializable {
     // flattened s*ksub + c. Computed from the broadcast codebooks.
     def lutOf(qv: Array[Float]): Array[Double] = adcLut(bcBooks, ksub, subDim, qv)
     val qBase = queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
-    val nQBounded = qBase.limit(qBroadcastLimit + 1).count()
-    val largeQ = nQBounded > qBroadcastLimit
+    // ONE job decides the path AND supplies the small-Q input: collect at
+    // most limit+1 rows — when they fit the limit, the array IS the full
+    // query set (no second scan of the query plan); past it, only the
+    // boolean is used and the queries never land on the driver again.
+    val qHead = qBase.limit(qBroadcastLimit + 1).collect()
+    val largeQ = qHead.length > qBroadcastLimit
     // Small Q: LUTs collect + broadcast; the code scan streams with NO
     // shuffle before the candidate table. Large Q: LUTs stay a DATASET
     // built on executors (queries never land on the driver) and the ADC
@@ -282,7 +286,7 @@ object Similarity extends Serializable {
     // definition; the blocks keep it distributed and memory-bounded.
     val adc =
       if (!largeQ) {
-        val luts = qBase.collect().map { case (qid, qv) => qid -> lutOf(qv) }
+        val luts = qHead.map { case (qid, qv) => qid -> lutOf(qv) }
         val bcLuts = spark.sparkContext.broadcast(luts)
         codes.flatMap { case (vid, code) =>
           bcLuts.value.iterator.filter(_._1 != vid).map { case (qid, lut) =>
@@ -370,8 +374,10 @@ object Similarity extends Serializable {
     // per-query ADC lookup table, flattened s*ksub + c
     def lutOf(qv: Array[Float]): Array[Double] = adcLut(bcBooks, ksub, subDim, qv)
     val qBase = queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
-    val nQBounded = qBase.limit(qBroadcastLimit + 1).count()
-    val largeQ = nQBounded > qBroadcastLimit
+    // one job decides the path and supplies the small-Q query vectors
+    // (see pqTopK — same consolidation)
+    val qHead = qBase.limit(qBroadcastLimit + 1).collect()
+    val largeQ = qHead.length > qBroadcastLimit
     // Small Q: LUTs + probe sets collect and broadcast; ONE streamed pass
     // over the code table, no shuffle before the candidate rows. Large Q:
     // the PROBE-BUCKET EQUI-JOIN path — (qid, cl, lut) rows join the
@@ -383,7 +389,7 @@ object Similarity extends Serializable {
       if (!largeQ) {
         val probeMap = probes.as[(Long, Int)].collect()
           .groupBy(_._1).map { case (q, cls) => q -> cls.map(_._2).toSet }
-        val luts = qBase.collect().map { case (qid, qv) =>
+        val luts = qHead.map { case (qid, qv) =>
           (qid, probeMap.getOrElse(qid, Set.empty[Int]), lutOf(qv))
         }
         val bcLuts = spark.sparkContext.broadcast(luts)
@@ -552,11 +558,12 @@ object Similarity extends Serializable {
     val bcS = spark.sparkContext.broadcast(scales)
     val qBase = queries.select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])]
-    val nQBounded = qBase.limit(qBroadcastLimit + 1).count()
+    // one job decides the path and supplies the small-Q query vectors
+    // (see pqTopK — same consolidation)
+    val qHead = qBase.limit(qBroadcastLimit + 1).collect()
     val cands =
-      if (nQBounded <= qBroadcastLimit) {
-        val qCodes = qBase.collect()
-          .map { case (id, v) => (id, sq8Quantize(v, scales)) }
+      if (qHead.length <= qBroadcastLimit) {
+        val qCodes = qHead.map { case (id, v) => (id, sq8Quantize(v, scales)) }
         val bcQ = spark.sparkContext.broadcast(qCodes)
         corpus.select(col(idCol).cast("long"), col(vecCol))
           .as[(Long, Array[Float])]

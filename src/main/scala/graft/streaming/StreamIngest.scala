@@ -38,7 +38,14 @@ object StreamIngest {
           .groupByKey(_.cellId)
           .reduceGroups { (a: graft.corpus.DecodedTile,
               b: graft.corpus.DecodedTile) =>
-            if (a.imageId >= b.imageId) a else b // zero-padded ids
+            // compare the PARSED image index, not the id string: the
+            // %08d zero-padding keeps lexicographic == numeric order
+            // only below 10^8 images; past it ("img-99999999" vs
+            // "img-100000000") the string compare inverts and the OLDER
+            // image would win last-wins (decodeTiles already parses
+            // this format, so the contract is established)
+            if (a.imageId.stripPrefix("img-").toLong >=
+                b.imageId.stripPrefix("img-").toLong) a else b
           }
           .map { case (_, d) =>
             graft.core.Tile(d.cellId, d.row0, d.col0, d.h, d.w, d.payload)

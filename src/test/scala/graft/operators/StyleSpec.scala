@@ -168,6 +168,18 @@ class StyleSpec extends AnyFunSuite {
     assert((img3.getRGB(20, 39) & 0xFFFFFF) == 0xFF0000)
   }
 
+  test("plotShapePng: degenerate empty-vertex feature draws nothing") {
+    val ref = GridRef(16, 16, 0, 0, 1)
+    // a shapefile can carry a record with zero points — must not index
+    // xs(0)/xs(-1), must leave the canvas untouched
+    val img = decode(Style.plotShapePng(Seq(
+      Feature(0, "polygon", Array.empty[Double], Array.empty[Double], 1.0, 0),
+      Feature(1, "polyline", Array.empty[Double], Array.empty[Double], 1.0, 0)),
+      ref))
+    for (r <- 0 until 16; c <- 0 until 16)
+      assert((img.getRGB(c, r) & 0xFFFFFF) == Style.Background)
+  }
+
   test("distributed rgbTiles == driver mapshow pixels (no colorbar)") {
     val ref = GridRef(64, 32, 0, 0, 1)
     val g = Raster.fromGrid(spark, ref, 5) { (r, c) =>
