@@ -1141,6 +1141,73 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // URL-canonicalization dedup — the classic web-crawl pipeline step
+    // (CCNet/RefinedWeb dedupe by canonical URL before any content
+    // hashing). The documents table carries no URL column, so a URL is
+    // SYNTHESIZED deterministically per row: docs doc_id and
+    // doc_id + nDocs/2 describe the SAME logical page (lid = doc_id %
+    // (nDocs/2)) but with crawl-variant noise keyed off the RAW doc_id —
+    // scheme case, www. prefix, explicit :443 port, trailing slash,
+    // utm_* tracking params, #fragment. Canonicalization (lowercase,
+    // strip fragment / tracking query / www. / default port / trailing
+    // slash — each a codegen'd regexp_replace; every pattern matches at
+    // most once so first-match semantics agree cross-engine) must
+    // collapse each variant pair to ONE canonical URL. Scale shape: one
+    // projection + one map-side-combined groupBy on the canonical
+    // string — the exact-dedup shuffle shape of d1, no new machinery.
+    "d28_url_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val half = (docs.count() / 2).max(1L)
+      val raw = docs.select($"doc_id", ($"doc_id" % half).as("lid"))
+        .withColumn("url", concat(
+          when($"doc_id" % 3 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+          concat(lit("site"), ($"lid" % 20).cast("string"), lit(".example.com")),
+          when($"doc_id" % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/docs/"), $"lid".cast("string"),
+          when($"doc_id" % 2 === 0, lit("/")).otherwise(lit("")),
+          when($"doc_id" % 5 === 0, lit("?utm_source=feed&utm_campaign=x"))
+            .otherwise(lit("")),
+          when($"doc_id" % 7 === 0, lit("#section-2")).otherwise(lit(""))))
+      raw
+        .withColumn("cu", regexp_replace(lower($"url"), "#.*$", ""))
+        .withColumn("cu", regexp_replace($"cu", "\\?utm_[^#]*$", ""))
+        .withColumn("cu", regexp_replace($"cu", "://www\\.", "://"))
+        .withColumn("cu", regexp_replace($"cu", ":443/", "/"))
+        .withColumn("cu", regexp_replace($"cu", "/$", ""))
+        .groupBy($"cu")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_ids"))
+        .select($"cu".as("url"), $"keep_id", $"n_ids")
+        .orderBy($"url")
+    }),
+
+    // Zipf-rank fluency score — a log-free pseudo-perplexity: rank every
+    // vocabulary word by corpus frequency (ties by word), score each doc
+    // by the SUM of its words' ranks (a doc of common words scores low =
+    // fluent; rare-word soup scores high), keep when mean rank <= 18 via
+    // the integer cross-multiply (sum_rank <= 18 * n_words — no float
+    // division near the gate). Everything stays exact integers, unlike
+    // true unigram NLL whose ln() is not bit-specified cross-engine.
+    // Scale shape: word counts are a map-side-combined groupBy; the rank
+    // runs on the FOLDED vocabulary table — corpus-size-independent
+    // (the d25 bound), so its single-partition window is driver-bounded
+    // by construction; ranks broadcast-join back to the word stream.
+    "d29_rank_fluency" -> ((s, dir) => {
+      import s.implicits._
+      val words = table(s, dir, "documents")
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
+        .where($"w" =!= "")
+      val rank = words.groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"cnt".desc, $"w")).cast("long"))
+        .select($"w", $"rank")
+      words.join(broadcast(rank), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"rank").as("sum_rank"))
+        .withColumn("keep", $"sum_rank" <= lit(18L) * $"n_words")
+        .orderBy($"doc_id")
+    }),
+
     // BPE ENCODING — the apply side of d25: the corpus tokenized with
     // the 6 learned merges (collected once, 6 rows to the driver, ride
     // the closure). The md5 of each doc's exact '|'-joined token stream
@@ -1634,6 +1701,20 @@ object SparkEntry {
       graft.ml.Batching.epochOrder(table(s, dir, "documents"), "doc_id",
           epochs = 3)
         .orderBy($"global_pos")
+    }),
+
+    // LENGTH-BUCKETED batching (group-by-length): docs sort by (token
+    // count, id) into batches of 8; the per-batch rollup carries the
+    // padding-waste metric the bucketing minimizes. d27's exact token
+    // count feeds it, so the whole chain is integer-exact.
+    "m6_length_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val withTok = table(s, dir, "documents")
+        .select($"doc_id",
+          size(filter(split(trim($"text"), "\\s+"), t => t =!= lit("")))
+            .cast("long").as("n_tok"))
+      graft.ml.Batching.lengthBuckets(withTok, "doc_id", "n_tok", 8)
+        .orderBy($"batch_id")
     }),
 
     // End-to-end multimodal CURATION -> BATCHES flagship (the image-side
@@ -4136,6 +4217,61 @@ object SparkEntry {
         |  CAST(start_tok // 512 AS BIGINT) AS first_seq,
         |  CAST((start_tok + n_tok - 1) // 512 AS BIGINT) AS last_seq
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // d28: same synthetic crawl-variant URL construction, canonicalized
+    // by the same 5 regex passes (each pattern matches at most once, so
+    // DuckDB's first-match regexp_replace agrees with Spark's)
+    "d28_url_dedup" ->
+      """WITH half AS (SELECT greatest(count(*) // 2, 1) AS h FROM documents),
+        |raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+        |    || 'site' || CAST((doc_id % h) % 20 AS VARCHAR) || '.example.com'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/docs/' || CAST(doc_id % h AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents, half),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '#.*$', ''),
+        |      '\?utm_[^#]*$', ''), '://www\.', '://'), ':443/', '/'),
+        |      '/$', '') AS cu
+        |  FROM raw)
+        |SELECT cu AS url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_ids
+        |FROM canon GROUP BY cu ORDER BY url""".stripMargin,
+
+    // d29: identical rank table (frequency desc, word asc) and identical
+    // integer cross-multiply keep rule — no float anywhere
+    // m6: identical (n_tok, doc_id) total order via row_number, identical
+    // batch fill and padding-waste arithmetic — all integers
+    "m6_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x != '')) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |    row_number() OVER (ORDER BY n_tok, doc_id) - 1 AS rn FROM t)
+        |SELECT CAST(rn // 8 AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tok) AS BIGINT) AS max_len,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_len,
+        |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+        |FROM r GROUP BY 1 ORDER BY batch_id""".stripMargin,
+
+    "d29_rank_fluency" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |  FROM documents),
+        |ww AS (SELECT doc_id, w FROM w WHERE w != ''),
+        |r AS (SELECT w, CAST(row_number() OVER (ORDER BY count(*) DESC, w) AS BIGINT) AS rank
+        |  FROM ww GROUP BY w)
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(r.rank) AS BIGINT) AS sum_rank,
+        |  (sum(r.rank) <= 18 * count(*)) AS keep
+        |FROM ww d JOIN r USING (w)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // d20: regenerate the clustered fixture from closed form (cluster =
     // vid % 12, provably what k-means recovers), compute every within-

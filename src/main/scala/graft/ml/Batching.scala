@@ -42,6 +42,47 @@ object Batching {
     spark.createDataset(indexed).toDF(idCol, "batch_id", "pos")
   }
 
+  /** LENGTH-BUCKETED batch construction — the group-by-length trainer
+    * op (fairseq/HF `group_by_length`): sequences sort by (length, id)
+    * and fill fixed-size batches in that order, so each batch holds
+    * near-equal lengths and the padding to the batch max is minimal
+    * (random batching pads every sequence to the batch's longest —
+    * at 100 TB that is a double-digit percentage of wasted FLOPs).
+    * Deterministic: the sort key is total-ordered by the id tiebreak.
+    * Scale shape: the order comes from [[globalIndex]]'s range
+    * partition + zipWithIndex (never a single-partition window); the
+    * per-batch rollup is one map-side-combined groupBy on batch_id.
+    * Returns (batch_id, n_docs, max_len, sum_len, pad_waste) where
+    * pad_waste = n_docs * max_len - sum_len, the padding tokens a
+    * max-len-padded batch would carry. The tail batch may be short. */
+  def lengthBuckets(docs: DataFrame, idCol: String, lenCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // fixed-width zero-pad makes the STRING sort of (len, id) equal the
+    // numeric sort (globalIndex's key column is a string); 12 digits
+    // cover any realistic token count / id and overflow fails loudly
+    def padded(c: String) = {
+      val s = col(c).cast("long")
+      when(s < 0 || s >= 1000000000000L,
+        raise_error(concat(lit(s"lengthBuckets: $c out of [0, 1e12): "),
+          s.cast("string"))))
+        .otherwise(lpad(s.cast("string"), 12, "0"))
+    }
+    val keyed = docs.select(col(idCol).cast("string").as("id"),
+      concat(padded(lenCol), lit("|"), padded(idCol)).as("k"))
+    val indexed = globalIndex(keyed)
+      .map { case (id, idx) => (id, idx / batchSize) }
+    val batches = spark.createDataset(indexed).toDF("__id", "batch_id")
+    docs.join(batches, col(idCol).cast("string") === col("__id"))
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(lenCol).cast("long")).as("max_len"),
+        sum(col(lenCol).cast("long")).as("sum_len"))
+      .withColumn("pad_waste", $"n_docs" * $"max_len" - $"sum_len")
+  }
+
   /** Deterministic global index of (id, k) rows in (k, id) order:
     * range partition + partition-local sort + zipWithIndex (one count
     * pass for per-partition offsets) — the distributed row-number. */

@@ -145,4 +145,35 @@ class BatchingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sizes(1024L) >= n / 1024 - 1)
   }
+
+  test("lengthBuckets: batches fill in (len, id) order, waste matches " +
+      "the driver oracle, deterministic across partitioning") {
+    import spark.implicits._
+    val n = 100
+    val lens = (0 until n).map(i => (i.toLong, ((i * 37) % 50 + 1).toLong))
+    val df = lens.toDF("doc_id", "n_tok")
+    val out = Batching.lengthBuckets(df, "doc_id", "n_tok", 8)
+      .orderBy($"batch_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // driver oracle: sort by (len, id), fill batches of 8, roll up
+    val sorted = lens.sortBy { case (id, l) => (l, id) }
+    val expect = sorted.grouped(8).zipWithIndex.map { case (g, b) =>
+      val mx = g.map(_._2).max; val sm = g.map(_._2).sum
+      (b.toLong, g.length.toLong, mx, sm, g.length * mx - sm)
+    }.toSeq
+    assert(out.toSeq == expect)
+    // 12 full batches + tail of 4; max_len never decreases batch-over-
+    // batch (the bucketing property that bounds padding)
+    assert(out.count(_._2 == 8) == 12 && out.last._2 == 4)
+    assert(out.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    // physical partitioning must not leak into the order
+    val out2 = Batching.lengthBuckets(df.repartition(7), "doc_id", "n_tok", 8)
+      .orderBy($"batch_id").as[(Long, Long, Long, Long, Long)].collect()
+    assert(out2.toSeq == expect)
+    // out-of-domain lengths fail loudly (the 12-digit pad contract)
+    intercept[Exception] {
+      Batching.lengthBuckets(Seq((1L, -3L)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", 8).collect()
+    }
+  }
 }
