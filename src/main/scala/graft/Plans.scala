@@ -67,6 +67,15 @@ object Plans {
         "(no join operator, no shuffle until the tiny (qid,vid,idot) " +
         "table); shortlist window + exact re-rank join only touch " +
         "survivor ids"),
+      "d19_dup_grams" -> ("span dedup: the gram pass is ONE staged " +
+        "projection — split bound to a column BEFORE the shingle lambda " +
+        "(an inline split re-executes per element_at slot on the " +
+        "interpreted higher-order path: 14x the gram wall), grams leave " +
+        "the pass as xxhash64 longs, three compact-key shuffles follow"),
+      "d28_url_dedup" -> ("URL-canonicalization dedup: the whole " +
+        "variant-synthesis + 5-pass regexp canonicalization chain is one " +
+        "codegen'd projection; ONE map-side-combined groupBy on the " +
+        "canonical string — the d1 exact-dedup shuffle shape"),
       "d27_seq_packing" -> ("sequence packing: NO single-partition global " +
         "window anywhere — the plan is range exchange + Scan ExistingRDD " +
         "(localCheckpoint'd frozen partitioning) feeding the two " +

@@ -1266,8 +1266,12 @@ object SparkEntry {
     "d19_dup_grams" -> ((s, dir) => {
       import s.implicits._
       val gc = table(s, dir, "documents")
+        // bind the token array BEFORE the shingle lambda (wordShingles
+        // scaladoc: an inline split re-executes per element_at slot on
+        // the interpreted higher-order path — 14x the gram-pass wall)
+        .select($"doc_id", split($"text", " ").as("ws"))
         .select($"doc_id", explode(
-          graft.text.TextOps.wordShingles(split($"text", " "), 8)).as("g"))
+          graft.text.TextOps.wordShingles($"ws", 8)).as("g"))
         .select($"doc_id", xxhash64($"g").as("h"))
         .groupBy($"h", $"doc_id").agg(count(lit(1)).as("c"))
         .localCheckpoint() // eager, blocks freed with the plan — a persist()
@@ -1333,14 +1337,21 @@ object SparkEntry {
     "d11_repetition" -> ((s, dir) => {
       import s.implicits._
       import graft.text.TextOps
-      val words = TextOps.tokens($"text")
-      val big = array_sort(TextOps.wordShingles(words, 2))
-      val tri = array_sort(TextOps.wordShingles(words, 3))
+      // STAGED projections: tokens, then the sorted shingle arrays, then
+      // the metrics. Each lambda output is referenced 2x downstream, so
+      // CollapseProject keeps the non-cheap array materialized once per
+      // row instead of inlining (and re-running) the sort+shingle pass
+      // per consumer — and the split itself binds before any lambda
+      // (wordShingles scaladoc / the d19 14x lesson)
       table(s, dir, "documents")
-        .withColumn("n2", size(big).cast("long"))
-        .withColumn("n3", size(tri).cast("long"))
-        .withColumn("top2_cnt", TextOps.maxRunLength(big))
-        .withColumn("dup3_occ", TextOps.dupOccurrences(tri))
+        .select($"doc_id", TextOps.tokens($"text").as("ws"))
+        .select($"doc_id",
+          array_sort(TextOps.wordShingles($"ws", 2)).as("big"),
+          array_sort(TextOps.wordShingles($"ws", 3)).as("tri"))
+        .withColumn("n2", size($"big").cast("long"))
+        .withColumn("n3", size($"tri").cast("long"))
+        .withColumn("top2_cnt", TextOps.maxRunLength($"big"))
+        .withColumn("dup3_occ", TextOps.dupOccurrences($"tri"))
         .select($"doc_id", $"top2_cnt", $"dup3_occ",
           when($"n2" > 0, $"top2_cnt".cast("double") / $"n2")
             .otherwise(0.0).as("top2_frac"),
@@ -1433,8 +1444,10 @@ object SparkEntry {
       // per-doc count agg; grams shuffle as xxhash64 longs, not strings
       // (same trick as d3's hashed shingles; collision odds ~n²/2^64)
       val grams = table(s, dir, "documents")
+        // bound token array first — see wordShingles scaladoc / d19
+        .select($"doc_id", split($"text", " ").as("ws"))
         .select($"doc_id", explode(array_distinct(
-          graft.text.TextOps.wordShingles(split($"text", " "), 4))).as("g"))
+          graft.text.TextOps.wordShingles($"ws", 4))).as("g"))
         .select($"doc_id", xxhash64($"g").as("h"))
         .localCheckpoint() // eager, blocks freed with the plan — a persist()
         // here pins the CacheManager for the SESSION (three cached
