@@ -76,6 +76,16 @@ object Plans {
         "variant-synthesis + 5-pass regexp canonicalization chain is one " +
         "codegen'd projection; ONE map-side-combined groupBy on the " +
         "canonical string — the d1 exact-dedup shuffle shape"),
+      "d29_rank_fluency" -> ("rank fluency: the frequency ranking runs over " +
+        "the FOLDED vocabulary table (corpus-size-independent, so its one " +
+        "window is driver-bounded by construction), ranks broadcast-join " +
+        "back onto the word stream, and the keep rule is an integer " +
+        "cross-multiply — no float, no corpus-wide window"),
+      "m6_length_buckets" -> ("length-bucketed batching: the (length, id) " +
+        "order comes from the range-exchange + zipWithIndex global index " +
+        "(Scan ExistingRDD — NEVER a single-partition window); batch ids " +
+        "are integer division on that index and the padding-waste rollup " +
+        "is one map-side-combined groupBy on batch_id"),
       "d27_seq_packing" -> ("sequence packing: NO single-partition global " +
         "window anywhere — the plan is range exchange + Scan ExistingRDD " +
         "(localCheckpoint'd frozen partitioning) feeding the two " +
