@@ -67,6 +67,12 @@ object Plans {
         "(no join operator, no shuffle until the tiny (qid,vid,idot) " +
         "table); shortlist window + exact re-rank join only touch " +
         "survivor ids"),
+      "e8_range_search" -> ("cosine range search: the balls table " +
+        "(nlist centroid+radius rows) is BROADCAST to the query side — " +
+        "the only nested-loop join in the plan has that tiny build side " +
+        "by design; surviving (qid, cl) probes equi-join the corpus on " +
+        "cl, so per-query work is the probed lists only and the corpus " +
+        "shuffles ONCE on cluster id, never all-pairs"),
       "d19_dup_grams" -> ("span dedup: the gram pass is ONE staged " +
         "projection — split bound to a column BEFORE the shingle lambda " +
         "(an inline split re-executes per element_at slot on the " +

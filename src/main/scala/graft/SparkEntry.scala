@@ -482,6 +482,29 @@ object SparkEntry {
         .orderBy($"qid", $"rank")
     }),
 
+    // RANGE (radius) search — top-k's set-valued sibling (FAISS
+    // range_search): every corpus vector with cosine >= tau per query.
+    // Unlike e2's nProbe heuristic, the probe set is the per-cluster
+    // BALL BOUND (triangle inequality on unit-normalized vectors) — an
+    // exact superset, so recall is 1.0 BY CONSTRUCTION on any data and
+    // the result equals brute force with zero probabilistic caveat. On
+    // the clustered fixture the cross/within-cluster cosine chasm is
+    // [0.218, 0.920], so tau = 0.6 sits 0.38 from the nearest data
+    // point on either side — no engine's float summation order can
+    // flip a membership. Output: the 290 same-cluster (qid, vid) pairs.
+    "e8_range_search" -> ((s, _) => {
+      import s.implicits._
+      val e = clusteredEmbeddings(s)
+      val (clusters, centroids) = graft.sim.Similarity.kmeansWithCentroids(
+        s, e, "vec_id", "embedding", k = 16, iters = 2)
+      val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.sim.Similarity.rangeSearch(s, withCl, "vec_id", "embedding",
+          "cl", q, tau = 0.6, centroidTable = Some(centroids))
+        .orderBy($"qid", $"vid")
+    }),
+
     // Product-quantization ANN: m=4 byte codes per vector, broadcast ADC
     // lookup tables, shortlist by ADC + exact cosine re-rank of
     // SURVIVORS ONLY (the compressed exhaustive path — codes are 4 B vs
@@ -5356,6 +5379,26 @@ object SparkEntry {
         |  FROM cs)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, vid
         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // e8: brute-force radius filter on the same reconstructed fixture —
+    // the ball-bound probe set is an exact superset, so the engine's
+    // pruned result must EQUAL this unpruned oracle
+    "e8_range_search" ->
+      """WITH v AS (
+        |  SELECT t.vid AS vid, d.d AS d,
+        |    (CASE WHEN d.d = t.vid % 16 THEN 8.0 ELSE 0.0 END)
+        |      + (((t.vid // 16) * 31 + d.d * 17 + (t.vid % 16) * 7) % 13 - 6) * 0.125 AS x
+        |  FROM range(480) t(vid), range(16) d(d)),
+        |norms AS (SELECT vid, sqrt(sum(x*x)) AS n FROM v GROUP BY vid),
+        |pairs AS (
+        |  SELECT q.vid AS qid, c.vid AS vid, sum(q.x * c.x) AS dot
+        |  FROM v q JOIN v c ON q.d = c.d AND q.vid < 10 AND c.vid <> q.vid
+        |  GROUP BY q.vid, c.vid)
+        |SELECT p.qid AS qid, p.vid AS vid
+        |FROM pairs p JOIN norms nq ON nq.vid = p.qid
+        |            JOIN norms nc ON nc.vid = p.vid
+        |WHERE p.dot / (nq.n * nc.n) >= 0.6
+        |ORDER BY p.qid, p.vid""".stripMargin,
 
     // e7: the e2 brute oracle with the metadata predicate applied to the
     // corpus side (vid % 3 = 0 <=> lang = 'en')

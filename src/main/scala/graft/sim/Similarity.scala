@@ -151,6 +151,76 @@ object Similarity extends Serializable {
       .select($"qid", $"rank".cast("long").as("rank"), $"vid")
   }
 
+  /** Probe set for [[rangeSearch]]: the clusters each query must scan,
+    * by the per-cluster BALL BOUND. Over unit-normalized vectors
+    * cos(q, x) >= tau <=> ||q^ - x^|| <= r with r = sqrt(2 - 2*tau), and
+    * any cluster holding a result must satisfy
+    * ||q^ - c^(cl)|| <= r + rad(cl) where rad(cl) is the max member
+    * distance to the cluster's (normalized) centroid — triangle
+    * inequality, so the probe set is a guaranteed SUPERSET of every
+    * result's cluster (recall 1.0 by construction; LSH/nProbe probing
+    * cannot promise that). Returns (qid, qv, cl). */
+  private[sim] def rangeProbes(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, tau: Double): DataFrame = {
+    val r = math.sqrt(math.max(2.0 - 2.0 * tau, 0.0))
+    // unit-normalize with the norm BOUND to a column referenced twice
+    // (guard + lambda) so CollapseProject cannot inline the O(d)
+    // aggregate into the per-element division (the d19 lesson — an
+    // inlined norm re-evaluates per slot: O(d^2) per row)
+    def unit(df: DataFrame, vc: String, out: String): DataFrame =
+      df.withColumn("nrm", sqrt(dot(vc, vc)))
+        .withColumn(out, when(col("nrm") <= 0.0, raise_error(lit(
+            s"rangeSearch: zero-norm $vc — cosine undefined")))
+          .otherwise(expr(s"transform($vc, x -> CAST(x AS DOUBLE) / nrm)")))
+        .drop("nrm")
+    def d2(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z)")
+    val ncent = unit(centroids, "cv", "ncv").select(col("cl"), col("ncv"))
+    // per-cluster ball radius: ONE agg pass over the corpus (executor
+    // math only; the centroid side is nlist rows, broadcast)
+    val rad = unit(corpus, "v", "nv")
+      .join(broadcast(ncent), Seq("cl"))
+      .groupBy(col("cl")).agg(max(sqrt(d2("nv", "ncv"))).as("rad"))
+    val balls = ncent.join(rad, Seq("cl"))
+    unit(queries, "qv", "nqv")
+      .crossJoin(broadcast(balls))
+      .filter(sqrt(d2("nqv", "ncv")) <= col("rad") + lit(r))
+      .select(col("qid"), col("qv"), col("cl"))
+  }
+
+  /** EXACT cosine RADIUS search (the FAISS range-search shape): every
+    * (qid, vid) pair with cosine >= tau and vid != qid — top-k's sibling
+    * where the result-set size is data-dependent (dedup-by-threshold,
+    * near-dup audits, retrieval with a score floor). Pruning is the
+    * [[rangeProbes]] per-cluster ball bound — an exact superset, so the
+    * final raw-vector cosine filter inside the probed lists loses
+    * nothing. Scale shape: centroid+radius table is nlist rows
+    * (broadcast); the corpus shuffles once by cluster id; per-query work
+    * is O(N * probed/nlist), and on separated data probed << nlist
+    * (measured in SimSpec). The gate cosine is computed on the RAW
+    * vectors like e1/e2 (dyadic fixture -> bit-identical cross-engine);
+    * normalization feeds only the bound. */
+  def rangeSearch(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, queries: DataFrame, tau: Double,
+      centroidTable: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    require(tau > -1.0 && tau <= 1.0, s"rangeSearch: tau in (-1, 1], got $tau")
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      col(clusterCol).as("cl"))
+    val centroids = centroidTable.getOrElse(base
+      .select($"cl", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"cl", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"cl").agg(
+        array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cl", expr("transform(pm, p -> p.m)").as("cv")))
+    rangeProbes(base, queries, centroids, tau)
+      .join(base, Seq("cl")).filter($"vid" =!= $"qid")
+      .withColumn("cos", dot("qv", "v") /
+        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+      .filter($"cos" >= tau)
+      .select($"qid", $"vid")
+  }
+
   /** Product-quantization codebooks: split the vector into `m` contiguous
     * subspaces and run Lloyd's independently in each (ksub codewords per
     * subspace). Returns books(s)(code) = subspace-s centroid. Driver

@@ -390,4 +390,59 @@ class SimSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(ipJ == ipB, "ivf-pq probe-bucket join path must equal broadcast path")
   }
+
+  test("rangeSearch: ball-bound pruned == brute radius filter; probes actually prune") {
+    import spark.implicits._
+    // the e2/e8 fixture: 16 orthogonal clusters x 30 members, dyadic
+    // jitter — within-cluster cosines >= 0.92, cross-cluster <= 0.22
+    val C = 16; val M = 30; val dim = 16
+    val pts = (0 until C * M).map { i =>
+      val cl = i % C; val m = i / C
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d == cl) 8.0f else 0.0f
+        center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
+      }
+      (i.toLong, v)
+    }
+    val e = spark.createDataset(pts).toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val tau = 0.6
+    // brute radius: every pair passing the cosine floor, no pruning
+    val brute = q.join(e.select($"vec_id".as("vid"), $"embedding".as("v")),
+        $"vid" =!= $"qid")
+      .withColumn("cos", Similarity.dot("qv", "v") /
+        (sqrt(Similarity.dot("qv", "qv")) * sqrt(Similarity.dot("v", "v"))))
+      .filter($"cos" >= tau)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val (clusters, centroids) = Similarity.kmeansWithCentroids(
+      spark, e, "vec_id", "embedding", k = C, iters = 2)
+    val withCl = e.join(clusters, e("vec_id") === clusters("vid")).drop("vid")
+    val pruned = Similarity.rangeSearch(spark, withCl, "vec_id", "embedding",
+        "cl", q, tau, centroidTable = Some(centroids))
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == brute, "ball-bound range search must equal brute radius")
+    assert(brute.size == 10 * (M - 1),
+      s"fixture sanity: each query matches exactly its ${M - 1} cluster " +
+        s"siblings at tau=$tau, got ${brute.size}")
+    // the bound must PRUNE on separated data: with 16 orthogonal
+    // clusters, a query's ball intersects far fewer than all 16
+    val base = withCl.select($"vec_id".as("vid"), $"embedding".as("v"), $"cl")
+    val probes = Similarity.rangeProbes(base, q, centroids, tau)
+      .select("qid", "cl").as[(Long, Long)].collect()
+    assert(probes.length < 10 * C / 2,
+      s"expected real pruning (<${10 * C / 2} probe pairs), got ${probes.length}")
+    // superset witness: every result's cluster is probed
+    val clOf = clusters.as[(Long, Long)].collect().toMap
+    val probeSet = probes.toSet
+    assert(brute.forall { case (qid, vid) => probeSet((qid, clOf(vid))) },
+      "every true result's cluster must be in the probe set")
+    // a far-off query (orthogonal-ish direction none of the clusters
+    // occupy strongly) returns zero rows, not an error
+    val farQ = spark.createDataset(Seq(
+        (999L, Array.fill(dim)(1.0f)))).toDF("qid", "qv")
+    val far = Similarity.rangeSearch(spark, withCl, "vec_id", "embedding",
+        "cl", farQ, 0.99, centroidTable = Some(centroids))
+    assert(far.count() == 0L)
+  }
 }
