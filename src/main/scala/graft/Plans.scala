@@ -73,6 +73,11 @@ object Plans {
         "by design; surviving (qid, cl) probes equi-join the corpus on " +
         "cl, so per-query work is the probed lists only and the corpus " +
         "shuffles ONCE on cluster id, never all-pairs"),
+      "d30_fuzzy_join" -> ("ed<=1 fuzzy join: candidates come from ONE " +
+        "shuffled equi-join on the deletion-variant key (index size " +
+        "sum(len+1), keys self-bucket by length) — no CartesianProduct/" +
+        "BNLJ anywhere; the levenshtein verify is a codegen'd filter " +
+        "over candidate pairs only"),
       "d19_dup_grams" -> ("span dedup: the gram pass is ONE staged " +
         "projection — split bound to a column BEFORE the shingle lambda " +
         "(an inline split re-executes per element_at slot on the " +

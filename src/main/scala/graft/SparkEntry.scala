@@ -1246,6 +1246,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Edit-distance-1 FUZZY self-join (SymSpell / FastSS deletion
+    // neighborhoods) — typo-level vocabulary dedup. Fixture: 400 base
+    // 6-char words from integer alphabet formulas + 400 planted typo
+    // variants (delete at i%6 / substitute first char / insert at pos 3,
+    // by i%3), union'd and dedup'd. The deletion-key equi-join candidate
+    // set is a guaranteed SUPERSET of every ed<=1 pair (substitution:
+    // drop the differing position from both; indel: the shorter IS a
+    // 1-deletion of the longer), so the engine's pruned result must
+    // EQUAL the oracle's brute all-pairs levenshtein filter — the e8
+    // recall-1.0-by-construction pattern on strings. All-integer
+    // arithmetic + ASCII, so the pair set is engine-independent.
+    "d30_fuzzy_join" -> ((s, _) => {
+      import s.implicits._
+      val al = "abcdefghijklmnopqrst"
+      def ch(k: String) = s"substr('$al', CAST((($k) % 20) AS INT) + 1, 1)"
+      val wExpr = Seq("i*7+3", "i*11+5", "i*13+7", "i*17+1", "i*19+11", "i*23+2")
+        .map(ch).mkString("concat(", ", ", ")")
+      val ids = s.range(400).toDF("i")
+      val base = ids.select(expr(wExpr).as("w"))
+      val variant = ids.select(expr(
+        s"""CASE CAST(i % 3 AS INT)
+           |  WHEN 0 THEN concat(substr($wExpr, 1, CAST(i % 6 AS INT)),
+           |                     substr($wExpr, CAST(i % 6 AS INT) + 2, 6))
+           |  WHEN 1 THEN concat(${ch("(i*7+3) % 20 + 1 + (i % 19)")},
+           |                     substr($wExpr, 2, 6))
+           |  ELSE concat(substr($wExpr, 1, 3), ${ch("i*29+4")},
+           |              substr($wExpr, 4, 6))
+           |END""".stripMargin).as("w"))
+      graft.text.TextOps.edJoinLe1(base.union(variant), "w")
+        .orderBy($"a", $"b")
+    }),
+
     // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means clusters the
     // embedding space, then a doc is removed iff an EARLIER member of the
     // same cluster is cosine >= 0.95. Fixture = the e2 recipe extended
@@ -4308,6 +4340,27 @@ object SparkEntry {
         |  (sum(r.rank) <= 18 * count(*)) AS keep
         |FROM ww d JOIN r USING (w)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // d30: the UNPRUNED brute — all distinct-token pairs filtered by
+    // levenshtein <= 1 (the deletion-key candidate set is an exact
+    // superset, so pruned must equal this)
+    "d30_fuzzy_join" ->
+      """WITH ids AS (SELECT i FROM range(400) t(i)),
+        |al(a) AS (SELECT 'abcdefghijklmnopqrst'),
+        |w AS (SELECT i,
+        |    substr(a, ((i*7+3)%20)+1, 1) || substr(a, ((i*11+5)%20)+1, 1)
+        |    || substr(a, ((i*13+7)%20)+1, 1) || substr(a, ((i*17+1)%20)+1, 1)
+        |    || substr(a, ((i*19+11)%20)+1, 1) || substr(a, ((i*23+2)%20)+1, 1) AS w
+        |  FROM ids, al),
+        |v AS (SELECT i, CASE i%3
+        |    WHEN 0 THEN substr(w, 1, i%6) || substr(w, (i%6)+2, 6)
+        |    WHEN 1 THEN substr(a, (((i*7+3) % 20 + 1 + (i%19)) % 20)+1, 1) || substr(w, 2, 6)
+        |    ELSE substr(w, 1, 3) || substr(a, ((i*29+4)%20)+1, 1) || substr(w, 4, 6)
+        |  END AS w FROM w, al),
+        |toks AS (SELECT DISTINCT w FROM (SELECT w FROM w UNION ALL SELECT w FROM v))
+        |SELECT x.w AS a, y.w AS b, CAST(levenshtein(x.w, y.w) AS BIGINT) AS dist
+        |FROM toks x JOIN toks y ON x.w < y.w AND levenshtein(x.w, y.w) <= 1
+        |ORDER BY a, b""".stripMargin,
 
     // d20: regenerate the clustered fixture from closed form (cluster =
     // vid % 12, provably what k-means recovers), compute every within-

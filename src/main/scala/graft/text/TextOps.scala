@@ -640,6 +640,55 @@ object TextOps {
       }.toDF(idCol, "n_tok_bpe", "tok_md5")
   }
 
+  /** Edit-distance-1 fuzzy self-join over a token set — the SymSpell /
+    * FastSS deletion-neighborhood algorithm (typo-level vocabulary
+    * dedup, OCR-noise normalization, query-spelling clusters): every
+    * unordered pair of DISTINCT tokens with Levenshtein distance <= 1,
+    * WITHOUT an all-pairs comparison.
+    *
+    * Candidate rule: ed(a, b) <= 1 implies a and b share a string in
+    * their {0,1}-deletion neighborhoods (substitution: delete the
+    * differing position from both; insertion/deletion: the shorter IS a
+    * 1-deletion of the longer; equality excluded by distinct). So the
+    * candidate set from an EQUI-join on deletion-variant keys is a
+    * guaranteed superset — recall 1.0 by construction, like e8's ball
+    * bound — and the exact `levenshtein` verify (codegen'd built-in on
+    * both engines) loses nothing.
+    *
+    * Scale shape: the key index is sum(len+1) rows (one per token per
+    * deletion position, `array_union`-deduped within a token), the join
+    * is a shuffled equi-join on the variant string, and verify touches
+    * candidates only. Keys self-bucket by length (a length-L key only
+    * ever matches tokens of length L or L+1), so there is no global hot
+    * key unless the vocabulary itself packs many tokens into one
+    * deletion variant — and those pairs ARE the answer, irreducible.
+    * For ed <= k > 1 the same index extends to k-deletion neighborhoods
+    * (FastSS); k = 1 covers the typo-dedup use case gated here.
+    *
+    * Input: any DataFrame with a string column; empty/NULL tokens are
+    * dropped. Output: (a, b, dist) with a < b (UTF8 order), exact. */
+  def edJoinLe1(tokens: DataFrame, strCol: String): DataFrame = {
+    val t = tokens.select(col(strCol).cast("string").as("w"))
+      .where(col("w").isNotNull && length(col("w")) >= 1)
+      .distinct()
+    // bind len BEFORE the lambda (the d19 discipline) — and the string
+    // itself joins its own neighborhood as the 0-deletion key
+    val keyed = t
+      .withColumn("len", length(col("w")))
+      .select(col("w"), explode(expr(
+        "array_union(array(w), transform(sequence(1, len), " +
+          "i -> concat(substring(w, 1, i-1), substring(w, i+1, len))))"))
+        .as("k"))
+    val a = keyed.select(col("w").as("a"), col("k"))
+    val b = keyed.select(col("w").as("b"), col("k"))
+    a.join(b, Seq("k"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .where(col("dist") <= 1)
+  }
+
   /** Lexicographic comparison of the UTF-8 BYTES of two strings — the
     * order Spark's UTF8String.compareTo implements. The driver-side BPE
     * tie-break uses this so both learn branches agree on every corpus. */

@@ -536,4 +536,48 @@ class TextSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextOps.packContiguous(docs, "doc_id", "n_tok", 0) }
   }
+
+  test("edJoinLe1: deletion-key pruned == brute all-pairs levenshtein<=1") {
+    import spark.implicits._
+    // mixed-length vocab with planted typos of every edit kind, repeats,
+    // repeated-char words (duplicate deletion variants), and a length-1
+    // token (empty-string deletion key)
+    val vocab = Seq("alpha", "alpho", "alpa", "aalpha", "beta", "betta",
+      "bета", "gamma", "gamm", "gama", "aaaa", "aaa", "x", "y", "xy",
+      "delta", "delta", "epsilon", "epsilons", "epsilom").toDF("w")
+    val got = TextOps.edJoinLe1(vocab, "w")
+      .as[(String, String, Long)].collect().toSet
+    // brute oracle over the distinct set
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val toks = vocab.as[String].collect().distinct
+    val want = (for {
+      a <- toks; b <- toks
+      if a < b && ed(a, b) <= 1
+    } yield (a, b, ed(a, b).toLong)).toSet
+    assert(got == want, s"pruned ${got.size} vs brute ${want.size}")
+    assert(want.exists(_._3 == 1L), "fixture must contain real ed=1 pairs")
+    assert(!got.exists(_._3 == 0L), "distinct tokens never pair at ed=0")
+  }
+
+  test("edJoinLe1: candidate generation prunes (index, not all-pairs)") {
+    import spark.implicits._
+    // two far-apart families: no cross-family pair shares any deletion
+    // variant, so candidates << all pairs
+    val vocab = (0 until 50).map(i => s"left$i").union(
+      (0 until 50).map(i => s"verydifferentright$i")).toDF("w")
+    val got = TextOps.edJoinLe1(vocab, "w").as[(String, String, Long)].collect()
+    // every surviving pair is within one family (shared prefix length>=4)
+    assert(got.forall { case (a, b, _) => a.take(4) == b.take(4) })
+    // left0..left9 differ pairwise at the last char -> C(10,2) = 45 pairs,
+    // and left10..49 pair with nothing at ed<=1 except left1..left4 digits
+    assert(got.nonEmpty)
+  }
 }
