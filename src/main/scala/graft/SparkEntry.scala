@@ -1101,6 +1101,24 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    // Distributed triangle counting over the link graph (clustering
+    // coefficient numerator — dense-cluster / link-ring detection in
+    // crawl curation). Degree-ordered orientation bounds wedge fan-out
+    // at hubs to O(sqrt(m)); two skew-safe equi-joins, each triangle
+    // found once at its min-(deg, id) corner. Fixture: 60-node ring +
+    // skip-2 chords (every i closes triangle {i, i+1, i+2}) + i*i+7
+    // chords for irregularity; all-integer output, oracle is the brute
+    // a<b<c triple join over the same closed-form edge table.
+    "g3_triangles" -> ((s, _) => {
+      import s.implicits._
+      val ids = s.range(60).toDF("i")
+      val edges = ids.select($"i".as("x"), (($"i" + 1) % 60).as("y"))
+        .unionByName(ids.select($"i".as("x"), (($"i" + 2) % 60).as("y")))
+        .unionByName(ids.select($"i".as("x"), (($"i" * $"i" + 7) % 60).as("y")))
+      graft.operators.GraphOps.triangleCounts(edges, "x", "y")
+        .orderBy($"node")
+    }),
+
     // Bloom-prefiltered incremental dedup — d18's 100 TB steady-state
     // shape: the corpus sig index folds to a broadcast Bloom filter
     // (treeAggregate; driver holds bits, never sigs), bloom-NEGATIVE
@@ -4210,6 +4228,30 @@ object SparkEntry {
         |  WHERE walk.d < 64)
         |SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    // g3: brute triple-join triangle count on the same closed-form edges
+    // (a<b<c canonical corners), per-node participation via corner union
+    "g3_triangles" ->
+      """WITH raw AS (
+        |  SELECT i AS x, (i+1) % 60 AS y FROM range(60) t(i)
+        |  UNION ALL
+        |  SELECT i AS x, (i+2) % 60 AS y FROM range(60) t(i)
+        |  UNION ALL
+        |  SELECT i AS x, (i*i+7) % 60 AS y FROM range(60) t(i)),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT CAST(node AS BIGINT) AS node, count(*) AS n_tri
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin,
 
     // e6: SQ8 integer-layer replication — scales, floor(+0.5) int8 codes,
     // exact integer candidate dots, shortlist 32 ranked by (idot, vid).

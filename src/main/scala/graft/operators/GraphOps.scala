@@ -189,4 +189,60 @@ object GraphOps {
     e.unpersist()
     dist.filter($"d" =!= INF).select($"id".as("node"), $"d".as("dist"))
   }
+
+  /** Distributed triangle counting over an undirected edge table — the
+    * clustering-coefficient / community-density primitive of link-graph
+    * curation (a crawl page whose neighborhood closes many triangles is
+    * inside a dense site cluster; spam farms and link rings light up the
+    * same way). Returns (node, n_tri) for every node on >= 1 triangle.
+    *
+    * Shape for 100 TB: the naive wedge join explodes at hub nodes
+    * (a degree-d node yields d^2/2 wedges, and web graphs have d up to
+    * 10^7), so edges are first ORIENTED from the lower-(degree, id)
+    * endpoint to the higher — the classic degree-ordered orientation
+    * under which every vertex's OUT-degree is O(sqrt(m)) regardless of
+    * its raw degree, bounding the wedge fan-out per node and making the
+    * two equi-joins (wedge build on the shared source, wedge close on
+    * the far pair) skew-safe. Each triangle is found exactly once, at
+    * its minimum-(degree, id) corner. Ordering keys are compared as
+    * (deg, id) STRUCTS, never folded into an arithmetic key, so there is
+    * no overflow ceiling on degree or id. Self-loops and duplicate /
+    * reversed edges are canonicalized away first.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .where($"a" =!= $"b" && $"a".isNotNull && $"b".isNotNull)
+      .distinct()
+    val deg = und.select(explode(array($"a", $"b")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    // (deg, id) total order as a struct key — no arithmetic packing
+    val keyed = deg.select($"node", struct($"deg", $"node").as("okey"))
+    val both = und
+      .join(keyed.select($"node".as("a"), $"okey".as("ka")), "a")
+      .join(keyed.select($"node".as("b"), $"okey".as("kb")), "b")
+    val oriented = both.select(
+        when($"ka" < $"kb",
+          struct($"a".as("u"), $"b".as("v"), $"kb".as("kv")))
+        .otherwise(struct($"b".as("u"), $"a".as("v"), $"ka".as("kv"))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"), $"e.kv".as("kv"))
+      .persist(mem)
+    oriented.count() // materialize once; reused by wedge build AND close
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.kv") < col("y.kv"))
+      .select(col("x.u").as("u"), col("x.v").as("v1"), col("y.v").as("v2"))
+    // close the wedge: (v1, v2) with key(v1) < key(v2) is oriented v1->v2
+    val tris = wedges.join(
+        oriented.select($"u".as("v1"), $"v".as("v2")), Seq("v1", "v2"))
+      .select($"u", $"v1", $"v2")
+    val out = tris.select(explode(array($"u", $"v1", $"v2")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+    val res = out.localCheckpoint()
+    oriented.unpersist()
+    res
+  }
 }

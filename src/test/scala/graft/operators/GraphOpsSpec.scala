@@ -139,4 +139,40 @@ class GraphOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraphOps.bfsDistances(edges.toDF("src", "dst"), "src", "dst", Seq.empty) }
   }
+
+  test("triangleCounts: K4, star, canonicalization, brute oracle") {
+    import spark.implicits._
+    // K4 on {0..3}: 4 triangles, every node on 3
+    val k4 = (for (a <- 0 to 3; b <- 0 to 3 if a < b) yield (a.toLong, b.toLong))
+      .toDF("x", "y")
+    val gotK4 = GraphOps.triangleCounts(k4, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(gotK4 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // star graph: hub with many leaves, zero triangles -> empty output
+    val star = (1 to 50).map(i => (0L, i.toLong)).toDF("x", "y")
+    assert(GraphOps.triangleCounts(star, "x", "y").count() == 0L)
+    // self-loops, duplicates, and reversed edges collapse away: one
+    // triangle {1,2,3} regardless of how noisily it arrives
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (2L, 2L), (1L, 2L)).toDF("x", "y")
+    val gotNoisy = GraphOps.triangleCounts(noisy, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(gotNoisy == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // seeded random graph vs driver brute force over adjacency sets
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val es = (0 until 260).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val brute = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- es; c <- adj(a) if c > b && adj(b).contains(c)) {
+      brute(a) += 1; brute(b) += 1; brute(c) += 1
+    }
+    val got = GraphOps.triangleCounts(es.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(got == brute.toMap, s"diff: ${(got.toSet diff brute.toSet).take(5)}")
+    assert(got.values.sum % 3 == 0 && got.values.sum > 0)
+  }
 }
