@@ -505,6 +505,28 @@ object SparkEntry {
         .orderBy($"qid", $"vid")
     }),
 
+    // Maximum-inner-product search via the norm-augmentation reduction
+    // (Shrivastava & Li 2014): corpus vectors gain sqrt(M^2 - |x|^2),
+    // queries gain 0, making the augmented corpus CONSTANT-norm so any
+    // cosine/L2 index serves MIPS (recommendation retrieval where
+    // higher-norm items must win — cosine alone ranks them wrong).
+    // Fixture: the e1 clustered recipe with norms deliberately skewed
+    // 5x by (vid % 5 + 1)/4 — a scale-up under which cosine and MIPS
+    // top-5 genuinely differ (spec asserts it). Every scaled coordinate
+    // is a dyadic multiple of 2^-5, so inner products are EXACT doubles
+    // in both engines; ranking by raw augmented ip (not per-row cosine)
+    // keeps exact ties breaking on vid, never float noise. Oracle: the
+    // brute raw-dot top-5 in DuckDB.
+    "e9_mips" -> ((s, _) => {
+      import s.implicits._
+      val e = clusteredEmbeddings(s).select($"vec_id",
+        transform($"embedding",
+          x => x * (($"vec_id" % 5 + 1).cast("float") * lit(0.25f))).as("v"))
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("qv"))
+      graft.sim.Similarity.mipsTopK(q, e, "vec_id", "v", k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // Product-quantization ANN: m=4 byte codes per vector, broadcast ADC
     // lookup tables, shortlist by ADC + exact cosine re-rank of
     // SURVIVORS ONLY (the compressed exhaustive path — codes are 4 B vs
@@ -5494,6 +5516,26 @@ object SparkEntry {
         |            JOIN norms nc ON nc.vid = p.vid
         |WHERE p.dot / (nq.n * nc.n) >= 0.6
         |ORDER BY p.qid, p.vid""".stripMargin,
+
+    // e9: brute raw inner-product top-5 over the norm-skewed fixture —
+    // the augmented engine path must reproduce the raw MIPS ranking
+    "e9_mips" ->
+      """WITH v AS (
+        |  SELECT t.vid AS vid, d.d AS d,
+        |    ((CASE WHEN d.d = t.vid % 16 THEN 8.0 ELSE 0.0 END)
+        |      + (((t.vid // 16) * 31 + d.d * 17 + (t.vid % 16) * 7) % 13 - 6) * 0.125)
+        |    * ((t.vid % 5 + 1) * 0.25) AS x
+        |  FROM range(480) t(vid), range(16) d(d)),
+        |pairs AS (
+        |  SELECT q.vid AS qid, c.vid AS vid,
+        |    CAST(sum(q.x * c.x) AS DOUBLE) AS ip
+        |  FROM v q JOIN v c ON q.d = c.d AND q.vid < 10 AND c.vid <> q.vid
+        |  GROUP BY q.vid, c.vid),
+        |rk AS (SELECT qid, vid, ip,
+        |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vid) AS rank
+        |  FROM pairs)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, ip
+        |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // e7: the e2 brute oracle with the metadata predicate applied to the
     // corpus side (vid % 3 = 0 <=> lang = 'en')

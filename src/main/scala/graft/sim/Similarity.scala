@@ -33,6 +33,52 @@ object Similarity extends Serializable {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"))
   }
 
+  /** Norm-augmentation reduction of maximum-inner-product search to
+    * cosine / L2 search (Shrivastava & Li, NeurIPS 2014; the xbox
+    * transform): every corpus vector x gains one coordinate
+    * sqrt(M^2 - ||x||^2) where M = max corpus norm, every query gains a
+    * literal 0. The augmented corpus then has CONSTANT norm M, so
+    * inner-product order == cosine order == L2-NN order over the
+    * augmented space — any cosine/L2 index in this module (ivfTopK's
+    * coarse lists, rangeSearch's exact ball bounds, PQ codes) serves
+    * MIPS unchanged. One scalar agg computes M^2; the augmentation
+    * itself is a per-row codegen'd concat, no shuffle. Returns the
+    * corpus as (vid, va: array<double>). */
+  def mipsAugment(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val n2 = dot("v", "v")
+    val m2 = c.agg(max(n2).as("m2")).head().getDouble(0)
+    c.select(col("vid"), concat(
+        expr("transform(v, x -> CAST(x AS DOUBLE))"),
+        array(sqrt(greatest(lit(m2) - n2, lit(0.0))))).as("va"))
+  }
+
+  /** Exact MIPS top-k per query row (qid, qv) against (idCol, vecCol),
+    * through [[mipsAugment]]. Ranking uses the raw augmented inner
+    * product (the query's extra coordinate is 0, so it EQUALS the
+    * original inner product bit-for-bit) rather than a per-row cosine:
+    * the augmented corpus norm is M by construction, so the division
+    * would be a per-query constant — skipping it keeps exact
+    * inner-product ties breaking on vid deterministically instead of on
+    * float noise from re-squared sqrt norms. Output (qid, rank, vid,
+    * ip). The brute pair join is the exact-oracle shape (same as
+    * bruteTopK); the scale path is mipsAugment -> any indexed cosine
+    * search. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val aug = mipsAugment(corpus, idCol, vecCol)
+    val qa = queries.select(col("qid"),
+      concat(expr("transform(qv, x -> CAST(x AS DOUBLE))"),
+        array(lit(0.0))).as("qva"))
+    val pairs = qa.join(aug, col("vid") =!= col("qid"))
+      .withColumn("ip", dot("qva", "va"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("vid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vid"), col("ip"))
+  }
+
   /** Deterministic Lloyd's k-means over an Array[Float] column — the IVF
     * coarse quantizer. Init = the k lowest-id vectors (no RNG); distributed
     * assign (broadcast centroids) + mean recompute per iteration.

@@ -445,4 +445,65 @@ class SimSpec extends AnyFunSuite {
         "cl", farQ, 0.99, centroidTable = Some(centroids))
     assert(far.count() == 0L)
   }
+
+  test("MIPS: augmented ranking == driver brute dot; differs from cosine; " +
+    "augmented corpus is constant-norm and serves an unchanged IVF index") {
+    import spark.implicits._
+    val dim = 16
+    // norm-skewed clustered fixture: spike clusters scaled 5x by id
+    val pts = (0 until 320).map { i =>
+      val cl = i % 8
+      val s = (i % 5 + 1) * 0.25f
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d % 8 == cl) 10.0f else 0.0f
+        (base + (((i * 31 + d * 17) % 7) - 3) * 0.25f) * s
+      }
+      (i.toLong, v)
+    }
+    val e = spark.createDataset(pts).toDF("vec_id", "v")
+    val q = e.filter($"vec_id" < 12).select($"vec_id".as("qid"), $"v".as("qv"))
+    val got = Similarity.mipsTopK(q, e, "vec_id", "v", k = 5)
+      .select("qid", "rank", "vid").as[(Long, Long, Long)].collect().toSet
+    // driver brute: exact dot ranking with vid tie-break
+    val byId = pts.toMap
+    val want = (0L until 12L).flatMap { qid =>
+      val qv = byId(qid)
+      pts.filter(_._1 != qid)
+        .map { case (vid, v) =>
+          (vid, (0 until dim).map(d => qv(d).toDouble * v(d)).sum) }
+        .sortBy { case (vid, ip) => (-ip, vid) }
+        .take(5).zipWithIndex
+        .map { case ((vid, _), r) => (qid, (r + 1).toLong, vid) }
+    }.toSet
+    assert(got == want, s"diff: ${(got diff want).take(5)} / ${(want diff got).take(5)}")
+    // on a norm-skewed corpus MIPS and cosine genuinely disagree
+    val cosSets = Similarity.bruteTopK(q,
+        e.select($"vec_id".as("vid"), $"v"), 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    assert(got.map { case (a, _, c) => (a, c) } != cosSets,
+      "fixture must separate MIPS from cosine ranking")
+    // augmentation contract: every augmented vector has norm M
+    val aug = Similarity.mipsAugment(e, "vec_id", "v")
+    val norms = aug.select(expr(
+        "sqrt(aggregate(va, 0.0D, (acc, x) -> acc + x * x))").as("n"))
+      .as[Double].collect()
+    assert(norms.max - norms.min < 1e-9, s"norm spread ${norms.max - norms.min}")
+    // the augmented corpus drops into the cosine IVF index unchanged:
+    // same (qid, vid) result sets as the exact MIPS ranking
+    val augF = aug.select($"vid",
+      expr("transform(va, x -> CAST(x AS FLOAT))").as("vaf"))
+    val clusters = Similarity.kmeansClusters(spark, augF, "vid", "vaf",
+      k = 8, iters = 5)
+    val withCl = aug.join(clusters.withColumnRenamed("vid", "cid"),
+      aug("vid") === col("cid")).drop("cid")
+    val qa = q.select($"qid",
+      concat(expr("transform(qv, x -> CAST(x AS DOUBLE))"),
+        array(lit(0.0))).as("qv"))
+    val ivf = Similarity.ivfTopK(spark, withCl, "vid", "va", "cl",
+        qa, k = 5, nProbe = 3)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val mipsSets = got.map { case (a, _, c) => (a, c) }
+    val recall = (ivf & mipsSets).size.toDouble / mipsSets.size
+    assert(recall >= 0.9, s"IVF-over-augmented MIPS recall@5 = $recall")
+  }
 }
