@@ -564,6 +564,29 @@ object SparkEntry {
         .orderBy($"qid", $"rank")
     }),
 
+    // Distributed cell-cover compaction (the H3 compact / S2 cell-union
+    // normalize): a res-0 rectangle cover folds to the minimal mixed-res
+    // cover by repeated replace-4-siblings-by-parent, entirely as 64-bit
+    // id arithmetic (parent z = z >> 2) — one groupBy-parent shuffle per
+    // level, data shrinking 4x per round. The 14 x 11 window is chosen so
+    // every level participates: full 2x2 blocks merge to res 1, those to
+    // res 2, one block reaches res 3, and each level leaves a ragged
+    // remainder. Output decoded to (r, x, y); the oracle replays the
+    // sibling-merge rounds as chained HAVING count(*)=4 CTEs.
+    "r58_cell_compact" -> ((s, _) => {
+      import s.implicits._
+      val cells = s.range(14).toDF("x").crossJoin(s.range(11).toDF("y"))
+        .as[(Long, Long)]
+        .map { case (x, y) => graft.core.CellId.encode(0, x, y) }
+        .toDF("cell")
+      graft.operators.CellOps.compactCells(cells, "cell")
+        .as[Long]
+        .map(id => (graft.core.CellId.res(id).toLong,
+          graft.core.CellId.cx(id), graft.core.CellId.cy(id)))
+        .toDF("r", "x", "y")
+        .orderBy($"r", $"x", $"y")
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -965,6 +988,25 @@ object SparkEntry {
           max($"c").as("high_c"), min($"c").as("low_c"),
           count(lit(1)).as("n"), sum($"c").as("vol_c"))
         .orderBy($"user_id", $"bar")
+    }),
+
+    // PIVOT — long-to-wide reshape (RelationalGroupedDataset.pivot), the
+    // report/feature-matrix shape: day-of-week x event-type revenue grid
+    // in exact cents. The pivot VALUES are passed explicitly — without
+    // them Spark runs an extra blocking distinct-scan job over 100 TB to
+    // discover them, and the column set becomes data-dependent (schema
+    // drift on a new event type). Compiles to ONE partial/final hash agg
+    // on dow with conditional sums — same plan as the CASE-WHEN oracle,
+    // no per-value shuffle.
+    "q16_pivot" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "events")
+        .withColumn("dow", dayofweek($"ts").cast("long"))
+        .select($"dow", $"event_type", cents($"value").as("c"))
+        .groupBy($"dow")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum($"c"))
+        .orderBy($"dow")
     }),
 
     // SET operations (INTERSECT / EXCEPT built-ins, SURVEY §2.7): the
@@ -3973,6 +4015,19 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS vol_c
         |FROM o GROUP BY user_id, bar ORDER BY user_id, bar""".stripMargin,
 
+    // q16: conditional-aggregation replica of the pivot grid (DuckDB's
+    // PIVOT statement can't run inside a plain SELECT compare)
+    "q16_pivot" ->
+      """SELECT dayofweek(ts) + 1 AS dow,
+        |  sum(CASE WHEN event_type = 'click' THEN c END) AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN c END) AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN c END) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN c END) AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN c END) AS view
+        |FROM (SELECT ts, event_type,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // m1: keeper set + md5 permutation + batch arithmetic in closed
     // form ('dup-k' < 'img-k' so planted duplicates win the keeper rule)
     "m1_contrastive_batches" ->
@@ -4520,6 +4575,32 @@ object SparkEntry {
         |  CAST(round((2.0 + 0.5 * (-5.0 + (c.b + 0.5) * 0.5)
         |    + 0.25 * (30.0 - (r.a + 0.5) * 0.5)) * 10000) AS BIGINT) AS vq
         |FROM range(60) r(a), range(120) c(b) ORDER BY row, col""".stripMargin,
+
+    // r58: replay the sibling-merge rounds level by level — a parent
+    // exists iff its 4 children all survive the previous level; three
+    // rounds exhaust this fixture (the res-3 survivor is a singleton)
+    "r58_cell_compact" ->
+      """WITH l0 AS (SELECT CAST(0 AS BIGINT) AS r, x.x AS x, y.y AS y
+        |  FROM range(14) x(x), range(11) y(y)),
+        |m1 AS (SELECT x // 2 AS x, y // 2 AS y FROM l0
+        |  GROUP BY 1, 2 HAVING count(*) = 4),
+        |rem0 AS (SELECT l0.r, l0.x, l0.y FROM l0 LEFT JOIN m1
+        |  ON m1.x = l0.x // 2 AND m1.y = l0.y // 2 WHERE m1.x IS NULL),
+        |l1 AS (SELECT CAST(1 AS BIGINT) AS r, x, y FROM m1),
+        |m2 AS (SELECT x // 2 AS x, y // 2 AS y FROM l1
+        |  GROUP BY 1, 2 HAVING count(*) = 4),
+        |rem1 AS (SELECT l1.r, l1.x, l1.y FROM l1 LEFT JOIN m2
+        |  ON m2.x = l1.x // 2 AND m2.y = l1.y // 2 WHERE m2.x IS NULL),
+        |l2 AS (SELECT CAST(2 AS BIGINT) AS r, x, y FROM m2),
+        |m3 AS (SELECT x // 2 AS x, y // 2 AS y FROM l2
+        |  GROUP BY 1, 2 HAVING count(*) = 4),
+        |rem2 AS (SELECT l2.r, l2.x, l2.y FROM l2 LEFT JOIN m3
+        |  ON m3.x = l2.x // 2 AND m3.y = l2.y // 2 WHERE m3.x IS NULL),
+        |l3 AS (SELECT CAST(3 AS BIGINT) AS r, x, y FROM m3)
+        |SELECT r, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM (
+        |  SELECT * FROM rem0 UNION ALL SELECT * FROM rem1
+        |  UNION ALL SELECT * FROM rem2 UNION ALL SELECT * FROM l3)
+        |ORDER BY r, x, y""".stripMargin,
 
     // r57: the composed surface by linear precision — stations sit on the
     // plane 4 + x/4 + y/2, Delaunay reproduces it, and the oracle is the
