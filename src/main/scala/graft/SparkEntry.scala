@@ -1827,6 +1827,42 @@ object SparkEntry {
         .orderBy($"shard")
     }),
 
+    // HISTOGRAM EQUALIZATION — the per-image contrast-normalization pass
+    // an image pipeline runs before augmentation: real PNG decode ->
+    // integer-code histogram -> exact floor-division CDF remap to 256
+    // levels (ImageCodec.equalizeCodes). Per-row kernel over the decoded
+    // plane: zero shuffle, embarrassingly parallel at 10^12 rows; the
+    // histogram is per IMAGE (<= 1000 bins here, 2^20 hard bound), never
+    // per partition. All-Long arithmetic end to end, so DuckDB
+    // regenerates the equalized plane from the closed-form corpus codes
+    // alone (window-sum CDF) and the per-image stats hash-match exactly.
+    "i10_hist_equalize" -> ((s, _) => {
+      import s.implicits._
+      import graft.codecs.ImageCodec
+      val corpus = ImageCorpus.generateExact(s, 64L, 8)
+      corpus.map { row =>
+        val (px, _, _) = ImageCodec.decode(row.bytes, row.fmt)
+        val codes = new Array[Int](px.length)
+        var j = 0
+        while (j < px.length) {
+          codes(j) = Math.rint(px(j) * ImageCodec.PngScale).toInt
+          j += 1
+        }
+        val eq = ImageCodec.equalizeCodes(codes, 256)
+        var sm = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        val seen = new java.util.BitSet(256)
+        j = 0
+        while (j < eq.length) {
+          val e = eq(j); sm += e; seen.set(e)
+          if (e < mn) mn = e
+          if (e > mx) mx = e
+          j += 1
+        }
+        (row.image_id, sm, seen.cardinality().toLong, mn, mx)
+      }.toDF("image_id", "eq_sum", "n_levels", "eq_min", "eq_max")
+        .orderBy($"image_id")
+    }),
+
     // CURRICULUM ordering — easy-to-hard training order over the
     // documents table: integer difficulty tiers from n_chars
     // (<200 / <400 / rest -> 148/206/146 docs at sf0.01), md5-shuffled
@@ -4097,6 +4133,31 @@ object SparkEntry {
         |  CAST(min(code) AS BIGINT) AS min_code,
         |  CAST(max(code) AS BIGINT) AS max_code
         |FROM px GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // i10: the exact CDF remap replicated in SQL — per-image histogram
+    // over the closed-form codes, window-sum CDF ordered by code, cdfmin
+    // = the smallest present code's cumulative count, then the same
+    // floor division (all operands positive, so DuckDB // == the
+    // engine's Long '/'); 65536 px per image, codes 0..999
+    "i10_hist_equalize" ->
+      """WITH px AS (
+        |  SELECT t.i AS i,
+        |    ((((t.i // 8) * 256 + r.r) * 31
+        |      + ((t.i % 8) * 256 + c.c) * 17) % 1000) AS code
+        |  FROM range(64) t(i), range(256) r(r), range(256) c(c)),
+        |hist AS (SELECT i, code, count(*) AS n FROM px GROUP BY 1, 2),
+        |cdf AS (SELECT i, code, n,
+        |    sum(n) OVER (PARTITION BY i ORDER BY code) AS cum FROM hist),
+        |mn AS (SELECT i, min(cum) AS cdfmin FROM cdf GROUP BY i),
+        |eq AS (SELECT c.i AS i, c.n AS n,
+        |    ((c.cum - m.cdfmin) * 255) // (65536 - m.cdfmin) AS e
+        |  FROM cdf c JOIN mn m ON c.i = m.i)
+        |SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        |  CAST(sum(e * n) AS BIGINT) AS eq_sum,
+        |  CAST(count(DISTINCT e) AS BIGINT) AS n_levels,
+        |  CAST(min(e) AS BIGINT) AS eq_min,
+        |  CAST(max(e) AS BIGINT) AS eq_max
+        |FROM eq GROUP BY i ORDER BY image_id""".stripMargin,
 
     // m3: the composite curriculum key (zeropad(tier) | md5(id))
     // replicated as a row_number in closed form

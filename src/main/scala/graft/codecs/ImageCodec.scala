@@ -582,4 +582,54 @@ object ImageCodec {
     QualityStats(if (nValid == 0) 0L else qMin, if (nValid == 0) 0L else qMax,
       nValid, seen.size.toLong, grad)
   }
+
+  /** Histogram equalization in the integer code domain: remap each pixel
+    * code q to `floor((cdf(q) - cdfMin) * (levels-1) / (n - cdfMin))` where
+    * cdf(q) counts pixels <= q and cdfMin is the cdf of the smallest present
+    * code — the classic per-image contrast-normalization pass an image
+    * training pipeline runs before augmentation (the reference normalizes
+    * contrast driver-side via matplotlib vmin/vmax at render time,
+    * grid_show.py:33-135; this is the engine-side, per-row analogue that
+    * rewrites the pixels themselves). All-Long arithmetic with floor
+    * division over non-negative operands, so the remap is exact and
+    * engine-independent; a constant image (n == cdfMin) maps to the top
+    * level. Codes must be non-negative and their range driver-independent
+    * small (one histogram per IMAGE, never per partition — the 2^20 bound
+    * keeps a hostile code from allocating gigabytes inside a task). */
+  def equalizeCodes(codes: Array[Int], levels: Int): Array[Int] = {
+    require(levels >= 2, s"equalizeCodes: levels must be >= 2, got $levels")
+    val n = codes.length
+    if (n == 0) return new Array[Int](0)
+    var maxCode = 0
+    var i = 0
+    while (i < n) {
+      val q = codes(i)
+      require(q >= 0, s"equalizeCodes: negative code $q at index $i")
+      if (q > maxCode) maxCode = q
+      i += 1
+    }
+    require(maxCode <= (1 << 20),
+      s"equalizeCodes: max code $maxCode exceeds the 2^20 histogram bound")
+    val hist = new Array[Long](maxCode + 1)
+    i = 0
+    while (i < n) { hist(codes(i)) += 1; i += 1 }
+    val eq = new Array[Int](maxCode + 1)
+    var cum = 0L
+    var cdfMin = -1L
+    var q = 0
+    while (q <= maxCode) {
+      if (hist(q) > 0) {
+        cum += hist(q)
+        if (cdfMin < 0) cdfMin = cum
+        eq(q) =
+          if (n == cdfMin) levels - 1
+          else (((cum - cdfMin) * (levels - 1)) / (n - cdfMin)).toInt
+      }
+      q += 1
+    }
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) { out(i) = eq(codes(i)); i += 1 }
+    out
+  }
 }

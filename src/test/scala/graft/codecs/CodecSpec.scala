@@ -154,6 +154,26 @@ class CodecSpec extends AnyFunSuite {
     assert(allNaN == ImageCodec.QualityStats(0, 0, 0, 0, 0))
   }
 
+  test("equalizeCodes: exact CDF remap, constant image, hand oracle") {
+    import graft.codecs.ImageCodec.equalizeCodes
+    // hand oracle, n=8 codes {5:3, 7:1, 9:4}, levels=4:
+    // cdf: 5->3 (cdfMin), 7->4, 9->8
+    // eq(q) = floor((cdf-3)*3 / (8-3)): 5->0, 7->0 (3/5), 9->3 (15/5)
+    val out = equalizeCodes(Array(5, 9, 7, 5, 9, 9, 5, 9), 4)
+    assert(out.toSeq == Seq(0, 3, 0, 0, 3, 3, 0, 3))
+    // a constant image maps every pixel to the top level (n == cdfMin)
+    assert(equalizeCodes(Array(42, 42, 42), 256).toSeq == Seq(255, 255, 255))
+    // a uniform histogram over L codes with levels=L is an exact ramp:
+    // code k (cdf k+1) -> floor(k*(L-1)/(L-1)) = k
+    val ramp = equalizeCodes(Array.tabulate(256)(identity), 256)
+    assert(ramp.toSeq == (0 until 256))
+    // empty and guard paths
+    assert(equalizeCodes(Array.empty[Int], 256).isEmpty)
+    intercept[IllegalArgumentException](equalizeCodes(Array(1), 1))
+    intercept[IllegalArgumentException](equalizeCodes(Array(-1), 256))
+    intercept[IllegalArgumentException](equalizeCodes(Array(1 << 21), 256))
+  }
+
   test("trimSilence: lead/trail runs, all-silent, short tail window") {
     import graft.codecs.WavCodec.trimSilence
     def clip(pattern: String, loud: Short = 100, quiet: Short = 1): Array[Short] =
