@@ -805,6 +805,31 @@ object SparkEntry {
         .orderBy($"clip_id")
     }),
 
+    // Audio VAD SEGMENTATION (utterance splitting): where a2 trims one
+    // span, this emits EVERY maximal run of loud windows as a segment —
+    // the pass that splits long recordings into utterances for ASR
+    // corpora. The fixture interleaves quiet windows (|v|<=20, energy
+    // <= 1e5) through the a1 loud pattern (energy ~8e7) on a per-clip
+    // rotating rule, so clips carry 2-3 islands at varying positions.
+    // Real RIFF encode -> decode in-task; per-clip kernel, zero shuffle;
+    // integer-exact so the gaps-and-islands SQL form matches bit-for-bit.
+    "a5_vad_segments" -> ((s, _) => {
+      import s.implicits._
+      s.range(100).flatMap { k =>
+        val samples = Array.tabulate(2000) { i =>
+          val quiet = (k + 3L * (i / 250)) % 4 == 0
+          if (quiet) (((k * 7 + i * 31) % 41) - 20).toShort
+          else (((k * 7 + i * 31) % 2001) - 1000).toShort
+        }
+        val bytes = graft.codecs.WavCodec.encode(samples, 16000)
+        val (dec, _) = graft.codecs.WavCodec.decode(bytes)
+        graft.codecs.WavCodec.vadSegments(dec, 250, 1000000L).iterator.map {
+          case (seg, start, nw, es) => (k, seg, start, nw, es)
+        }
+      }.toDF("clip_id", "seg", "start_win", "n_win", "energy")
+        .orderBy($"clip_id", $"seg")
+    }),
+
     // Video SCENE-CHANGE detection: SAD between consecutive decoded
     // frames, cut where SAD > 65000. The fixture switches the pixel
     // formula at frame 6 (i -> 3i+97 remap), so the 5->6 transition SADs
@@ -4854,6 +4879,32 @@ object SparkEntry {
         |  CAST(sum((s.i + 1) * (s.v * (1 << g.shift))) AS BIGINT) AS norm_wsum
         |FROM s JOIN g ON g.clip_id = s.clip_id
         |GROUP BY 1, 2, 3 ORDER BY s.clip_id""".stripMargin,
+
+    // a5: gaps-and-islands over the closed-form window energies — loud
+    // windows (ss >= 1e6) grouped by the classic w - row_number() island
+    // key, then one row per island; the per-clip segment index is the
+    // island rank by start window
+    "a5_vad_segments" ->
+      """WITH s AS (
+        |  SELECT k.k AS k, i.i // 250 AS w,
+        |    CASE WHEN (k.k + 3 * (i.i // 250)) % 4 = 0
+        |      THEN ((k.k * 7 + i.i * 31) % 41) - 20
+        |      ELSE ((k.k * 7 + i.i * 31) % 2001) - 1000 END AS v
+        |  FROM range(100) k(k), range(2000) i(i)),
+        |wf AS (SELECT k, w, sum(v * v) AS ss FROM s GROUP BY 1, 2),
+        |loud AS (SELECT k, w, ss,
+        |    w - row_number() OVER (PARTITION BY k ORDER BY w) AS grp
+        |  FROM wf WHERE ss >= 1000000),
+        |seg AS (SELECT k, grp, min(w) AS start_win, count(*) AS n_win,
+        |    sum(ss) AS energy
+        |  FROM loud GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS clip_id,
+        |  CAST(row_number() OVER (PARTITION BY k ORDER BY start_win) - 1
+        |    AS BIGINT) AS seg,
+        |  CAST(start_win AS BIGINT) AS start_win,
+        |  CAST(n_win AS BIGINT) AS n_win,
+        |  CAST(energy AS BIGINT) AS energy
+        |FROM seg ORDER BY clip_id, seg""".stripMargin,
 
     "a2_audio_trim" ->
       """WITH s AS (SELECT (i // 1000) AS clip, (i % 1000) AS idx,

@@ -109,6 +109,30 @@ object WavCodec {
     (feats.length.toLong, lead.toLong, trail.toLong, kept)
   }
 
+  /** Voice-activity SEGMENTATION (the utterance splitter): where
+    * [[trimSilence]] keeps one span, this returns EVERY maximal run of
+    * consecutive loud windows (energy >= threshold) as its own segment —
+    * the pass an ASR corpus pipeline runs to split long recordings into
+    * utterances before transcription. Returns one row per segment:
+    * (segIdx, startWin, nWin, energySum), integer-exact so the
+    * gaps-and-islands SQL form reproduces it bit-for-bit. Per-clip
+    * kernel, zero shuffle. */
+  def vadSegments(samples: Array[Short], win: Int,
+      energyThreshold: Long): Seq[(Long, Long, Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    var seg = -1L; var start = -1L; var nw = 0L; var es = 0L
+    windowFeatures(samples, win).foreach { case (w, _, ss, _) =>
+      if (ss >= energyThreshold) {
+        if (start < 0) { seg += 1; start = w.toLong; nw = 0L; es = 0L }
+        nw += 1; es += ss
+      } else if (start >= 0) {
+        out += ((seg, start, nw, es)); start = -1L
+      }
+    }
+    if (start >= 0) out += ((seg, start, nw, es))
+    out.result()
+  }
+
   /** Decimate-by-2 resampling with a 2-tap box pre-filter: each output
     * sample is the floor-mean of an input pair ((a+b) >> 1 — arithmetic
     * shift = floor, integer-exact for the full Short range). A trailing

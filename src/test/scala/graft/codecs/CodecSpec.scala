@@ -174,6 +174,22 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](equalizeCodes(Array(1 << 21), 256))
   }
 
+  test("vadSegments: maximal loud islands with hand oracle") {
+    import graft.codecs.WavCodec.vadSegments
+    def clip(pattern: String, loud: Short = 100, quiet: Short = 1): Array[Short] =
+      pattern.toSeq.flatMap(ch =>
+        Seq.fill(4)(if (ch == 'L') loud else quiet)).toArray
+    val t = 100L // 4*quiet^2 < t <= 4*loud^2 per 4-sample window
+    // L L S L S -> islands [0,2) and [3,4); energy 4*100^2 = 40000/window
+    assert(vadSegments(clip("LLSLS"), 4, t) ==
+      Seq((0L, 0L, 2L, 80000L), (1L, 3L, 1L, 40000L)))
+    // all-loud -> one island; all-quiet -> none; trailing island closes
+    assert(vadSegments(clip("LLL"), 4, t) == Seq((0L, 0L, 3L, 120000L)))
+    assert(vadSegments(clip("SSS"), 4, t) == Seq.empty)
+    assert(vadSegments(clip("SLL"), 4, t) == Seq((0L, 1L, 2L, 80000L)))
+    assert(vadSegments(Array.empty[Short], 4, t) == Seq.empty)
+  }
+
   test("trimSilence: lead/trail runs, all-silent, short tail window") {
     import graft.codecs.WavCodec.trimSilence
     def clip(pattern: String, loud: Short = 100, quiet: Short = 1): Array[Short] =
