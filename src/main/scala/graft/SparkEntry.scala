@@ -1385,6 +1385,26 @@ object SparkEntry {
         .orderBy($"a", $"b")
     }),
 
+    // WEIGHTED SYSTEMATIC SAMPLING — downsample the corpus to a token
+    // budget with pick probability proportional to document weight: docs
+    // lie on the cumulative-token line (id order) and one doc is kept per
+    // `step` tokens (the one whose interval covers the sample point).
+    // The deterministic, integer-exact analogue of weighted reservoir
+    // sampling; positions come from the d27 distributed prefix sum (range
+    // partition + per-partition subtotals — never a global window), so
+    // the plan holds at 100 TB. Oracle replicates the window-sum offsets
+    // and the first-multiple rule in closed form.
+    "d31_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val withTok = table(s, dir, "documents")
+        .select($"doc_id",
+          size(filter(split(trim($"text"), "\\s+"), t => t =!= lit("")))
+            .cast("long").as("n_tok"))
+      graft.text.TextOps.weightedSample(withTok, "doc_id", "n_tok",
+          step = 997L)
+        .orderBy($"doc_id")
+    }),
+
     // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means clusters the
     // embedding space, then a doc is removed iff an EARLIER member of the
     // same cluster is cosine >= 0.95. Fixture = the e2 recipe extended
@@ -4566,6 +4586,25 @@ object SparkEntry {
         |SELECT x.w AS a, y.w AS b, CAST(levenshtein(x.w, y.w) AS BIGINT) AS dist
         |FROM toks x JOIN toks y ON x.w < y.w AND levenshtein(x.w, y.w) <= 1
         |ORDER BY a, b""".stripMargin,
+
+    // d31: the cumulative-token line as a window sum (the oracle MAY use
+    // the global window — it is DuckDB, not the 100 TB plan), then the
+    // same first-multiple-of-step rule in pure integer arithmetic
+    "d31_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x != '')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_w
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS weight,
+        |  CAST(start_w AS BIGINT) AS start_w,
+        |  CAST((start_w + (997 - start_w % 997) % 997) // 997 AS BIGINT)
+        |    AS pick_idx
+        |FROM c
+        |WHERE n_tok > 0 AND (997 - start_w % 997) % 997 < n_tok
+        |ORDER BY doc_id""".stripMargin,
 
     // d20: regenerate the clustered fixture from closed form (cluster =
     // vid % 12, provably what k-means recovers), compute every within-

@@ -577,8 +577,28 @@ object TextOps {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val spark = docs.sparkSession
     import spark.implicits._
+    val out = runningOffsets(docs, idCol, nTokCol, partitions).map {
+      case (id, n, start) =>
+        (id, n, start, start / seqLen,
+          (start + math.max(n, 1L) - 1L) / seqLen)
+    }
+    spark.createDataset(out)
+      .toDF(idCol, "n_tok", "start_tok", "first_seq", "last_seq")
+  }
+
+  /** The shared distributed prefix-sum core of [[packContiguous]] and
+    * [[weightedSample]]: range-partition by id, localCheckpoint to freeze
+    * the partitioning, one O(#partitions) pass collects per-partition
+    * subtotals (a few longs to the driver, never rows), the driver
+    * scan-prefixes them, and a second per-partition pass emits each row's
+    * running offset. Emits (id, n, start) with start = sum of n over all
+    * ids before this one in id order. */
+  private def runningOffsets(docs: DataFrame, idCol: String, nCol: String,
+      partitions: Int): org.apache.spark.rdd.RDD[(Long, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val keyed = docs.select(col(idCol).cast("long").as("id"),
-      col(nTokCol).cast("long").as("n"))
+      col(nCol).cast("long").as("n"))
     val ranged = // 0 = planner default (AQE may coalesce small inputs)
       if (partitions > 0) keyed.repartitionByRange(partitions, col("id"))
       else keyed.repartitionByRange(col("id"))
@@ -592,16 +612,47 @@ object TextOps {
       }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+    rdd.mapPartitionsWithIndex { (pi, it) =>
       var run = bc.value(pi)
       it.map { case (id, n) =>
         val start = run; run += n
-        (id, n, start, start / seqLen,
-          (start + math.max(n, 1L) - 1L) / seqLen)
+        (id, n, start)
       }
     }
+  }
+
+  /** WEIGHTED SYSTEMATIC SAMPLING to a training budget: lay every
+    * document on the cumulative-weight line (id order) and keep exactly
+    * the docs whose weight interval [start, start + w) covers a multiple
+    * of `step` — one pick per `step` tokens, each doc kept with
+    * probability proportional to its weight. This is the deterministic,
+    * order-stable analogue of weighted reservoir sampling (A-ES) that a
+    * curation pipeline runs to downsample a corpus to a token budget:
+    * exact integer arithmetic (no float priorities), reproducible across
+    * engines, and the same two narrow prefix-sum passes as
+    * [[packContiguous]] — no global sort, no driver rows, so the plan
+    * holds at 100 TB. pick_idx is the index of the FIRST sample point
+    * inside the doc's interval (a doc heavier than `step` absorbs
+    * several consecutive picks but is emitted once — sampling without
+    * replacement). Zero-weight docs are never picked. Output one row per
+    * KEPT doc: (id, weight, start_w, pick_idx). */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      step: Long, partitions: Int = 0): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val out = runningOffsets(docs, idCol, weightCol, partitions)
+      .flatMap { case (id, n, start) =>
+        require(n >= 0, s"weightedSample: negative weight $n for id $id")
+        // first multiple of step at or after start, as an offset from
+        // start — all operands non-negative, so % is the true mod
+        val gap = (step - start % step) % step
+        if (n > 0 && gap < n)
+          Iterator.single((id, n, start, (start + gap) / step))
+        else Iterator.empty
+      }
     spark.createDataset(out)
-      .toDF(idCol, "n_tok", "start_tok", "first_seq", "last_seq")
+      .toDF(idCol, "weight", "start_w", "pick_idx")
   }
 
   /** BPE ENCODING — the apply side of [[bpeLearnMerges]]: tokenize each

@@ -537,6 +537,40 @@ class TextSpec extends AnyFunSuite {
       TextOps.packContiguous(docs, "doc_id", "n_tok", 0) }
   }
 
+  test("weightedSample: systematic picks == driver scan; heavy docs absorb; zero-weight skipped") {
+    import spark.implicits._
+    // weights include zeros and one doc heavier than step (absorbs >1
+    // sample point but is emitted once)
+    val w = (0L until 3000L).map(i =>
+      (i, if (i % 11 == 0) 0L else if (i == 1500L) 700L else (i % 37) + 1))
+    val docs = w.toDF("doc_id", "n_tok")
+    val step = 250L
+    val got = TextOps.weightedSample(docs, "doc_id", "n_tok", step,
+        partitions = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // driver oracle: cumulative scan + first-multiple rule
+    var run = 0L
+    val want = w.flatMap { case (id, n) =>
+      val start = run; run += n
+      val gap = (step - start % step) % step
+      if (n > 0 && gap < n) Some((id, n, start, (start + gap) / step))
+      else None
+    }
+    assert(got.toSeq == want)
+    // pick count == number of sample points covered by nonzero intervals
+    // (every point lands in exactly one doc; heavy docs collapse picks)
+    val totalW = w.map(_._2).sum
+    val nPoints = (totalW + step - 1) / step // points 0, step, ... < totalW
+    val absorbed = want.count(p => p._2 > step) // heavy docs hold >= 2 points
+    assert(want.size <= nPoints && want.size >= nPoints - 2 * absorbed)
+    // no zero-weight doc picked; every pick's interval covers its point
+    assert(want.forall(_._2 > 0))
+    assert(want.forall { case (_, n, start, idx) =>
+      idx * step >= start && idx * step < start + n })
+    intercept[IllegalArgumentException] {
+      TextOps.weightedSample(docs, "doc_id", "n_tok", 0L) }
+  }
+
   test("edJoinLe1: deletion-key pruned == brute all-pairs levenshtein<=1") {
     import spark.implicits._
     // mixed-length vocab with planted typos of every edit kind, repeats,
