@@ -1034,6 +1034,45 @@ object SparkEntry {
         .orderBy($"dow")
     }),
 
+    // EXACT grouped quantiles via VALUE-HISTOGRAM rank selection — the
+    // 100 TB-safe exact form (d23 documents approx_percentile as the
+    // sketch form; this is its exact sibling). Spark's percentile() agg
+    // buffers every value per group in executor memory, and a global-sort
+    // row_number collapses to one partition — both scale traps. Here the
+    // shuffle key is (group, value): a distinct-value histogram + one
+    // window pass over DISTINCT values (50 quantities, not 60k rows)
+    // locates the two order-statistic taps per quantile, and the
+    // interpolation is exact integer arithmetic (x4 fixed-point: the
+    // rank fraction is always a quarter). Holds whenever distinct values
+    // << rows — prices, quantities, scores; the d23 sketch covers the
+    // unbounded-cardinality case.
+    "q17_exact_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+        .select($"l_returnflag".as("flag"), $"l_quantity".cast("long").as("v"))
+      val hist = li.groupBy($"flag", $"v").agg(count(lit(1)).as("c"))
+      val n = li.groupBy($"flag").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"flag").orderBy($"v")
+      // 0-based rank interval [rank_lo, rank_hi) of each distinct value
+      val cum = hist.withColumn("rank_hi", sum($"c").over(w))
+        .withColumn("rank_lo", $"rank_hi" - $"c")
+      val ps = Seq(1L, 2L, 3L).toDF("p4") // p = p4/4: quartiles
+      val taps = cum.join(n, "flag").join(broadcast(ps))
+        .withColumn("i0", ($"p4" * ($"n" - 1)) / 4) // floor tap index
+        .withColumn("f4", ($"p4" * ($"n" - 1)) % 4) // quarter fraction
+        .withColumn("contrib",
+          when($"rank_lo" <= $"i0" && $"i0" < $"rank_hi",
+            (lit(4L) - $"f4") * $"v").otherwise(0L) +
+          when($"f4" > 0 && $"rank_lo" <= $"i0" + 1 && $"i0" + 1 < $"rank_hi",
+            $"f4" * $"v").otherwise(0L))
+      taps.groupBy($"flag", $"n").pivot("p4", Seq("1", "2", "3"))
+        .agg(sum($"contrib"))
+        .withColumnRenamed("1", "q25_x4")
+        .withColumnRenamed("2", "q50_x4")
+        .withColumnRenamed("3", "q75_x4")
+        .orderBy($"flag")
+    }),
+
     // SET operations (INTERSECT / EXCEPT built-ins, SURVEY §2.7): the
     // audience-segmentation shape — users who both clicked and purchased
     // vs users who clicked but never purchased. Both compile to
@@ -4108,6 +4147,31 @@ object SparkEntry {
         |FROM (SELECT ts, event_type,
         |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q17: rank selection replicated with a plain row_number (the oracle
+    // MAY global-sort — it is DuckDB at sf0.01, not the 100 TB plan);
+    // same x4 fixed-point interpolation in pure integer arithmetic
+    "q17_exact_quantiles" ->
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+        |r AS (SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY v) - 1 AS i FROM v),
+        |n AS (SELECT flag, count(*) AS n FROM v GROUP BY 1),
+        |q AS (SELECT r.flag, p.p4, sum(
+        |    CASE WHEN r.i = (p.p4 * (n.n - 1)) // 4
+        |      THEN (4 - (p.p4 * (n.n - 1)) % 4) * r.v ELSE 0 END
+        |    + CASE WHEN (p.p4 * (n.n - 1)) % 4 > 0
+        |        AND r.i = (p.p4 * (n.n - 1)) // 4 + 1
+        |      THEN ((p.p4 * (n.n - 1)) % 4) * r.v ELSE 0 END) AS qx4
+        |  FROM r JOIN n USING (flag),
+        |    (SELECT unnest([1, 2, 3]) AS p4) p
+        |  GROUP BY 1, 2)
+        |SELECT q.flag AS flag, CAST(n.n AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN p4 = 1 THEN qx4 END) AS BIGINT) AS q25_x4,
+        |  CAST(max(CASE WHEN p4 = 2 THEN qx4 END) AS BIGINT) AS q50_x4,
+        |  CAST(max(CASE WHEN p4 = 3 THEN qx4 END) AS BIGINT) AS q75_x4
+        |FROM q JOIN n ON q.flag = n.flag
+        |GROUP BY 1, 2 ORDER BY flag""".stripMargin,
 
     // m1: keeper set + md5 permutation + batch arithmetic in closed
     // form ('dup-k' < 'img-k' so planted duplicates win the keeper rule)
