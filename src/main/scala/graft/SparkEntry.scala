@@ -587,6 +587,40 @@ object SparkEntry {
         .orderBy($"r", $"x", $"y")
     }),
 
+    // SPATIAL AUTOCORRELATION (global Moran's I + Geary's C) — the
+    // terrain-QA statistic that says whether a surface is spatially
+    // structured or noise. Scale-invariant in the cell values, so it
+    // runs on the integer codes q = 4*v, and the query emits the exact
+    // integer SUFFICIENT STATISTICS (n, S, Σq², W, Σq_iq_j, Σdeg·q,
+    // Σdeg·q²) instead of the assembled float ratio: both engines gate
+    // bit-exact Longs, and I = A/(W·B), C = n(n−1)G/(2W·B) with
+    // A = n²Σq_iq_j − 2nS·Σdeg·q + WS², B = n·Σq² − S², G = 2Σdeg·q² −
+    // 2Σq_iq_j assemble driver-side in BigDecimal (OperatorSpec proves
+    // the algebra against brute force; the raw A overflows Int64 at
+    // this n by design — the decomposition is WHY the distributed job
+    // only ever sums small integers). Plan: rook pairs as ONE equi-join
+    // against its 4 shifted copies — join key (row, col) is uniform, no
+    // skew, no windows; holds at any raster size.
+    "r59_spatial_autocorr" -> ((s, _) => {
+      import s.implicits._
+      val cells = TileOps.cells(demTiles(s))
+        .filter($"v".isNotNull)
+        .select($"row", $"col", ($"v" * 4).cast("long").as("q"))
+      val base = cells.agg(count(lit(1)).as("n"), sum($"q").as("s_sum"),
+        sum($"q" * $"q").as("q2"))
+      val shifted = Seq((0, 1), (0, -1), (1, 0), (-1, 0)).map {
+        case (dr, dc) =>
+          cells.select(($"row" + dr).as("row"), ($"col" + dc).as("col"),
+            $"q".as("qn"))
+      }.reduce(_ unionByName _)
+      val pairAgg = cells.join(shifted, Seq("row", "col"))
+        .agg(count(lit(1)).as("w_pairs"), sum($"q" * $"qn").as("pair_prod"),
+          sum($"q").as("deg_val"), sum($"q" * $"q").as("deg_val_sq"))
+      base.crossJoin(pairAgg)
+        .select($"n", $"s_sum", $"q2", $"w_pairs", $"pair_prod",
+          $"deg_val", $"deg_val_sq")
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -4806,6 +4840,34 @@ object SparkEntry {
          |  CAST(round((4.0 + 0.25 * px + 0.5 * py) * 10000) AS BIGINT) AS vq
          |FROM g WHERE $pip ORDER BY row, col""".stripMargin
     },
+
+    // r59: valid cells from the DEM formula, rook pairs as 4 explicit
+    // shifted equi-joins (hash joins — the abs-distance form would be a
+    // 31k x 31k nested loop), same seven integer sufficient statistics
+    "r59_spatial_autocorr" ->
+      """WITH cells AS (
+        |  SELECT r.r AS row, c.c AS col, (r.r * 31 + c.c * 17) % 1000 AS q
+        |  FROM range(203) r(r), range(154) c(c)
+        |  WHERE (r.r * 154 + c.c) % 97 != 13),
+        |base AS (SELECT count(*) AS n, sum(q) AS s_sum,
+        |    sum(q * q) AS q2 FROM cells),
+        |prs AS (
+        |  SELECT a.q AS q, b.q AS qn FROM cells a JOIN cells b
+        |    ON b.row = a.row AND b.col = a.col + 1
+        |  UNION ALL SELECT a.q, b.q FROM cells a JOIN cells b
+        |    ON b.row = a.row AND b.col = a.col - 1
+        |  UNION ALL SELECT a.q, b.q FROM cells a JOIN cells b
+        |    ON b.row = a.row + 1 AND b.col = a.col
+        |  UNION ALL SELECT a.q, b.q FROM cells a JOIN cells b
+        |    ON b.row = a.row - 1 AND b.col = a.col),
+        |pa AS (SELECT count(*) AS w_pairs, sum(q * qn) AS pair_prod,
+        |    sum(q) AS deg_val, sum(q * q) AS deg_val_sq FROM prs)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(s_sum AS BIGINT) AS s_sum,
+        |  CAST(q2 AS BIGINT) AS q2, CAST(w_pairs AS BIGINT) AS w_pairs,
+        |  CAST(pair_prod AS BIGINT) AS pair_prod,
+        |  CAST(deg_val AS BIGINT) AS deg_val,
+        |  CAST(deg_val_sq AS BIGINT) AS deg_val_sq
+        |FROM base, pa""".stripMargin,
 
     "r21_delaunay_cubic" ->
       """SELECT CAST(r.a AS BIGINT) AS row, CAST(c.b AS BIGINT) AS col,

@@ -228,4 +228,50 @@ class OperatorSpec extends AnyFunSuite {
     val b = back.collect().map(dump).sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("spatial autocorrelation: sufficient-stat assembly == brute Moran/Geary") {
+    // pure-JVM check of the r59 algebra: the seven integer sufficient
+    // statistics assemble (in BigDecimal) to EXACTLY the textbook
+    // Moran's I and Geary's C computed brute-force with float means
+    val h = 5; val w = 6
+    def q(r: Int, c: Int): Option[Long] =
+      if ((r * w + c) % 7 == 3) None else Some(((r * 31 + c * 17) % 50).toLong)
+    val cells = for { r <- 0 until h; c <- 0 until w; v <- q(r, c) }
+      yield (r, c, v)
+    val byPos = cells.map { case (r, c, v) => ((r, c), v) }.toMap
+    val prs = for {
+      (r, c, v) <- cells
+      (dr, dc) <- Seq((0, 1), (0, -1), (1, 0), (-1, 0))
+      vn <- byPos.get((r + dr, c + dc))
+    } yield (v, vn)
+    // sufficient statistics (what r59 emits)
+    val n = cells.size.toLong
+    val sSum = cells.map(_._3).sum
+    val q2 = cells.map(x => x._3 * x._3).sum
+    val wPairs = prs.size.toLong
+    val pairProd = prs.map { case (a1, b1) => a1 * b1 }.sum
+    val degVal = prs.map(_._1).sum
+    val degValSq = prs.map(x => x._1 * x._1).sum
+    // assembly: A = n^2*P - 2nS*D + W*S^2 (= n^2 * sum z_i z_j over pairs)
+    //           B = n*Q2 - S^2            (= n   * sum z_i^2)
+    //           G = 2*DSQ - 2*P           (=      sum (q_i - q_j)^2)
+    // Moran's I = A / (W*B); Geary's C = n*(n-1)*G / (2*W*B)
+    val A = BigDecimal(n) * BigDecimal(n) * BigDecimal(pairProd) -
+      BigDecimal(2) * BigDecimal(n) * BigDecimal(sSum) * BigDecimal(degVal) +
+      BigDecimal(wPairs) * BigDecimal(sSum) * BigDecimal(sSum)
+    val B = BigDecimal(n) * BigDecimal(q2) - BigDecimal(sSum) * BigDecimal(sSum)
+    val G = BigDecimal(2 * degValSq - 2 * pairProd)
+    val moran = (A / (BigDecimal(wPairs) * B)).toDouble
+    val geary = (BigDecimal(n) * BigDecimal(n - 1) * G /
+      (BigDecimal(2 * wPairs) * B)).toDouble
+    // brute force with the float mean
+    val mean = sSum.toDouble / n
+    val bruteNum = prs.map { case (a1, b1) => (a1 - mean) * (b1 - mean) }.sum
+    val bruteDen = cells.map(x => (x._3 - mean) * (x._3 - mean)).sum
+    val bruteMoran = n * bruteNum / (wPairs * bruteDen)
+    val bruteGeary = (n - 1) * prs.map { case (a1, b1) =>
+      (a1 - b1).toDouble * (a1 - b1) }.sum / (2 * wPairs * bruteDen)
+    assert(math.abs(moran - bruteMoran) < 1e-12, s"moran $moran vs $bruteMoran")
+    assert(math.abs(geary - bruteGeary) < 1e-12, s"geary $geary vs $bruteGeary")
+  }
 }
