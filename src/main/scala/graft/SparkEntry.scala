@@ -1281,6 +1281,29 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    // k-CORE decomposition (k=3) — the link-graph density filter. The
+    // fixture plants the three canonical behaviours: a K6 clique and a
+    // circular-ladder prism (every node degree 3) SURVIVE; an open
+    // 4-rung ladder bridged to the clique unravels over 4 cascading
+    // peel rounds (each round's removals drop the next rung below k) —
+    // the multi-round path the oracle replays with unrolled peel CTEs.
+    "g4_kcore" -> ((s, _) => {
+      import s.implicits._
+      val clique = for { i <- 0 until 6; j <- i + 1 until 6 }
+        yield (i.toLong, j.toLong)
+      val prism = (0 until 8).flatMap(i => Seq(
+        (10L + i, 10L + (i + 1) % 8), (20L + i, 20L + (i + 1) % 8),
+        (10L + i, 20L + i)))
+      val ladder = (0 until 3).flatMap(i =>
+        Seq((30L + i, 31L + i), (40L + i, 41L + i))) ++
+        (0 until 4).map(i => (30L + i, 40L + i))
+      val edges = s.createDataset(
+          (clique ++ prism ++ ladder :+ (5L, 30L)).toSeq)
+        .toDF("a", "b")
+      graft.operators.GraphOps.kCore(edges, "a", "b", k = 3)
+        .orderBy($"node")
+    }),
+
     // Bloom-prefiltered incremental dedup — d18's 100 TB steady-state
     // shape: the corpus sig index folds to a broadcast Bloom filter
     // (treeAggregate; driver holds bits, never sigs), bloom-NEGATIVE
@@ -4533,6 +4556,50 @@ object SparkEntry {
         |  UNION ALL SELECT z FROM tri)
         |SELECT CAST(node AS BIGINT) AS node, count(*) AS n_tri
         |FROM corners GROUP BY node ORDER BY node""".stripMargin,
+
+    // g4: the peel replayed as SIX unrolled degree-filter rounds (the
+    // fixture's cascade completes in 4; rounds 5-6 prove the fixpoint).
+    // Each round: recount degrees over surviving edges, keep edges whose
+    // BOTH endpoints still hold >= 3.
+    "g4_kcore" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT i.i AS a, j.j AS b FROM range(6) i(i), range(6) j(j)
+        |    WHERE i.i < j.j
+        |  UNION ALL SELECT 10 + i.i, 10 + (i.i + 1) % 8 FROM range(8) i(i)
+        |  UNION ALL SELECT 20 + i.i, 20 + (i.i + 1) % 8 FROM range(8) i(i)
+        |  UNION ALL SELECT 10 + i.i, 20 + i.i FROM range(8) i(i)
+        |  UNION ALL SELECT 30 + i.i, 31 + i.i FROM range(3) i(i)
+        |  UNION ALL SELECT 40 + i.i, 41 + i.i FROM range(3) i(i)
+        |  UNION ALL SELECT 30 + i.i, 40 + i.i FROM range(4) i(i)
+        |  UNION ALL SELECT 5, 30),
+        |d0 AS MATERIALIZED (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e JOIN d0 x ON x.node = e.a
+        |  JOIN d0 y ON y.node = e.b WHERE x.d >= 3 AND y.d >= 3),
+        |d1 AS MATERIALIZED (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e JOIN d1 x ON x.node = e.a
+        |  JOIN d1 y ON y.node = e.b WHERE x.d >= 3 AND y.d >= 3),
+        |d2 AS MATERIALIZED (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+        |e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e JOIN d2 x ON x.node = e.a
+        |  JOIN d2 y ON y.node = e.b WHERE x.d >= 3 AND y.d >= 3),
+        |d3 AS MATERIALIZED (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+        |e4 AS MATERIALIZED (SELECT e.a, e.b FROM e3 e JOIN d3 x ON x.node = e.a
+        |  JOIN d3 y ON y.node = e.b WHERE x.d >= 3 AND y.d >= 3),
+        |d4 AS MATERIALIZED (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1),
+        |e5 AS MATERIALIZED (SELECT e.a, e.b FROM e4 e JOIN d4 x ON x.node = e.a
+        |  JOIN d4 y ON y.node = e.b WHERE x.d >= 3 AND y.d >= 3),
+        |d5 AS MATERIALIZED (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM e5 UNION ALL SELECT b FROM e5) GROUP BY 1),
+        |e6 AS MATERIALIZED (SELECT e.a, e.b FROM e5 e JOIN d5 x ON x.node = e.a
+        |  JOIN d5 y ON y.node = e.b WHERE x.d >= 3 AND y.d >= 3)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(count(*) AS BIGINT) AS core_deg FROM
+        |  (SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
+        |GROUP BY 1 ORDER BY node""".stripMargin,
 
     // e6: SQ8 integer-layer replication — scales, floor(+0.5) int8 codes,
     // exact integer candidate dots, shortlist 32 ranked by (idot, vid).

@@ -245,4 +245,47 @@ object GraphOps {
     oriented.unpersist()
     res
   }
+
+  /** Distributed k-CORE membership: peel nodes of degree < k until a
+    * fixpoint — the density filter of link-graph curation (a page
+    * survives iff it sits in a subgraph where EVERY member keeps >= k
+    * in-core neighbors; spam periphery, dangling chains and ladder
+    * tails unravel away round by round). Returns the surviving nodes
+    * with their in-core degree: (node, core_deg).
+    *
+    * Shape for 100 TB: each peel round is ONE degree aggregation
+    * (explode + groupBy, map-side combined) and TWO anti-joins of the
+    * edge table against the just-peeled node set — no windows, no
+    * driver data beyond the per-round convergence counter, and
+    * localCheckpoint truncates lineage so the plan stays constant-size
+    * over any round count. Rounds are bounded by the graph's peel depth
+    * (the longest cascade that must unravel) — the same
+    * iterate-to-fixpoint family as fill_sinks and pageRank. Self-loops
+    * and duplicate/reversed edges canonicalize away first. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .where($"a" =!= $"b" && $"a".isNotNull && $"b".isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var peeled = 1L
+    while (peeled > 0) {
+      val bad = e.select(explode(array($"a", $"b")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+        .filter($"deg" < k).select($"node")
+        .localCheckpoint()
+      peeled = bad.count()
+      if (peeled > 0) {
+        e = e.join(bad.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(bad.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .localCheckpoint()
+      }
+    }
+    e.select(explode(array($"a", $"b")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -175,4 +175,46 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == brute.toMap, s"diff: ${(got.toSet diff brute.toSet).take(5)}")
     assert(got.values.sum % 3 == 0 && got.values.sum > 0)
   }
+
+  test("kCore: distributed peel == driver brute force; cascades; guards") {
+    import spark.implicits._
+    def brute(es: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      var edges = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      var changed = true
+      while (changed) {
+        val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (n2, v) => n2 -> v.size.toLong }
+        val bad = deg.filter(_._2 < k).keySet
+        changed = bad.nonEmpty
+        if (changed) edges = edges.filter { case (a, b) =>
+          !bad.contains(a) && !bad.contains(b) }
+      }
+      edges.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n2, v) => n2 -> v.size.toLong }
+    }
+    // seeded random graph at several k, incl. k where the core is empty
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 300)
+      .map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val df = es.toDF("x", "y")
+    for (k <- Seq(2, 3, 5, 20)) {
+      val got = GraphOps.kCore(df, "x", "y", k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == brute(es, k), s"k=$k")
+      assert(got.values.forall(_ >= k) || got.isEmpty)
+    }
+    // multi-round cascade: open ladder peels fully at k=3 even though
+    // round 1 removes only the end rung
+    val ladder = ((0 until 7).flatMap(i =>
+      Seq((i.toLong, i + 1L), (10L + i, 11L + i))) ++
+      (0 until 8).map(i => (i.toLong, 10L + i)))
+    assert(GraphOps.kCore(ladder.toDF("x", "y"), "x", "y", 3).count() == 0)
+    // noisy input: self-loops / duplicates / reversals canonicalize
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+    assert(GraphOps.kCore(noisy.toDF("x", "y"), "x", "y", 2)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    intercept[IllegalArgumentException] {
+      GraphOps.kCore(noisy.toDF("x", "y"), "x", "y", 0) }
+  }
 }
