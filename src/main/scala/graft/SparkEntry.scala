@@ -1107,6 +1107,42 @@ object SparkEntry {
         .orderBy($"flag")
     }),
 
+    // ICELITE TIME TRAVEL end-to-end through the driver harness: write
+    // snapshot 1 (resumable bucketed commit), row-level COW upsert (4 of
+    // 6 tiles updated + 1 appended) -> snapshot 2, then read BOTH pinned
+    // snapshots and emit per-snapshot integer invariants. Gates the
+    // north-star resumability claim where it matters: the snap-1 pin is
+    // bit-identical AFTER the upsert (readers never see partial merges),
+    // and the snap-2 read shows exactly the COW rule (updated cells
+    // replace, new cells append, untouched buckets carry by reference).
+    "q18_snapshot_travel" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("q18-icelite").toString
+      val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      graft.icelite.IceLite.commitResumable(s, base, dir, buckets = 4,
+        snap = 1L)
+      val upd = base.filter(t => (t.col0 / 64) % 2 == 0)
+        .map(t => t.copy(payload = t.payload.map(_ + 1000.0)))
+      val extra = s.createDataset(Seq(graft.core.Tile(
+        graft.core.CellId.encode(tileRes, 999, 999), 999 * 64, 999 * 64,
+        2, 2, Array(1.0, 2.0, 3.0, 4.0))))
+      val snap2 = graft.icelite.IceLite.upsert(s, dir, upd.union(extra))
+      def stats(snap: Long, tag: Long) =
+        graft.icelite.IceLite.read(s, dir, snap).map { t =>
+          var sv = 0L
+          t.payload.foreach(v => sv += Math.rint(v).toLong)
+          (tag, 1L, t.payload.length.toLong, sv)
+        }.toDF("snap", "t", "n", "sv")
+      stats(1L, 1L).unionByName(stats(snap2, 2L))
+        .groupBy($"snap")
+        .agg(sum($"t").as("n_tiles"), sum($"n").as("n_cells"),
+          sum($"sv").as("sum_v"))
+        .orderBy($"snap")
+    }),
+
     // SET operations (INTERSECT / EXCEPT built-ins, SURVEY §2.7): the
     // audience-segmentation shape — users who both clicked and purchased
     // vs users who clicked but never purchased. Both compile to
@@ -4229,6 +4265,26 @@ object SparkEntry {
         |  CAST(max(CASE WHEN p4 = 3 THEN qx4 END) AS BIGINT) AS q75_x4
         |FROM q JOIN n ON q.flag = n.flag
         |GROUP BY 1, 2 ORDER BY flag""".stripMargin,
+
+    // q18: both snapshots in closed form — snap 1 is the 96x160 formula
+    // grid in 6 tiles; snap 2 adds +1000 to every cell of the even-tx
+    // tiles (cols [0,64) and [128,160)), one 2x2 appended tile (+4
+    // cells, payload 1+2+3+4 = 10), and one extra tile row
+    "q18_snapshot_travel" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r, c.c AS c, (r.r * 7 + c.c * 3) % 100 AS v
+        |  FROM range(96) r(r), range(160) c(c)),
+        |s1 AS (SELECT 1 AS snap, 6 AS n_tiles, count(*) AS n_cells,
+        |    sum(v) AS sum_v FROM cells),
+        |s2 AS (SELECT 2 AS snap, 7 AS n_tiles, count(*) + 4 AS n_cells,
+        |    sum(v + CASE WHEN (c // 64) % 2 = 0 THEN 1000 ELSE 0 END) + 10
+        |      AS sum_v FROM cells)
+        |SELECT CAST(snap AS BIGINT) AS snap,
+        |  CAST(n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(sum_v AS BIGINT) AS sum_v
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |ORDER BY snap""".stripMargin,
 
     // m1: keeper set + md5 permutation + batch arithmetic in closed
     // form ('dup-k' < 'img-k' so planted duplicates win the keeper rule)
