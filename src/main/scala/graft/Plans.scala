@@ -121,6 +121,20 @@ object Plans {
         "surface rides the r20 bucketed-Delaunay escalation plan, and the " +
         "bankline clip is the r12 Z-range tile prune + PIP mask — nothing " +
         "collects to the driver at any stage"),
+      "q17_exact_quantiles" -> ("exact quantiles via the value histogram: " +
+        "(flag, v) hash agg -> window over DISTINCT values only (50 rows " +
+        "per group, never a row-level global sort) -> broadcast 3-row " +
+        "quartile table -> partial/final contribution agg"),
+      "d31_weighted_sample" -> ("weighted systematic sampling: the d27 " +
+        "prefix-sum shape verbatim — range exchange + Scan ExistingRDD " +
+        "(frozen partitioning), per-partition offset pass, then a " +
+        "codegen'd first-multiple filter; no global window, no driver " +
+        "rows"),
+      "r59_spatial_autocorr" -> ("spatial autocorrelation: rook pairs as " +
+        "ONE shuffled equi-join of the valid-cell table against its 4 " +
+        "shifted copies on (row, col) — uniform key, no skew — feeding " +
+        "two partial/final aggs; the Moran/Geary assembly is driver " +
+        "BigDecimal over 7 longs"),
       "r46_pyramid" -> ("overview pyramid: declarative incremental level " +
         "aggs — level L's exchange carries 1/4 of level L-1's rows (a " +
         "geometric tail); intermediate levels are eagerly " +
@@ -364,6 +378,27 @@ object Plans {
       |  embarrassingly parallel and decode-bandwidth-bound. The gates are
       |  integer-exact (weighted checksums / energies / SADs), so thresholds
       |  carry no cross-engine float risk.
+      |
+      |## Round-5 final additions (i10/a5/g4/q18)
+      |
+      |- **i10 histogram equalization / a5 VAD segmentation**: per-item
+      |  executor kernels (PNG decode -> per-image <=1000-bin histogram ->
+      |  exact floor-division CDF remap; RIFF decode -> window energies ->
+      |  loud-island scan) — ZERO shuffle, the i6/a2 embarrassingly-parallel
+      |  shape; every emitted statistic is a Long, so the gates carry no
+      |  cross-engine float risk.
+      |- **g4 k-core**: each peel round is ONE explode+groupBy degree agg
+      |  (map-side combined) and TWO LEFT ANTI joins of the edge table
+      |  against the just-peeled id set; localCheckpoint truncates lineage
+      |  every round (the g1 discipline) so the final round's plan is Scan
+      |  ExistingRDD -> degree agg regardless of peel depth. Driver sees one
+      |  Long per round (the convergence counter), never ids.
+      |- **q18 snapshot travel**: both pinned reads are explicit
+      |  manifest-file-list parquet scans (no directory listing, no
+      |  current-pointer dependence), so the snap-1 plan references the
+      |  original data files byte-for-byte AFTER the upsert; the COW upsert
+      |  itself rewrites only the touched buckets and carries every other
+      |  file into the new manifest by reference.
       |
       |
 
