@@ -1537,6 +1537,33 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // K-MEANS TRAINING DYNAMICS gated directly — two distributed Lloyd
+    // iterations with a deliberately DEGENERATE init (the lowest-3 vids
+    // all sit inside blob 0, so assignments genuinely move across
+    // rounds; d20 by contrast inits one-per-cluster and converges
+    // instantly). Every arithmetic step is engine-reproducible: dyadic
+    // integer coordinates -> exact double sums in ANY reduction order ->
+    // one IEEE division per mean -> identical squared distances, argmin
+    // tie-broken by lowest cluster id in both engines. The oracle
+    // replays both rounds in SQL (rank-1 argmin per round, avg per
+    // cluster, lost clusters keep their previous centroid). Per round:
+    // one broadcast of k centroids + one groupByKey partial-sum — the
+    // canonical distributed training loop (driver holds k vectors,
+    // never points).
+    "e10_kmeans_assign" -> ((s, _) => {
+      import s.implicits._
+      val pts = s.range(36).map { i =>
+        val g = (i / 12).toInt; val m = (i % 12).toInt
+        val x = (if (g == 1) 100 else 0) + m % 5 - 2
+        val y = (if (g == 2) 100 else 0) + (m * 7) % 5 - 2
+        (i, Array(x.toFloat, y.toFloat))
+      }.toDF("vid", "v")
+      val (assign, _) = graft.sim.Similarity.kmeansWithCentroids(
+        s, pts, "vid", "v", k = 3, iters = 2)
+      assign.select($"vid", $"cl".cast("long").as("cl"))
+        .orderBy($"vid")
+    }),
+
     // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means clusters the
     // embedding space, then a doc is removed iff an EARLIER member of the
     // same cluster is cosine >= 0.95. Fixture = the e2 recipe extended
@@ -4826,6 +4853,54 @@ object SparkEntry {
         |FROM c
         |WHERE n_tok > 0 AND (997 - start_w % 997) % 997 < n_tok
         |ORDER BY doc_id""".stripMargin,
+
+    // e10: both Lloyd rounds replayed in SQL — per-round rank-1 argmin
+    // (tie-break lowest cl, matching the kernel's strict-< scan), avg
+    // per captured cluster, lost clusters keep their previous centroid;
+    // dyadic inputs make every double op bit-identical across engines
+    "e10_kmeans_assign" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT t.i AS vid,
+        |    (CASE WHEN t.i // 12 = 1 THEN 100 ELSE 0 END)
+        |      + (t.i % 12) % 5 - 2 AS x,
+        |    (CASE WHEN t.i // 12 = 2 THEN 100 ELSE 0 END)
+        |      + ((t.i % 12) * 7) % 5 - 2 AS y
+        |  FROM range(36) t(i)),
+        |c0 AS MATERIALIZED (SELECT vid AS cl, CAST(x AS DOUBLE) AS mx,
+        |    CAST(y AS DOUBLE) AS my FROM p WHERE vid < 3),
+        |a1 AS MATERIALIZED (SELECT vid, cl FROM (
+        |    SELECT p.vid, c.cl, row_number() OVER (PARTITION BY p.vid
+        |      ORDER BY (p.x - c.mx) * (p.x - c.mx)
+        |             + (p.y - c.my) * (p.y - c.my), c.cl) AS rn
+        |    FROM p, c0 c) WHERE rn = 1),
+        |c1 AS MATERIALIZED (
+        |  SELECT c0.cl, coalesce(u.mx, c0.mx) AS mx,
+        |    coalesce(u.my, c0.my) AS my
+        |  FROM c0 LEFT JOIN (
+        |    SELECT a.cl, avg(CAST(p.x AS DOUBLE)) AS mx,
+        |      avg(CAST(p.y AS DOUBLE)) AS my
+        |    FROM a1 a JOIN p ON p.vid = a.vid GROUP BY 1) u
+        |  ON u.cl = c0.cl),
+        |a2 AS MATERIALIZED (SELECT vid, cl FROM (
+        |    SELECT p.vid, c.cl, row_number() OVER (PARTITION BY p.vid
+        |      ORDER BY (p.x - c.mx) * (p.x - c.mx)
+        |             + (p.y - c.my) * (p.y - c.my), c.cl) AS rn
+        |    FROM p, c1 c) WHERE rn = 1),
+        |c2 AS MATERIALIZED (
+        |  SELECT c1.cl, coalesce(u.mx, c1.mx) AS mx,
+        |    coalesce(u.my, c1.my) AS my
+        |  FROM c1 LEFT JOIN (
+        |    SELECT a.cl, avg(CAST(p.x AS DOUBLE)) AS mx,
+        |      avg(CAST(p.y AS DOUBLE)) AS my
+        |    FROM a2 a JOIN p ON p.vid = a.vid GROUP BY 1) u
+        |  ON u.cl = c1.cl)
+        |SELECT CAST(f.vid AS BIGINT) AS vid, CAST(f.cl AS BIGINT) AS cl
+        |FROM (SELECT vid, cl FROM (
+        |    SELECT p2.vid, c.cl, row_number() OVER (PARTITION BY p2.vid
+        |      ORDER BY (p2.x - c.mx) * (p2.x - c.mx)
+        |             + (p2.y - c.my) * (p2.y - c.my), c.cl) AS rn
+        |    FROM p p2, c2 c) WHERE rn = 1) f
+        |ORDER BY vid""".stripMargin,
 
     // d20: regenerate the clustered fixture from closed form (cluster =
     // vid % 12, provably what k-means recovers), compute every within-
