@@ -1092,7 +1092,9 @@ object SparkEntry {
         .withColumn("rank_lo", $"rank_hi" - $"c")
       val ps = Seq(1L, 2L, 3L).toDF("p4") // p = p4/4: quartiles
       val taps = cum.join(n, "flag").join(broadcast(ps))
-        .withColumn("i0", ($"p4" * ($"n" - 1)) / 4) // floor tap index
+        // floor tap index — floor()+cast because Spark's `/` on longs is
+        // DOUBLE division (a bare `/ 4` would carry a .25/.5/.75 tail)
+        .withColumn("i0", floor(($"p4" * ($"n" - 1)) / 4).cast("long"))
         .withColumn("f4", ($"p4" * ($"n" - 1)) % 4) // quarter fraction
         .withColumn("contrib",
           when($"rank_lo" <= $"i0" && $"i0" < $"rank_hi",
@@ -1320,9 +1322,12 @@ object SparkEntry {
     // k-CORE decomposition (k=3) — the link-graph density filter. The
     // fixture plants the three canonical behaviours: a K6 clique and a
     // circular-ladder prism (every node degree 3) SURVIVE; an open
-    // 4-rung ladder bridged to the clique unravels over 4 cascading
-    // peel rounds (each round's removals drop the next rung below k) —
-    // the multi-round path the oracle replays with unrolled peel CTEs.
+    // 4-rung ladder, BOTH rails anchored to the clique (edges (5,30)
+    // and (4,40) hold the near end at degree 3), unravels over 4
+    // cascading peel rounds — round r removes exactly rung r counted
+    // from the far end, because each round's removals drop the next
+    // rung below k — the multi-round path the oracle replays with
+    // unrolled peel CTEs.
     "g4_kcore" -> ((s, _) => {
       import s.implicits._
       val clique = for { i <- 0 until 6; j <- i + 1 until 6 }
@@ -1334,7 +1339,7 @@ object SparkEntry {
         Seq((30L + i, 31L + i), (40L + i, 41L + i))) ++
         (0 until 4).map(i => (30L + i, 40L + i))
       val edges = s.createDataset(
-          (clique ++ prism ++ ladder :+ (5L, 30L)).toSeq)
+          (clique ++ prism ++ ladder ++ Seq((5L, 30L), (4L, 40L))).toSeq)
         .toDF("a", "b")
       graft.operators.GraphOps.kCore(edges, "a", "b", k = 3)
         .orderBy($"node")
@@ -4641,9 +4646,11 @@ object SparkEntry {
         |FROM corners GROUP BY node ORDER BY node""".stripMargin,
 
     // g4: the peel replayed as SIX unrolled degree-filter rounds (the
-    // fixture's cascade completes in 4; rounds 5-6 prove the fixpoint).
-    // Each round: recount degrees over surviving edges, keep edges whose
-    // BOTH endpoints still hold >= 3.
+    // fixture's one-rung-per-round cascade completes in 4; rounds 5-6
+    // prove the fixpoint). Each round: recount degrees over surviving
+    // edges, keep edges whose BOTH endpoints still hold >= 3. Every CTE
+    // is MATERIALIZED — inlined, the self-referencing round chain
+    // re-expands ~5^6-fold and DuckDB plans for minutes.
     "g4_kcore" ->
       """WITH e0 AS MATERIALIZED (
         |  SELECT i.i AS a, j.j AS b FROM range(6) i(i), range(6) j(j)
@@ -4654,7 +4661,8 @@ object SparkEntry {
         |  UNION ALL SELECT 30 + i.i, 31 + i.i FROM range(3) i(i)
         |  UNION ALL SELECT 40 + i.i, 41 + i.i FROM range(3) i(i)
         |  UNION ALL SELECT 30 + i.i, 40 + i.i FROM range(4) i(i)
-        |  UNION ALL SELECT 5, 30),
+        |  UNION ALL SELECT 5, 30
+        |  UNION ALL SELECT 4, 40),
         |d0 AS MATERIALIZED (SELECT node, count(*) AS d FROM
         |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
         |e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e JOIN d0 x ON x.node = e.a
