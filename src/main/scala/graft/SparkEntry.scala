@@ -1522,6 +1522,35 @@ object SparkEntry {
         .orderBy($"a", $"b")
     }),
 
+    // N-GRAM NOVELTY scoring — the diversity signal of incremental
+    // corpus curation: for each doc, the fraction of its 8-gram TYPES
+    // whose corpus-wide FIRST occurrence (lowest doc_id) is this doc.
+    // A crawl snapshot full of already-seen boilerplate scores ~0, new
+    // content ~1 — the complement of d19's within-corpus duplication.
+    // Shape: distinct (gram, doc) pairs -> min-doc_id per gram (one
+    // compact-key shuffle, map-side combined) -> semi-join back. Same
+    // bound-array + xxhash64 transport as d19; at 100 TB nothing wider
+    // than (hash, doc_id) ever shuffles.
+    "d32_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val gd = table(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .select($"doc_id", explode(
+          graft.text.TextOps.wordShingles($"ws", 8)).as("g"))
+        .select($"doc_id", xxhash64($"g").as("h"))
+        .distinct()
+        .localCheckpoint()
+      val first = gd.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+      gd.join(first, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novel_frac",
+          $"n_novel".cast("double") / $"n_types".cast("double"))
+        .orderBy($"doc_id")
+    }),
+
     // WEIGHTED SYSTEMATIC SAMPLING — downsample the corpus to a token
     // budget with pick probability proportional to document weight: docs
     // lie on the cumulative-token line (id order) and one doc is kept per
@@ -4842,6 +4871,25 @@ object SparkEntry {
         |SELECT x.w AS a, y.w AS b, CAST(levenshtein(x.w, y.w) AS BIGINT) AS dist
         |FROM toks x JOIN toks y ON x.w < y.w AND levenshtein(x.w, y.w) <= 1
         |ORDER BY a, b""".stripMargin,
+
+    // d32: the same string-gram construction as d19 (engine xxhash64
+    // keys are pure transport), first-seen = min(doc_id) per gram type
+    "d32_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gr AS (SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |        || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+        |        for i in range(1, len(w) - 6)]) AS g
+        |    FROM toks WHERE len(w) >= 8)),
+        |fs AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY 1)
+        |SELECT gr.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novel_frac
+        |FROM gr JOIN fs USING (g)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // d31: the cumulative-token line as a window sum (the oracle MAY use
     // the global window — it is DuckDB, not the 100 TB plan), then the
