@@ -882,6 +882,25 @@ object SparkEntry {
     // (tail window = 3 frames). Same v2 fixture (formula switch at
     // frame 6), all integers; the position-weighted gray-sum checksum
     // pins frame order inside each window.
+    // Video FPS RESAMPLING — nearest-frame temporal normalization (the
+    // a3 decimator's video sibling): 10 fps source clips to 4 fps by
+    // the exact half-up integer selection rule; each selected frame
+    // REALLY decodes (GIF89a round trip) to integer gray sums. 12
+    // frames -> 5 outputs picking sources 0,3,5,8,10. Per-clip kernel,
+    // zero shuffle.
+    "v5_fps_resample" -> ((s, _) => {
+      import s.implicits._
+      val clips = s.range(8).map { cid =>
+        val frames = (0 until 12).map { f =>
+          Array.tabulate(48 * 32)(i => ((cid * 37 + f * 11 + i) % 251).toDouble)
+        }
+        (cid.toLong, graft.sources.GifWriter.writeAnimatedBytes(
+          frames, 48, 32, lo = 0, hi = 250, delayCs = 10))
+      }
+      graft.codecs.VideoOps.fpsResample(clips, srcFps = 10, dstFps = 4)
+        .orderBy($"clip_id", $"out_idx")
+    }),
+
     "v3_clip_windows" -> ((s, _) => {
       import s.implicits._
       val clips = sceneCutGifClips(s)
@@ -5260,6 +5279,22 @@ object SparkEntry {
         |  CAST(sum(CAST(trunc(v / 250.0 * 255.0) AS BIGINT)) AS BIGINT) AS sum_intensity,
         |  CAST(sum(CASE WHEN trunc(v / 250.0 * 255.0) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonblack
         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // v5: the (out_idx, src_frame) pairs are closed-form under the
+    // half-up rule (12 frames, 10 -> 4 fps => 5 picks), and the decoded
+    // gray code is the same trunc(v/250*255) mapping as v1
+    "v5_fps_resample" ->
+      """WITH px AS (
+        |  SELECT t1.cid AS cid, t2.k AS k, t2.src AS src,
+        |    CAST((t1.cid*37 + t2.src*11 + t3.i) % 251 AS DOUBLE) AS v
+        |  FROM range(8) t1(cid),
+        |    (VALUES (0, 0), (1, 3), (2, 5), (3, 8), (4, 10)) t2(k, src),
+        |    range(1536) t3(i))
+        |SELECT cid AS clip_id, CAST(k AS BIGINT) AS out_idx,
+        |  CAST(src AS BIGINT) AS src_frame,
+        |  CAST(sum(CAST(trunc(v / 250.0 * 255.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_intensity
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
 
     // a2: regenerate the planted-silence samples, window the energies,
     // derive lead/trail runs from the four per-clip silent flags

@@ -50,6 +50,46 @@ object VideoOps {
     }.toDF("clip_id", "frame_idx", "w", "h", "sum_intensity", "nonblack")
   }
 
+  /** Frame-rate RESAMPLING (fps conversion): select, for each target
+    * timestamp k/dstFps, the NEAREST source frame (half-up rounding) —
+    * the temporal normalization a video corpus pass runs so every clip
+    * trains at one fps (the a3 decimator's video sibling; upsampling
+    * duplicates nearest frames by the same rule). Pure integer selection:
+    * src(k) = min(n-1, (2*k*srcFps + dstFps) / (2*dstFps)) for
+    * k < ceil(n*dstFps/srcFps); each selected frame decodes to integer
+    * gray features. Same per-clip no-shuffle kernel shape as
+    * [[frameStats]]. */
+  def fpsResample(clips: Dataset[(Long, Array[Byte])], srcFps: Int,
+      dstFps: Int): DataFrame = {
+    require(srcFps > 0 && dstFps > 0,
+      s"fpsResample: fps must be positive, got src=$srcFps dst=$dstFps")
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.flatMap { case (clipId, bytes) =>
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val n = rd.getNumImages(true)
+        val nOut = ((n.toLong * dstFps + srcFps - 1) / srcFps).toInt
+        (0 until nOut).iterator.map { k =>
+          val src = math.min(n - 1L,
+            (2L * k * srcFps + dstFps) / (2L * dstFps)).toInt
+          val img = rd.read(src)
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+            y += 1
+          }
+          (clipId, k.toLong, src.toLong, sum)
+        }.toArray.iterator
+      } finally rd.dispose()
+    }.toDF("clip_id", "out_idx", "src_frame", "sum_intensity")
+  }
+
   /** Scene-change detection: decode every frame, compute the SAD (sum of
     * absolute 8-bit gray differences) between each consecutive pair, and
     * flag a cut where SAD exceeds `threshold`. Integer-exact like
