@@ -1128,6 +1128,25 @@ object SparkEntry {
         .orderBy($"flag")
     }),
 
+    // FORWARD-FILL gap imputation (time-series LOCF) — carry each user's
+    // last observed non-view amount forward across view-event gaps: the
+    // sensor/price imputation every feature pipeline runs before
+    // windowed training. ONE hashpartitioning(user_id) exchange feeding
+    // a running last(ignoreNulls) frame — per-user streaming state, no
+    // self-join, no driver; leading gaps keep a -1 sentinel. Cents stay
+    // exact (the q1 floor rule) so the gate is integer.
+    "q19_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .withColumn("c", when($"event_type" =!= "view", cents($"value")))
+        .withColumn("filled", last($"c", ignoreNulls = true).over(w))
+        .select($"user_id", $"event_id", $"c".isNull.as("was_gap"),
+          coalesce($"filled", lit(-1L)).as("filled_cents"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // ICELITE TIME TRAVEL end-to-end through the driver harness: write
     // snapshot 1 (resumable bucketed commit), row-level COW upsert (4 of
     // 6 tiles updated + 1 appended) -> snapshot 2, then read BOTH pinned
@@ -4345,6 +4364,20 @@ object SparkEntry {
         |  CAST(max(CASE WHEN p4 = 3 THEN qx4 END) AS BIGINT) AS q75_x4
         |FROM q JOIN n ON q.flag = n.flag
         |GROUP BY 1, 2 ORDER BY flag""".stripMargin,
+
+    // q19: the same running frame via DuckDB's IGNORE NULLS last_value;
+    // cents by the shared floor(x*100 + 0.5) rule
+    "q19_gap_fill" ->
+      """SELECT user_id, event_id, (c IS NULL) AS was_gap,
+        |  coalesce(last_value(c IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+        |    AS filled_cents
+        |FROM (SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type <> 'view'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS c
+        |  FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // q18: both snapshots in closed form — snap 1 is the 96x160 formula
     // grid in 6 tiles; snap 2 adds +1000 to every cell of the even-tx
