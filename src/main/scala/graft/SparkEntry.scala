@@ -839,6 +839,33 @@ object SparkEntry {
         .orderBy($"clip_id")
     }),
 
+    // Audio RATIONAL-rate conversion (2:3, the 48 kHz -> 32 kHz shape):
+    // a3's by-2 decimator generalized to the rational ratios real
+    // corpora need. Output k sits at source position 3k/2 — direct read
+    // on even k, exact floor-mean of the straddling pair on odd k (all
+    // half-sample fractions, so the interpolation is dyadic-integer).
+    // Same real RIFF encode -> decode in-task as a1; per-clip kernel,
+    // zero shuffle; the position-weighted checksum gates order+rounding.
+    "a6_rate_convert" -> ((s, _) => {
+      import s.implicits._
+      s.range(100).map { k =>
+        val samples = Array.tabulate(1000)(i =>
+          (((k * 7 + i * 31) % 2001) - 1000).toShort)
+        val bytes = graft.codecs.WavCodec.encode(samples, 48000)
+        val (dec, _) = graft.codecs.WavCodec.decode(bytes)
+        val out = graft.codecs.WavCodec.resample2of3(dec)
+        var wsum = 0L; var sabs = 0L
+        var j = 0
+        while (j < out.length) {
+          wsum += (j + 1).toLong * out(j)
+          sabs += math.abs(out(j).toLong)
+          j += 1
+        }
+        (k, out.length.toLong, wsum, sabs)
+      }.toDF("clip_id", "n_out", "wsum", "sum_abs")
+        .orderBy($"clip_id")
+    }),
+
     // Audio VAD SEGMENTATION (utterance splitting): where a2 trims one
     // span, this emits EVERY maximal run of loud windows as a segment —
     // the pass that splits long recordings into utterances for ASR
@@ -5366,6 +5393,32 @@ object SparkEntry {
         |  CAST(sum((s.i + 1) * (s.v * (1 << g.shift))) AS BIGINT) AS norm_wsum
         |FROM s JOIN g ON g.clip_id = s.clip_id
         |GROUP BY 1, 2, 3 ORDER BY s.clip_id""".stripMargin,
+
+    // a6: 667 outputs for n=1000 (k=667 is the first whose straddling
+    // pair runs past the end). The pair mean must be an explicit
+    // floor(): Scala's >> 1 floors toward -inf but DuckDB's integer //
+    // TRUNCATES toward zero on negatives ((-7)//2 = -3, not -4) —
+    // tap-index divisions stay // because those operands are
+    // non-negative, where the two agree
+    "a6_rate_convert" ->
+      """WITH o AS (
+        |  SELECT c.c AS clip, k.k AS k
+        |  FROM range(100) c(c), range(667) k(k)),
+        |s AS (
+        |  SELECT clip, k,
+        |    CASE WHEN k % 2 = 0
+        |      THEN ((clip*7 + (3*k//2)*31) % 2001) - 1000
+        |      ELSE CAST(floor((
+        |            (((clip*7 + ((3*k-1)//2)*31) % 2001) - 1000)
+        |          + (((clip*7 + ((3*k+1)//2)*31) % 2001) - 1000)) / 2.0)
+        |        AS BIGINT)
+        |    END AS v
+        |  FROM o)
+        |SELECT CAST(clip AS BIGINT) AS clip_id,
+        |  CAST(667 AS BIGINT) AS n_out,
+        |  CAST(sum((k + 1) * v) AS BIGINT) AS wsum,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY 1 ORDER BY clip_id""".stripMargin,
 
     // a5: gaps-and-islands over the closed-form window energies — loud
     // windows (ss >= 1e6) grouped by the classic w - row_number() island

@@ -152,6 +152,37 @@ object WavCodec {
     out
   }
 
+  /** RATIONAL-rate resampling by 2:3 (e.g. 48 kHz -> 32 kHz): output
+    * sample k sits at source position 3k/2 — even k reads source(3k/2)
+    * directly, odd k is the floor-mean of the straddling pair
+    * ((a + b) >> 1, the same exact dyadic interpolation contract as
+    * [[downsample2]]). Generalizes the by-2 decimator to the rational
+    * ratios real corpora need (44.1/48 -> 16 family); nOut =
+    * floor((2n - 1) / 3) + ... computed as the largest k with
+    * ceil((3k+1)/2) <= n. Per-clip kernel, no shuffle, integer-exact. */
+  def resample2of3(samples: Array[Short]): Array[Short] = {
+    val n = samples.length
+    // k valid iff its last source tap index <= n-1:
+    //   even k: tap 3k/2        -> k <= (2n-2)/3
+    //   odd k:  taps (3k+-1)/2  -> (3k+1)/2 <= n-1
+    val out = Array.newBuilder[Short]
+    var k = 0
+    var ok = true
+    while (ok) {
+      if (k % 2 == 0) {
+        val i = 3 * k / 2
+        if (i < n) out += samples(i) else ok = false
+      } else {
+        val i = (3 * k - 1) / 2
+        if (i + 1 < n)
+          out += ((samples(i) + samples(i + 1)) >> 1).toShort
+        else ok = false
+      }
+      k += 1
+    }
+    out.result()
+  }
+
   /** Peak-normalization gain as an exact power-of-two shift: the loudness
     * normalization every audio corpus pass runs before training. Returns
     * (peak, shift) where peak = max |sample| and shift is the LARGEST

@@ -174,6 +174,22 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](equalizeCodes(Array(1 << 21), 256))
   }
 
+  test("resample2of3: positions, floor-mean interpolation, tail cutoff") {
+    import graft.codecs.WavCodec.resample2of3
+    // source 0,10,20,...: out k even -> s(3k/2); odd -> mean straddle
+    val ramp = Array.tabulate(10)(i => (i * 10).toShort)
+    // k=0: s0=0; k=1: (s1+s2)/2=15; k=2: s3=30; k=3: (s4+s5)/2=45;
+    // k=4: s6=60; k=5: (s7+s8)/2=75; k=6: s9=90; k=7 needs s10+s11 -> stop
+    assert(resample2of3(ramp).toSeq ==
+      Seq[Short](0, 15, 30, 45, 60, 75, 90))
+    // floor-mean on odd sums and on negatives ((-3 + -4) >> 1 = -4)
+    assert(resample2of3(Array[Short](0, 3, 4)).toSeq == Seq[Short](0, 3))
+    assert(resample2of3(Array[Short](0, -3, -4)).toSeq == Seq[Short](0, -4))
+    // degenerate inputs
+    assert(resample2of3(Array.empty[Short]).isEmpty)
+    assert(resample2of3(Array[Short](7)).toSeq == Seq[Short](7))
+  }
+
   test("vadSegments: maximal loud islands with hand oracle") {
     import graft.codecs.WavCodec.vadSegments
     def clip(pattern: String, loud: Short = 100, quiet: Short = 1): Array[Short] =
