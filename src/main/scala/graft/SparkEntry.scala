@@ -1587,6 +1587,28 @@ object SparkEntry {
         .orderBy($"a", $"b")
     }),
 
+    // MIXTURE SAMPLING to per-source token budgets — d31's systematic
+    // sampler with an independent cumulative-weight line PER SOURCE and
+    // a per-source step realizing the target mixture (steps 400/700/
+    // 1000 by source index mod 3: half the step = twice that source's
+    // tokens in the sampled corpus). The grouped prefix sum stays two
+    // narrow passes (range partition on (source, id); driver holds
+    // #groups + #partitions subtotal longs, never rows). m2 interleaves
+    // modalities by quota; this WEIGHS sources inside one modality —
+    // the Pile/Dolma-style mixture curation pass.
+    "m7_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      val withTok = table(s, dir, "documents")
+        .select($"source", $"doc_id",
+          size(filter(split(trim($"text"), "\\s+"), t => t =!= lit("")))
+            .cast("long").as("n_tok"))
+      val steps = (0 until 20)
+        .map(k => s"src$k" -> (400L + 300L * (k % 3))).toMap
+      graft.text.TextOps.weightedSampleByGroup(withTok, "source", "doc_id",
+          "n_tok", steps)
+        .orderBy($"source", $"doc_id")
+    }),
+
     // N-GRAM NOVELTY scoring — the diversity signal of incremental
     // corpus curation: for each doc, the fraction of its 8-gram TYPES
     // whose corpus-wide FIRST occurrence (lowest doc_id) is this doc.
@@ -4950,6 +4972,25 @@ object SparkEntry {
         |SELECT x.w AS a, y.w AS b, CAST(levenshtein(x.w, y.w) AS BIGINT) AS dist
         |FROM toks x JOIN toks y ON x.w < y.w AND levenshtein(x.w, y.w) <= 1
         |ORDER BY a, b""".stripMargin,
+
+    // m7: per-source window-sum offsets + the first-multiple rule with
+    // the per-source step derived from the source index
+    "m7_mixture_sample" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x != '')) AS n_tok,
+        |    400 + 300 * (CAST(substr(source, 4) AS INT) % 3) AS step
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tok, step,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_w
+        |  FROM t)
+        |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS weight,
+        |  CAST(start_w AS BIGINT) AS start_w,
+        |  CAST((start_w + (step - start_w % step) % step) // step AS BIGINT)
+        |    AS pick_idx
+        |FROM c
+        |WHERE n_tok > 0 AND (step - start_w % step) % step < n_tok
+        |ORDER BY source, doc_id""".stripMargin,
 
     // d32: the same string-gram construction as d19 (engine xxhash64
     // keys are pure transport), first-seen = min(doc_id) per gram type

@@ -655,6 +655,69 @@ object TextOps {
       .toDF(idCol, "weight", "start_w", "pick_idx")
   }
 
+  /** Grouped variant of [[weightedSample]]: an independent cumulative-
+    * weight line PER GROUP, each group with its own `step` — the
+    * MIXTURE sampler (each source's step realizes its target share of
+    * the training budget: half the step, twice the tokens). Same two
+    * narrow passes as [[packContiguous]], range-partitioned on
+    * (group, id): the driver-side scan holds one subtotal per
+    * (partition, group-run) — contiguous group runs make that
+    * #groups + #partitions rows of a few longs (documented bound; a
+    * billion-group pathology would want a join-based scan instead).
+    * Groups absent from `steps` are dropped; zero weights never pick.
+    * Output one row per KEPT doc: (group, id, weight, start_w,
+    * pick_idx). */
+  def weightedSampleByGroup(docs: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, steps: Map[String, Long],
+      partitions: Int = 0): DataFrame = {
+    require(steps.nonEmpty && steps.values.forall(_ > 0),
+      "weightedSampleByGroup: steps must be non-empty and positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(groupCol).cast("string").as("g"),
+      col(idCol).cast("long").as("id"), col(weightCol).cast("long").as("n"))
+    val ranged =
+      if (partitions > 0)
+        keyed.repartitionByRange(partitions, col("g"), col("id"))
+      else keyed.repartitionByRange(col("g"), col("id"))
+    val ds = ranged.sortWithinPartitions(col("g"), col("id"))
+      .as[(String, Long, Long)]
+      .localCheckpoint() // freeze range boundaries across the two passes
+    val rdd = ds.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (g, _, n) => m(g) = m.getOrElse(g, 0L) + n }
+      Iterator.single((pi, m.toSeq))
+    }.collect().sortBy(_._1)
+    val offs = Map.newBuilder[(Int, String), Long]
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    partSums.foreach { case (pi, gs) =>
+      gs.foreach { case (g, s0) =>
+        offs += ((pi, g) -> running.getOrElse(g, 0L))
+        running(g) = running.getOrElse(g, 0L) + s0
+      }
+    }
+    val bc = spark.sparkContext.broadcast(offs.result())
+    val stepsBc = spark.sparkContext.broadcast(steps)
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val run = scala.collection.mutable.HashMap.empty[String, Long]
+      it.flatMap { case (g, id, n) =>
+        require(n >= 0, s"weightedSampleByGroup: negative weight $n for $id")
+        val start = run.getOrElse(g, bc.value.getOrElse((pi, g), 0L))
+        run(g) = start + n
+        stepsBc.value.get(g) match {
+          case Some(step) if n > 0 =>
+            val gap = (step - start % step) % step
+            if (gap < n) Iterator.single((g, id, n, start, (start + gap) / step))
+            else Iterator.empty
+          case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataset(out)
+      .toDF(groupCol, idCol, "weight", "start_w", "pick_idx")
+  }
+
   /** BPE ENCODING — the apply side of [[bpeLearnMerges]]: tokenize each
     * document with a learned merge list (applied in rank order, each
     * greedily left-to-right — the reference encoder semantics). The

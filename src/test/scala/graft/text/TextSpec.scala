@@ -571,6 +571,38 @@ class TextSpec extends AnyFunSuite {
       TextOps.weightedSample(docs, "doc_id", "n_tok", 0L) }
   }
 
+  test("weightedSampleByGroup: per-group lines == driver scan; missing-step groups drop") {
+    import spark.implicits._
+    val rows = (0L until 2400L).map { i =>
+      (s"g${i % 7}", i, if (i % 13 == 0) 0L else (i % 29) + 1)
+    }
+    val steps = Map("g0" -> 100L, "g1" -> 250L, "g2" -> 60L, "g3" -> 400L,
+      "g4" -> 90L, "g5" -> 1000000L) // g6 absent -> dropped entirely
+    val got = TextOps.weightedSampleByGroup(rows.toDF("source", "doc_id", "n_tok"),
+        "source", "doc_id", "n_tok", steps, partitions = 8)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // driver oracle: independent cumulative scan per group, in id order
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      steps.get(g).toSeq.flatMap { step =>
+        var run = 0L
+        rs.sortBy(_._2).flatMap { case (_, id, n) =>
+          val start = run; run += n
+          val gap = (step - start % step) % step
+          if (n > 0 && gap < n) Some((g, id, n, start, (start + gap) / step))
+          else None
+        }
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+    assert(!got.exists(_._1 == "g6")) // no step -> dropped
+    // a step larger than a group's total weight picks exactly its first
+    // nonzero-weight doc (point 0 lands in it)
+    assert(got.count(_._1 == "g5") == 1)
+    intercept[IllegalArgumentException] {
+      TextOps.weightedSampleByGroup(rows.toDF("source", "doc_id", "n_tok"),
+        "source", "doc_id", "n_tok", Map("g0" -> 0L)) }
+  }
+
   test("edJoinLe1: deletion-key pruned == brute all-pairs levenshtein<=1") {
     import spark.implicits._
     // mixed-length vocab with planted typos of every edit kind, repeats,
