@@ -1155,6 +1155,35 @@ object SparkEntry {
         .orderBy($"flag")
     }),
 
+    // STREAMING INGEST into the table format, gated end-to-end: a real
+    // Structured Streaming AvailableNow drain of a parquet backlog ->
+    // per-batch last-wins dedup -> icelite resumable snapshot commit ->
+    // read the committed snapshot back and emit content invariants.
+    // Composes the north star's three non-query claims (streaming,
+    // exactly-once ingest, snapshot resumability) into one driver-gated
+    // surface; StreamIngestSpec additionally kills and resumes the same
+    // path. Source written as 4 files (< maxFilesPerTrigger), so the
+    // drain is one batch and the final snapshot carries the full corpus.
+    "s9_stream_ingest" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("s9-ingest")
+      val src = tmp.resolve("src").toString
+      val tbl = tmp.resolve("icelite").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      ImageCorpus.generateExact(s, 64L, 8).coalesce(4).write.parquet(src)
+      graft.streaming.StreamIngest.runAvailableNow(s, src, tbl, ckpt,
+        gridW = 8)
+      val snap = graft.icelite.IceLite.currentSnapshot(tbl).getOrElse(
+        sys.error("s9: no snapshot committed"))
+      graft.icelite.IceLite.read(s, tbl, snap).map { t =>
+        var sq = 0L
+        t.payload.foreach(v => sq += Math.rint(v * 64.0).toLong)
+        (1L, t.payload.length.toLong, sq)
+      }.toDF("t", "n", "sq")
+        .agg(sum($"t").as("n_tiles"), sum($"n").as("n_cells"),
+          sum($"sq").as("sum_q"))
+    }),
+
     // FORWARD-FILL gap imputation (time-series LOCF) — carry each user's
     // last observed non-view amount forward across view-event gaps: the
     // sensor/price imputation every feature pipeline runs before
@@ -4413,6 +4442,18 @@ object SparkEntry {
         |  CAST(max(CASE WHEN p4 = 3 THEN qx4 END) AS BIGINT) AS q75_x4
         |FROM q JOIN n ON q.flag = n.flag
         |GROUP BY 1, 2 ORDER BY flag""".stripMargin,
+
+    // s9: the exact-corpus pixel codes summed globally in closed form
+    // (64 tiles, 256x256, code = (gr*31 + gc*17) % 1000)
+    "s9_stream_ingest" ->
+      """WITH px AS (
+        |  SELECT (((t.i // 8) * 256 + r.r) * 31
+        |        + ((t.i % 8) * 256 + c.c) * 17) % 1000 AS code
+        |  FROM range(64) t(i), range(256) r(r), range(256) c(c))
+        |SELECT CAST(64 AS BIGINT) AS n_tiles,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(code) AS BIGINT) AS sum_q
+        |FROM px""".stripMargin,
 
     // q19: the same running frame via DuckDB's IGNORE NULLS last_value;
     // cents by the shared floor(x*100 + 0.5) rule
