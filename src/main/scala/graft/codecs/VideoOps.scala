@@ -59,6 +59,20 @@ object VideoOps {
     * k < ceil(n*dstFps/srcFps); each selected frame decodes to integer
     * gray features. Same per-clip no-shuffle kernel shape as
     * [[frameStats]]. */
+  /** The pure (out_idx -> src_frame) selection of [[fpsResample]],
+    * factored out so the clamp and upsampling-duplication branches are
+    * unit-testable without a decoder: nOut = ceil(n*dstFps/srcFps)
+    * outputs, src(k) = min(n-1, round_half_up(k*srcFps/dstFps)). */
+  def fpsSelect(n: Int, srcFps: Int, dstFps: Int): Seq[(Int, Int)] = {
+    require(srcFps > 0 && dstFps > 0,
+      s"fpsSelect: fps must be positive, got src=$srcFps dst=$dstFps")
+    require(n >= 0, s"fpsSelect: negative frame count $n")
+    val nOut = ((n.toLong * dstFps + srcFps - 1) / srcFps).toInt
+    (0 until nOut).map { k =>
+      (k, math.min(n - 1L, (2L * k * srcFps + dstFps) / (2L * dstFps)).toInt)
+    }
+  }
+
   def fpsResample(clips: Dataset[(Long, Array[Byte])], srcFps: Int,
       dstFps: Int): DataFrame = {
     require(srcFps > 0 && dstFps > 0,
@@ -71,10 +85,7 @@ object VideoOps {
         rd.setInput(javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes)))
         val n = rd.getNumImages(true)
-        val nOut = ((n.toLong * dstFps + srcFps - 1) / srcFps).toInt
-        (0 until nOut).iterator.map { k =>
-          val src = math.min(n - 1L,
-            (2L * k * srcFps + dstFps) / (2L * dstFps)).toInt
+        fpsSelect(n, srcFps, dstFps).iterator.map { case (k, src) =>
           val img = rd.read(src)
           val w = img.getWidth; val h = img.getHeight
           var sum = 0L

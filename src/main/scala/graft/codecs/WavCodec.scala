@@ -157,9 +157,12 @@ object WavCodec {
     * directly, odd k is the floor-mean of the straddling pair
     * ((a + b) >> 1, the same exact dyadic interpolation contract as
     * [[downsample2]]). Generalizes the by-2 decimator to the rational
-    * ratios real corpora need (44.1/48 -> 16 family); nOut =
-    * floor((2n - 1) / 3) + ... computed as the largest k with
-    * ceil((3k+1)/2) <= n. Per-clip kernel, no shuffle, integer-exact. */
+    * ratios real corpora need (44.1/48 -> 16 family). Output count =
+    * the first k whose source taps run past the end — even k needs
+    * sample 3k/2, odd k needs the PAIR ((3k-1)/2, (3k+1)/2), so there
+    * is no single closed form across parities (n = 1000 -> 667 but
+    * n = 2 -> 1: k = 1's pair needs a 3rd sample). Per-clip kernel, no
+    * shuffle, integer-exact. */
   def resample2of3(samples: Array[Short]): Array[Short] = {
     val n = samples.length
     // k valid iff its last source tap index <= n-1:

@@ -644,15 +644,20 @@ object TextOps {
     val out = runningOffsets(docs, idCol, weightCol, partitions)
       .flatMap { case (id, n, start) =>
         require(n >= 0, s"weightedSample: negative weight $n for id $id")
-        // first multiple of step at or after start, as an offset from
-        // start — all operands non-negative, so % is the true mod
-        val gap = (step - start % step) % step
-        if (n > 0 && gap < n)
-          Iterator.single((id, n, start, (start + gap) / step))
-        else Iterator.empty
+        systematicPick(start, n, step).map(p => (id, n, start, p)).iterator
       }
     spark.createDataset(out)
       .toDF(idCol, "weight", "start_w", "pick_idx")
+  }
+
+  /** The systematic pick rule shared by [[weightedSample]] and
+    * [[weightedSampleByGroup]]: a doc whose weight interval
+    * [start, start + n) covers a multiple of `step` is kept, keyed by
+    * the FIRST covered multiple (all operands non-negative, so % is the
+    * true mod). Some(pickIdx) iff kept. */
+  private def systematicPick(start: Long, n: Long, step: Long): Option[Long] = {
+    val gap = (step - start % step) % step
+    if (n > 0 && gap < n) Some((start + gap) / step) else None
   }
 
   /** Grouped variant of [[weightedSample]]: an independent cumulative-
@@ -706,11 +711,10 @@ object TextOps {
         val start = run.getOrElse(g, bc.value.getOrElse((pi, g), 0L))
         run(g) = start + n
         stepsBc.value.get(g) match {
-          case Some(step) if n > 0 =>
-            val gap = (step - start % step) % step
-            if (gap < n) Iterator.single((g, id, n, start, (start + gap) / step))
-            else Iterator.empty
-          case _ => Iterator.empty
+          case Some(step) =>
+            systematicPick(start, n, step)
+              .map(p => (g, id, n, start, p)).iterator
+          case None => Iterator.empty
         }
       }
     }

@@ -174,6 +174,25 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](equalizeCodes(Array(1 << 21), 256))
   }
 
+  test("fpsSelect: half-up picks, end clamp, upsampling duplication") {
+    import graft.codecs.VideoOps.fpsSelect
+    // the v5 ratio: 12 frames at 10 -> 4 fps
+    assert(fpsSelect(12, 10, 4) ==
+      Seq((0, 0), (1, 3), (2, 5), (3, 8), (4, 10)))
+    // clamp engages: 13 frames -> 6 outputs, k=5 rounds to 12.5 -> 13,
+    // clamped to the last frame
+    assert(fpsSelect(13, 10, 4) ==
+      Seq((0, 0), (1, 3), (2, 5), (3, 8), (4, 10), (5, 12)))
+    // upsampling duplicates nearest frames: 4 frames at 4 -> 10 fps
+    // src(k) = round_half_up(0.4k), nOut = ceil(4*10/4) = 10
+    assert(fpsSelect(4, 4, 10) == Seq((0, 0), (1, 0), (2, 1), (3, 1),
+      (4, 2), (5, 2), (6, 2), (7, 3), (8, 3), (9, 3)))
+    // degenerate and guard paths
+    assert(fpsSelect(0, 10, 4).isEmpty)
+    intercept[IllegalArgumentException](fpsSelect(4, 0, 10))
+    intercept[IllegalArgumentException](fpsSelect(-1, 10, 4))
+  }
+
   test("resample2of3: positions, floor-mean interpolation, tail cutoff") {
     import graft.codecs.WavCodec.resample2of3
     // source 0,10,20,...: out k even -> s(3k/2); odd -> mean straddle
