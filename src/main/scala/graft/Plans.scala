@@ -135,6 +135,21 @@ object Plans {
         "shifted copies on (row, col) — uniform key, no skew — feeding " +
         "two partial/final aggs; the Moran/Geary assembly is driver " +
         "BigDecimal over 7 longs"),
+      "m7_mixture_sample" -> ("mixture sampling: the grouped prefix-sum " +
+        "shape — ONE range exchange on (source, id) + Scan ExistingRDD " +
+        "(frozen partitioning); per-source offsets assemble from " +
+        "#groups + #partitions driver longs, the per-source step rides " +
+        "a broadcast map, and the pick filter is the shared systematic " +
+        "rule — no window, no join, no per-group job"),
+      "d32_novelty" -> ("n-gram novelty: distinct (hash, doc) pairs -> " +
+        "min-doc_id per gram (map-side combined) -> one equi-join back " +
+        "on the 8-byte gram hash; the d19 bound-array discipline keeps " +
+        "the gram pass one codegen'd projection and nothing wider than " +
+        "(hash, doc_id) ever shuffles"),
+      "q19_gap_fill" -> ("forward fill: ONE hashpartitioning(user_id) " +
+        "exchange feeding a running last(ignoreNulls) frame — streaming " +
+        "window state per user, no self-join, no sort beyond the " +
+        "per-partition window sort"),
       "r46_pyramid" -> ("overview pyramid: declarative incremental level " +
         "aggs — level L's exchange carries 1/4 of level L-1's rows (a " +
         "geometric tail); intermediate levels are eagerly " +
@@ -399,6 +414,15 @@ object Plans {
       |  original data files byte-for-byte AFTER the upsert; the COW upsert
       |  itself rewrites only the touched buckets and carries every other
       |  file into the new manifest by reference.
+      |- **e10 k-means / a6 rate convert / v5 fps resample / s9 ingest**:
+      |  e10's per-round plan is the canonical training loop — broadcast of
+      |  k centroid vectors + one groupByKey partial-sum per Lloyd round
+      |  (driver holds k means, never points); a6/v5 are per-item executor
+      |  kernels (zero shuffle, the a3/v1 shape); s9 drives the REAL
+      |  Structured Streaming AvailableNow machinery into the icelite
+      |  commit path — per batch: dedup groupByKey + the bucketed
+      |  dynamic-partition-overwrite write, source offsets checkpointed so
+      |  a second drain commits nothing.
       |
       |
 
