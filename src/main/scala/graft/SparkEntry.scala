@@ -621,6 +621,47 @@ object SparkEntry {
           $"deg_val", $"deg_val_sq")
     }),
 
+    // REMOVE_BLOCK — the reference's documented-but-absent overhead-
+    // block-removal module (docs/source/Modules/index.rst:4-15, README
+    // features 3-4: strip bridges/overhead structures from a DEM and
+    // repair the footprint from the surrounding terrain), composed from
+    // three gated pieces: the r4 PIP rasterize marks the block
+    // footprint, the footprint cells drop, and each repairs from its
+    // NEAREST surviving valid cell via the r5 bucketed ring-search
+    // kernel (deterministic (d2, pid) tie-break; d2 is exact — all
+    // coordinates dyadic multiples of 2.5, so squares and sums carry no
+    // rounding). Band aggregates gate the whole repaired surface.
+    "r60_remove_block" -> ((s, _) => {
+      import s.implicits._
+      val ref = Synth.demRef
+      val burn = Rasterize(s, Synth.ca1Features, ref, tileRes,
+          useAttr = false)
+        .toDF("row", "col", "b")
+      val cells = TileOps.cells(demTiles(s))
+      val masked = cells.join(
+        burn.select($"row", $"col", lit(true).as("m")),
+        Seq("row", "col"), "left")
+      val pts = masked.filter($"m".isNull && $"v".isNotNull)
+        .select(($"row".cast("long") * ref.ncols + $"col").as("pid"),
+          (lit(ref.left) + ($"col" + 0.5) * ref.cellsize).as("x"),
+          (lit(ref.top) - ($"row" + 0.5) * ref.cellsize).as("y"),
+          $"v")
+        .as[PtRec]
+      val filled = Knn.nearestBucketed(s, pts, ref, res = 5, ringK = 1)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
+          $"v".as("fv"))
+      masked.join(filled, Seq("row", "col"), "left")
+        .select($"row",
+          when($"m".isNotNull, $"fv").otherwise($"v").as("rv"),
+          $"m".isNotNull.as("was_block"))
+        .withColumn("band", floor($"row" / 16).cast("long"))
+        .groupBy($"band")
+        .agg(count(when($"was_block", 1)).as("n_filled"),
+          count($"rv").as("n_valid"),
+          sum(($"rv" * 4).cast("long")).as("sum_vq"))
+        .orderBy($"band")
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -3697,6 +3738,37 @@ object SparkEntry {
          |  sum(CASE WHEN burn IS NOT NULL THEN v - burn * 2.0 ELSE v END) AS sum_edit,
          |  CAST(count(CASE WHEN v IS NOT NULL AND burn IS NOT NULL THEN 1 END) AS BIGINT) AS n_edited
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // r60: PIP footprint + brute nearest over all surviving valid cells
+    // (rank-1 by the same exact (d2, pid) key the bucketed kernel
+    // proves) + band aggregates of the repaired surface
+    "r60_remove_block" -> {
+      val ref = Synth.demRef
+      val insides = Synth.ca1Features.map(f => pipSql(f.xs, f.ys)).mkString(" OR ")
+      s"""WITH g AS ($demSql),
+         |w AS (SELECT r, c, v,
+         |  ${ref.left} + (c + 0.5) * ${ref.cellsize} AS px,
+         |  ${ref.top} - (r + 0.5) * ${ref.cellsize} AS py
+         |  FROM g),
+         |m AS (SELECT r, c, v, px, py, ($insides) AS blocked FROM w),
+         |pts AS (SELECT r * ${ref.ncols} + c AS pid, px, py, v FROM m
+         |  WHERE NOT blocked AND v IS NOT NULL),
+         |holes AS (SELECT r, c, px, py FROM m WHERE blocked),
+         |cand AS (SELECT h.r AS r, h.c AS c, p.v AS v,
+         |    row_number() OVER (PARTITION BY h.r, h.c ORDER BY
+         |      (p.px - h.px) * (p.px - h.px) + (p.py - h.py) * (p.py - h.py),
+         |      p.pid) AS rn
+         |  FROM holes h, pts p),
+         |fill AS (SELECT r, c, v FROM cand WHERE rn = 1),
+         |rep AS (SELECT m.r, m.c, m.blocked,
+         |    CASE WHEN m.blocked THEN f.v ELSE m.v END AS rv
+         |  FROM m LEFT JOIN fill f ON f.r = m.r AND f.c = m.c)
+         |SELECT CAST(r // 16 AS BIGINT) AS band,
+         |  CAST(count(CASE WHEN blocked THEN 1 END) AS BIGINT) AS n_filled,
+         |  CAST(count(rv) AS BIGINT) AS n_valid,
+         |  CAST(sum(CAST(rv * 4 AS BIGINT)) AS BIGINT) AS sum_vq
+         |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "r5_knn" ->
