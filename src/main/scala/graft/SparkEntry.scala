@@ -1225,6 +1225,36 @@ object SparkEntry {
           sum($"sq").as("sum_q"))
     }),
 
+    // SNAPSHOT COMPACTION equivalence (rewrite_data_files analog): 8
+    // small buckets compact to 2, and BOTH snapshots — pre- and post-
+    // compaction — read back with identical content invariants; the
+    // compacted snapshot is a pure physical rewrite (fewer, larger
+    // files), never a logical change. With q18 (COW upsert) and s9
+    // (streaming ingest) this completes the driver-gated table-format
+    // maintenance story.
+    "q20_compact_equiv" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("q20-icelite").toString
+      val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      graft.icelite.IceLite.commitResumable(s, base, dir, buckets = 8,
+        snap = 1L)
+      val snap2 = graft.icelite.IceLite.compact(s, dir, targetBuckets = 2)
+      def stats(snap: Long, tag: Long) =
+        graft.icelite.IceLite.read(s, dir, snap).map { t =>
+          var sv = 0L
+          t.payload.foreach(v => sv += Math.rint(v).toLong)
+          (tag, 1L, t.payload.length.toLong, sv)
+        }.toDF("snap", "t", "n", "sv")
+      stats(1L, 1L).unionByName(stats(snap2, 2L))
+        .groupBy($"snap")
+        .agg(sum($"t").as("n_tiles"), sum($"n").as("n_cells"),
+          sum($"sv").as("sum_v"))
+        .orderBy($"snap")
+    }),
+
     // FORWARD-FILL gap imputation (time-series LOCF) — carry each user's
     // last observed non-view amount forward across view-event gaps: the
     // sensor/price imputation every feature pipeline runs before
@@ -4540,6 +4570,20 @@ object SparkEntry {
         |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS c
         |  FROM events)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // q20: compaction is content-neutral, so both snapshots are the SAME
+    // closed-form row (6 tiles of the 96x160 formula grid)
+    "q20_compact_equiv" ->
+      """WITH cells AS (
+        |  SELECT (r.r * 7 + c.c * 3) % 100 AS v
+        |  FROM range(96) r(r), range(160) c(c)),
+        |one AS (SELECT 6 AS n_tiles, count(*) AS n_cells,
+        |    sum(v) AS sum_v FROM cells)
+        |SELECT CAST(t.s AS BIGINT) AS snap,
+        |  CAST(n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(sum_v AS BIGINT) AS sum_v
+        |FROM one, (VALUES (1), (2)) t(s) ORDER BY snap""".stripMargin,
 
     // q18: both snapshots in closed form — snap 1 is the 96x160 formula
     // grid in 6 tiles; snap 2 adds +1000 to every cell of the even-tx
