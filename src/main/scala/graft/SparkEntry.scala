@@ -1255,6 +1255,38 @@ object SparkEntry {
         .orderBy($"snap")
     }),
 
+    // SCHEMA EVOLUTION gated end-to-end: metadata-only add-column (no
+    // data file touched), read-time NULL-fill of pre-evolution files,
+    // then a COW upsert backfilling the new column for 2 of 6 tiles —
+    // the 4 untouched tiles carry by reference and still null-fill.
+    // Payload sums prove the evolution/backfill never perturbs data.
+    "q21_schema_evolution" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("q21-icelite").toString
+      val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      graft.icelite.IceLite.commitResumable(s, base, dir, buckets = 4,
+        snap = 1L)
+      graft.icelite.IceLite.evolveAddColumn(dir, "grade", "BIGINT")
+      val updates = base.filter(_.col0 == 0).toDF()
+        .withColumn("grade", lit(7L))
+      val snap2 = graft.icelite.IceLite.upsertDf(s, dir, updates)
+      def stats(snap: Long, tag: Long) =
+        graft.icelite.IceLite.readDf(s, dir, snap)
+          .select(lit(tag).as("phase"), lit(1L).as("t"),
+            when($"grade".isNotNull, 1L).otherwise(0L).as("gs"),
+            coalesce($"grade", lit(0L)).as("g"),
+            aggregate($"payload", lit(0L),
+              (acc, v) => acc + v.cast("long")).as("sv"))
+      stats(1L, 1L).unionByName(stats(snap2, 2L))
+        .groupBy($"phase")
+        .agg(sum($"t").as("n_tiles"), sum($"gs").as("n_grade_set"),
+          sum($"g").as("sum_grade"), sum($"sv").as("sum_v"))
+        .orderBy($"phase")
+    }),
+
     // FORWARD-FILL gap imputation (time-series LOCF) — carry each user's
     // last observed non-view amount forward across view-event gaps: the
     // sensor/price imputation every feature pipeline runs before
@@ -4584,6 +4616,19 @@ object SparkEntry {
         |  CAST(n_cells AS BIGINT) AS n_cells,
         |  CAST(sum_v AS BIGINT) AS sum_v
         |FROM one, (VALUES (1), (2)) t(s) ORDER BY snap""".stripMargin,
+
+    // q21: constants from the evolution contract (6 tiles, 2 backfilled
+    // at grade 7) + the formula-grid payload sum proving data stability
+    "q21_schema_evolution" ->
+      """WITH cells AS (
+        |  SELECT (r.r * 7 + c.c * 3) % 100 AS v
+        |  FROM range(96) r(r), range(160) c(c)),
+        |one AS (SELECT sum(v) AS sum_v FROM cells)
+        |SELECT CAST(p.p AS BIGINT) AS phase, CAST(6 AS BIGINT) AS n_tiles,
+        |  CAST(CASE WHEN p.p = 2 THEN 2 ELSE 0 END AS BIGINT) AS n_grade_set,
+        |  CAST(CASE WHEN p.p = 2 THEN 14 ELSE 0 END AS BIGINT) AS sum_grade,
+        |  CAST(sum_v AS BIGINT) AS sum_v
+        |FROM one, (VALUES (1), (2)) p(p) ORDER BY phase""".stripMargin,
 
     // q18: both snapshots in closed form — snap 1 is the 96x160 formula
     // grid in 6 tiles; snap 2 adds +1000 to every cell of the even-tx
