@@ -634,23 +634,32 @@ object SparkEntry {
     "r60_remove_block" -> ((s, _) => {
       import s.implicits._
       val ref = Synth.demRef
-      val burn = Rasterize(s, Synth.ca1Features, ref, tileRes,
+      // footprint mask from the r4 PIP burn (the burn VALUE is not
+      // needed — only membership)
+      val mask = Rasterize(s, Synth.ca1Features, ref, tileRes,
           useAttr = false)
-        .toDF("row", "col", "b")
-      val cells = TileOps.cells(demTiles(s))
-      val masked = cells.join(
-        burn.select($"row", $"col", lit(true).as("m")),
-        Seq("row", "col"), "left")
+        .toDF("row", "col", "burn")
+        .select($"row", $"col", lit(true).as("m"))
+      // persist: the mask join + DEM scan feed BOTH the repair kernel's
+      // point/hole sides and the final stitch — without it the burn job
+      // and the icelite scan would run twice
+      val masked = TileOps.cells(demTiles(s))
+        .join(mask, Seq("row", "col"), "left")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pts = masked.filter($"m".isNull && $"v".isNotNull)
         .select(($"row".cast("long") * ref.ncols + $"col").as("pid"),
           (lit(ref.left) + ($"col" + 0.5) * ref.cellsize).as("x"),
           (lit(ref.top) - ($"row" + 0.5) * ref.cellsize).as("y"),
           $"v")
         .as[PtRec]
-      val filled = Knn.nearestBucketed(s, pts, ref, res = 5, ringK = 1)
+      // repair ONLY the footprint cells (targets subset): kernel cost
+      // scales with the block area, not the grid area
+      val holes = masked.filter($"m".isNotNull).select($"row", $"col")
+      val filled = Knn.nearestBucketed(s, pts, ref, res = 5, ringK = 1,
+          targets = Some(holes))
         .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
           $"v".as("fv"))
-      masked.join(filled, Seq("row", "col"), "left")
+      val out = masked.join(filled, Seq("row", "col"), "left")
         .select($"row",
           when($"m".isNotNull, $"fv").otherwise($"v").as("rv"),
           $"m".isNotNull.as("was_block"))
@@ -660,6 +669,9 @@ object SparkEntry {
           count($"rv").as("n_valid"),
           sum(($"rv" * 4).cast("long")).as("sum_vq"))
         .orderBy($"band")
+        .localCheckpoint(true) // eager, so the persist can release now
+      masked.unpersist()
+      out
     }),
 
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)

@@ -86,8 +86,24 @@ object IceLite {
     * stay tight and reads prune by range. */
   def commitResumable(spark: SparkSession, tiles: Dataset[Tile], table: String,
       buckets: Int, snap: Long, failAtBucket: Option[Int] = None,
+      rowsCommitted: Option[LongAccumulator] = None): Long =
+    commitResumableDf(spark, tiles.toDF(), table, buckets, snap,
+      failAtBucket, rowsCommitted)
+
+  /** DataFrame form of [[commitResumable]] — the schema-preserving write
+    * path: any column set with a `cellId` key and a `payload` array
+    * commits as-is (evolved columns included), and the declared schema
+    * records exactly the DataFrame's columns. [[compact]] MUST use this
+    * form over [[readDf]]: the typed Dataset[Tile] read would silently
+    * strip evolved columns from both the data files and the recorded
+    * schema. */
+  def commitResumableDf(spark: SparkSession, rows: DataFrame, table: String,
+      buckets: Int, snap: Long, failAtBucket: Option[Int] = None,
       rowsCommitted: Option[LongAccumulator] = None): Long = {
     import spark.implicits._
+    require(rows.columns.contains("cellId") && rows.columns.contains("payload"),
+      "commitResumableDf: rows must carry cellId and payload columns")
+    val tiles = rows
     mkdirs(Paths.get(table, "metadata"))
     mkdirs(Paths.get(table, "manifests"))
     mkdirs(Paths.get(table, "lineage", snap.toString))
@@ -167,7 +183,7 @@ object IceLite {
       s"""{"format": "icelite/1", "current_snapshot": $snap,
          | "manifest": ${q(s"$table/manifests/m-$snap.json")},
          | "buckets": $buckets,
-         | "schema": ${schemaJson(tiles.toDF())}}""".stripMargin)
+         | "schema": ${schemaJson(tiles)}}""".stripMargin)
     snap
   }
 
@@ -335,6 +351,13 @@ object IceLite {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"upsert: no committed snapshot in $table"))
     val newSnap = snap + 1
+    // upsert never resumes from partial state — any uncommitted debris
+    // at newSnap (a previous crashed upsert, or a crashed compact's
+    // staged buckets) would pollute the stageRoot read-back and the
+    // dynamic-partition dirs; clear it and claim the id with a marker so
+    // a LATER compact knows this lineage is not its own resume set
+    clearUncommitted(table, newSnap)
+    writeOpMarker(table, newSnap, "upsert")
     val entries = manifestEntries(table, snap)
     require(entries.nonEmpty, s"upsert: empty manifest for $table@$snap")
     val owned = entries.filter(_.rows > 0).sortBy(_.minCell)
@@ -460,12 +483,52 @@ object IceLite {
     * snapshot with only orphaned staging files to GC. Content is
     * byte-identical by construction (one distributed read -> one
     * dynamic-partition write; no kernel touches payloads), verified by
-    * the order-independent lineage checksums. Returns the new snapshot. */
+    * the order-independent lineage checksums. Reads under the DECLARED
+    * schema ([[readDf]]), so evolved columns and their backfilled values
+    * survive compaction and the recorded schema is unchanged — the
+    * typed [[read]] would silently strip both. Returns the new snapshot.
+    *
+    * Debris rule: the resume set at `snap + 1` is honoured ONLY when a
+    * `compact` op marker claims it (a crashed compact resumes exactly);
+    * lineage rows or staged files left at that id by a DIFFERENT crashed
+    * op (an upsert that died before its metadata flip) are deleted first
+    * — resuming over them would skip rewriting those buckets and commit
+    * a snapshot mixing half-applied upsert content into a supposedly
+    * content-neutral compaction. */
   def compact(spark: SparkSession, table: String, targetBuckets: Int): Long = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"compact: no committed snapshot in $table"))
-    commitResumable(spark, read(spark, table, snap), table,
-      targetBuckets, snap = snap + 1)
+    val newSnap = snap + 1
+    if (opMarkerOf(table, newSnap) != Some("compact"))
+      clearUncommitted(table, newSnap)
+    writeOpMarker(table, newSnap, "compact")
+    commitResumableDf(spark, readDf(spark, table, snap), table,
+      targetBuckets, snap = newSnap)
+  }
+
+  /** Op marker disambiguating whose uncommitted work sits at a snapshot
+    * id (lineage/<snap>/op.json). [[committedBuckets]] ignores it (the
+    * resume set matches only b-*.json). */
+  private def writeOpMarker(table: String, snap: Long, op: String): Unit = {
+    mkdirs(Paths.get(table, "lineage", snap.toString))
+    writeAtomic(Paths.get(table, "lineage", snap.toString, "op.json"),
+      s"""{"op": ${q(op)}}""")
+  }
+
+  private def opMarkerOf(table: String, snap: Long): Option[String] = {
+    val p = Paths.get(table, "lineage", snap.toString, "op.json")
+    if (!Files.exists(p)) None
+    else "\"op\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(Files.readString(p)).map(_.group(1))
+  }
+
+  /** Delete UNCOMMITTED lineage + staged data at a snapshot id (the
+    * table's current snapshot must not reference it). */
+  private def clearUncommitted(table: String, snap: Long): Unit = {
+    require(currentSnapshot(table).forall(_ != snap),
+      s"clearUncommitted: snapshot $snap is the committed current snapshot")
+    deleteRecursively(Paths.get(table, "lineage", snap.toString))
+    deleteRecursively(Paths.get(table, "data", snap.toString))
   }
 
   /** List a directory's children with the stream CLOSED afterwards

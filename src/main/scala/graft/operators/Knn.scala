@@ -61,9 +61,13 @@ object Knn {
 
   /** Scale path: bucketed halo join + per-bucket k-d tree; exactness
     * restored by distributed query-replication escalation (see object doc).
-    * `res` = bucket resolution in pixels (bucket side = 2^res pixels). */
+    * `res` = bucket resolution in pixels (bucket side = 2^res pixels).
+    * `targets` restricts the query side to a (row, col) subset — the
+    * footprint-repair case (r60 remove_block): cost then scales with the
+    * subset, not the grid area; None queries every cell of `ref`. */
   def nearestBucketed(spark: SparkSession, points: Dataset[PtRec],
-      ref: GridRef, res: Int, ringK: Int = 1): DataFrame = {
+      ref: GridRef, res: Int, ringK: Int = 1,
+      targets: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val bucketPx = 1 << res
     val bucketW = bucketPx * ref.cellsize
@@ -91,11 +95,22 @@ object Knn {
       CellId.kRingClamped(pointBucket(p), ringK, maxCx, maxCy).map(b => (b, p))
     }.toDF("bucket", "p").as[(Long, PtRec)]
 
-    val cells = spark.range(ref.numCells).map { id =>
-      val row = (id / ncols).toInt
-      val col = (id % ncols).toInt
-      (CellId.ofPixel(row.toLong, col.toLong, res), row, col)
-    }.toDF("bucket", "row", "col").as[(Long, Int, Int)]
+    val cells = targets match {
+      case Some(t) =>
+        t.select(col("row").cast("int"), col("col").cast("int"))
+          .as[(Int, Int)]
+          .map { case (r0, c0) =>
+            require(r0 >= 0 && r0 < nrows && c0 >= 0 && c0 < ncols,
+              s"nearestBucketed: target ($r0, $c0) outside the $nrows x $ncols grid")
+            (CellId.ofPixel(r0.toLong, c0.toLong, res), r0, c0)
+          }.toDF("bucket", "row", "col").as[(Long, Int, Int)]
+      case None =>
+        spark.range(ref.numCells).map { id =>
+          val row = (id / ncols).toInt
+          val col = (id % ncols).toInt
+          (CellId.ofPixel(row.toLong, col.toLong, res), row, col)
+        }.toDF("bucket", "row", "col").as[(Long, Int, Int)]
+    }
 
     val p1 = cells.groupByKey(_._1).cogroup(candidates.groupByKey(_._1)) {
       (_, cellIt, candIt) =>

@@ -100,6 +100,67 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.read(spark, table, 1L).count() == c1.size)
   }
 
+  test("compact preserves evolved columns and declared schema (DataFrame path)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = Files.createTempDirectory("icelite-ce").toString
+    IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 1L)
+    IceLite.evolveAddColumn(table, "grade", "BIGINT")
+    val someIds = IceLite.read(spark, table, 1L).collect()
+      .map(_.cellId).sorted.take(3).toSet
+    val updates = IceLite.read(spark, table, 1L)
+      .filter(t => someIds.contains(t.cellId)).toDF()
+      .withColumn("grade", lit(9L))
+    val s2 = IceLite.upsertDf(spark, table, updates)
+    val s3 = IceLite.compact(spark, table, targetBuckets = 2)
+    assert(s3 == s2 + 1 && IceLite.currentSnapshot(table).contains(s3))
+    // declared schema still carries grade after compaction (the typed
+    // read() path would have silently dropped it from files AND schema)
+    assert(IceLite.tableSchema(table).exists(_.exists(_._1 == "grade")))
+    // backfilled values survive the rewrite; the rest still null-fill
+    val gmap = IceLite.readDf(spark, table, s3)
+      .select($"cellId", $"grade").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    someIds.foreach(id => assert(gmap(id) == 9L))
+    assert(gmap.values.count(_ == 9L) == 3)
+    assert(gmap.values.count(_ == -1L) == gmap.size - 3)
+    // payload content identical across the upsert and compacted snapshots
+    def content(snap: Long) = IceLite.read(spark, table, snap)
+      .map(t => (t.cellId, t.payload.map(v =>
+        if (v.isNaN) 1L else java.lang.Double.doubleToLongBits(v)).sum))
+      .collect().toMap
+    assert(content(s3) == content(s2))
+  }
+
+  test("compact clears a crashed upsert's uncommitted debris at snap+1") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("icelite-debris").toString
+    IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 1L)
+    // simulate a crashed upsert at snapshot 2: lineage rows + one staged
+    // bucket with WRONG content, metadata never flipped (current stays 1)
+    val lin = java.nio.file.Paths.get(table, "lineage", "2")
+    Files.createDirectories(lin)
+    Files.writeString(lin.resolve("op.json"), """{"op": "upsert"}""")
+    Files.writeString(lin.resolve("b-0.json"),
+      """{"bucket": 0, "rows": 1, "checksum": 99}""")
+    val junkDir = java.nio.file.Paths.get(table, "data", "2", "bucket=0")
+    Files.createDirectories(junkDir)
+    spark.createDataset(Seq(graft.core.Tile(0L, 0, 0, 1, 1, Array(123.0))))
+      .toDF().write.mode("overwrite").parquet(junkDir.toString)
+    // without the debris rule, commitResumable would see bucket 0 as
+    // "already committed", skip rewriting it, and serve the junk
+    val snap2 = IceLite.compact(spark, table, targetBuckets = 2)
+    assert(snap2 == 2L)
+    def content(snap: Long) = IceLite.read(spark, table, snap)
+      .map(t => (t.cellId, t.payload.map(v =>
+        if (v.isNaN) 1L else java.lang.Double.doubleToLongBits(v)).sum))
+      .collect().toMap
+    assert(content(2L) == content(1L))
+    assert(IceLite.lineage(table, 2L).map(_.rows).sum ==
+      IceLite.lineage(table, 1L).map(_.rows).sum)
+  }
+
   test("upsert: COW merge — touched bucket rewritten, rest by reference, time travel") {
     import spark.implicits._
     import graft.core.Tile
