@@ -1318,6 +1318,52 @@ object SparkEntry {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // ICELITE INCREMENTAL CHANGELOG read (Iceberg incremental-scan /
+    // Delta Change-Data-Feed analog) gated end-to-end: commit snapshot 1,
+    // COW upsert (+1000 on the even 64-col tile bands, one appended
+    // tile) -> snapshot 2, COW row-level DELETE (the appended tile + the
+    // untouched (0,64) tile) -> snapshot 3, then readChanges over BOTH
+    // intervals. Pruning is metadata-only — files carried between
+    // manifests by reference are never opened, so the diff reads only
+    // the touched buckets — and updates emit pre+post images whose
+    // content-equality backstop drops rewritten-but-unchanged carries.
+    // Gated as per-interval per-change-type tile/cell/value totals.
+    "q22_incremental_read" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("q22-icelite").toString
+      val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      graft.icelite.IceLite.commitResumable(s, base, dir, buckets = 4,
+        snap = 1L)
+      val upd = base.filter(t => (t.col0 / 64) % 2 == 0)
+        .map(t => t.copy(payload = t.payload.map(_ + 1000.0)))
+      val extra = s.createDataset(Seq(graft.core.Tile(
+        graft.core.CellId.encode(tileRes, 999, 999), 999 * 64, 999 * 64,
+        2, 2, Array(1.0, 2.0, 3.0, 4.0))))
+      val snap2 = graft.icelite.IceLite.upsert(s, dir, upd.union(extra))
+      val delKeys = base.filter(t => t.row0 == 0 && t.col0 == 64).toDF()
+        .select($"cellId")
+        .unionByName(extra.toDF().select($"cellId"))
+      val snap3 = graft.icelite.IceLite.deleteRows(s, dir, delKeys)
+      def phase(a: Long, b: Long, tag: Long) =
+        graft.icelite.IceLite.readChanges(s, dir, a, b)
+          .select(lit(tag).as("phase"), $"_change_type".as("ct"), $"payload")
+          .as[(Long, String, Array[Double])]
+      phase(1L, snap2, 1L).union(phase(snap2, snap3, 2L))
+        .map { case (p, ct, pl) =>
+          var sv = 0L
+          pl.foreach(v => sv += Math.rint(v).toLong)
+          (p, ct, 1L, pl.length.toLong, sv)
+        }
+        .toDF("phase", "change_type", "t", "n", "sv")
+        .groupBy($"phase", $"change_type")
+        .agg(sum($"t").as("n_tiles"), sum($"n").as("n_cells"),
+          sum($"sv").as("sum_v"))
+        .orderBy($"phase", $"change_type")
+    }),
+
     // ICELITE TIME TRAVEL end-to-end through the driver harness: write
     // snapshot 1 (resumable bucketed commit), row-level COW upsert (4 of
     // 6 tiles updated + 1 appended) -> snapshot 2, then read BOTH pinned
@@ -4646,6 +4692,31 @@ object SparkEntry {
     // grid in 6 tiles; snap 2 adds +1000 to every cell of the even-tx
     // tiles (cols [0,64) and [128,160)), one 2x2 appended tile (+4
     // cells, payload 1+2+3+4 = 10), and one extra tile row
+    // q22: changelog totals in closed form from the construction — the
+    // upsert touches the (c // 64) even bands (+1000/cell, 4 tiles,
+    // 9216 cells), the insert is the 4-cell [1,2,3,4] tile, the delete
+    // phase removes that tile plus the untouched (r<64, 64<=c<128) tile
+    "q22_incremental_read" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r, c.c AS c, (r.r * 7 + c.c * 3) % 100 AS v
+        |  FROM range(96) r(r), range(160) c(c)),
+        |upd AS (SELECT * FROM cells WHERE (c // 64) % 2 = 0),
+        |del AS (SELECT * FROM cells WHERE r < 64 AND c >= 64 AND c < 128),
+        |rows AS (
+        |  SELECT 1 AS phase, 'insert' AS change_type,
+        |      1 AS n_tiles, 4 AS n_cells, 10 AS sum_v
+        |  UNION ALL SELECT 1, 'update_postimage', 4, count(*),
+        |      sum(v + 1000) FROM upd
+        |  UNION ALL SELECT 1, 'update_preimage', 4, count(*),
+        |      sum(v) FROM upd
+        |  UNION ALL SELECT 2, 'delete', 2, count(*) + 4,
+        |      sum(v) + 10 FROM del)
+        |SELECT CAST(phase AS BIGINT) AS phase, change_type,
+        |  CAST(n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(sum_v AS BIGINT) AS sum_v
+        |FROM rows ORDER BY phase, change_type""".stripMargin,
+
     "q18_snapshot_travel" ->
       """WITH cells AS (
         |  SELECT r.r AS r, c.c AS c, (r.r * 7 + c.c * 3) % 100 AS v

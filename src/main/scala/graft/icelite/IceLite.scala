@@ -291,6 +291,108 @@ object IceLite {
     }
   }
 
+  /** Incremental CHANGELOG read between two committed snapshots — the
+    * Iceberg incremental-scan / Delta Change-Data-Feed analog: every row
+    * inserted, updated or deleted between `fromSnap` (exclusive state)
+    * and `toSnap` (inclusive state), under the declared schema plus a
+    * `_change_type` column (`insert` / `delete` / `update_preimage` /
+    * `update_postimage` — updates emit BOTH images).
+    *
+    * Scale shape (the whole point at 100 TB): pruning is METADATA-ONLY —
+    * a data file carried between the manifests BY REFERENCE (identical
+    * path) cannot contain a change and is never opened; only rewritten /
+    * added / dropped files are read, so a small COW upsert or delete
+    * diffs just its touched buckets. The row-level diff is then ONE
+    * full-outer equi-join on `cellId` over those changed files, with
+    * content equality (null-safe, Spark NaN==NaN array semantics) as the
+    * correctness backstop: rows a rewrite carried unchanged — and an
+    * entire [[compact]], which rewrites every path without changing any
+    * content — correctly collapse to an EMPTY changelog. */
+  def readChanges(spark: SparkSession, table: String,
+      fromSnap: Long, toSnap: Long): DataFrame = {
+    require(fromSnap <= toSnap,
+      s"readChanges: fromSnap $fromSnap must be <= toSnap $toSnap")
+    val fromE = manifestEntries(table, fromSnap)
+    val toE = manifestEntries(table, toSnap)
+    val oldPaths = fromE.map(_.path).toSet
+    val newPaths = toE.map(_.path).toSet
+    val addedFiles =
+      toE.filter(e => e.rows > 0 && !oldPaths.contains(e.path)).map(_.path)
+    val droppedFiles =
+      fromE.filter(e => e.rows > 0 && !newPaths.contains(e.path)).map(_.path)
+    // both sides MUST project the same columns or the image structs
+    // won't compare; a pre-schema-tracking table derives the union
+    // schema from the changed files themselves (footers only)
+    val declared = tableSchema(table).orElse {
+      val any = addedFiles ++ droppedFiles
+      if (any.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(any: _*)
+        .schema.fields.toSeq.map(f => (f.name, f.dataType.sql)))
+    }
+    val nSide = readFilesDeclared(spark, addedFiles, declared)
+    val oSide = readFilesDeclared(spark, droppedFiles, declared)
+    val cols = nSide.columns.toSeq
+    val n = nSide.select(col("cellId").as("_k"),
+      struct(cols.map(col): _*).as("_img"))
+    val o = oSide.select(col("cellId").as("_k"),
+      struct(cols.map(col): _*).as("_img"))
+    val j = n.as("n").join(o.as("o"), col("n._k") === col("o._k"), "full_outer")
+    // one pass over the join: type each key, explode updates into the
+    // pre/post image pair, drop content-equal carries
+    val typed = j.select(col("n._img").as("_n"), col("o._img").as("_o"),
+        when(col("o._k").isNull, "insert")
+          .when(col("n._k").isNull, "delete")
+          .when(!(col("n._img") <=> col("o._img")), "update")
+          .as("_ct"))
+      .filter(col("_ct").isNotNull)
+    typed.select(explode(
+        when(col("_ct") === "insert",
+          array(struct(col("_n").as("img"), lit("insert").as("ct"))))
+        .when(col("_ct") === "delete",
+          array(struct(col("_o").as("img"), lit("delete").as("ct"))))
+        .otherwise(array(
+          struct(col("_n").as("img"), lit("update_postimage").as("ct")),
+          struct(col("_o").as("img"), lit("update_preimage").as("ct"))))
+      ).as("_e"))
+      .select(col("_e.img.*"), col("_e.ct").as("_change_type"))
+  }
+
+  /** Changed-file sets between two snapshots' manifests (old-side paths,
+    * new-side paths) — [[readChanges]]'s metadata-only pruning, exposed
+    * so tests can assert reference-carried files are never read. */
+  private[icelite] def changedFiles(table: String, fromSnap: Long,
+      toSnap: Long): (Seq[String], Seq[String]) = {
+    val fromE = manifestEntries(table, fromSnap)
+    val toE = manifestEntries(table, toSnap)
+    val oldPaths = fromE.map(_.path).toSet
+    val newPaths = toE.map(_.path).toSet
+    (fromE.filter(e => e.rows > 0 && !newPaths.contains(e.path)).map(_.path),
+      toE.filter(e => e.rows > 0 && !oldPaths.contains(e.path)).map(_.path))
+  }
+
+  /** Read an explicit data-file list under a declared (name, type) schema
+    * — absent columns null-fill, an empty file list yields an empty frame
+    * of exactly the declared columns. */
+  private def readFilesDeclared(spark: SparkSession, files: Seq[String],
+      declared: Option[Seq[(String, String)]]): DataFrame = {
+    if (files.isEmpty) {
+      val cols = declared.getOrElse(Seq("cellId" -> "BIGINT"))
+      spark.range(0).select(cols.map { case (nm, t) =>
+        lit(null).cast(t).as(nm) }: _*)
+    } else {
+      val base = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      declared match {
+        case Some(cols) =>
+          val have = base.columns.toSet
+          base.select(cols.map { case (nm, t) =>
+            if (have.contains(nm)) col(nm).cast(t).as(nm)
+            else lit(null).cast(t).as(nm)
+          }: _*)
+        case None => base
+      }
+    }
+  }
+
   /** Parsed data-file list of a snapshot's manifest. */
   def manifestEntries(table: String, snap: Long): Seq[DataFileEntry] = {
     val manifest = Files.readString(Paths.get(table, "manifests", s"m-$snap.json"))
@@ -344,12 +446,35 @@ object IceLite {
     * columns (survivors null-fill via unionByName allowMissingColumns);
     * untouched buckets still carry forward by reference, and [[readDf]]
     * null-fills them at read time. Requires a `cellId` key column. */
-  def upsertDf(spark: SparkSession, table: String, updates: DataFrame): Long = {
+  def upsertDf(spark: SparkSession, table: String, updates: DataFrame): Long =
+    cowMutate(spark, table, updates, isDelete = false)
+
+  /** Row-level DELETE — the Iceberg `DELETE FROM ... WHERE key IN (keys)`
+    * copy-on-write analog and [[upsertDf]]'s missing sibling: each delete
+    * key is range-assigned to its owning bucket via the same broadcast
+    * range table; ONLY the touched buckets are read back and rewritten
+    * WITHOUT the deleted rows, every untouched bucket enters the new
+    * manifest by reference, and a bucket deleted down to zero rows
+    * records `rows: 0` (readers already skip empty entries). Old
+    * snapshots still time-travel to the pre-delete rows. Keys that match
+    * no row still rewrite their owning bucket (content-identical) — a
+    * no-op delete of a missing key is safe, not an error. Cost is
+    * proportional to the touched key ranges, not the table. */
+  def deleteRows(spark: SparkSession, table: String, keys: DataFrame): Long =
+    cowMutate(spark, table, keys.select("cellId"), isDelete = true)
+
+  /** Shared copy-on-write mutation core of [[upsertDf]] (merge rows in)
+    * and [[deleteRows]] (anti-join rows out): the two ops differ ONLY in
+    * whether the incoming rows union back into the touched buckets'
+    * survivors. */
+  private def cowMutate(spark: SparkSession, table: String, updates: DataFrame,
+      isDelete: Boolean): Long = {
     import spark.implicits._
+    val op = if (isDelete) "delete" else "upsert"
     require(updates.columns.contains("cellId"),
-      "upsertDf: updates must carry a cellId key column")
+      s"$op: rows must carry a cellId key column")
     val snap = currentSnapshot(table).getOrElse(
-      throw new IllegalStateException(s"upsert: no committed snapshot in $table"))
+      throw new IllegalStateException(s"$op: no committed snapshot in $table"))
     val newSnap = snap + 1
     // upsert never resumes from partial state — any uncommitted debris
     // at newSnap (a previous crashed upsert, or a crashed compact's
@@ -357,11 +482,11 @@ object IceLite {
     // dynamic-partition dirs; clear it and claim the id with a marker so
     // a LATER compact knows this lineage is not its own resume set
     clearUncommitted(table, newSnap)
-    writeOpMarker(table, newSnap, "upsert")
+    writeOpMarker(table, newSnap, op)
     val entries = manifestEntries(table, snap)
-    require(entries.nonEmpty, s"upsert: empty manifest for $table@$snap")
+    require(entries.nonEmpty, s"$op: empty manifest for $table@$snap")
     val owned = entries.filter(_.rows > 0).sortBy(_.minCell)
-    require(owned.nonEmpty, s"upsert: no data files in $table@$snap")
+    require(owned.nonEmpty, s"$op: no data files in $table@$snap")
     // ownership ranges: contiguous Z-ranges by construction; edges open
     val ranges = owned.zipWithIndex.map { case (e, i) =>
       val lo = if (i == 0) Long.MinValue else owned(i).minCell
@@ -395,8 +520,10 @@ object IceLite {
     // allowMissingColumns: survivors written before an evolveAddColumn
     // lack the new columns — they null-fill here (schema evolution's
     // write path); updates lacking a dropped-from-updates column would
-    // likewise null-fill rather than fail
-    val merged = survivors.unionByName(updB, allowMissingColumns = true)
+    // likewise null-fill rather than fail. Delete keeps ONLY survivors.
+    val merged =
+      if (isDelete) survivors
+      else survivors.unionByName(updB, allowMissingColumns = true)
     // lineage checksums carried forward BY REFERENCE for untouched
     // buckets use the (cid*31 + payload size) formula — rewritten
     // buckets must use the same one or the table's checksum set would
@@ -404,7 +531,7 @@ object IceLite {
     // Validated BEFORE the stage write so a payload-less table fails
     // without leaving staged debris under data/<newSnap> (ADVICE r4 #3).
     require(merged.columns.contains("payload"),
-      "upsertDf: tables without a payload column are not supported " +
+      s"$op: tables without a payload column are not supported " +
         "(lineage checksum formula is payload-based)")
     merged
       .write.mode("overwrite")
@@ -414,8 +541,16 @@ object IceLite {
     updB.unpersist()
     // stats of the rewritten buckets only (same read-back shape as
     // commitResumable: rows, order-independent checksum, cell min/max).
-    val staged = spark.read.option("mergeSchema", "true").parquet(stageRoot)
-    val stats = staged
+    // A delete can empty EVERY touched bucket: the staged write then
+    // creates no partition dir at all and a parquet read of stageRoot
+    // cannot infer a schema — the guard short-circuits to empty stats
+    // (all touched buckets record rows: 0).
+    val hasStaged = Files.exists(Paths.get(stageRoot)) &&
+      listDir(Paths.get(stageRoot))
+        .exists(_.getFileName.toString.startsWith("bucket="))
+    val stats = if (!hasStaged)
+      Map.empty[Int, (Int, Long, Long, Long, Long)]
+    else spark.read.option("mergeSchema", "true").parquet(stageRoot)
       .select($"bucket".cast("int"), $"cellId", size($"payload"))
       .as[(Int, Long, Int)]
       // JVM arithmetic wraps — the SQL form would throw under ANSI

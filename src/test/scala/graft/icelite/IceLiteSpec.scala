@@ -133,6 +133,77 @@ class IceLiteSpec extends AnyFunSuite {
     assert(content(s3) == content(s2))
   }
 
+  test("deleteRows: COW — only owning buckets rewrite; time travel; empty table end state") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("icelite-del").toString
+    IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 1L)
+    val all = IceLite.read(spark, table, 1L).collect()
+    val victims = all.map(_.cellId).sorted.take(2).toSeq
+    val s2 = IceLite.deleteRows(spark, table,
+      spark.createDataset(victims).toDF("cellId"))
+    assert(s2 == 2L && IceLite.currentSnapshot(table).contains(2L))
+    assert(IceLite.read(spark, table, 2L).collect().map(_.cellId).toSet ==
+      all.map(_.cellId).toSet -- victims)
+    // old snapshot still serves the pre-delete rows
+    assert(IceLite.read(spark, table, 1L).count() == all.length)
+    // untouched buckets carried forward BY REFERENCE (identical paths)
+    val m1 = IceLite.manifestEntries(table, 1L).map(e => e.bucket -> e.path).toMap
+    val m2 = IceLite.manifestEntries(table, 2L).map(e => e.bucket -> e.path).toMap
+    val rewritten = m2.filter { case (b, p) => m1(b) != p }.keySet
+    assert(rewritten.nonEmpty && rewritten.size < m1.size)
+    assert(IceLite.manifestEntries(table, 2L).map(_.rows).sum ==
+      all.length - victims.length)
+    // delete EVERYTHING: every touched bucket empties (rows: 0 entries,
+    // no staged partition dir) and the table reads back empty
+    val s3 = IceLite.deleteRows(spark, table,
+      spark.createDataset(all.map(_.cellId).toSeq).toDF("cellId"))
+    assert(IceLite.read(spark, table, s3).count() == 0)
+    assert(IceLite.manifestEntries(table, s3).forall(_.rows == 0))
+    // and the full-delete shows up as all-delete changelog rows
+    val ch = IceLite.readChanges(spark, table, s2, s3)
+    assert(ch.filter($"_change_type" === "delete").count() ==
+      all.length - victims.length)
+    assert(ch.count() == all.length - victims.length)
+  }
+
+  test("readChanges: typed diff, reference-carried files pruned, compact diff empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = Files.createTempDirectory("icelite-cdc").toString
+    IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 1L)
+    val ids = IceLite.read(spark, table, 1L).collect().map(_.cellId).sorted
+    val updKeys = ids.take(2).toSet
+    val updates = IceLite.read(spark, table, 1L)
+      .filter(t => updKeys.contains(t.cellId))
+      .map(t => t.copy(payload = t.payload.map(_ + 5.0)))
+    val extra = graft.core.Tile(ids.last + 1000L, 0, 0, 1, 2, Array(1.0, 2.0))
+    val s2 = IceLite.upsert(spark, table,
+      updates.union(spark.createDataset(Seq(extra))))
+    val byType = IceLite.readChanges(spark, table, 1L, s2)
+      .groupBy($"_change_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 1L,
+      "update_postimage" -> 2L, "update_preimage" -> 2L))
+    // post/pre images carry the actual new/old payloads
+    val first = IceLite.readChanges(spark, table, 1L, s2)
+      .filter($"cellId" === ids.head)
+      .select($"_change_type", element_at($"payload", 1))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(first("update_postimage") == first("update_preimage") + 5.0)
+    // metadata-only pruning: files carried by reference appear in NEITHER
+    // changed-file set — they are never opened by the diff
+    val carried = IceLite.manifestEntries(table, 1L).map(_.path).toSet
+      .intersect(IceLite.manifestEntries(table, s2).map(_.path).toSet)
+    val (oldF, newF) = IceLite.changedFiles(table, 1L, s2)
+    assert(carried.nonEmpty)
+    assert(oldF.toSet.intersect(carried).isEmpty)
+    assert(newF.toSet.intersect(carried).isEmpty)
+    // compaction rewrites every file path but no content: empty changelog
+    val s3 = IceLite.compact(spark, table, targetBuckets = 2)
+    assert(IceLite.readChanges(spark, table, s2, s3).count() == 0)
+    assert(IceLite.readChanges(spark, table, s2, s2).count() == 0)
+  }
+
   test("compact clears a crashed upsert's uncommitted debris at snap+1") {
     import spark.implicits._
     val table = Files.createTempDirectory("icelite-debris").toString
