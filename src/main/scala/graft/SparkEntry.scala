@@ -674,6 +674,28 @@ object SparkEntry {
       out
     }),
 
+    // r61: distributed SUMMED-AREA TABLE + O(1) arbitrary-radius box
+    // stats. One global 2-D prefix sum (per-tile marginals -> three
+    // narrow grouped prefix scans -> one equi-join home; payloads never
+    // shuffle), then radius-20 box sums at a stride-16 probe lattice —
+    // including border probes whose clamped windows exercise the signed
+    // 4-corner formula's edge cases. The multi-scale sibling of the
+    // r43/r44 focal family: window cost is 4 lookups at ANY radius.
+    "r61_sat_boxstats" -> ((s, _) => {
+      import s.implicits._
+      val ref = GridRef(ncols = 768, nrows = 512, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val tiles = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      val sat = graft.operators.Sat.satTiles(tiles)
+      val pts = s.range(32L * 48).map(i =>
+        ((i / 48).toInt * 16, (i % 48).toInt * 16)).toDF("qr", "qc")
+      graft.operators.Sat.boxSumAt(sat, ref, tileRes, pts, k = 20)
+        .select($"qr".cast("long").as("qr"), $"qc".cast("long").as("qc"),
+          $"box_n", $"box_sum".cast("long").as("box_sum"))
+        .orderBy($"qr", $"qc")
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -4692,6 +4714,25 @@ object SparkEntry {
     // grid in 6 tiles; snap 2 adds +1000 to every cell of the even-tx
     // tiles (cols [0,64) and [128,160)), one 2x2 appended tile (+4
     // cells, payload 1+2+3+4 = 10), and one extra tile row
+    // r61: the SAT's box sums replayed as a direct windowed join over
+    // the synthetic cell formula — clamping falls out of the BETWEEN
+    // bounds intersecting the finite ranges
+    "r61_sat_boxstats" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r, c.c AS c,
+        |    CAST((r.r * 7 + c.c * 3) % 100 AS BIGINT) AS v
+        |  FROM range(512) r(r), range(768) c(c)),
+        |q AS (SELECT 16 * r.r AS qr, 16 * c.c AS qc
+        |  FROM range(32) r(r), range(48) c(c))
+        |SELECT CAST(q.qr AS BIGINT) AS qr, CAST(q.qc AS BIGINT) AS qc,
+        |  CAST(count(*) AS BIGINT) AS box_n,
+        |  CAST(sum(cells.v) AS BIGINT) AS box_sum
+        |FROM q JOIN cells
+        |  ON cells.r BETWEEN q.qr - 20 AND q.qr + 20
+        | AND cells.c BETWEEN q.qc - 20 AND q.qc + 20
+        |GROUP BY q.qr, q.qc
+        |ORDER BY qr, qc""".stripMargin,
+
     // q22: changelog totals in closed form from the construction — the
     // upsert touches the (c // 64) even bands (+1000/cell, 4 tiles,
     // 9216 cells), the insert is the 4-cell [1,2,3,4] tile, the delete
