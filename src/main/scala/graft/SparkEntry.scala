@@ -696,6 +696,49 @@ object SparkEntry {
         .orderBy($"qr", $"qc")
     }),
 
+    // r62: MULTI-SCALE topographic position index -> Weiss two-scale
+    // landform classes, the flagship consumer of the r61 SAT: ONE
+    // prefix-sum pass serves box means at BOTH radii (4 and 16) as four
+    // lookups each — the r43-style separable focal pass would re-scan
+    // the window per radius. All comparisons are scaled-integer exact:
+    // tpi*n = v*box_n - box_sum, classified against threshold*box_n, so
+    // no float mean ever forms. Probes are generated distributively
+    // (4 corner rows per cell), joined home on the owning tile id.
+    "r62_tpi_landform" -> ((s, _) => {
+      import s.implicits._
+      val ref = GridRef(ncols = 384, nrows = 256, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val tiles = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      val sat = graft.operators.Sat.satTiles(tiles)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cells = TileOps.cells(tiles)
+        .select($"row".cast("int").as("qr"), $"col".cast("int").as("qc"),
+          $"v".cast("long").as("v"))
+      def box(k: Int, tag: String) =
+        graft.operators.Sat.boxSumAt(sat, ref, tileRes, cells, k)
+          .select($"qr", $"qc", $"box_n".as(s"n_$tag"),
+            $"box_sum".cast("long").as(s"bs_$tag"))
+      val out = cells
+        .join(box(4, "s"), Seq("qr", "qc"))
+        .join(box(16, "l"), Seq("qr", "qc"))
+        .withColumn("tpi_s", $"v" * $"n_s" - $"bs_s")
+        .withColumn("tpi_l", $"v" * $"n_l" - $"bs_l")
+        .withColumn("class_s",
+          when($"tpi_s" > lit(5) * $"n_s", 1L)
+            .when($"tpi_s" < lit(-5) * $"n_s", -1L).otherwise(0L))
+        .withColumn("class_l",
+          when($"tpi_l" > lit(5) * $"n_l", 1L)
+            .when($"tpi_l" < lit(-5) * $"n_l", -1L).otherwise(0L))
+        .groupBy($"class_s", $"class_l")
+        .agg(count(lit(1)).as("n_cells"),
+          sum($"tpi_s").as("sum_tpi_s"), sum($"tpi_l").as("sum_tpi_l"))
+        .orderBy($"class_s", $"class_l")
+        .localCheckpoint(true)
+      sat.unpersist()
+      out
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -4732,6 +4775,63 @@ object SparkEntry {
         | AND cells.c BETWEEN q.qc - 20 AND q.qc + 20
         |GROUP BY q.qr, q.qc
         |ORDER BY qr, qc""".stripMargin,
+
+    // r62: SAT replayed in SQL (two window cumsums), box sums via the
+    // same signed 4-corner formula as equi self-joins with zero-padding
+    // (COALESCE of out-of-range lookups), identical scaled-integer
+    // classification. sat is AS MATERIALIZED — referenced 10 times.
+    "r62_tpi_landform" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT r.r AS r, c.c AS c,
+        |    CAST((r.r * 7 + c.c * 3) % 100 AS BIGINT) AS v
+        |  FROM range(256) r(r), range(384) c(c)),
+        |cc AS MATERIALIZED (SELECT r, c, v,
+        |  sum(v) OVER (PARTITION BY r ORDER BY c) AS cv FROM cells),
+        |sat AS MATERIALIZED (SELECT r, c, v,
+        |  sum(cv) OVER (PARTITION BY c ORDER BY r) AS s FROM cc),
+        |b4 AS (
+        |  SELECT t.r, t.c, t.v,
+        |    (LEAST(t.r + 4, 255) - GREATEST(t.r - 4, 0) + 1) *
+        |    (LEAST(t.c + 4, 383) - GREATEST(t.c - 4, 0) + 1) AS n,
+        |    coalesce(s22.s, 0) - coalesce(s12.s, 0)
+        |      - coalesce(s21.s, 0) + coalesce(s11.s, 0) AS bs
+        |  FROM sat t
+        |  LEFT JOIN sat s22 ON s22.r = LEAST(t.r + 4, 255)
+        |    AND s22.c = LEAST(t.c + 4, 383)
+        |  LEFT JOIN sat s12 ON s12.r = GREATEST(t.r - 4, 0) - 1
+        |    AND s12.c = LEAST(t.c + 4, 383)
+        |  LEFT JOIN sat s21 ON s21.r = LEAST(t.r + 4, 255)
+        |    AND s21.c = GREATEST(t.c - 4, 0) - 1
+        |  LEFT JOIN sat s11 ON s11.r = GREATEST(t.r - 4, 0) - 1
+        |    AND s11.c = GREATEST(t.c - 4, 0) - 1),
+        |b16 AS (
+        |  SELECT t.r, t.c,
+        |    (LEAST(t.r + 16, 255) - GREATEST(t.r - 16, 0) + 1) *
+        |    (LEAST(t.c + 16, 383) - GREATEST(t.c - 16, 0) + 1) AS n,
+        |    coalesce(s22.s, 0) - coalesce(s12.s, 0)
+        |      - coalesce(s21.s, 0) + coalesce(s11.s, 0) AS bs
+        |  FROM sat t
+        |  LEFT JOIN sat s22 ON s22.r = LEAST(t.r + 16, 255)
+        |    AND s22.c = LEAST(t.c + 16, 383)
+        |  LEFT JOIN sat s12 ON s12.r = GREATEST(t.r - 16, 0) - 1
+        |    AND s12.c = LEAST(t.c + 16, 383)
+        |  LEFT JOIN sat s21 ON s21.r = LEAST(t.r + 16, 255)
+        |    AND s21.c = GREATEST(t.c - 16, 0) - 1
+        |  LEFT JOIN sat s11 ON s11.r = GREATEST(t.r - 16, 0) - 1
+        |    AND s11.c = GREATEST(t.c - 16, 0) - 1),
+        |j AS (
+        |  SELECT b4.v * b4.n - b4.bs AS tpi_s, b4.n AS n_s,
+        |    b4.v * b16.n - b16.bs AS tpi_l, b16.n AS n_l
+        |  FROM b4 JOIN b16 ON b4.r = b16.r AND b4.c = b16.c)
+        |SELECT
+        |  CAST(CASE WHEN tpi_s > 5 * n_s THEN 1
+        |    WHEN tpi_s < -5 * n_s THEN -1 ELSE 0 END AS BIGINT) AS class_s,
+        |  CAST(CASE WHEN tpi_l > 5 * n_l THEN 1
+        |    WHEN tpi_l < -5 * n_l THEN -1 ELSE 0 END AS BIGINT) AS class_l,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(tpi_s) AS BIGINT) AS sum_tpi_s,
+        |  CAST(sum(tpi_l) AS BIGINT) AS sum_tpi_l
+        |FROM j GROUP BY 1, 2 ORDER BY class_s, class_l""".stripMargin,
 
     // q22: changelog totals in closed form from the construction — the
     // upsert touches the (c // 64) even bands (+1000/cell, 4 tiles,
