@@ -1429,6 +1429,60 @@ object SparkEntry {
         .orderBy($"phase", $"change_type")
     }),
 
+    // ICELITE CDC REPLICATION (q23): the changelog is proven COMPLETE
+    // and REPLAYABLE by rebuilding a second physical table from NOTHING
+    // but q22's per-interval readChanges feed — mirror starts as a copy
+    // of snapshot 1, then each interval's inserts/update-postimages
+    // upsert and deletes delete, exactly the Iceberg-CDC-to-downstream
+    // pattern. Gated as per-stage invariants where mirror must equal
+    // source after every applied interval.
+    "q23_cdc_apply" -> ((s, _) => {
+      import s.implicits._
+      val il = graft.icelite.IceLite
+      val src = java.nio.file.Files.createTempDirectory("q23-src").toString
+      val mir = java.nio.file.Files.createTempDirectory("q23-mir").toString
+      val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      il.commitResumable(s, base, src, buckets = 4, snap = 1L)
+      val upd = base.filter(t => (t.col0 / 64) % 2 == 0)
+        .map(t => t.copy(payload = t.payload.map(_ + 1000.0)))
+      val extra = s.createDataset(Seq(graft.core.Tile(
+        graft.core.CellId.encode(tileRes, 999, 999), 999 * 64, 999 * 64,
+        2, 2, Array(1.0, 2.0, 3.0, 4.0))))
+      val snap2 = il.upsert(s, src, upd.union(extra))
+      val delKeys = base.filter(t => t.row0 == 0 && t.col0 == 64).toDF()
+        .select($"cellId").unionByName(extra.toDF().select($"cellId"))
+      val snap3 = il.deleteRows(s, src, delKeys)
+      // mirror boots from the snapshot-1 image, then consumes ONLY the feed
+      il.commitResumableDf(s, il.readDf(s, src, 1L), mir, buckets = 2,
+        snap = 1L)
+      def stats(table: String, snap: Long, stage: Long, side: String) =
+        il.read(s, table, snap).map { t =>
+          var sv = 0L
+          t.payload.foreach(v => sv += Math.rint(v).toLong)
+          (stage, side, 1L, t.payload.length.toLong, sv)
+        }.toDF("stage", "side", "t", "n", "sv")
+      val parts = Seq(snap2, snap3).map { sn =>
+        val ch = il.readChanges(s, src, sn - 1, sn)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ups = ch.filter($"_change_type".isin("insert", "update_postimage"))
+          .drop("_change_type")
+        if (!ups.isEmpty) il.upsertDf(s, mir, ups)
+        val dels = ch.filter($"_change_type" === "delete").select($"cellId")
+        if (!dels.isEmpty) il.deleteRows(s, mir, dels)
+        ch.unpersist()
+        val mHead = il.currentSnapshot(mir).get
+        stats(src, sn, sn, "source").unionByName(stats(mir, mHead, sn, "mirror"))
+      }
+      parts.reduce(_ unionByName _)
+        .groupBy($"stage", $"side")
+        .agg(sum($"t").as("n_tiles"), sum($"n").as("n_cells"),
+          sum($"sv").as("sum_v"))
+        .orderBy($"stage", $"side")
+    }),
+
     // ICELITE TIME TRAVEL end-to-end through the driver harness: write
     // snapshot 1 (resumable bucketed commit), row-level COW upsert (4 of
     // 6 tiles updated + 1 appended) -> snapshot 2, then read BOTH pinned
@@ -4857,6 +4911,30 @@ object SparkEntry {
         |  CAST(n_cells AS BIGINT) AS n_cells,
         |  CAST(sum_v AS BIGINT) AS sum_v
         |FROM rows ORDER BY phase, change_type""".stripMargin,
+
+    // q23: mirror must carry the SAME closed-form invariants as source
+    // after every applied changelog interval
+    "q23_cdc_apply" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r, c.c AS c, (r.r * 7 + c.c * 3) % 100 AS v
+        |  FROM range(96) r(r), range(160) c(c)),
+        |upd AS (SELECT * FROM cells WHERE (c // 64) % 2 = 0),
+        |del AS (SELECT * FROM cells WHERE r < 64 AND c >= 64 AND c < 128),
+        |s2 AS (SELECT (SELECT sum(v) FROM cells)
+        |  + 1000 * (SELECT count(*) FROM upd) + 10 AS sv),
+        |s3 AS (SELECT (SELECT sv FROM s2) - 10
+        |  - (SELECT sum(v) FROM del) AS sv),
+        |rows AS (
+        |  SELECT 2 AS stage, 'mirror' AS side, 7 AS n_tiles,
+        |    15364 AS n_cells, (SELECT sv FROM s2) AS sum_v
+        |  UNION ALL SELECT 2, 'source', 7, 15364, (SELECT sv FROM s2)
+        |  UNION ALL SELECT 3, 'mirror', 5, 11264, (SELECT sv FROM s3)
+        |  UNION ALL SELECT 3, 'source', 5, 11264, (SELECT sv FROM s3))
+        |SELECT CAST(stage AS BIGINT) AS stage, side,
+        |  CAST(n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(sum_v AS BIGINT) AS sum_v
+        |FROM rows ORDER BY stage, side""".stripMargin,
 
     "q18_snapshot_travel" ->
       """WITH cells AS (
