@@ -156,7 +156,23 @@ object Plans {
         "localCheckpoint'd (Scan ExistingRDD in branches L+1) so each " +
         "level computes ONCE however many consumers, with blocks released " +
         "on GC rather than pinned in the CacheManager, and every agg " +
-        "keeps the partial/final split inside whole-stage codegen"))
+        "keeps the partial/final split inside whole-stage codegen"),
+      "r61_sat_boxstats" -> ("summed-area table: payloads NEVER shuffle — " +
+        "stage 1 emits per-tile marginal vectors (~1/256 of payload " +
+        "bytes), three narrow grouped prefix scans (per tile-column, per " +
+        "tile-row, two scalar corner passes) and ONE cellId equi-join " +
+        "home; each box query is 4 signed corner probes equi-joined on " +
+        "the owning tile id — O(1) lookups at any radius"),
+      "r62_tpi_landform" -> ("multi-scale TPI: a single SAT pass serves " +
+        "BOTH radii (4 and 16) as 4-corner probe joins; the landform " +
+        "rollup is a partial/final hash agg over scaled-integer TPIs " +
+        "(v*n - box_sum vs threshold*n — no float mean ever forms)"),
+      "q22_incremental_read" -> ("icelite changelog: pruning is " +
+        "METADATA-ONLY (reference-carried manifest paths are never " +
+        "scanned) -> ONE full-outer cellId equi-join over the changed " +
+        "files only; typing + the update pre/post pair explode happen " +
+        "in a single projection, content-equal carries drop on the " +
+        "null-safe struct compare"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (`.explain(\"formatted\")`)\n\n")
