@@ -304,6 +304,20 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
   /** Zevenbergen-Thorne curvature: (row, col, curv, prof, plan). */
   def curvature: DataFrame = Stencil.curvature(tiles, ref, res)
 
+  /** Summed-area table (integral image) as a Raster: cell (r, c) holds
+    * the sum over all (r' <= r, c' <= c), NaN counted as 0 — one global
+    * prefix pass after which a box sum of ANY radius is four lookups
+    * (pair with an indicator SAT for NaN-ignoring counts). Gated r61;
+    * multi-scale TPI consumer gated r62. */
+  def sat: Raster = copy(tiles = Sat.satTiles(tiles))
+
+  /** Box sums of radius `k` (clamped windows) around query points
+    * (qr, qc), evaluated against [[sat]] in O(1) lookups per point:
+    * (qr, qc, box_n, box_sum). Call on the SAT raster, e.g.
+    * `dem.sat.boxSumAt(pts, 300)`. */
+  def boxSumAt(pts: DataFrame, k: Int): DataFrame =
+    Sat.boxSumAt(tiles, ref, res, pts, k)
+
   /** Bounded-radius R3 viewshed from the given observers:
     * (oid, row, col, visible). */
   def viewshed(observers: Seq[Viewshed.Observer], radius: Int,

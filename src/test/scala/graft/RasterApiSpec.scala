@@ -334,6 +334,27 @@ class RasterApiSpec extends AnyFunSuite {
     assert(atPoint.getLong(3) >= 16L * 16L)
   }
 
+  test("sat/boxSumAt facade: SAT corner equals global sum; box sums match brute") {
+    import org.apache.spark.sql.functions.col
+    val s = dem.sat
+    assert(s.ref == dem.ref)
+    // bottom-right SAT cell = NaN-ignoring global sum
+    val global = dem.cells.agg(org.apache.spark.sql.functions.sum(col("v")))
+      .head().getDouble(0)
+    val br = s.cells.filter(col("row") === dem.ref.nrows - 1 &&
+      col("col") === dem.ref.ncols - 1).head().getDouble(2)
+    assert(br == global)
+    // one interior probe at radius 3 vs a direct windowed aggregate
+    val (qr, qc, k) = (dem.ref.nrows / 2, dem.ref.ncols / 2, 3)
+    val pts = spark.createDataFrame(Seq((qr, qc))).toDF("qr", "qc")
+    val got = s.boxSumAt(pts, k).head()
+    val want = dem.cells.filter(col("row").between(qr - k, qr + k) &&
+        col("col").between(qc - k, qc + k))
+      .agg(org.apache.spark.sql.functions.sum(col("v"))).head().getDouble(0)
+    assert(got.getLong(2) == (2L * k + 1) * (2 * k + 1))
+    assert(got.getDouble(3) == want)
+  }
+
   test("set_nodata reaches the ASC header; duplicate is independent") {
     val d2 = dem.setNodata(-3.5).duplicate
     assert(dem.ref.nodata == -9999.0 && d2.ref.nodata == -3.5)
