@@ -1429,6 +1429,46 @@ object SparkEntry {
         .orderBy($"phase", $"change_type")
     }),
 
+    // ICELITE WRITE-AUDIT-PUBLISH (q24): the Iceberg staging-branch
+    // pattern — THE production ingestion shape at 100 TB: a full
+    // snapshot (data + lineage + manifest) is committed to a NAMED REF
+    // without moving the current pointer, an audit validates it by
+    // reading the ref, and one atomic metadata flip publishes. Gated as
+    // three stages: main before publish (must still be the old
+    // snapshot), the staged branch, and main after publish.
+    "q24_wap" -> ((s, _) => {
+      import s.implicits._
+      val il = graft.icelite.IceLite
+      val dir = java.nio.file.Files.createTempDirectory("q24-icelite").toString
+      val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      il.commitResumable(s, base, dir, buckets = 4, snap = 1L)
+      val staged = base.map(t => t.copy(payload = t.payload.map(_ + 1000.0)))
+      il.commitResumable(s, staged, dir, buckets = 4, snap = 2L,
+        stageRef = Some("audit"))
+      def stats(snap: Long, stage: String) =
+        il.read(s, dir, snap).map { t =>
+          var sv = 0L
+          t.payload.foreach(v => sv += Math.rint(v).toLong)
+          (stage, 1L, t.payload.length.toLong, sv)
+        }.toDF("stage", "t", "n", "sv")
+      val preMain = stats(il.currentSnapshot(dir).get, "a_pre_main")
+      val auditSnap = il.refSnapshot(dir, "audit").get
+      val branch = stats(auditSnap, "b_branch")
+      // the audit: staged row count must match main before the flip
+      require(il.read(s, dir, auditSnap).count() ==
+        il.read(s, dir, 1L).count(), "WAP audit failed")
+      il.publish(dir, "audit")
+      val postMain = stats(il.currentSnapshot(dir).get, "c_post_main")
+      preMain.unionByName(branch).unionByName(postMain)
+        .groupBy($"stage")
+        .agg(sum($"t").as("n_tiles"), sum($"n").as("n_cells"),
+          sum($"sv").as("sum_v"))
+        .orderBy($"stage")
+    }),
+
     // ICELITE CDC REPLICATION (q23): the changelog is proven COMPLETE
     // and REPLAYABLE by rebuilding a second physical table from NOTHING
     // but q22's per-interval readChanges feed — mirror starts as a copy
@@ -4911,6 +4951,23 @@ object SparkEntry {
         |  CAST(n_cells AS BIGINT) AS n_cells,
         |  CAST(sum_v AS BIGINT) AS sum_v
         |FROM rows ORDER BY phase, change_type""".stripMargin,
+
+    // q24: pre-publish main = base grid; branch and post-publish main =
+    // the +1000 staged image
+    "q24_wap" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r, c.c AS c, (r.r * 7 + c.c * 3) % 100 AS v
+        |  FROM range(96) r(r), range(160) c(c)),
+        |rows AS (
+        |  SELECT 'a_pre_main' AS stage, 6 AS n_tiles, count(*) AS n_cells,
+        |    sum(v) AS sum_v FROM cells
+        |  UNION ALL SELECT 'b_branch', 6, count(*), sum(v + 1000) FROM cells
+        |  UNION ALL SELECT 'c_post_main', 6, count(*), sum(v + 1000)
+        |    FROM cells)
+        |SELECT stage, CAST(n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(sum_v AS BIGINT) AS sum_v
+        |FROM rows ORDER BY stage""".stripMargin,
 
     // q23: mirror must carry the SAME closed-form invariants as source
     // after every applied changelog interval

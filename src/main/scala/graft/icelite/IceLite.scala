@@ -86,9 +86,10 @@ object IceLite {
     * stay tight and reads prune by range. */
   def commitResumable(spark: SparkSession, tiles: Dataset[Tile], table: String,
       buckets: Int, snap: Long, failAtBucket: Option[Int] = None,
-      rowsCommitted: Option[LongAccumulator] = None): Long =
+      rowsCommitted: Option[LongAccumulator] = None,
+      stageRef: Option[String] = None): Long =
     commitResumableDf(spark, tiles.toDF(), table, buckets, snap,
-      failAtBucket, rowsCommitted)
+      failAtBucket, rowsCommitted, stageRef)
 
   /** DataFrame form of [[commitResumable]] — the schema-preserving write
     * path: any column set with a `cellId` key and a `payload` array
@@ -99,7 +100,8 @@ object IceLite {
     * schema. */
   def commitResumableDf(spark: SparkSession, rows: DataFrame, table: String,
       buckets: Int, snap: Long, failAtBucket: Option[Int] = None,
-      rowsCommitted: Option[LongAccumulator] = None): Long = {
+      rowsCommitted: Option[LongAccumulator] = None,
+      stageRef: Option[String] = None): Long = {
     import spark.implicits._
     require(rows.columns.contains("cellId") && rows.columns.contains("payload"),
       "commitResumableDf: rows must carry cellId and payload columns")
@@ -178,12 +180,77 @@ object IceLite {
     writeAtomic(Paths.get(table, "manifests", s"m-$snap.json"),
       entries.mkString("[", ",\n", "]"))
 
+    stageRef match {
+      case Some(name) =>
+        // WRITE-AUDIT-PUBLISH staging: the snapshot's data, lineage and
+        // manifest are all durable, but the current-snapshot pointer
+        // does NOT move — readers of the table keep seeing the old
+        // snapshot while auditors read the ref by name. `publish` flips
+        // the pointer atomically after validation.
+        mkdirs(Paths.get(table, "refs"))
+        writeAtomic(Paths.get(table, "refs", s"$name.json"),
+          s"""{"snap": $snap, "buckets": $buckets,
+             | "schema": ${schemaJson(tiles)}}""".stripMargin)
+      case None =>
+        val v = currentVersion(table) + 1
+        writeAtomic(Paths.get(table, "metadata", s"v$v.json"),
+          s"""{"format": "icelite/1", "current_snapshot": $snap,
+             | "manifest": ${q(s"$table/manifests/m-$snap.json")},
+             | "buckets": $buckets,
+             | "schema": ${schemaJson(tiles)}}""".stripMargin)
+    }
+    snap
+  }
+
+  /** Snapshots pinned by staged (unpublished) WAP refs. */
+  def stagedRefs(table: String): Seq[Long] = {
+    val dir = Paths.get(table, "refs")
+    if (!Files.exists(dir)) Seq.empty
+    else listDir(dir).flatMap { p =>
+      "\"snap\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+    }
+  }
+
+  /** Snapshot a named staging ref points at (write-audit-publish). */
+  def refSnapshot(table: String, name: String): Option[Long] = {
+    val p = Paths.get(table, "refs", s"$name.json")
+    if (!Files.exists(p)) None
+    else "\"snap\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+  }
+
+  /** PUBLISH a staged ref — the write-audit-publish pointer flip: after
+    * the audit validates the staged snapshot (read it via
+    * [[refSnapshot]] + [[read]]/[[readDf]]), one atomic metadata commit
+    * makes it the table's current snapshot; un-published stages never
+    * become visible to table readers. Single-writer assumption as
+    * everywhere in icelite: a concurrent upsert/delete/compact that
+    * claimed the same snapshot id clears staged debris (the op-marker
+    * rule), after which publish fails loudly here on the missing
+    * manifest rather than publishing a half-cleared stage. */
+  def publish(table: String, name: String): Long = {
+    val p = Paths.get(table, "refs", s"$name.json")
+    require(Files.exists(p), s"publish: no staged ref `$name` in $table")
+    val s = Files.readString(p)
+    val snap = "\"snap\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"publish: ref `$name` in $table carries no snap"))
+    val buckets = "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
+    val schema = "\"schema\"\\s*:\\s*(\\[.*\\])".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("[]")
+    require(Files.exists(Paths.get(table, "manifests", s"m-$snap.json")),
+      s"publish: staged snapshot $snap of ref `$name` has no manifest " +
+        "(cleared by a concurrent op?) — refusing to publish")
     val v = currentVersion(table) + 1
     writeAtomic(Paths.get(table, "metadata", s"v$v.json"),
       s"""{"format": "icelite/1", "current_snapshot": $snap,
          | "manifest": ${q(s"$table/manifests/m-$snap.json")},
          | "buckets": $buckets,
-         | "schema": ${schemaJson(tiles)}}""".stripMargin)
+         | "schema": $schema}""".stripMargin)
+    Files.deleteIfExists(p)
     snap
   }
 
@@ -704,7 +771,9 @@ object IceLite {
     require(keepLast >= 1, s"expireSnapshots: keepLast must be >= 1, got $keepLast")
     val all = snapshots(table)
     val current = currentSnapshot(table)
-    val keep = (all.takeRight(keepLast) ++ current).toSet
+    // staged-but-unpublished WAP refs are pinned: expiring one would
+    // leave publish() pointing at a deleted manifest
+    val keep = (all.takeRight(keepLast) ++ current ++ stagedRefs(table)).toSet
     val expired = all.filterNot(keep.contains)
     if (expired.isEmpty) return 0
     val liveFiles = keep.toSeq.flatMap(s => manifestEntries(table, s).map(_.path))

@@ -204,6 +204,31 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.readChanges(spark, table, s2, s2).count() == 0)
   }
 
+  test("write-audit-publish: stage invisible until publish; expire pins staged refs") {
+    val table = Files.createTempDirectory("icelite-wap").toString
+    IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 1L)
+    val n = IceLite.read(spark, table, 1L).count()
+    // stage snapshot 2 on ref "wap": current pointer must NOT move
+    IceLite.commitResumable(spark, demTiles, table, buckets = 2, snap = 2L,
+      stageRef = Some("wap"))
+    assert(IceLite.currentSnapshot(table).contains(1L))
+    assert(IceLite.refSnapshot(table, "wap").contains(2L))
+    assert(IceLite.read(spark, table, 2L).count() == n) // auditors can read it
+    // a later MAIN commit lands at snapshot 3; expire down to keepLast=1
+    // would normally drop both 1 and 2 — the staged ref pins 2
+    IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 3L)
+    assert(IceLite.currentSnapshot(table).contains(3L))
+    IceLite.expireSnapshots(table, keepLast = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(table, "manifests", "m-1.json")))
+    assert(IceLite.read(spark, table, 2L).count() == n) // pinned, still readable
+    // publish flips current to the staged snapshot and consumes the ref
+    assert(IceLite.publish(table, "wap") == 2L)
+    assert(IceLite.currentSnapshot(table).contains(2L))
+    assert(IceLite.refSnapshot(table, "wap").isEmpty)
+    // publishing a missing ref fails loudly
+    intercept[IllegalArgumentException] { IceLite.publish(table, "wap") }
+  }
+
   test("compact clears a crashed upsert's uncommitted debris at snap+1") {
     import spark.implicits._
     val table = Files.createTempDirectory("icelite-debris").toString
