@@ -2537,6 +2537,65 @@ object SparkEntry {
         .orderBy($"image_id")
     }),
 
+    // CORPUS-GLOBAL histogram equalization (i11) — the cross-image
+    // contrast-normalization pass (one CDF for the whole dataset, so
+    // relative brightness ACROSS images is preserved — i10's per-image
+    // equalization deliberately destroys it). Scale shape: pixels never
+    // shuffle — each image folds to (code, n) partials that map-side
+    // combine into a <= 1000-row global histogram; the CDF remap is
+    // driver-built over that bounded code domain and BROADCAST back for
+    // the per-image remap pass. Same floor-division CDF rule as i10.
+    "i11_global_equalize" -> ((s, _) => {
+      import s.implicits._
+      import graft.codecs.ImageCodec
+      val codes = ImageCorpus.generateExact(s, 64L, 8).map { row =>
+        val (px, _, _) = ImageCodec.decode(row.bytes, row.fmt)
+        val cs = new Array[Int](px.length)
+        var j = 0
+        while (j < px.length) {
+          cs(j) = Math.rint(px(j) * ImageCodec.PngScale).toInt
+          j += 1
+        }
+        (row.image_id, cs)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hist = codes.flatMap { case (_, cs) =>
+        val m = new Array[Long](1000)
+        cs.foreach(c => m(c) += 1)
+        m.iterator.zipWithIndex.collect { case (n, code) if n > 0 =>
+          (code, n) }
+      }.toDF("code", "n")
+        .groupBy($"code").agg(sum($"n").as("n"))
+        .as[(Int, Long)].collect().sortBy(_._1)
+      val total = hist.map(_._2).sum
+      val remap = new Array[Int](1000)
+      var cum = 0L
+      var cdfMin = -1L
+      hist.foreach { case (code, n) =>
+        cum += n
+        if (cdfMin < 0) cdfMin = cum
+        remap(code) =
+          if (total == cdfMin) 0
+          else ((cum - cdfMin) * 255 / (total - cdfMin)).toInt
+      }
+      val bc = s.sparkContext.broadcast(remap)
+      val out = codes.map { case (id, cs) =>
+        var sm = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        val seen = new java.util.BitSet(256)
+        var j = 0
+        while (j < cs.length) {
+          val e = bc.value(cs(j)); sm += e; seen.set(e)
+          if (e < mn) mn = e
+          if (e > mx) mx = e
+          j += 1
+        }
+        (id, sm, seen.cardinality().toLong, mn, mx)
+      }.toDF("image_id", "eq_sum", "n_levels", "eq_min", "eq_max")
+        .orderBy($"image_id")
+        .localCheckpoint(true)
+      codes.unpersist()
+      out
+    }),
+
     // CURRICULUM ordering — easy-to-hard training order over the
     // documents table: integer difficulty tiers from n_chars
     // (<200 / <400 / rest -> 148/206/146 docs at sf0.01), md5-shuffled
@@ -5099,6 +5158,31 @@ object SparkEntry {
         |  FROM cdf c JOIN mn m ON c.i = m.i)
         |SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
         |  CAST(sum(e * n) AS BIGINT) AS eq_sum,
+        |  CAST(count(DISTINCT e) AS BIGINT) AS n_levels,
+        |  CAST(min(e) AS BIGINT) AS eq_min,
+        |  CAST(max(e) AS BIGINT) AS eq_max
+        |FROM eq GROUP BY i ORDER BY image_id""".stripMargin,
+
+    // i11: ONE global CDF over all 64 images' codes (total 4,194,304
+    // pixels), same floor-division rule, then per-image rollups
+    "i11_global_equalize" ->
+      """WITH px AS (
+        |  SELECT t.i AS i,
+        |    ((((t.i // 8) * 256 + r.r) * 31
+        |      + ((t.i % 8) * 256 + c.c) * 17) % 1000) AS code
+        |  FROM range(64) t(i), range(256) r(r), range(256) c(c)),
+        |ghist AS (SELECT code, count(*) AS n FROM px GROUP BY 1),
+        |gcdf AS (SELECT code, n,
+        |    sum(n) OVER (ORDER BY code) AS cum FROM ghist),
+        |gmn AS (SELECT min(cum) AS cdfmin FROM gcdf),
+        |gmap AS (SELECT code,
+        |    ((cum - (SELECT cdfmin FROM gmn)) * 255)
+        |      // (4194304 - (SELECT cdfmin FROM gmn)) AS e
+        |  FROM gcdf),
+        |eq AS (SELECT px.i AS i, gmap.e AS e
+        |  FROM px JOIN gmap ON px.code = gmap.code)
+        |SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        |  CAST(sum(e) AS BIGINT) AS eq_sum,
         |  CAST(count(DISTINCT e) AS BIGINT) AS n_levels,
         |  CAST(min(e) AS BIGINT) AS eq_min,
         |  CAST(max(e) AS BIGINT) AS eq_max
