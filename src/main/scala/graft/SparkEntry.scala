@@ -1429,6 +1429,39 @@ object SparkEntry {
         .orderBy($"phase", $"change_type")
     }),
 
+    // ICELITE RANGE DELETE (q25): the retention / partition-drop shape.
+    // A single tile row makes Z-order ids monotonic in tx, so the range
+    // edges hit bucket boundaries: deleting col0 in [448, 576) drops one
+    // data file at the METADATA level (manifest rows -> 0, file never
+    // opened — O(manifest) partition drops at 100 TB), COW-rewrites the
+    // one straddling file, and carries the rest by reference; the old
+    // snapshot still time-travels to the full strip (stage 3 == stage 1).
+    // File-level behavior is pinned in IceLiteSpec; this gates content.
+    "q25_range_delete" -> ((s, _) => {
+      import s.implicits._
+      val il = graft.icelite.IceLite
+      val dir = java.nio.file.Files.createTempDirectory("q25-icelite").toString
+      val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      il.commitResumable(s, strip, dir, buckets = 4, snap = 1L)
+      val s2 = il.deleteRange(s, dir,
+        graft.core.CellId.encode(tileRes, 7, 0),
+        graft.core.CellId.encode(tileRes, 8, 0))
+      def stats(snap: Long, stage: Long) =
+        il.read(s, dir, snap).map { t =>
+          var sv = 0L
+          t.payload.foreach(v => sv += Math.rint(v).toLong)
+          (stage, 1L, t.payload.length.toLong, sv)
+        }.toDF("stage", "t", "n", "sv")
+      stats(1L, 1L).unionByName(stats(s2, 2L)).unionByName(stats(1L, 3L))
+        .groupBy($"stage")
+        .agg(sum($"t").as("n_tiles"), sum($"n").as("n_cells"),
+          sum($"sv").as("sum_v"))
+        .orderBy($"stage")
+    }),
+
     // ICELITE WRITE-AUDIT-PUBLISH (q24): the Iceberg staging-branch
     // pattern — THE production ingestion shape at 100 TB: a full
     // snapshot (data + lineage + manifest) is committed to a NAMED REF
@@ -5010,6 +5043,24 @@ object SparkEntry {
         |  CAST(n_cells AS BIGINT) AS n_cells,
         |  CAST(sum_v AS BIGINT) AS sum_v
         |FROM rows ORDER BY phase, change_type""".stripMargin,
+
+    // q25: survivors are exactly the cells outside col [448, 576);
+    // stage 3 time-travels back to the full strip
+    "q25_range_delete" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r, c.c AS c, (r.r * 7 + c.c * 3) % 100 AS v
+        |  FROM range(64) r(r), range(1024) c(c)),
+        |kept AS (SELECT * FROM cells WHERE c < 448 OR c >= 576),
+        |rows AS (
+        |  SELECT 1 AS stage, 16 AS n_tiles, count(*) AS n_cells,
+        |    sum(v) AS sum_v FROM cells
+        |  UNION ALL SELECT 2, 14, count(*), sum(v) FROM kept
+        |  UNION ALL SELECT 3, 16, count(*), sum(v) FROM cells)
+        |SELECT CAST(stage AS BIGINT) AS stage,
+        |  CAST(n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(sum_v AS BIGINT) AS sum_v
+        |FROM rows ORDER BY stage""".stripMargin,
 
     // q24: pre-publish main = base grid; branch and post-publish main =
     // the +1000 staged image

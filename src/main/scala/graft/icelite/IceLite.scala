@@ -530,6 +530,113 @@ object IceLite {
   def deleteRows(spark: SparkSession, table: String, keys: DataFrame): Long =
     cowMutate(spark, table, keys.select("cellId"), isDelete = true)
 
+  /** Range DELETE over the Z-order cell-id key — the retention /
+    * partition-drop shape (`DELETE WHERE key BETWEEN lo AND hi`): a data
+    * file whose manifest [minCell, maxCell] lies ENTIRELY inside the
+    * range is dropped at the METADATA level — its rows-0 manifest entry
+    * is written without the file ever being OPENED (old snapshots still
+    * time-travel to it), so dropping a whole partition of a 100 TB table
+    * is O(manifest), not O(data). Only files STRADDLING a range edge
+    * COW-rewrite (read once, survivors outside the range kept); disjoint
+    * files carry forward by reference. Returns the new snapshot. */
+  def deleteRange(spark: SparkSession, table: String, lo: Long,
+      hi: Long): Long = {
+    import spark.implicits._
+    require(lo <= hi, s"deleteRange: lo $lo must be <= hi $hi")
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"deleteRange: no committed snapshot in $table"))
+    val newSnap = snap + 1
+    clearUncommitted(table, newSnap)
+    writeOpMarker(table, newSnap, "delete")
+    val entries = manifestEntries(table, snap)
+    require(entries.nonEmpty, s"deleteRange: empty manifest for $table@$snap")
+    def overlaps(e: DataFileEntry) = e.rows > 0 && e.minCell <= hi && e.maxCell >= lo
+    def fullIn(e: DataFileEntry) = e.rows > 0 && e.minCell >= lo && e.maxCell <= hi
+    val straddle = entries.filter(e => overlaps(e) && !fullIn(e))
+    val stageRoot = s"$table/data/$newSnap"
+    val stats: Map[Int, (Int, Long, Long, Long, Long)] =
+      if (straddle.isEmpty) Map.empty
+      else {
+        // re-derive the partition column from the ownership ranges, as in
+        // the key-level COW path
+        val owned = entries.filter(_.rows > 0).sortBy(_.minCell)
+        val ranges = owned.zipWithIndex.map { case (e, i) =>
+          val rl = if (i == 0) Long.MinValue else owned(i).minCell
+          val rh = if (i == owned.length - 1) Long.MaxValue
+                   else owned(i + 1).minCell - 1
+          (e.bucket, rl, rh)
+        }
+        val rangeDf = spark.createDataset(ranges).toDF("bucket", "lo", "hi")
+        spark.read.option("mergeSchema", "true")
+          .parquet(straddle.map(_.path): _*)
+          .join(broadcast(rangeDf), $"cellId" >= $"lo" && $"cellId" <= $"hi")
+          .drop("lo", "hi")
+          .filter($"cellId" < lit(lo) || $"cellId" > lit(hi))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(stageRoot)
+        val hasStaged = Files.exists(Paths.get(stageRoot)) &&
+          listDir(Paths.get(stageRoot))
+            .exists(_.getFileName.toString.startsWith("bucket="))
+        if (!hasStaged) Map.empty
+        else spark.read.option("mergeSchema", "true").parquet(stageRoot)
+          .select($"bucket".cast("int"), $"cellId", size($"payload"))
+          .as[(Int, Long, Int)]
+          .map { case (b, cid, nn) => (b, cid, cid * 31 + nn) }
+          .groupByKey(_._1)
+          .mapGroups { (b, it) =>
+            var rows = 0L; var chk = 0L
+            var rl = Long.MaxValue; var rh = Long.MinValue
+            it.foreach { case (_, cid, c) =>
+              rows += 1; chk ^= c
+              if (cid < rl) rl = cid
+              if (cid > rh) rh = cid
+            }
+            (b, rows, chk, rl, rh)
+          }.collect().map(s => s._1 -> s).toMap
+      }
+    val straddleBuckets = straddle.map(_.bucket).toSet
+    mkdirs(Paths.get(table, "lineage", newSnap.toString))
+    val newEntries = entries.map { e =>
+      if (fullIn(e)) {
+        // METADATA-ONLY drop: old path kept for time travel, rows 0
+        writeAtomic(Paths.get(table, "lineage", newSnap.toString, s"b-${e.bucket}.json"),
+          s"""{"bucket": ${e.bucket}, "rows": 0, "checksum": 0}""")
+        s"""{"path": ${q(e.path)}, "bucket": ${e.bucket}, "rows": 0, "min_cell": 0, "max_cell": 0}"""
+      } else if (straddleBuckets.contains(e.bucket)) {
+        val (rows, chk, rl, rh) = stats.get(e.bucket)
+          .map(s => (s._2, s._3, s._4, s._5)).getOrElse((0L, 0L, 0L, 0L))
+        writeAtomic(Paths.get(table, "lineage", newSnap.toString, s"b-${e.bucket}.json"),
+          s"""{"bucket": ${e.bucket}, "rows": $rows, "checksum": $chk}""")
+        val dir = s"$stageRoot/bucket=${e.bucket}"
+        s"""{"path": ${q(dir)}, "bucket": ${e.bucket}, "rows": $rows, "min_cell": $rl, "max_cell": $rh}"""
+      } else {
+        val oldLin = Paths.get(table, "lineage", snap.toString, s"b-${e.bucket}.json")
+        if (Files.exists(oldLin))
+          Files.copy(oldLin,
+            Paths.get(table, "lineage", newSnap.toString, s"b-${e.bucket}.json"),
+            StandardCopyOption.REPLACE_EXISTING)
+        s"""{"path": ${q(e.path)}, "bucket": ${e.bucket}, "rows": ${e.rows}, "min_cell": ${e.minCell}, "max_cell": ${e.maxCell}}"""
+      }
+    }
+    writeAtomic(Paths.get(table, "manifests", s"m-$newSnap.json"),
+      newEntries.mkString("[", ",\n", "]"))
+    val v = currentVersion(table) + 1
+    // a pre-schema-tracking table keeps its metadata schema-LESS — an
+    // empty "schema": [] would trip tableSchema's drift guard
+    val schemaPart = tableSchema(table).map { cols =>
+      ",\n \"schema\": " + cols.map { case (n, t) =>
+        s"""{"name": ${q(n)}, "type": ${q(t)}}"""
+      }.mkString("[", ", ", "]")
+    }.getOrElse("")
+    writeAtomic(Paths.get(table, "metadata", s"v$v.json"),
+      s"""{"format": "icelite/1", "current_snapshot": $newSnap,
+         | "manifest": ${q(s"$table/manifests/m-$newSnap.json")},
+         | "buckets": ${entries.length}$schemaPart}""".stripMargin)
+    newSnap
+  }
+
   /** Shared copy-on-write mutation core of [[upsertDf]] (merge rows in)
     * and [[deleteRows]] (anti-join rows out): the two ops differ ONLY in
     * whether the incoming rows union back into the touched buckets'

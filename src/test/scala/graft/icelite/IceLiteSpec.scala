@@ -204,6 +204,43 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.readChanges(spark, table, s2, s2).count() == 0)
   }
 
+  test("deleteRange: full-in files drop METADATA-only, straddlers rewrite, rest carry") {
+    import graft.core.{CellId, GridRef}
+    // single tile ROW: Z-order ids are monotonic in tx, so the 4
+    // value-range buckets are contiguous tx ranges and the range edges
+    // can be aimed at bucket boundaries
+    val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
+      cellsize = 1, nodata = -9999)
+    val strip = TileOps.tileGrid(spark, ref, 6)((r, c) => (r + c).toDouble)
+    val table = Files.createTempDirectory("icelite-rdel").toString
+    IceLite.commitResumable(spark, strip, table, buckets = 4, snap = 1L)
+    // delete tiles tx = 7 and 8 (col0 448 and 512): bucket 0 straddles
+    // (rewrites without tx 7), the bucket holding ONLY tx 8 is fully
+    // inside (metadata-only drop), the high bucket is disjoint (carry)
+    val s2 = IceLite.deleteRange(spark, table,
+      CellId.encode(6, 7, 0), CellId.encode(6, 8, 0))
+    val after = IceLite.read(spark, table, s2).collect()
+    assert(after.length == 14)
+    assert(after.map(_.col0).toSet ==
+      ((0 until 7) ++ (9 until 16)).map(_ * 64).toSet)
+    assert(IceLite.read(spark, table, 1L).count() == 16) // time travel
+    val m1 = IceLite.manifestEntries(table, 1L).map(e => e.bucket -> e).toMap
+    val m2 = IceLite.manifestEntries(table, s2).map(e => e.bucket -> e).toMap
+    // metadata-only drop: rows -> 0 but the OLD path is preserved unread
+    val dropped = m2.values.filter(e =>
+      e.rows == 0 && m1(e.bucket).rows > 0 && e.path == m1(e.bucket).path)
+    assert(dropped.nonEmpty)
+    // exactly one straddling bucket rewrote to a NEW path
+    val rewritten = m2.values.filter(e =>
+      e.rows > 0 && e.path != m1(e.bucket).path)
+    assert(rewritten.size == 1)
+    // disjoint buckets carry forward by reference
+    val carried = m2.values.filter(e =>
+      e.rows > 0 && e.path == m1(e.bucket).path)
+    assert(carried.nonEmpty)
+    assert(m2.values.map(_.rows).sum == 14)
+  }
+
   test("write-audit-publish: stage invisible until publish; expire pins staged refs") {
     val table = Files.createTempDirectory("icelite-wap").toString
     IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 1L)
