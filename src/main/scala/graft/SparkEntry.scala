@@ -1429,6 +1429,68 @@ object SparkEntry {
         .orderBy($"phase", $"change_type")
     }),
 
+    // ICELITE ROLLBACK (q26): metadata-only rollback_to_snapshot — the
+    // bad-commit undo. After rolling back past an upsert, the head
+    // re-reads as the original image, the ABANDONED snapshot still
+    // time-travels by pin (until expiry), and the next write allocates
+    // ids PAST the abandoned head (nextSnapshotId), branching history
+    // without overwriting it.
+    "q26_rollback" -> ((s, _) => {
+      import s.implicits._
+      val il = graft.icelite.IceLite
+      val dir = java.nio.file.Files.createTempDirectory("q26-icelite").toString
+      val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      il.commitResumable(s, base, dir, buckets = 4, snap = 1L)
+      val upd = base.filter(t => (t.col0 / 64) % 2 == 0)
+        .map(t => t.copy(payload = t.payload.map(_ + 1000.0)))
+      val snap2 = il.upsert(s, dir, upd)
+      il.rollback(dir, 1L)
+      val extra = s.createDataset(Seq(graft.core.Tile(
+        graft.core.CellId.encode(tileRes, 999, 999), 999 * 64, 999 * 64,
+        2, 2, Array(1.0, 2.0, 3.0, 4.0))))
+      val snap3 = il.upsert(s, dir, extra) // must land PAST the abandoned head
+      require(snap3 == snap2 + 1, s"id allocation reused $snap3")
+      def stats(snap: Long, stage: Long) =
+        il.read(s, dir, snap).map { t =>
+          var sv = 0L
+          t.payload.foreach(v => sv += Math.rint(v).toLong)
+          (stage, 1L, t.payload.length.toLong, sv)
+        }.toDF("stage", "t", "n", "sv")
+      // 1: the rolled-back head's image (== base, read via the pin the
+      //    rollback re-pointed to); 2: the abandoned upsert, readable by
+      //    pin; 3: the branched head (base + extra)
+      stats(1L, 1L).unionByName(stats(snap2, 2L)).unionByName(stats(snap3, 3L))
+        .groupBy($"stage")
+        .agg(sum($"t").as("n_tiles"), sum($"n").as("n_cells"),
+          sum($"sv").as("sum_v"))
+        .orderBy($"stage")
+    }),
+
+    // ICELITE METADATA TABLES (q27): the Iceberg `table$files` analog —
+    // per-file rows straight from the manifest, NO parquet footer opened.
+    // The single-tile-row strip makes the Z-order bucket layout exact:
+    // ids are (6<<58) + spread(tx), so every file's row count and
+    // min/max cell stats are closed-form — the oracle hardcodes the
+    // interleave table. This gates the PRUNING METADATA itself (the
+    // stats every range-pruned read depends on).
+    "q27_files_meta" -> ((s, _) => {
+      import s.implicits._
+      val il = graft.icelite.IceLite
+      val dir = java.nio.file.Files.createTempDirectory("q27-icelite").toString
+      val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      il.commitResumable(s, strip, dir, buckets = 4, snap = 1L)
+      il.filesDf(s, dir, 1L)
+        .select($"bucket".cast("long").as("bucket"), $"file_rows",
+          $"min_cell", $"max_cell")
+        .orderBy($"bucket")
+    }),
+
     // ICELITE RANGE DELETE (q25): the retention / partition-drop shape.
     // A single tile row makes Z-order ids monotonic in tx, so the range
     // edges hit bucket boundaries: deleting col0 in [448, 576) drops one
@@ -5043,6 +5105,47 @@ object SparkEntry {
         |  CAST(n_cells AS BIGINT) AS n_cells,
         |  CAST(sum_v AS BIGINT) AS sum_v
         |FROM rows ORDER BY phase, change_type""".stripMargin,
+
+    // q26: stage 1/3 are the base image (+extra at 3); stage 2 is the
+    // abandoned upsert, still pinned
+    "q26_rollback" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r, c.c AS c, (r.r * 7 + c.c * 3) % 100 AS v
+        |  FROM range(96) r(r), range(160) c(c)),
+        |upd AS (SELECT * FROM cells WHERE (c // 64) % 2 = 0),
+        |rows AS (
+        |  SELECT 1 AS stage, 6 AS n_tiles, count(*) AS n_cells,
+        |    sum(v) AS sum_v FROM cells
+        |  UNION ALL SELECT 2, 6, (SELECT count(*) FROM cells),
+        |    (SELECT sum(v) FROM cells) + 1000 * count(*) FROM upd
+        |  UNION ALL SELECT 3, 7, count(*) + 4, sum(v) + 10 FROM cells)
+        |SELECT CAST(stage AS BIGINT) AS stage,
+        |  CAST(n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(sum_v AS BIGINT) AS sum_v
+        |FROM rows ORDER BY stage""".stripMargin,
+
+    // q27: the Z-order layout in closed form — ids are
+    // 6*2^58 + spread(tx) with spread the bit-interleave table for
+    // tx 0..15: {0,1,4,5,16,17,20,21,64,65,68,69,80,81,84,85}; the
+    // value-range bucketing over span 86 puts tx 0-7 in bucket 0,
+    // nothing in 1, tx 8 alone in 2, tx 9-15 in 3
+    "q27_files_meta" ->
+      """WITH z AS (SELECT CAST(6 AS BIGINT) * 288230376151711744 AS b),
+        |rows AS (
+        |  SELECT 0 AS bucket, 8 AS file_rows,
+        |    (SELECT b FROM z) + 0 AS min_cell,
+        |    (SELECT b FROM z) + 21 AS max_cell
+        |  UNION ALL SELECT 1, 0, 0, 0
+        |  UNION ALL SELECT 2, 1, (SELECT b FROM z) + 64,
+        |    (SELECT b FROM z) + 64
+        |  UNION ALL SELECT 3, 7, (SELECT b FROM z) + 65,
+        |    (SELECT b FROM z) + 85)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(file_rows AS BIGINT) AS file_rows,
+        |  CAST(min_cell AS BIGINT) AS min_cell,
+        |  CAST(max_cell AS BIGINT) AS max_cell
+        |FROM rows ORDER BY bucket""".stripMargin,
 
     // q25: survivors are exactly the cells outside col [448, 576);
     // stage 3 time-travels back to the full strip

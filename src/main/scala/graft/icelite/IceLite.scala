@@ -202,6 +202,61 @@ object IceLite {
     snap
   }
 
+  /** Next free snapshot id: one past the highest MANIFEST on disk — not
+    * current + 1, because after a [[rollback]] the abandoned head's ids
+    * are still occupied (their manifests/data remain readable by pin)
+    * and writing over them would destroy that history. Crashed-op debris
+    * (lineage without a manifest) does not advance the id; the mutators'
+    * clearUncommitted handles it at claim time. */
+  def nextSnapshotId(table: String): Long = {
+    val all = snapshots(table)
+    if (all.isEmpty) 1L else all.max + 1
+  }
+
+  /** ROLLBACK — the Iceberg `rollback_to_snapshot` analog: one atomic
+    * metadata commit points the table back at an EXISTING snapshot; no
+    * data file, manifest or lineage row moves. The abandoned snapshots
+    * stay readable by pin until [[expireSnapshots]] reaps them, and the
+    * next write allocates ids past the abandoned head. */
+  def rollback(table: String, snap: Long): Long = {
+    require(Files.exists(Paths.get(table, "manifests", s"m-$snap.json")),
+      s"rollback: snapshot $snap has no manifest in $table")
+    val v = currentVersion(table) + 1
+    val schemaPart = tableSchema(table).map { cols =>
+      ",\n \"schema\": " + cols.map { case (n, t) =>
+        s"""{"name": ${q(n)}, "type": ${q(t)}}"""
+      }.mkString("[", ", ", "]")
+    }.getOrElse("")
+    val buckets = manifestEntries(table, snap).length
+    writeAtomic(Paths.get(table, "metadata", s"v$v.json"),
+      s"""{"format": "icelite/1", "current_snapshot": $snap,
+         | "manifest": ${q(s"$table/manifests/m-$snap.json")},
+         | "buckets": $buckets$schemaPart}""".stripMargin)
+    snap
+  }
+
+  /** Metadata TABLE `files` — the Iceberg `table$files` analog: one row
+    * per data file of a snapshot straight from the manifest (no parquet
+    * footer is opened): (snapshot, bucket, file_rows, min_cell,
+    * max_cell, path). */
+  def filesDf(spark: SparkSession, table: String, snap: Long): DataFrame = {
+    import spark.implicits._
+    manifestEntries(table, snap)
+      .map(e => (snap, e.bucket, e.rows, e.minCell, e.maxCell, e.path))
+      .toDF("snapshot", "bucket", "file_rows", "min_cell", "max_cell", "path")
+  }
+
+  /** Metadata TABLE `snapshots` — one row per snapshot on disk:
+    * (snapshot, n_files, n_rows, is_current). */
+  def snapshotsDf(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentSnapshot(table)
+    snapshots(table).map { s =>
+      val es = manifestEntries(table, s)
+      (s, es.count(_.rows > 0).toLong, es.map(_.rows).sum, cur.contains(s))
+    }.toDF("snapshot", "n_files", "n_rows", "is_current")
+  }
+
   /** Snapshots pinned by staged (unpublished) WAP refs. */
   def stagedRefs(table: String): Seq[Long] = {
     val dir = Paths.get(table, "refs")
@@ -545,7 +600,7 @@ object IceLite {
     require(lo <= hi, s"deleteRange: lo $lo must be <= hi $hi")
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"deleteRange: no committed snapshot in $table"))
-    val newSnap = snap + 1
+    val newSnap = nextSnapshotId(table)
     clearUncommitted(table, newSnap)
     writeOpMarker(table, newSnap, "delete")
     val entries = manifestEntries(table, snap)
@@ -649,7 +704,7 @@ object IceLite {
       s"$op: rows must carry a cellId key column")
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"$op: no committed snapshot in $table"))
-    val newSnap = snap + 1
+    val newSnap = nextSnapshotId(table)
     // upsert never resumes from partial state — any uncommitted debris
     // at newSnap (a previous crashed upsert, or a crashed compact's
     // staged buckets) would pollute the stageRoot read-back and the
@@ -807,7 +862,11 @@ object IceLite {
   def compact(spark: SparkSession, table: String, targetBuckets: Int): Long = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"compact: no committed snapshot in $table"))
-    val newSnap = snap + 1
+    // nextSnapshotId lands back on a crashed compact's id (its crash
+    // predates the manifest, so the id is still free) — the marker check
+    // then preserves that crash's resume set; any id holding a manifest
+    // (e.g. a rollback-abandoned head) is skipped, never overwritten
+    val newSnap = nextSnapshotId(table)
     if (opMarkerOf(table, newSnap) != Some("compact"))
       clearUncommitted(table, newSnap)
     writeOpMarker(table, newSnap, "compact")

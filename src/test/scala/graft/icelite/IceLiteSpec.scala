@@ -241,6 +241,33 @@ class IceLiteSpec extends AnyFunSuite {
     assert(m2.values.map(_.rows).sum == 14)
   }
 
+  test("rollback: metadata-only undo; abandoned head pinned; ids never reused") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("icelite-rb").toString
+    IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 1L)
+    val n = IceLite.read(spark, table, 1L).count()
+    val someId = IceLite.read(spark, table, 1L).collect().map(_.cellId).min
+    val upd = IceLite.read(spark, table, 1L)
+      .filter(t => t.cellId == someId)
+      .map(t => t.copy(payload = t.payload.map(_ + 1.0)))
+    val s2 = IceLite.upsert(spark, table, upd)
+    assert(IceLite.currentSnapshot(table).contains(s2))
+    assert(IceLite.rollback(table, 1L) == 1L)
+    assert(IceLite.currentSnapshot(table).contains(1L))
+    // abandoned head still readable by pin
+    assert(IceLite.read(spark, table, s2).count() == n)
+    // next write branches PAST the abandoned head, not over it
+    val s3 = IceLite.upsert(spark, table, upd)
+    assert(s3 == s2 + 1)
+    assert(IceLite.read(spark, table, s2).count() == n) // s2 untouched
+    // snapshots metadata table sees all three, current flagged correctly
+    val snaps = IceLite.snapshotsDf(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(snaps.keySet == Set(1L, s2, s3))
+    assert(snaps(s3) && !snaps(1L) && !snaps(s2))
+    intercept[IllegalArgumentException] { IceLite.rollback(table, 99L) }
+  }
+
   test("write-audit-publish: stage invisible until publish; expire pins staged refs") {
     val table = Files.createTempDirectory("icelite-wap").toString
     IceLite.commitResumable(spark, demTiles, table, buckets = 4, snap = 1L)
