@@ -172,7 +172,16 @@ object Plans {
         "scanned) -> ONE full-outer cellId equi-join over the changed " +
         "files only; typing + the update pre/post pair explode happen " +
         "in a single projection, content-equal carries drop on the " +
-        "null-safe struct compare"))
+        "null-safe struct compare"),
+      "r63_cost_backlink" -> ("cost backlink: ONE halo exchange over the " +
+        "already-converged distance tiles joined to the cost halo on " +
+        "cellId — the exact-witness argmin stays in the typed kernel; " +
+        "no iteration, no driver state"),
+      "r64_cost_path" -> ("least-cost path: pointer-doubling list " +
+        "ranking — the final plan unions log(pathLen) localCheckpoint " +
+        "rounds, each ONE equi-join of the path prefix against the " +
+        "doubled jump table; no per-step driver walk, no path cell " +
+        "collected"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (`.explain(\"formatted\")`)\n\n")

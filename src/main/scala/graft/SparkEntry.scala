@@ -739,6 +739,55 @@ object SparkEntry {
       out
     }),
 
+    // COST BACKLINK (r63) — the ArcGIS CostDistance "backlink" output
+    // over the converged r45 surface: per reachable cell, the D8 index
+    // (1..8, clockwise from east; 0 at sources) of the chosen
+    // predecessor on an optimal path. Among exact witnesses
+    // (dist(v) + (q(v)+q(u))*wgt == dist(u) — exact dyadic sums) the
+    // smallest direction wins, so the raster is engine- and
+    // partitioning-independent. Scale shape: ONE halo exchange over the
+    // already-converged distance tiles; no iteration, no driver state.
+    "r63_cost_backlink" -> ((s, _) => {
+      import s.implicits._
+      graft.operators.CostDistance.backlink(demTiles(s), Synth.demRef,
+          tileRes, isSource = _ >= 240.0)
+        .orderBy($"row", $"col")
+    }),
+
+    // LEAST-COST PATH (r64) — CostPath from a fixed target back to the
+    // nearest source, following r63's deterministic backlink chain.
+    // Scale shape: the chain is enumerated by POINTER DOUBLING over the
+    // predecessor DataFrame (jump table doubles its stride each round,
+    // path prefix doubles with one equi-join) — O(log pathLen) rounds,
+    // never a per-step driver walk; no path cell is ever collected.
+    "r64_cost_path" -> ((s, _) => {
+      graft.operators.CostDistance.leastCostPath(demTiles(s), Synth.demRef,
+        tileRes, isSource = _ >= 240.0, targetRow = 200, targetCol = 150)
+    }),
+
+    // ICELITE LINEAGE AUDIT (q28): the per-partition LINEAGE ROWS the
+    // north rule requires — (bucket, rows, order-independent checksum)
+    // as durably recorded at commit time — under the driver hash gate.
+    // The checksum is XOR of (cellId*31 + payload_len) over the
+    // bucket's rows (Long wraparound), recomputed independently by the
+    // oracle from the closed-form Z-order layout via HUGEINT mod-2^64
+    // arithmetic, so a single dropped or double-committed row anywhere
+    // in any bucket flips the gate.
+    "q28_lineage_audit" -> ((s, _) => {
+      import s.implicits._
+      val il = graft.icelite.IceLite
+      val dir = java.nio.file.Files.createTempDirectory("q28-icelite").toString
+      val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      il.commitResumable(s, strip, dir, buckets = 4, snap = 1L)
+      s.createDataset(il.lineage(dir, 1L))
+        .select($"bucket".cast("long").as("bucket"), $"rows",
+          $"checksum")
+        .orderBy($"bucket")
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -5080,6 +5129,118 @@ object SparkEntry {
         |  CAST(sum(tpi_s) AS BIGINT) AS sum_tpi_s,
         |  CAST(sum(tpi_l) AS BIGINT) AS sum_tpi_l
         |FROM j GROUP BY 1, 2 ORDER BY class_s, class_l""".stripMargin,
+
+    // r63: converged r45 Bellman-Ford surface + the exact-witness argmin
+    // (min direction k whose neighbor satisfies d_n + (q_n+q)*wgt = d —
+    // all values dyadic-exact, so = is legitimate); sources get 0
+    "r63_cost_backlink" -> {
+      val nc = Synth.demRef.ncols
+      val n = Synth.demRef.nrows.toLong * nc
+      val iters = 120
+      s"""WITH RECURSIVE gg AS (SELECT (i // $nc) AS r, (i % $nc) AS c FROM range($n) t(i)),
+         |vals AS MATERIALIZED (SELECT r, c, ((r * 31 + c * 17) % 1000) / 4.0 AS q FROM gg
+         |  WHERE NOT ((r * $nc + c) % 97 = 13)),
+         |dd9(dr, dc, wgt) AS (VALUES (0,0,0),(0,1,10),(1,1,14),(1,0,10),(1,-1,14),
+         |                           (0,-1,10),(-1,-1,14),(-1,0,10),(-1,1,14)),
+         |cd AS (
+         |  SELECT 0 AS it, r, c, q, CASE WHEN q >= 240.0 THEN 0.0 ELSE 1e30 END AS d
+         |  FROM vals
+         |  UNION ALL
+         |  SELECT p.it + 1, t.r, t.c, t.q,
+         |    CASE WHEN t.q >= 240.0 THEN 0.0
+         |         ELSE least(min(CASE WHEN d.wgt = 0 THEN p.d END),
+         |                    min(CASE WHEN d.wgt > 0 THEN p.d + (p.q + t.q) * d.wgt END))
+         |    END AS d
+         |  FROM cd p JOIN dd9 d ON true
+         |  JOIN vals t ON t.r = p.r + d.dr AND t.c = p.c + d.dc
+         |  WHERE p.it < $iters
+         |  GROUP BY p.it, t.r, t.c, t.q),
+         |final AS MATERIALIZED (SELECT r, c, q, d FROM cd WHERE it = $iters AND d < 1e30),
+         |dirs(k, dr, dc, wgt) AS (VALUES (1,0,1,10),(2,1,1,14),(3,1,0,10),(4,1,-1,14),
+         |                               (5,0,-1,10),(6,-1,-1,14),(7,-1,0,10),(8,-1,1,14)),
+         |nb AS (SELECT f.r, f.c, min(dd.k) AS mink
+         |  FROM final f JOIN dirs dd ON true
+         |  JOIN final x ON x.r = f.r + dd.dr AND x.c = f.c + dd.dc
+         |  WHERE f.d > 0 AND x.d + (x.q + f.q) * dd.wgt = f.d
+         |  GROUP BY f.r, f.c)
+         |SELECT CAST(f.r AS BIGINT) AS row, CAST(f.c AS BIGINT) AS col,
+         |  CAST(CASE WHEN f.d = 0 THEN 0 ELSE nb.mink END AS BIGINT) AS dir
+         |FROM final f LEFT JOIN nb ON nb.r = f.r AND nb.c = f.c
+         |ORDER BY row, col""".stripMargin
+    },
+
+    // r64: the backlink table walked from (200, 150) by a second
+    // recursive CTE — one step per iteration, dir 0 terminates at the
+    // source; positions and distances must match the engine's
+    // pointer-doubled enumeration row-for-row
+    "r64_cost_path" -> {
+      val nc = Synth.demRef.ncols
+      val n = Synth.demRef.nrows.toLong * nc
+      val iters = 120
+      s"""WITH RECURSIVE gg AS (SELECT (i // $nc) AS r, (i % $nc) AS c FROM range($n) t(i)),
+         |vals AS MATERIALIZED (SELECT r, c, ((r * 31 + c * 17) % 1000) / 4.0 AS q FROM gg
+         |  WHERE NOT ((r * $nc + c) % 97 = 13)),
+         |dd9(dr, dc, wgt) AS (VALUES (0,0,0),(0,1,10),(1,1,14),(1,0,10),(1,-1,14),
+         |                           (0,-1,10),(-1,-1,14),(-1,0,10),(-1,1,14)),
+         |cd AS (
+         |  SELECT 0 AS it, r, c, q, CASE WHEN q >= 240.0 THEN 0.0 ELSE 1e30 END AS d
+         |  FROM vals
+         |  UNION ALL
+         |  SELECT p.it + 1, t.r, t.c, t.q,
+         |    CASE WHEN t.q >= 240.0 THEN 0.0
+         |         ELSE least(min(CASE WHEN d.wgt = 0 THEN p.d END),
+         |                    min(CASE WHEN d.wgt > 0 THEN p.d + (p.q + t.q) * d.wgt END))
+         |    END AS d
+         |  FROM cd p JOIN dd9 d ON true
+         |  JOIN vals t ON t.r = p.r + d.dr AND t.c = p.c + d.dc
+         |  WHERE p.it < $iters
+         |  GROUP BY p.it, t.r, t.c, t.q),
+         |final AS MATERIALIZED (SELECT r, c, q, d FROM cd WHERE it = $iters AND d < 1e30),
+         |dirs(k, dr, dc, wgt) AS (VALUES (1,0,1,10),(2,1,1,14),(3,1,0,10),(4,1,-1,14),
+         |                               (5,0,-1,10),(6,-1,-1,14),(7,-1,0,10),(8,-1,1,14)),
+         |nb AS (SELECT f.r, f.c, min(dd.k) AS mink
+         |  FROM final f JOIN dirs dd ON true
+         |  JOIN final x ON x.r = f.r + dd.dr AND x.c = f.c + dd.dc
+         |  WHERE f.d > 0 AND x.d + (x.q + f.q) * dd.wgt = f.d
+         |  GROUP BY f.r, f.c),
+         |bl AS MATERIALIZED (SELECT f.r, f.c, f.d,
+         |    CASE WHEN f.d = 0 THEN 0 ELSE nb.mink END AS dir
+         |  FROM final f LEFT JOIN nb ON nb.r = f.r AND nb.c = f.c),
+         |walk AS (
+         |  SELECT 0 AS pos, b.r, b.c, b.d, b.dir FROM bl b
+         |  WHERE b.r = 200 AND b.c = 150
+         |  UNION ALL
+         |  SELECT w.pos + 1, b.r, b.c, b.d, b.dir
+         |  FROM walk w JOIN dirs dd ON dd.k = w.dir
+         |  JOIN bl b ON b.r = w.r + dd.dr AND b.c = w.c + dd.dc
+         |  WHERE w.dir > 0)
+         |SELECT CAST(pos AS BIGINT) AS pos, CAST(r AS BIGINT) AS row,
+         |  CAST(c AS BIGINT) AS col, d AS dist
+         |FROM walk ORDER BY pos""".stripMargin
+    },
+
+    // q28: the closed-form Z-order layout (q27's spread table) bucketed
+    // by the value-range rule, each bucket's checksum re-derived as
+    // XOR of (cid*31 + 4096) under HUGEINT mod-2^64 -> signed-BIGINT
+    // wraparound — exactly Scala's Long overflow semantics
+    "q28_lineage_audit" ->
+      """WITH sp(tx, z) AS (VALUES (0,0),(1,1),(2,4),(3,5),(4,16),(5,17),(6,20),
+        |    (7,21),(8,64),(9,65),(10,68),(11,69),(12,80),(13,81),(14,84),(15,85)),
+        |t AS (SELECT CAST(6 AS BIGINT) * 288230376151711744 + z AS cid,
+        |    LEAST(3, (z * 4) // 86) AS bucket FROM sp),
+        |term AS (SELECT bucket,
+        |    CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616
+        |         ELSE m END AS BIGINT) AS x
+        |  FROM (SELECT bucket,
+        |      (CAST(cid AS HUGEINT) * 31 + 4096) % 18446744073709551616 AS m
+        |    FROM t) s),
+        |agg AS (SELECT bucket, count(*) AS n, bit_xor(x) AS chk
+        |  FROM term GROUP BY bucket)
+        |SELECT CAST(b.b AS BIGINT) AS bucket,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS "rows",
+        |  CAST(coalesce(a.chk, 0) AS BIGINT) AS checksum
+        |FROM range(4) b(b) LEFT JOIN agg a ON a.bucket = b.b
+        |ORDER BY bucket""".stripMargin,
 
     // q22: changelog totals in closed form from the construction — the
     // upsert touches the (c // 64) even bands (+1000/cell, 4 tiles,

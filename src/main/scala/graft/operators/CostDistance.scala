@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, expr, min => sqlMin}
 import graft.core.{GridRef, Tile}
 
 /** Weighted cost-distance accumulation (the map-algebra CostDistance /
@@ -181,5 +182,162 @@ object CostDistance {
       }
       out.result().iterator
     }.toDF("row", "col", "dist")
+  }
+
+  /** Cost-backlink raster over a CONVERGED distance surface (the ArcGIS
+    * CostDistance "backlink" output): payload = 0 at source cells,
+    * k in 1..8 (the [[D8]] index + 1, clockwise from east) pointing at
+    * the chosen PREDECESSOR on an optimal path, NaN where the cost
+    * surface is NaN or the cell is unreachable. Among the neighbors that
+    * witness optimality exactly — `dist(v) + (q(v) + q(u)) * wgt ==
+    * dist(u)`, exact because every distance is a dyadic sum — the
+    * SMALLEST k wins, so the raster is engine- and partitioning-
+    * independent. One halo exchange; no iteration (convergence already
+    * happened in [[tilesDist]]). */
+  def backlinkTiles(dist: Dataset[Tile], cost: Dataset[Tile], ref: GridRef,
+      res: Int): Dataset[Tile] = {
+    import dist.sparkSession.implicits._
+    val pfD = Stencil.padded(dist, ref, res)
+    val pfQ = Stencil.padded(cost, ref, res)
+    pfD.joinWith(pfQ, pfD("cellId") === pfQ("cellId"), "inner")
+      .map { case (pd, pq) =>
+        val h = pd.h
+        val w = pd.w
+        val out = new Array[Double](h * w)
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            val gr = pd.row0 + r
+            val gc = pd.col0 + c
+            val d = pd.at(gr, gc)
+            val q = pq.at(gr, gc)
+            out(r * w + c) =
+              if (q.isNaN || d.isNaN || d == INF) Double.NaN
+              else if (d == 0.0) 0.0
+              else {
+                var best = Double.NaN
+                var k = 0
+                while (k < 8 && best.isNaN) {
+                  val (dr, dc, wgt) = D8(k)
+                  val dv = pd.at(gr + dr, gc + dc)
+                  val qv = pq.at(gr + dr, gc + dc)
+                  if (!dv.isNaN && dv != INF && !qv.isNaN &&
+                      dv + (qv + q) * wgt == d) best = (k + 1).toDouble
+                  k += 1
+                }
+                best // NaN only if the surface was not converged
+              }
+            c += 1
+          }
+          r += 1
+        }
+        Tile(pd.cellId, pd.row0, pd.col0, h, w, out)
+      }
+  }
+
+  /** `(row, col, dir)` backlink rows for every reachable valid cell —
+    * dir 0 = source, 1..8 = [[D8]] predecessor direction. */
+  def backlink(cost: Dataset[Tile], ref: GridRef, res: Int,
+      isSource: Double => Boolean, maxRounds: Int = 10000): DataFrame = {
+    import cost.sparkSession.implicits._
+    val d = tilesDist(cost, ref, res, isSource, maxRounds)
+    backlinkTiles(d, cost, ref, res).flatMap { t =>
+      val out = Array.newBuilder[(Long, Long, Long)]
+      var i = 0
+      while (i < t.payload.length) {
+        val v = t.payload(i)
+        if (!v.isNaN)
+          out += (((t.row0 + i / t.w).toLong, (t.col0 + i % t.w).toLong,
+            v.toLong))
+        i += 1
+      }
+      out.result().iterator
+    }.toDF("row", "col", "dir")
+  }
+
+  /** Least-cost PATH from `(targetRow, targetCol)` back to the nearest
+    * source: `(pos, row, col, dist)` with pos 0 at the target and the
+    * last row a source cell (dist 0) — the CostPath primitive over
+    * [[backlinkTiles]]'s deterministic predecessor choice.
+    *
+    * Distributed shape: the predecessor pointers stay a DataFrame and the
+    * chain is enumerated by POINTER DOUBLING (the [[Flow]] list-ranking
+    * discipline): round k doubles the jump table (`J_k(u)` = the
+    * `2^k`-step predecessor with its step carry, terminal-capped at the
+    * source) and doubles the known path prefix with one equi-join each —
+    * `O(log pathLen)` rounds, never a per-step driver loop, no path cell
+    * ever collected. Work is `O(cells · log pathLen)` shuffle — the same
+    * family as a few extra halo sweeps of the converged solve. */
+  def leastCostPath(cost: Dataset[Tile], ref: GridRef, res: Int,
+      isSource: Double => Boolean, targetRow: Int, targetCol: Int,
+      maxRounds: Int = 10000): DataFrame = {
+    val spark = cost.sparkSession
+    import spark.implicits._
+    val ncols = ref.ncols
+    val distT = tilesDist(cost, ref, res, isSource, maxRounds)
+    // (id, dist, to, steps): to = 1-step predecessor (self at sources),
+    // steps = 0 at sources else 1
+    val blT = backlinkTiles(distT, cost, ref, res)
+    val pred0 = blT
+      .joinWith(distT, blT("cellId") === distT("cellId"), "inner")
+      .flatMap { case (bl, dt) =>
+        val out = Array.newBuilder[(Long, Double, Long, Long)]
+        var i = 0
+        while (i < bl.payload.length) {
+          val v = bl.payload(i)
+          if (!v.isNaN) {
+            val r = bl.row0 + i / bl.w
+            val c = bl.col0 + i % bl.w
+            val id = r.toLong * ncols + c
+            val d = dt.payload(i)
+            if (v == 0.0) out += ((id, d, id, 0L))
+            else {
+              val (dr, dc, _) = D8(v.toInt - 1)
+              out += ((id, d, (r + dr).toLong * ncols + (c + dc), 1L))
+            }
+          }
+          i += 1
+        }
+        out.result().iterator
+      }.toDF("id", "dist", "to", "steps")
+      .localCheckpoint(true)
+    val targetId = targetRow.toLong * ncols + targetCol
+    require(pred0.filter(col("id") === targetId).count() == 1,
+      s"leastCostPath: target ($targetRow, $targetCol) is not a reachable valid cell")
+
+    var jumps = pred0.select("id", "to", "steps").localCheckpoint(true)
+    var path = Seq((targetId, 0L)).toDF("id", "pos").localCheckpoint(true)
+    var n = 1L
+    var grown = true
+    var round = 0
+    while (grown) {
+      round += 1
+      require(round <= 64, "leastCostPath: pointer doubling did not terminate")
+      val extended = path.as("p")
+        .join(jumps.as("j"), col("p.id") === col("j.id"), "inner")
+        .filter(col("j.steps") > 0)
+        .select(col("j.to").as("id"), (col("p.pos") + col("j.steps")).as("pos"))
+      val nextPath = path.unionByName(extended)
+        .groupBy("id").agg(sqlMin("pos").as("pos"))
+        .localCheckpoint(true)
+      val n2 = nextPath.count()
+      grown = n2 > n
+      n = n2
+      path = nextPath
+      if (grown) {
+        // double the jump table: 2^k + 2^k steps, terminal-capped
+        jumps = jumps.as("a")
+          .join(jumps.as("b"), col("a.to") === col("b.id"), "inner")
+          .select(col("a.id"), col("b.to"),
+            (col("a.steps") + col("b.steps")).as("steps"))
+          .localCheckpoint(true)
+      }
+    }
+    path.as("p").join(pred0.as("d"), col("p.id") === col("d.id"), "inner")
+      .select(col("p.pos"),
+        expr(s"p.id DIV $ncols").as("row"),
+        (col("p.id") % ncols).as("col"), col("d.dist"))
+      .orderBy("pos")
   }
 }

@@ -116,6 +116,73 @@ class CostDistanceSpec extends AnyFunSuite {
     assert(CostDistance.accumulate(empty, ref, 3, _ >= 0.0).count() == 0)
   }
 
+  test("backlink: every cell's direction is the SMALLEST exact witness vs global Dijkstra") {
+    val ref = Synth.demRef
+    val want = globalDijkstra(Synth.demValue, ref.nrows, ref.ncols, _ >= 240.0)
+    val tiles = TileOps.tileGrid(spark, ref, 6)(Synth.demValue)
+    val got = CostDistance.backlink(tiles, ref, 6, _ >= 240.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(got.keySet == want.keySet, "backlink rows == reachable cells")
+    got.foreach { case ((r, c), dir) =>
+      val d = want((r, c))
+      if (d == 0.0) assert(dir == 0L, s"source ($r,$c)")
+      else {
+        val q = Synth.demValue(r.toInt, c.toInt)
+        // the chosen direction witnesses optimality...
+        val (dr, dc, wgt) = D8(dir.toInt - 1)
+        val dn = want((r + dr, c + dc))
+        assert(dn + (Synth.demValue(r.toInt + dr, c.toInt + dc) + q) * wgt == d,
+          s"witness at ($r,$c) dir $dir")
+        // ...and no smaller direction does
+        for (k <- 0 until dir.toInt - 1) {
+          val (ar, ac, aw) = D8(k)
+          val ok = want.get((r + ar, c + ac)).exists { dv =>
+            !Synth.demValue(r.toInt + ar, c.toInt + ac).isNaN &&
+              dv + (Synth.demValue(r.toInt + ar, c.toInt + ac) + q) * aw == d
+          }
+          assert(!ok, s"smaller witness $k exists at ($r,$c) but dir is $dir")
+        }
+      }
+    }
+  }
+
+  test("leastCostPath: pointer-doubled enumeration == driver walk of the backlink") {
+    val ref = Synth.demRef
+    val tiles = TileOps.tileGrid(spark, ref, 6)(Synth.demValue)
+    val bl = CostDistance.backlink(tiles, ref, 6, _ >= 240.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val dist = globalDijkstra(Synth.demValue, ref.nrows, ref.ncols, _ >= 240.0)
+    // driver oracle: follow the backlink chain step by step
+    var cur = (200L, 150L)
+    val wantPath = scala.collection.mutable.ArrayBuffer((cur, dist(cur)))
+    while (bl(cur) != 0L) {
+      val (dr, dc, _) = D8(bl(cur).toInt - 1)
+      cur = (cur._1 + dr, cur._2 + dc)
+      wantPath += ((cur, dist(cur)))
+    }
+    val got = CostDistance.leastCostPath(tiles, ref, 6, _ >= 240.0, 200, 150)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)), x.getDouble(3)))
+    assert(got.map(_._1).toSeq == got.indices.map(_.toLong), "pos contiguous from 0")
+    assert(got.map(g => (g._2, g._3)).toSeq == wantPath.toSeq)
+    assert(got.last._3 == 0.0, "path ends at a source")
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq,
+      "dist non-increasing")
+  }
+
+  test("leastCostPath refuses an invalid target loudly") {
+    val ref = GridRef(ncols = 21, nrows = 9, xll = 0, yll = 0,
+      cellsize = 5, nodata = -9999)
+    def v(r: Int, c: Int): Double =
+      if (c == 10) Double.NaN else if (r == 4 && c == 2) 0.0 else 5.0
+    val tiles = TileOps.tileGrid(spark, ref, 4)(v)
+    intercept[IllegalArgumentException] {
+      CostDistance.leastCostPath(tiles, ref, 4, _ == 0.0, 4, 15) // unreachable
+    }
+    intercept[IllegalArgumentException] {
+      CostDistance.leastCostPath(tiles, ref, 4, _ == 0.0, 4, 10) // NaN cell
+    }
+  }
+
   test("unreachable pockets are omitted; sources map to 0") {
     // a grid split by a NaN wall: right half has no source -> omitted
     val ref = GridRef(ncols = 21, nrows = 9, xll = 0, yll = 0,
