@@ -181,7 +181,12 @@ object Plans {
         "ranking — the final plan unions log(pathLen) localCheckpoint " +
         "rounds, each ONE equi-join of the path prefix against the " +
         "doubled jump table; no per-step driver walk, no path cell " +
-        "collected"))
+        "collected"),
+      "e11_recall_eval" -> ("recall eval harness: the IVF plan (broadcast " +
+        "centroid probe + inverted-list equi-join) and the brute plan " +
+        "(tiny-broadcast BNLJ, the labeled exact-oracle shape) feed two " +
+        "partial/final count aggs joined per query — the eval is " +
+        "join-shaped, never a collect"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (`.explain(\"formatted\")`)\n\n")

@@ -788,6 +788,105 @@ object SparkEntry {
         .orderBy($"bucket")
     }),
 
+    // ICELITE METADATA-ONLY COUNT (q29): the Iceberg count(*) pushdown —
+    // per-stage (live files, total rows) answered from the MANIFEST
+    // ALONE across a commit -> range delete -> COW upsert sequence; no
+    // parquet footer or data page is opened for any count. The numbers
+    // must track every mutation exactly: the delete drops one full file
+    // at the metadata level and COW-shrinks the straddler; the upsert
+    // rewrites one bucket in place (counts unchanged).
+    "q29_meta_count" -> ((s, _) => {
+      import s.implicits._
+      val il = graft.icelite.IceLite
+      val dir = java.nio.file.Files.createTempDirectory("q29-icelite").toString
+      val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      il.commitResumable(s, strip, dir, buckets = 4, snap = 1L)
+      val s2 = il.deleteRange(s, dir,
+        graft.core.CellId.encode(tileRes, 7, 0),
+        graft.core.CellId.encode(tileRes, 8, 0))
+      val upd = strip.filter(t => t.col0 == 0)
+        .map(t => t.copy(payload = t.payload.map(_ + 1000.0)))
+      val s3 = il.upsert(s, dir, upd)
+      val rows = Seq(1L, s2, s3).zipWithIndex.map { case (sn, i) =>
+        ((i + 1).toLong, il.dataFileCount(dir, sn).toLong,
+          il.countRows(dir, sn))
+      }
+      s.createDataset(rows).toDF("stage", "n_files", "n_rows")
+        .orderBy($"stage")
+    }),
+
+    // ICELITE SCAN-PLAN PRUNING (q30): the pruning DECISION itself under
+    // the hash gate — for five probe ranges over the q25 strip, the
+    // files the planner opens (manifest min/max overlap), the rows those
+    // files hold, and the rows actually in range after the exact filter.
+    // Probe 2 lands in the gap BETWEEN buckets (all files pruned — the
+    // empty-scan path); probe 3 straddles two buckets where scanned (9)
+    // >> in-range (2) — the case manifest stats exist for at 100 TB.
+    "q30_scan_prune" -> ((s, _) => {
+      import s.implicits._
+      val il = graft.icelite.IceLite
+      val dir = java.nio.file.Files.createTempDirectory("q30-icelite").toString
+      val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      il.commitResumable(s, strip, dir, buckets = 4, snap = 1L)
+      val b = graft.core.CellId.encode(tileRes, 0, 0)
+      val probes = Seq((1L, b, b + 21L), (2L, b + 22L, b + 63L),
+        (3L, b + 21L, b + 64L), (4L, b + 65L, b + 85L), (5L, b, b + 85L))
+      val rows = probes.map { case (pid, lo, hi) =>
+        val nFiles = il.planFiles(dir, 1L, lo, hi).size.toLong
+        val scanned = il.read(s, dir, 1L, Some((lo, hi)))
+        val nScan = scanned.count()
+        val nRange = scanned.filter(t => t.cellId >= lo && t.cellId <= hi)
+          .count()
+        (pid, nFiles, nScan, nRange)
+      }
+      s.createDataset(rows).toDF("probe", "n_files", "n_scanned", "n_in_range")
+        .orderBy($"probe")
+    }),
+
+    // ANN RECALL EVALUATION (e11) — the eval-harness op every production
+    // retrieval pipeline runs: recall of IVF nProbe=1 against the exact
+    // top-3, per query, on the e10 fixture TRANSLATED by +10 (same
+    // degenerate-init Lloyd dynamics — k-means is translation invariant —
+    // but cosine becomes well-defined: no vector is ever zero). e10's
+    // gated final state genuinely SPLITS blob 0 across two clusters and
+    // merges blobs 1+2, so nProbe=1 has real misses: this gate hashes
+    // honest per-query recall < 1, not a recall-1.0-by-construction
+    // fixture like e2. n_ann < 3 where the probed list is short (cluster
+    // {0,5,10} offers 2 candidates) — the boundary IVF behavior itself.
+    "e11_recall_eval" -> ((s, _) => {
+      import s.implicits._
+      val pts = s.range(36).map { i =>
+        val g = (i / 12).toInt; val m = (i % 12).toInt
+        val x = 10 + (if (g == 1) 100 else 0) + m % 5 - 2
+        val y = 10 + (if (g == 2) 100 else 0) + (m * 7) % 5 - 2
+        (i, Array(x.toFloat, y.toFloat))
+      }.toDF("vec_id", "embedding")
+      val (assign, centroids) = graft.sim.Similarity.kmeansWithCentroids(
+        s, pts, "vec_id", "embedding", k = 3, iters = 2)
+      val withCl = pts.join(assign, pts("vec_id") === assign("vid"))
+        .drop("vid")
+      val q = pts.select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val ann = graft.sim.Similarity.ivfTopK(s, withCl, "vec_id",
+        "embedding", "cl", q, k = 3, nProbe = 1,
+        centroidTable = Some(centroids))
+      val exact = graft.sim.Similarity.bruteTopK(q,
+        pts.select($"vec_id".as("vid"), $"embedding".as("v")), 3)
+      val annN = ann.groupBy($"qid").agg(count(lit(1)).as("na"))
+      val hitN = ann.join(exact.select($"qid", $"vid"), Seq("qid", "vid"))
+        .groupBy($"qid").agg(count(lit(1)).as("nh"))
+      q.select($"qid").join(annN, Seq("qid"), "left")
+        .join(hitN, Seq("qid"), "left")
+        .select($"qid", coalesce($"na", lit(0L)).as("n_ann"),
+          coalesce($"nh", lit(0L)).as("n_hits"))
+        .orderBy($"qid")
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -5241,6 +5340,129 @@ object SparkEntry {
         |  CAST(coalesce(a.chk, 0) AS BIGINT) AS checksum
         |FROM range(4) b(b) LEFT JOIN agg a ON a.bucket = b.b
         |ORDER BY bucket""".stripMargin,
+
+    // q29: derived from the construction — stage 1 commits 16 tiles into
+    // buckets {0: tx0-7, 2: tx8, 3: tx9-15} (bucket 1 empty -> 3 live
+    // files); the delete drops tx7 (COW, bucket 0 -> 7 rows) and all of
+    // bucket 2 (metadata-only -> 0 rows, file count 2); the tx0 upsert
+    // rewrites bucket 0 in place (counts unchanged)
+    "q29_meta_count" ->
+      """WITH rows AS (
+        |  SELECT 1 AS stage, 3 AS n_files, 16 AS n_rows
+        |  UNION ALL SELECT 2, 2, 14
+        |  UNION ALL SELECT 3, 2, 14)
+        |SELECT CAST(stage AS BIGINT) AS stage,
+        |  CAST(n_files AS BIGINT) AS n_files,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM rows ORDER BY stage""".stripMargin,
+
+    // q30: files re-derived from the spread table + the range-bucket
+    // rule; a probe opens a file iff [min,max] overlaps, scans ALL its
+    // rows, and the in-range count is the spread values inside the probe
+    "q30_scan_prune" ->
+      """WITH sp(z) AS (VALUES (0),(1),(4),(5),(16),(17),(20),(21),(64),(65),
+        |    (68),(69),(80),(81),(84),(85)),
+        |f AS (SELECT LEAST(3, (z * 4) // 86) AS bucket, min(z) AS lo,
+        |    max(z) AS hi, count(*) AS nrows FROM sp GROUP BY 1),
+        |pr(probe, plo, phi) AS (VALUES (1, 0, 21), (2, 22, 63), (3, 21, 64),
+        |    (4, 65, 85), (5, 0, 85)),
+        |scan AS (SELECT p.probe, count(f.bucket) AS n_files,
+        |    coalesce(sum(f.nrows), 0) AS n_scanned
+        |  FROM pr p LEFT JOIN f ON f.hi >= p.plo AND f.lo <= p.phi
+        |  GROUP BY p.probe),
+        |rng AS (SELECT p.probe, count(sp.z) AS n_in_range
+        |  FROM pr p LEFT JOIN sp ON sp.z BETWEEN p.plo AND p.phi
+        |  GROUP BY p.probe)
+        |SELECT CAST(s.probe AS BIGINT) AS probe,
+        |  CAST(s.n_files AS BIGINT) AS n_files,
+        |  CAST(s.n_scanned AS BIGINT) AS n_scanned,
+        |  CAST(r.n_in_range AS BIGINT) AS n_in_range
+        |FROM scan s JOIN rng r ON r.probe = s.probe
+        |ORDER BY probe""".stripMargin,
+
+    // e11: the e10 Lloyd replay (translated +10) -> final assignment +
+    // final centroids -> nProbe=1 probe by euclidean d2 (tie: lowest cl)
+    // -> in-list cosine top-3 vs all-pairs cosine top-3 -> per-query
+    // intersection counts. Cosines on the raw integer coordinates
+    // (x1*y1 + x2*y2, one IEEE division) — bit-identical cross-engine.
+    "e11_recall_eval" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT t.i AS vid,
+        |    10 + (CASE WHEN t.i // 12 = 1 THEN 100 ELSE 0 END)
+        |      + (t.i % 12) % 5 - 2 AS x,
+        |    10 + (CASE WHEN t.i // 12 = 2 THEN 100 ELSE 0 END)
+        |      + ((t.i % 12) * 7) % 5 - 2 AS y
+        |  FROM range(36) t(i)),
+        |c0 AS MATERIALIZED (SELECT vid AS cl, CAST(x AS DOUBLE) AS mx,
+        |    CAST(y AS DOUBLE) AS my FROM p WHERE vid < 3),
+        |a1 AS MATERIALIZED (SELECT vid, cl FROM (
+        |    SELECT p.vid, c.cl, row_number() OVER (PARTITION BY p.vid
+        |      ORDER BY (p.x - c.mx) * (p.x - c.mx)
+        |             + (p.y - c.my) * (p.y - c.my), c.cl) AS rn
+        |    FROM p, c0 c) WHERE rn = 1),
+        |c1 AS MATERIALIZED (
+        |  SELECT c0.cl, coalesce(u.mx, c0.mx) AS mx,
+        |    coalesce(u.my, c0.my) AS my
+        |  FROM c0 LEFT JOIN (
+        |    SELECT a.cl, avg(CAST(p.x AS DOUBLE)) AS mx,
+        |      avg(CAST(p.y AS DOUBLE)) AS my
+        |    FROM a1 a JOIN p ON p.vid = a.vid GROUP BY 1) u
+        |  ON u.cl = c0.cl),
+        |a2 AS MATERIALIZED (SELECT vid, cl FROM (
+        |    SELECT p.vid, c.cl, row_number() OVER (PARTITION BY p.vid
+        |      ORDER BY (p.x - c.mx) * (p.x - c.mx)
+        |             + (p.y - c.my) * (p.y - c.my), c.cl) AS rn
+        |    FROM p, c1 c) WHERE rn = 1),
+        |c2 AS MATERIALIZED (
+        |  SELECT c1.cl, coalesce(u.mx, c1.mx) AS mx,
+        |    coalesce(u.my, c1.my) AS my
+        |  FROM c1 LEFT JOIN (
+        |    SELECT a.cl, avg(CAST(p.x AS DOUBLE)) AS mx,
+        |      avg(CAST(p.y AS DOUBLE)) AS my
+        |    FROM a2 a JOIN p ON p.vid = a.vid GROUP BY 1) u
+        |  ON u.cl = c1.cl),
+        |af AS MATERIALIZED (SELECT vid, cl FROM (
+        |    SELECT p2.vid, c.cl, row_number() OVER (PARTITION BY p2.vid
+        |      ORDER BY (p2.x - c.mx) * (p2.x - c.mx)
+        |             + (p2.y - c.my) * (p2.y - c.my), c.cl) AS rn
+        |    FROM p p2, c2 c) WHERE rn = 1),
+        |probe AS MATERIALIZED (SELECT vid AS qid, cl FROM (
+        |    SELECT p.vid, c.cl, row_number() OVER (PARTITION BY p.vid
+        |      ORDER BY (p.x - c.mx) * (p.x - c.mx)
+        |             + (p.y - c.my) * (p.y - c.my), c.cl) AS rn
+        |    FROM p, c2 c) WHERE rn = 1),
+        |norms AS MATERIALIZED (SELECT vid,
+        |    sqrt(CAST(x * x + y * y AS DOUBLE)) AS n FROM p),
+        |ann AS MATERIALIZED (SELECT qid, vid FROM (
+        |    SELECT pr.qid, m.vid,
+        |      row_number() OVER (PARTITION BY pr.qid ORDER BY
+        |        CAST(q.x * m.x + q.y * m.y AS DOUBLE) / (nq.n * nm.n) DESC,
+        |        m.vid) AS rank
+        |    FROM probe pr
+        |    JOIN af ON af.cl = pr.cl
+        |    JOIN p m ON m.vid = af.vid
+        |    JOIN p q ON q.vid = pr.qid
+        |    JOIN norms nq ON nq.vid = pr.qid
+        |    JOIN norms nm ON nm.vid = m.vid
+        |    WHERE m.vid <> pr.qid) WHERE rank <= 3),
+        |exact AS MATERIALIZED (SELECT qid, vid FROM (
+        |    SELECT q.vid AS qid, m.vid,
+        |      row_number() OVER (PARTITION BY q.vid ORDER BY
+        |        CAST(q.x * m.x + q.y * m.y AS DOUBLE) / (nq.n * nm.n) DESC,
+        |        m.vid) AS rank
+        |    FROM p q JOIN p m ON m.vid <> q.vid
+        |    JOIN norms nq ON nq.vid = q.vid
+        |    JOIN norms nm ON nm.vid = m.vid) WHERE rank <= 3),
+        |annN AS (SELECT qid, count(*) AS na FROM ann GROUP BY qid),
+        |hitN AS (SELECT a.qid, count(*) AS nh FROM ann a
+        |  JOIN exact e ON e.qid = a.qid AND e.vid = a.vid GROUP BY a.qid)
+        |SELECT CAST(t.i AS BIGINT) AS qid,
+        |  CAST(coalesce(annN.na, 0) AS BIGINT) AS n_ann,
+        |  CAST(coalesce(hitN.nh, 0) AS BIGINT) AS n_hits
+        |FROM range(36) t(i)
+        |LEFT JOIN annN ON annN.qid = t.i
+        |LEFT JOIN hitN ON hitN.qid = t.i
+        |ORDER BY qid""".stripMargin,
 
     // q22: changelog totals in closed form from the construction — the
     // upsert touches the (c // 64) even bands (+1000/cell, 4 tiles,

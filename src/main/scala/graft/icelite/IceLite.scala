@@ -526,6 +526,24 @@ object IceLite {
     }.toSeq
   }
 
+  /** Metadata-only row count (the Iceberg count(*) pushdown analog):
+    * the snapshot's total rows straight from the manifest — no parquet
+    * footer or data page is ever opened, O(manifest) at any table size. */
+  def countRows(table: String, snap: Long): Long =
+    manifestEntries(table, snap).map(_.rows).sum
+
+  /** Live data files (rows > 0) in a snapshot — metadata-only. */
+  def dataFileCount(table: String, snap: Long): Int =
+    manifestEntries(table, snap).count(_.rows > 0)
+
+  /** The scan-planning decision for a cell range, exposed for audit:
+    * exactly the manifest entries a ranged [[read]] will open (min/max
+    * overlap over live files). q30 puts this plan under the hash gate. */
+  def planFiles(table: String, snap: Long, lo: Long,
+      hi: Long): Seq[DataFileEntry] =
+    manifestEntries(table, snap)
+      .filter(e => e.rows > 0 && e.maxCell >= lo && e.minCell <= hi)
+
   /** Snapshot-pinned read; `cellRange` prunes whole data files via manifest
     * min/max before any parquet footer is opened. */
   def read(spark: SparkSession, table: String, snap: Long,

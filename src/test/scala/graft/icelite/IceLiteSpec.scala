@@ -241,6 +241,36 @@ class IceLiteSpec extends AnyFunSuite {
     assert(m2.values.map(_.rows).sum == 14)
   }
 
+  test("metadata-only count/planFiles agree with actual reads at every stage") {
+    import graft.core.{CellId, GridRef}
+    val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
+      cellsize = 1, nodata = -9999)
+    val strip = TileOps.tileGrid(spark, ref, 6)((r, c) => (r + c).toDouble)
+    val table = Files.createTempDirectory("icelite-meta").toString
+    IceLite.commitResumable(spark, strip, table, buckets = 4, snap = 1L)
+    val s2 = IceLite.deleteRange(spark, table,
+      CellId.encode(6, 7, 0), CellId.encode(6, 8, 0))
+    for (sn <- Seq(1L, s2)) {
+      // the metadata-only count must equal a full scan's count, without
+      // opening a file itself
+      assert(IceLite.countRows(table, sn) == IceLite.read(spark, table, sn).count())
+      assert(IceLite.dataFileCount(table, sn) ==
+        IceLite.manifestEntries(table, sn).count(_.rows > 0))
+    }
+    // planFiles == exactly what a ranged read opens: every planned file's
+    // rows are scanned, and no in-range row lives outside the plan
+    val b = CellId.encode(6, 0, 0)
+    for ((lo, hi) <- Seq((b, b + 21L), (b + 22L, b + 63L), (b + 21L, b + 64L))) {
+      val plan = IceLite.planFiles(table, 1L, lo, hi)
+      val scanned = IceLite.read(spark, table, 1L, Some((lo, hi)))
+      assert(plan.map(_.rows).sum == scanned.count(), s"range ($lo,$hi)")
+      val inRange = IceLite.read(spark, table, 1L)
+        .filter(t => t.cellId >= lo && t.cellId <= hi).count()
+      assert(scanned.filter(t => t.cellId >= lo && t.cellId <= hi)
+        .count() == inRange, s"plan must cover every in-range row ($lo,$hi)")
+    }
+  }
+
   test("rollback: metadata-only undo; abandoned head pinned; ids never reused") {
     import spark.implicits._
     val table = Files.createTempDirectory("icelite-rb").toString
