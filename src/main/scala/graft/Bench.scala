@@ -305,6 +305,13 @@ object Bench {
       if (!new java.io.File(corpus10x + "/_SUCCESS").exists())
         ImageCorpus.generate(sGen, tiles10x, gridW)
           .write.mode("overwrite").parquet(corpus10x)
+      // UNTIMED JIT warm at 1x size before any timed 10x rep: the 512-tile
+      // metrics pass is far short of the ~10k decode invocations C2 needs,
+      // and with the 10x section ordered FIRST the ladder no longer warms
+      // it — measured cold-vs-warm gap on rep 0 is 4.7x (176 s vs 37.6 s),
+      // which under the rep cutoff can leave the artifact with ONLY the
+      // compile-ramp sample. ~20 s buys a steady-state first rep.
+      pipeline(sGen, corpusPath, nTiles, gridW)
       sGen.stop()
     }
     val acc10 = scala.collection.mutable.Map[Int, Vector[Double]]()
@@ -322,8 +329,11 @@ object Bench {
     if (tiles10x > 0)
       // interleaved min-of-2 per level; JIT is already warm (the query
       // section and the warm pass ran in this same JVM)
+      // past the cutoff, still guarantee ONE rep per parallelism level —
+      // a 10x section with only the 32-level cannot evidence the 8->32
+      // gate at all (min-of-fewer beats a one-legged artifact)
       for ((c, i) <- reps10x.zipWithIndex
-           if only10x || i == 0 || elapsedMainSec < repCutoff10x) {
+           if only10x || acc10(c).isEmpty || elapsedMainSec < repCutoff10x) {
         val s = session(c)
         s.read.parquet(corpus10x).schema
         System.gc()
