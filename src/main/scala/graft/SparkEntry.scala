@@ -887,6 +887,72 @@ object SparkEntry {
         .orderBy($"qid")
     }),
 
+    // HARD-NEGATIVE MINING (m8) — the contrastive-training batch
+    // primitive: per anchor, the top-5 most-similar corpus vectors with
+    // a DIFFERENT lang label (the near-misses an InfoNCE loss needs),
+    // on the e7 labeled fixture. One composite-predicate join + window
+    // top-k; dyadic coordinates make every cosine bit-identical
+    // cross-engine, so the full ranking hash-gates.
+    "m8_hard_negatives" -> ((s, _) => {
+      import s.implicits._
+      val C = 16; val M = 30; val dim = 16
+      val e = s.range(C.toLong * M).map { vid =>
+        val cl = (vid % C).toInt; val m = (vid / C).toInt
+        val v = Array.tabulate(dim) { d =>
+          val center = if (d == cl) 8.0f else 0.0f
+          center + (((m * 31 + d * 17 + cl * 7) % 13) - 6) * 0.125f
+        }
+        (vid, v, Seq("en", "de", "fr")((vid % 3).toInt))
+      }.toDF("vec_id", "embedding", "lang")
+      val anchors = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"),
+          $"lang".as("qlabel"))
+      val corpus = e.select($"vec_id".as("vid"), $"embedding".as("v"),
+        $"lang".as("label"))
+      graft.sim.Similarity.hardNegatives(anchors, corpus, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // ICELITE SNAPSHOT EXPIRY + GC (q31): the retention lifecycle under
+    // the hash gate — expire keeps the last 2 snapshots, deletes exactly
+    // the ONE data directory no live manifest references (bucket 0's
+    // pre-upsert file; bucket 3's old file is still referenced by the
+    // kept snap 2 and MUST survive), the head and the kept pin stay
+    // byte-identical, and reading the expired snapshot fails loudly.
+    "q31_expire_gc" -> ((s, _) => {
+      import s.implicits._
+      val il = graft.icelite.IceLite
+      val dir = java.nio.file.Files.createTempDirectory("q31-icelite").toString
+      val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      il.commitResumable(s, strip, dir, buckets = 4, snap = 1L)
+      val s2 = il.upsert(s, dir, strip.filter(t => t.col0 == 0)
+        .map(t => t.copy(payload = t.payload.map(_ + 1000.0))))
+      val s3 = il.upsert(s, dir, strip.filter(t => t.col0 == 960)
+        .map(t => t.copy(payload = t.payload.map(_ + 500.0))))
+      def rsum(snap: Long): Long = il.read(s, dir, snap).map { t =>
+        var x = 0L; t.payload.foreach(v => x += Math.rint(v).toLong); x
+      }.reduce(_ + _)
+      val nBefore = il.snapshots(dir).size.toLong
+      val headBefore = rsum(s3)
+      val removed = il.expireSnapshots(dir, keepLast = 2).toLong
+      val nAfter = il.snapshots(dir).size.toLong
+      val headAfter = rsum(s3)
+      val prevPin = rsum(s2)
+      val gone =
+        try { il.read(s, dir, 1L).count(); 0L }
+        catch { case _: Throwable => 1L }
+      s.createDataset(Seq(
+        ("a_before", nBefore, headBefore),
+        ("b_after", nAfter, headAfter),
+        ("c_gc", removed, prevPin),
+        ("d_expired_pin", gone, 0L)))
+        .toDF("stage", "n", "rint_sum")
+        .orderBy($"stage")
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -5463,6 +5529,50 @@ object SparkEntry {
         |LEFT JOIN annN ON annN.qid = t.i
         |LEFT JOIN hitN ON hitN.qid = t.i
         |ORDER BY qid""".stripMargin,
+
+    // m8: the e7 brute oracle with the label predicate INVERTED —
+    // candidates must differ in lang (vid % 3) from the anchor
+    "m8_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT t.vid AS vid, d.d AS d,
+        |    (CASE WHEN d.d = t.vid % 16 THEN 8.0 ELSE 0.0 END)
+        |      + (((t.vid // 16) * 31 + d.d * 17 + (t.vid % 16) * 7) % 13 - 6) * 0.125 AS x
+        |  FROM range(480) t(vid), range(16) d(d)),
+        |norms AS (SELECT vid, sqrt(sum(x*x)) AS n FROM v GROUP BY vid),
+        |pairs AS (
+        |  SELECT q.vid AS qid, c.vid AS vid, sum(q.x * c.x) AS dot
+        |  FROM v q JOIN v c ON q.d = c.d AND q.vid < 10 AND c.vid <> q.vid
+        |    AND c.vid % 3 <> q.vid % 3
+        |  GROUP BY q.vid, c.vid),
+        |cs AS (
+        |  SELECT p.qid, p.vid, p.dot / (nq.n * nc.n) AS cos
+        |  FROM pairs p JOIN norms nq ON nq.vid = p.qid
+        |              JOIN norms nc ON nc.vid = p.vid),
+        |rk AS (SELECT qid, vid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+        |  FROM cs)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid
+        |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // q31: stage numbers derived from the construction — head carries
+    // both upserts (+1000 and +500 on one 4096-cell tile each), the
+    // kept snap-2 pin carries only the first, expiry deletes exactly
+    // one dead directory and the expired snapshot must be unreadable
+    "q31_expire_gc" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r, c.c AS c, (r.r * 7 + c.c * 3) % 100 AS v
+        |  FROM range(64) r(r), range(1024) c(c)),
+        |b AS (SELECT sum(v) AS sv FROM cells),
+        |rows AS (
+        |  SELECT 'a_before' AS stage, 3 AS n,
+        |    (SELECT sv FROM b) + 4096000 + 2048000 AS rint_sum
+        |  UNION ALL SELECT 'b_after', 2,
+        |    (SELECT sv FROM b) + 4096000 + 2048000
+        |  UNION ALL SELECT 'c_gc', 1, (SELECT sv FROM b) + 4096000
+        |  UNION ALL SELECT 'd_expired_pin', 1, 0)
+        |SELECT stage, CAST(n AS BIGINT) AS n,
+        |  CAST(rint_sum AS BIGINT) AS rint_sum
+        |FROM rows ORDER BY stage""".stripMargin,
 
     // q22: changelog totals in closed form from the construction — the
     // upsert touches the (c // 64) even bands (+1000/cell, 4 tiles,

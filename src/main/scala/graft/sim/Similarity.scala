@@ -33,6 +33,28 @@ object Similarity extends Serializable {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training (the CLIP/SimCLR
+    * batch-construction primitive): for each anchor, the top-k most
+    * similar corpus items with a DIFFERENT label — the near-miss
+    * negatives that actually move an InfoNCE loss, vs the easy random
+    * negatives in-batch sampling yields. Exact evaluation shape: ONE
+    * shuffled join under the composite (id-inequality AND
+    * label-inequality) predicate + a per-anchor window top-k; the scale
+    * path composes [[ivfTopK]]'s probed-list scan with the complement
+    * label predicate on the candidate side (the FAISS IDSelector
+    * pattern e7 gates for the equality case). anchors: (qid, qv,
+    * qlabel); corpus: (vid, v, label). */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = anchors.join(corpus,
+      col("vid") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cos", dot("qv", "v") /
+        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"))
+  }
+
   /** Norm-augmentation reduction of maximum-inner-product search to
     * cosine / L2 search (Shrivastava & Li, NeurIPS 2014; the xbox
     * transform): every corpus vector x gains one coordinate

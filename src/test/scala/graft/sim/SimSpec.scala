@@ -338,6 +338,37 @@ class SimSpec extends AnyFunSuite {
     assert(ivf.forall(_._3 % 3 == 0))
   }
 
+  test("hardNegatives == driver brute over the label-complement; never same-label") {
+    import spark.implicits._
+    val dim = 6
+    val rnd = new scala.util.Random(91)
+    val rows = (0L until 120L).map { vid =>
+      (vid, Array.fill(dim)((rnd.nextInt(17) - 8) * 0.25f),
+        s"lab${vid % 4}")
+    }
+    val e = spark.createDataset(rows).toDF("vid", "v", "label")
+    val anchors = e.filter($"vid" < 15)
+      .select($"vid".as("qid"), $"v".as("qv"), $"label".as("qlabel"))
+    val got = Similarity.hardNegatives(anchors, e, k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // driver brute: exact cosine over the complement label set
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.filter(_._1 < 15).flatMap { case (qid, qv, ql) =>
+      rows.filter(r => r._1 != qid && r._3 != ql)
+        .map(r => (r._1, cos(qv, r._2)))
+        .sortBy { case (vid, c) => (-c, vid) }
+        .take(4).zipWithIndex
+        .map { case ((vid, _), i) => (qid, (i + 1).toLong, vid) }
+    }.toSet
+    assert(got == want)
+    val lab = rows.map(r => r._1 -> r._3).toMap
+    assert(got.forall { case (q, _, v) => lab(q) != lab(v) })
+  }
+
   test("large-Q join paths (Q = corpus size) == broadcast paths: sq8/pq/ivf-pq") {
     import spark.implicits._
     // Q = CORPUS: every vector queries every other. qBroadcastLimit = 0
