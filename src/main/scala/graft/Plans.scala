@@ -186,7 +186,11 @@ object Plans {
         "centroid probe + inverted-list equi-join) and the brute plan " +
         "(tiny-broadcast BNLJ, the labeled exact-oracle shape) feed two " +
         "partial/final count aggs joined per query — the eval is " +
-        "join-shaped, never a collect"))
+        "join-shaped, never a collect"),
+      "m8_hard_negatives" -> ("hard-negative mining: ONE join under the " +
+        "composite id/label-inequality predicate + per-anchor window " +
+        "top-k — the exact-eval shape; the scale path is e7's filtered " +
+        "list scan with the complement predicate"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (`.explain(\"formatted\")`)\n\n")
