@@ -190,7 +190,11 @@ object Plans {
       "m8_hard_negatives" -> ("hard-negative mining: ONE join under the " +
         "composite id/label-inequality predicate + per-anchor window " +
         "top-k — the exact-eval shape; the scale path is e7's filtered " +
-        "list scan with the complement predicate"))
+        "list scan with the complement predicate"),
+      "r65_multidir_hillshade" -> ("multidirectional hillshade: the four " +
+        "sqrt-only shade chains are codegen'd Columns over the halo " +
+        "gradient kernel — ONE whole-stage span after the exchange, no " +
+        "second kernel, no extra shuffle"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (`.explain(\"formatted\")`)\n\n")

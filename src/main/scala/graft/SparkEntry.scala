@@ -953,6 +953,22 @@ object SparkEntry {
         .orderBy($"stage")
     }),
 
+    // MULTIDIRECTIONAL HILLSHADE (r65) — the soft-shadow rendering pass
+    // (GDAL -multidirectional family), and the FIRST hillshade-family
+    // numeric surface under the cross-engine hash: the sqrt-only
+    // Lambertian formulation (light dot unit-normal; constants all in
+    // {0, +-1, +-sqrt(0.5)}) has no libm trig, so every shade value is
+    // a chain of correctly-rounded IEEE ops on the r8-gated gradient.
+    "r65_multidir_hillshade" -> ((s, _) => {
+      import s.implicits._
+      val dem = TileOps.tileGrid(s, Synth.demRef, tileRes)(Synth.demValue)
+      Stencil.multidirShade(Stencil.hornGradient(dem, Synth.demRef, tileRes))
+        .filter(($"row" * lit(Synth.demRef.ncols) + $"col") % 23 === 7)
+        .select($"row".cast("long").as("row"), $"col".cast("long").as("col"),
+          $"shade")
+        .orderBy($"row", $"col")
+    }),
+
     // P2: clip-by-polygon semi-join mask (rasterio.mask semantics)
     "r12_clip_polygon" -> ((s, _) => {
       import s.implicits._
@@ -5573,6 +5589,47 @@ object SparkEntry {
         |SELECT stage, CAST(n AS BIGINT) AS n,
         |  CAST(rint_sum AS BIGINT) AS rint_sum
         |FROM rows ORDER BY stage""".stripMargin,
+
+    // r65: the r8 Horn CTE + the identical sqrt-only shade chain —
+    // GREATEST(0, (sqrt(.5) - sqrt(.5)*(gx*sin_az + gy*cos_az)) /
+    // sqrt(1 + gx^2 + gy^2)) averaged over the four azimuths, every
+    // constant and op in the same order as the engine's Column tree
+    "r65_multidir_hillshade" -> {
+      val nc = Synth.demRef.ncols
+      def v(rr: String, cc: String): String =
+        s"((($rr) * 31 + ($cc) * 17) % 1000) / 4.0"
+      def hole(rr: String, cc: String): String =
+        s"(($rr) * $nc + ($cc)) % 97 = 13"
+      val n = Seq(
+        ("tl", -1, -1), ("tp", -1, 0), ("tr", -1, 1),
+        ("l", 0, -1), ("rt", 0, 1),
+        ("bl", 1, -1), ("bt", 1, 0), ("br", 1, 1))
+      val holes = (n.map { case (_, dr, dc) => hole(s"r + $dr", s"c + $dc") } :+
+        hole("r", "c")).mkString(" OR ")
+      val defs = n.map { case (nm, dr, dc) => s"${v(s"r + $dr", s"c + $dc")} AS $nm" }
+        .mkString(",\n  ")
+      def sh(sinAz: String, cosAz: String): String =
+        s"GREATEST(0.0, (sqrt(0.5) - sqrt(0.5) * (gx * ($sinAz) + gy * ($cosAz)))" +
+          s" / sqrt(1.0 + gx * gx + gy * gy))"
+      s"""WITH g AS (SELECT (i // $nc) AS r, (i % $nc) AS c
+         |  FROM range(${Synth.demRef.nrows.toLong * nc}) t(i)
+         |  WHERE i % 23 = 7
+         |    AND (i // $nc) BETWEEN 1 AND ${Synth.demRef.nrows - 2}
+         |    AND (i % $nc) BETWEEN 1 AND ${nc - 2}
+         |    AND NOT ($holes)),
+         |nb AS (SELECT r, c,
+         |  $defs FROM g),
+         |gr AS (SELECT r, c,
+         |  ((tr + 2 * rt + br) - (tl + 2 * l + bl)) / (8 * 5.0) AS gx,
+         |  ((tl + 2 * tp + tr) - (bl + 2 * bt + br)) / (8 * 5.0) AS gy
+         |FROM nb)
+         |SELECT r AS row, c AS col,
+         |  (${sh("-sqrt(0.5)", "-sqrt(0.5)")}
+         |   + ${sh("-1.0", "0.0")}
+         |   + ${sh("-sqrt(0.5)", "sqrt(0.5)")}
+         |   + ${sh("0.0", "1.0")}) / 4.0 AS shade
+         |FROM gr ORDER BY row, col""".stripMargin
+    },
 
     // q22: changelog totals in closed form from the construction — the
     // upsert touches the (c // 64) even bands (+1000/cell, 4 tiles,

@@ -176,6 +176,30 @@ object Stencil {
     }.toDF("row", "col", "shade")
   }
 
+  /** MULTIDIRECTIONAL hillshade over the Horn gradient — the
+    * soft-shadow rendering pass (GDAL `-multidirectional` family): the
+    * mean of four Lambertian shades lit from azimuths 225/270/315/360
+    * deg at altitude 45. Formulated WITHOUT transcendentals — shade_az =
+    * max(0, (sin_alt - cos_alt*(gx*sin_az + gy*cos_az)) /
+    * sqrt(1 + gx^2 + gy^2)), the light-vector dot unit-normal with
+    * every constant one of {0, +-1, +-sqrt(0.5)} — so unlike
+    * [[hillshade]] (libm trig, last-ulp engine divergence) every value
+    * is a chain of correctly-rounded IEEE ops and the surface
+    * cross-engine HASH-gates (r65). Entirely declarative codegen'd
+    * Columns over [[hornGradient]]: one whole-stage span, no second
+    * kernel, no extra shuffle. */
+  def multidirShade(grad: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s45 = math.sqrt(0.5) // sin 45 = cos 45; also |sin/cos| of 225/315
+    def shade(sinAz: Double, cosAz: Double) =
+      greatest(lit(0.0),
+        (lit(s45) - lit(s45) * (col("gx") * lit(sinAz) + col("gy") * lit(cosAz))) /
+          sqrt(lit(1.0) + col("gx") * col("gx") + col("gy") * col("gy")))
+    grad.withColumn("shade",
+      (shade(-s45, -s45) + shade(-1.0, 0.0) + shade(-s45, s45) +
+        shade(0.0, 1.0)) / lit(4.0))
+  }
+
   /** Slope/aspect classification over the Horn gradient (W1): per interior
     * pixel, `tan2_slope` = gx^2 + gy^2 (tan^2 of the slope angle — kept
     * rational: no sqrt/atan so a SQL oracle is bit-exact) and the aspect

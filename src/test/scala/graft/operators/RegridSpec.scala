@@ -445,4 +445,25 @@ class RegridSpec extends AnyFunSuite {
     assert(rows.length > 25000)
     assert(rows.forall { r => val s = r.getDouble(2); s >= 0.0 && s <= 1.0 })
   }
+
+  test("multidirShade: bounded, flat cells shade sqrt(0.5), == driver formula") {
+    val dem = TileOps.tileGrid(spark, Synth.demRef, 6)(Synth.demValue)
+    val g = Stencil.hornGradient(dem, Synth.demRef, 6)
+    val rows = Stencil.multidirShade(g).collect()
+    assert(rows.length == g.count())
+    val s45 = math.sqrt(0.5)
+    def sh(gx: Double, gy: Double, sa: Double, ca: Double): Double =
+      math.max(0.0,
+        (s45 - s45 * (gx * sa + gy * ca)) /
+          math.sqrt(1.0 + gx * gx + gy * gy))
+    rows.foreach { r =>
+      val gx = r.getDouble(2); val gy = r.getDouble(3)
+      val s = r.getDouble(4)
+      assert(s >= 0.0 && s <= 1.0)
+      val want = (sh(gx, gy, -s45, -s45) + sh(gx, gy, -1.0, 0.0) +
+        sh(gx, gy, -s45, s45) + sh(gx, gy, 0.0, 1.0)) / 4.0
+      assert(s == want, s"(${r.get(0)},${r.get(1)})")
+      if (gx == 0.0 && gy == 0.0) assert(s == s45)
+    }
+  }
 }
