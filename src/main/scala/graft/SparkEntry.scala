@@ -2024,6 +2024,24 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    // PERSONALIZED PageRank (g5) — restart to seed set {0, 13} over the
+    // g1 link graph: the seed-proximity prior (recommendation / crawl
+    // frontier scoring). Same dyadic exactness engineering as g1
+    // (outdeg 2 everywhere, damping 7/8, |S| = 2, NO dangling nodes),
+    // so shuffle-order sums are bit-identical and pr*2^18 is an exact
+    // integer; nodes far from the seeds genuinely rank 0.
+    "g5_personalized_pr" -> ((s, _) => {
+      import s.implicits._
+      val ids = s.range(64).toDF("id")
+      val edges = ids.select($"id".as("src"), (($"id" * 2 + 1) % 64).as("dst"))
+        .unionByName(ids.select($"id".as("src"),
+          (($"id" * $"id" + 7) % 64).as("dst")))
+      graft.operators.GraphOps.personalizedPageRank(edges, "src", "dst",
+          sources = Seq(0L, 13L), iters = 3, damping = 0.875)
+        .select($"node", $"pr", ($"pr" * 262144).cast("long").as("pr_scaled"))
+        .orderBy($"node")
+    }),
+
     // Multi-source BFS hop distance over the g1 link graph (crawl depth
     // from a seed set — the graph analog of the r42 distance transform):
     // frontier relaxation, one (id, dist) shuffle per round, rounds =
@@ -6081,6 +6099,36 @@ object SparkEntry {
         |c3 AS (SELECT e.dst AS id, sum(r2.pr / d.outdeg) AS c
         |  FROM e JOIN r2 ON r2.id = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
         |r3 AS (SELECT n.id, 1::DOUBLE/512 + (7::DOUBLE/8) * coalesce(c3.c, 0) AS pr
+        |  FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
+        |SELECT id AS node, pr, CAST(pr * 262144 AS BIGINT) AS pr_scaled
+        |FROM r3 ORDER BY id""".stripMargin,
+
+    // g5: the g1 unrolled-iteration oracle with the PERSONALIZED
+    // teleport — restart mass 1/16 lands only on {0, 13} (no dangling
+    // nodes in this graph, so the dangling term is exactly 0)
+    "g5_personalized_pr" ->
+      """WITH nodes AS (SELECT i AS id FROM range(64) t(i)),
+        |e AS (
+        |  SELECT i AS src, (2*i+1) % 64 AS dst FROM range(64) t(i)
+        |  UNION ALL
+        |  SELECT i AS src, (i*i+7) % 64 AS dst FROM range(64) t(i)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CASE WHEN id IN (0, 13) THEN 1::DOUBLE/2
+        |    ELSE 0::DOUBLE END AS pr FROM nodes),
+        |c1 AS (SELECT e.dst AS id, sum(r0.pr / d.outdeg) AS c
+        |  FROM e JOIN r0 ON r0.id = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r1 AS (SELECT n.id, CASE WHEN n.id IN (0, 13) THEN 1::DOUBLE/16
+        |    ELSE 0::DOUBLE END + (7::DOUBLE/8) * coalesce(c1.c, 0) AS pr
+        |  FROM nodes n LEFT JOIN c1 ON c1.id = n.id),
+        |c2 AS (SELECT e.dst AS id, sum(r1.pr / d.outdeg) AS c
+        |  FROM e JOIN r1 ON r1.id = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r2 AS (SELECT n.id, CASE WHEN n.id IN (0, 13) THEN 1::DOUBLE/16
+        |    ELSE 0::DOUBLE END + (7::DOUBLE/8) * coalesce(c2.c, 0) AS pr
+        |  FROM nodes n LEFT JOIN c2 ON c2.id = n.id),
+        |c3 AS (SELECT e.dst AS id, sum(r2.pr / d.outdeg) AS c
+        |  FROM e JOIN r2 ON r2.id = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r3 AS (SELECT n.id, CASE WHEN n.id IN (0, 13) THEN 1::DOUBLE/16
+        |    ELSE 0::DOUBLE END + (7::DOUBLE/8) * coalesce(c3.c, 0) AS pr
         |  FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
         |SELECT id AS node, pr, CAST(pr * 262144 AS BIGINT) AS pr_scaled
         |FROM r3 ORDER BY id""".stripMargin,

@@ -103,6 +103,55 @@ object GraphOps {
     ranks.select($"id".as("node"), $"pr")
   }
 
+  /** PERSONALIZED PageRank — random walk with restart to a SOURCE set
+    * (the seed-biased proximity prior: recommendation, crawl frontier
+    * scoring, related-document ranking): teleports land ONLY on
+    * `sources`, so ranks measure proximity to the seeds instead of
+    * global centrality; dangling mass also restarts to the sources.
+    * Identical plan shape to [[pageRank]] — per iteration ONE
+    * contribution shuffle on dst + one id join, dangling set computed
+    * once, localCheckpoint'd constant-size plans. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank: iters must be >= 1, got $iters")
+    require(sources.nonEmpty, "personalizedPageRank: sources must be non-empty")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val srcSet = sources.distinct
+    val k = srcSet.size
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist(mem)
+    val nodes = e.select($"src".as("id"))
+      .unionByName(e.select($"dst".as("id"))).distinct().persist(mem)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src").persist(mem)
+    val dangIds = nodes
+      .join(deg.select($"src".as("id")), Seq("id"), "left_anti")
+      .persist(mem)
+    val isSrc = $"id".isInCollection(srcSet)
+    var ranks = nodes
+      .withColumn("pr", when(isSrc, lit(1.0 / k)).otherwise(lit(0.0)))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dangRow = ranks.join(dangIds, Seq("id"), "left_semi")
+        .agg(sum($"pr")).collect()(0)
+      val dangling = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDouble(0)
+      val contribs = ed.join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy($"dst").agg(sum($"pr" / $"outdeg").as("c"))
+      ranks = nodes
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select($"id",
+          (when(isSrc,
+            lit((1.0 - damping) / k + damping * (dangling / k)))
+            .otherwise(lit(0.0))
+            + lit(damping) * coalesce($"c", lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    e.unpersist(); ed.unpersist(); nodes.unpersist(); dangIds.unpersist()
+    ranks.select($"id".as("node"), $"pr")
+  }
+
   /** `edges`: two long columns naming an undirected edge per row.
     * Returns (node, root) for every node appearing in `edges`, where
     * root is the component's minimum node id. */

@@ -103,6 +103,46 @@ class GraphOpsSpec extends AnyFunSuite {
       GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst", 0) }
   }
 
+  test("personalizedPageRank: == driver restart iteration; mass stays on seed-reachable set") {
+    import spark.implicits._
+    // same dangling-bearing digraph as the pageRank test; seeds {8, 12}
+    val edges: Seq[(Long, Long)] = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (8L, 9L), (9L, 10L),
+      (10L, 8L), (10L, 11L), (12L, 0L))
+    val seeds = Seq(8L, 12L)
+    val iters = 4; val d = 0.85
+    val got = GraphOps.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", seeds, iters, d).as[(Long, Double)].collect().toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val out = edges.groupBy(_._1).map { case (s, es) => idx(s) -> es.size }
+    val n = nodes.size
+    val k = seeds.size
+    val seedIdx = seeds.map(idx).toSet
+    var r = Array.tabulate(n)(i => if (seedIdx(i)) 1.0 / k else 0.0)
+    for (_ <- 1 to iters) {
+      val dangling = r.indices.filter(i => !out.contains(i)).map(r).sum
+      val contrib = Array.fill(n)(0.0)
+      edges.foreach { case (s, t) =>
+        contrib(idx(t)) += r(idx(s)) / out(idx(s)) }
+      r = Array.tabulate(n)(i =>
+        (if (seedIdx(i)) (1.0 - d) / k + d * (dangling / k) else 0.0)
+          + d * contrib(i))
+    }
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { nd =>
+      assert(math.abs(got(nd) - r(idx(nd))) < 1e-12, s"node $nd") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "restart mass conserved")
+    // node 6 is unreachable from {8, 12} in <= 4 hops via teleport-free
+    // paths? (12 -> 0 -> 3 -> 4 -> 5 -> 6 is 5 hops) -> rank exactly 0
+    assert(got(6L) == 0.0)
+    assert(got(8L) > got(11L), "seed outranks its downstream leaf")
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        Seq.empty, 2) }
+  }
+
   test("bfsDistances == driver BFS; multi-source min, unreachables absent") {
     import spark.implicits._
     // deterministic sparse digraph with unreachable pockets: 80 nodes,
