@@ -953,6 +953,53 @@ object SparkEntry {
         .orderBy($"stage")
     }),
 
+    // ICELITE WAP AUDIT-REJECT (q32) — the arm q24 does not cover: a
+    // staged snapshot FAILS its audit (4 of 6 tiles — a broken
+    // upstream), is abandoned instead of published, and the abandon
+    // must GC exactly the staged artifacts (4 data dirs — every staged
+    // bucket is unshared), leave main byte-identical, and make both
+    // the ref and the staged snapshot loudly unreadable.
+    "q32_wap_reject" -> ((s, _) => {
+      import s.implicits._
+      val il = graft.icelite.IceLite
+      val dir = java.nio.file.Files.createTempDirectory("q32-icelite").toString
+      val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
+        ((r * 7 + c * 3) % 100).toDouble)
+      il.commitResumable(s, base, dir, buckets = 4, snap = 1L)
+      // broken upstream: the tx=0 tile column went missing
+      il.commitResumable(s, base.filter(t => t.col0 != 0), dir,
+        buckets = 4, snap = 2L, stageRef = Some("audit"))
+      def stats(snap: Long): (Long, Long) = {
+        val r0 = il.read(s, dir, snap).map { t =>
+          var x = 0L; t.payload.foreach(v => x += Math.rint(v).toLong)
+          (1L, x)
+        }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+        r0
+      }
+      val (preN, preSum) = stats(1L)
+      val staged = il.refSnapshot(dir, "audit").get
+      val (stN, stSum) = stats(staged)
+      val rejected = if (stN != preN) 1L else 0L // the audit verdict
+      require(rejected == 1L, "q32: audit unexpectedly passed")
+      val gc = il.abandonStaged(dir, "audit").toLong
+      val (postN, postSum) = stats(1L)
+      val gone =
+        (try { il.read(s, dir, staged).count(); 0L }
+        catch { case _: Throwable => 1L }) min
+          (if (il.refSnapshot(dir, "audit").isEmpty) 1L else 0L)
+      s.createDataset(Seq(
+        ("a_main_pre", preN, preSum),
+        ("b_staged", stN, stSum),
+        ("c_reject", rejected, 0L),
+        ("d_gc", gc, 0L),
+        ("e_main_post", postN, postSum),
+        ("f_staged_gone", gone, 0L)))
+        .toDF("stage", "n", "rint_sum")
+        .orderBy($"stage")
+    }),
+
     // MULTIDIRECTIONAL HILLSHADE (r65) — the soft-shadow rendering pass
     // (GDAL -multidirectional family), and the FIRST hillshade-family
     // numeric surface under the cross-engine hash: the sqrt-only
@@ -5604,6 +5651,25 @@ object SparkEntry {
         |    (SELECT sv FROM b) + 4096000 + 2048000
         |  UNION ALL SELECT 'c_gc', 1, (SELECT sv FROM b) + 4096000
         |  UNION ALL SELECT 'd_expired_pin', 1, 0)
+        |SELECT stage, CAST(n AS BIGINT) AS n,
+        |  CAST(rint_sum AS BIGINT) AS rint_sum
+        |FROM rows ORDER BY stage""".stripMargin,
+
+    // q32: numbers from the construction — main 6 tiles/base sum, the
+    // staged branch 4 tiles / the c >= 64 sub-sum, audit rejects, GC
+    // deletes the 4 unshared staged bucket dirs, main unchanged
+    "q32_wap_reject" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r, c.c AS c, (r.r * 7 + c.c * 3) % 100 AS v
+        |  FROM range(96) r(r), range(160) c(c)),
+        |rows AS (
+        |  SELECT 'a_main_pre' AS stage, 6 AS n, sum(v) AS rint_sum
+        |    FROM cells
+        |  UNION ALL SELECT 'b_staged', 4, sum(v) FROM cells WHERE c >= 64
+        |  UNION ALL SELECT 'c_reject', 1, 0
+        |  UNION ALL SELECT 'd_gc', 4, 0
+        |  UNION ALL SELECT 'e_main_post', 6, (SELECT sum(v) FROM cells)
+        |  UNION ALL SELECT 'f_staged_gone', 1, 0)
         |SELECT stage, CAST(n AS BIGINT) AS n,
         |  CAST(rint_sum AS BIGINT) AS rint_sum
         |FROM rows ORDER BY stage""".stripMargin,

@@ -309,6 +309,40 @@ object IceLite {
     snap
   }
 
+  /** ABANDON a staged WAP ref — the audit-REJECT arm of
+    * write-audit-publish ([[publish]] is the accept arm): the ref is
+    * dropped and the staged snapshot's artifacts (manifest, lineage,
+    * and every data directory no OTHER manifest references) are
+    * deleted, so a failed audit leaves no debris and no pin. Refuses
+    * to abandon a published snapshot. Returns the number of data
+    * directories deleted (0 when the ref does not exist). */
+  def abandonStaged(table: String, name: String): Int = {
+    val p = Paths.get(table, "refs", s"$name.json")
+    if (!Files.exists(p)) return 0
+    val snap = "\"snap\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"abandonStaged: ref `$name` in $table carries no snap"))
+    require(!currentSnapshot(table).contains(snap),
+      s"abandonStaged: snapshot $snap of ref `$name` is PUBLISHED — " +
+        "use expireSnapshots for retention, not abandon")
+    Files.deleteIfExists(p)
+    val live = snapshots(table).filterNot(_ == snap)
+      .flatMap(s => manifestEntries(table, s).map(_.path))
+      .map(Paths.get(_).normalize.toString).toSet
+    var deleted = 0
+    manifestEntries(table, snap).foreach { e =>
+      val d = Paths.get(e.path).normalize
+      if (!live.contains(d.toString) && Files.exists(d)) {
+        deleteRecursively(d); deleted += 1
+      }
+    }
+    Files.deleteIfExists(Paths.get(table, "manifests", s"m-$snap.json"))
+    val lin = Paths.get(table, "lineage", snap.toString)
+    if (Files.exists(lin)) deleteRecursively(lin)
+    deleted
+  }
+
   /** JSON schema record of a DataFrame (partition col `bucket` excluded). */
   private def schemaJson(df: DataFrame): String =
     df.schema.fields.filterNot(_.name == "bucket").map { f =>

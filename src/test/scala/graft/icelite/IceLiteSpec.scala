@@ -271,6 +271,41 @@ class IceLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("abandonStaged: reject arm GCs staged artifacts only; refuses published") {
+    import graft.core.GridRef
+    val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
+      cellsize = 1, nodata = -9999)
+    val base = TileOps.tileGrid(spark, ref, 6)((r, c) => (r + c).toDouble)
+    val table = Files.createTempDirectory("icelite-abandon").toString
+    IceLite.commitResumable(spark, base, table, buckets = 4, snap = 1L)
+    IceLite.commitResumable(spark, base.filter(_.col0 != 0), table,
+      buckets = 4, snap = 2L, stageRef = Some("bad"))
+    assert(IceLite.snapshots(table) == Seq(1L, 2L))
+    // nonexistent ref: no-op
+    assert(IceLite.abandonStaged(table, "nope") == 0)
+    // reject: staged manifest + lineage + all 4 unshared dirs go
+    assert(IceLite.abandonStaged(table, "bad") == 4)
+    assert(IceLite.snapshots(table) == Seq(1L))
+    assert(IceLite.refSnapshot(table, "bad").isEmpty)
+    assert(IceLite.read(spark, table, 1L).count() == 6) // main intact
+    intercept[Exception] { IceLite.read(spark, table, 2L).count() }
+    // the freed id is safely reclaimable by the next writer
+    assert(IceLite.nextSnapshotId(table) == 2L)
+    // published snapshots refuse the abandon arm
+    IceLite.commitResumable(spark, base, table, buckets = 4, snap = 2L,
+      stageRef = Some("ok"))
+    IceLite.publish(table, "ok")
+    IceLite.commitResumable(spark, base, table, buckets = 4, snap = 3L,
+      stageRef = Some("oops"))
+    // hand-point the ref at the PUBLISHED snapshot to exercise the guard
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(table, "refs", "oops.json"),
+      """{"snap": 2, "buckets": 4, "schema": []}""")
+    intercept[IllegalArgumentException] {
+      IceLite.abandonStaged(table, "oops")
+    }
+  }
+
   test("rollback: metadata-only undo; abandoned head pinned; ids never reused") {
     import spark.implicits._
     val table = Files.createTempDirectory("icelite-rb").toString
