@@ -10,7 +10,10 @@ object QueryProf {
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val names = args.lift(2).map(_.split(',').toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
-    val s = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // coalesce=true matches the Bench QUERY session exactly — numbers
+    // here must be comparable to the bench's per-query table
+    val s = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      coalesce = true)
     s.sparkContext.setLogLevel("WARN")
     for (name <- names; r <- 1 to reps) {
       val t0 = System.nanoTime()

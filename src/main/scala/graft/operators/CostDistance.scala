@@ -130,7 +130,7 @@ object CostDistance {
           if (q.isNaN) Double.NaN else if (isSource(q)) 0.0 else INF
         }
         Tile(t.cellId, t.row0, t.col0, t.h, t.w, payload)
-      }.localCheckpoint(true)
+      }.localCheckpoint(false)
 
       var rounds = 0
       var changed = 1L
@@ -138,6 +138,11 @@ object CostDistance {
         rounds += 1
         require(rounds <= maxRounds, s"costDistance did not converge in $maxRounds rounds")
         val pfD = Stencil.padded(state, ref, res)
+        // lazy checkpoint of the (tile, changed) pairs: the convergence
+        // agg below is the round's ONLY job — it materializes (and
+        // caches) the checkpoint, and the next round's state reads the
+        // cached blocks directly. One job per round instead of the
+        // previous persist + agg + eager-checkpoint two-job shape.
         val stepped = pfD
           .joinWith(pfQ, pfD("cellId") === pfQ("cellId"), "inner")
           .map { case (pd, pq) =>
@@ -150,16 +155,14 @@ object CostDistance {
               i += 1
             }
             (Tile(pd.cellId, pd.row0, pd.col0, pd.h, pd.w, out), ch)
-          }.persist()
+          }.localCheckpoint(false)
         // agg, not reduce: total over an EMPTY tiling is 0, not a crash
         changed = stepped.map(_._2)
           .agg(org.apache.spark.sql.functions.coalesce(
             org.apache.spark.sql.functions.sum("value"),
             org.apache.spark.sql.functions.lit(0L)))
           .head().getLong(0)
-        val next = stepped.map(_._1).localCheckpoint(true)
-        stepped.unpersist()
-        state = next
+        state = stepped.map(_._1)
       }
       state
     } finally pfQ.unpersist()
@@ -301,13 +304,18 @@ object CostDistance {
         }
         out.result().iterator
       }.toDF("id", "dist", "to", "steps")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val targetId = targetRow.toLong * ncols + targetCol
     require(pred0.filter(col("id") === targetId).count() == 1,
       s"leastCostPath: target ($targetRow, $targetCol) is not a reachable valid cell")
 
-    var jumps = pred0.select("id", "to", "steps").localCheckpoint(true)
-    var path = Seq((targetId, 0L)).toDF("id", "pos").localCheckpoint(true)
+    // lazy checkpoints throughout the doubling loop: each round's ONLY
+    // job is nextPath.count(), which materializes the round's path AND
+    // (transitively, on the following round) the doubled jump table —
+    // one job per round instead of the previous three eager-checkpoint
+    // jobs per round.
+    var jumps = pred0.select("id", "to", "steps").localCheckpoint(false)
+    var path = Seq((targetId, 0L)).toDF("id", "pos")
     var n = 1L
     var grown = true
     var round = 0
@@ -320,7 +328,7 @@ object CostDistance {
         .select(col("j.to").as("id"), (col("p.pos") + col("j.steps")).as("pos"))
       val nextPath = path.unionByName(extended)
         .groupBy("id").agg(sqlMin("pos").as("pos"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val n2 = nextPath.count()
       grown = n2 > n
       n = n2
@@ -331,7 +339,7 @@ object CostDistance {
           .join(jumps.as("b"), col("a.to") === col("b.id"), "inner")
           .select(col("a.id"), col("b.to"),
             (col("a.steps") + col("b.steps")).as("steps"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     path.as("p").join(pred0.as("d"), col("p.id") === col("d.id"), "inner")

@@ -581,7 +581,9 @@ object Flow {
   private def resolveChainsDoubling(init: DataFrame): DataFrame = {
     val spark = init.sparkSession
     import spark.implicits._
-    var l = init.localCheckpoint(true)
+    // lazy checkpoints: the per-round remaining-count is the round's only
+    // job and materializes the checkpoint as a side effect
+    var l = init.localCheckpoint(false)
     var remaining = l.where(!$"done").count()
     while (remaining > 0) {
       val tgt = l.select($"xr".as("lr"), $"xc".as("lc"),
@@ -595,7 +597,7 @@ object Flow {
           when($"done", $"lc").otherwise($"tlc").as("lc"),
           when($"done", $"nc").otherwise($"nc" + $"tnc").as("nc"),
           when($"done", $"nd").otherwise($"nd" + $"tnd").as("nd"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val next = l.where(!$"done").count()
       require(next < remaining, "pointer doubling stalled — crossing chain cycle")
       remaining = next
@@ -1045,7 +1047,7 @@ object Flow {
           i += 1
         }
         Tile(pz.cellId, pz.row0, pz.col0, h, w, payload)
-      }.localCheckpoint(true)
+      }.localCheckpoint(false)
 
       var rounds = 0
       var changed = 1L
@@ -1053,6 +1055,10 @@ object Flow {
         rounds += 1
         require(rounds <= maxRounds, s"fillSinks did not converge in $maxRounds rounds")
         val pfDs = Stencil.padded(state, ref, res)
+        // lazy checkpoint: the convergence agg below is the round's ONLY
+        // job — it materializes (and caches) the (tile, changed) pairs,
+        // and the next round's state reads the cached blocks. One job
+        // per round instead of persist + agg + eager-checkpoint.
         val stepped = pfDs
           .joinWith(z, pfDs("cellId") === z("cellId"), "inner")
           .map { case (pf, zt) =>
@@ -1065,16 +1071,14 @@ object Flow {
               i += 1
             }
             (Tile(pf.cellId, pf.row0, pf.col0, pf.h, pf.w, out), ch)
-          }.persist()
+          }.localCheckpoint(false)
         // agg, not reduce: total over an EMPTY tiling is 0, not a crash
         changed = stepped.map(_._2)
           .agg(org.apache.spark.sql.functions.coalesce(
             org.apache.spark.sql.functions.sum("value"),
             org.apache.spark.sql.functions.lit(0L)))
           .head().getLong(0)
-        val next = stepped.map(_._1).localCheckpoint(true)
-        stepped.unpersist()
-        state = next
+        state = stepped.map(_._1)
       }
       state
     } finally z.unpersist()

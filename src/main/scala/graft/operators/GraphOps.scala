@@ -82,25 +82,38 @@ object GraphOps {
     val ed = e.join(deg, "src").persist(mem)
     val teleport = (1.0 - damping) / n
     // the dangling-node SET is iteration-invariant — compute it once;
-    // only its rank MASS changes per round (one semi-join + scalar agg)
+    // only its rank MASS changes per round. The mass is a 1-row scalar
+    // subquery CROSS-JOINED into the next rank plan (broadcast of one
+    // row), NOT collected to the driver: the fixed-iteration loop then
+    // builds ONE lazy plan with zero per-round actions — every round's
+    // shuffle runs inside the single job of whichever action consumes
+    // the result (guide §2.4/§5: no driver round-trips in query paths).
     val dangIds = nodes
       .join(deg.select($"src".as("id")), Seq("id"), "left_anti")
       .persist(mem)
-    var ranks = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint()
+    // localCheckpoint(eager = false): the catalyst plan is truncated to a
+    // LogicalRDD immediately (constant-size plans per round), but no job
+    // runs now — the RDD chain materializes, and caches, inside the
+    // first consuming action.
+    var ranks = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(false)
     for (_ <- 1 to iters) {
-      val dangRow = ranks.join(dangIds, Seq("id"), "left_semi")
-        .agg(sum($"pr")).collect()(0)
-      val dangling = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDouble(0)
+      val dang = ranks.join(dangIds, Seq("id"), "left_semi")
+        .agg(coalesce(sum($"pr"), lit(0.0)).as("_dang"))
       val contribs = ed.join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy($"dst").agg(sum($"pr" / $"outdeg").as("c"))
       ranks = nodes
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dang))
         .select($"id", (lit(teleport) + lit(damping) *
-          (coalesce($"c", lit(0.0)) + lit(dangling / n))).as("pr"))
-        .localCheckpoint()
+          (coalesce($"c", lit(0.0)) + $"_dang" / n)).as("pr"))
+        .localCheckpoint(false)
     }
+    // ONE eager materialization of the whole iteration chain (every lazy
+    // checkpoint above caches during this job), then the parents can
+    // release their blocks safely.
+    val out = ranks.select($"id".as("node"), $"pr").localCheckpoint(true)
     e.unpersist(); ed.unpersist(); nodes.unpersist(); dangIds.unpersist()
-    ranks.select($"id".as("node"), $"pr")
+    out
   }
 
   /** PERSONALIZED PageRank — random walk with restart to a SOURCE set
@@ -130,26 +143,31 @@ object GraphOps {
       .join(deg.select($"src".as("id")), Seq("id"), "left_anti")
       .persist(mem)
     val isSrc = $"id".isInCollection(srcSet)
+    // same single-lazy-plan iteration discipline as [[pageRank]]: the
+    // dangling mass rides a broadcast 1-row scalar, rounds add zero
+    // driver actions, and one eager checkpoint at the end materializes
+    // the whole chain before the parents unpersist.
     var ranks = nodes
       .withColumn("pr", when(isSrc, lit(1.0 / k)).otherwise(lit(0.0)))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
-      val dangRow = ranks.join(dangIds, Seq("id"), "left_semi")
-        .agg(sum($"pr")).collect()(0)
-      val dangling = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDouble(0)
+      val dang = ranks.join(dangIds, Seq("id"), "left_semi")
+        .agg(coalesce(sum($"pr"), lit(0.0)).as("_dang"))
       val contribs = ed.join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy($"dst").agg(sum($"pr" / $"outdeg").as("c"))
       ranks = nodes
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dang))
         .select($"id",
           (when(isSrc,
-            lit((1.0 - damping) / k + damping * (dangling / k)))
+            lit((1.0 - damping) / k) + lit(damping) * ($"_dang" / k))
             .otherwise(lit(0.0))
             + lit(damping) * coalesce($"c", lit(0.0))).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
+    val out = ranks.select($"id".as("node"), $"pr").localCheckpoint(true)
     e.unpersist(); ed.unpersist(); nodes.unpersist(); dangIds.unpersist()
-    ranks.select($"id".as("node"), $"pr")
+    out
   }
 
   /** `edges`: two long columns naming an undirected edge per row.
@@ -170,8 +188,11 @@ object GraphOps {
     // materialized LogicalRDD, keeping every round's plan constant-size;
     // the checkpoint blocks are released by the ContextCleaner when the
     // superseded frames are collected.
+    // lazy checkpoints: the convergence-check agg below is the ONLY job
+    // per round — it materializes (and caches) the round's checkpoint as
+    // a side effect, halving the round cost vs eager checkpoint + agg
     var labels = sym.select($"n").distinct().withColumn("lbl", $"n")
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     while (changed > 0) {
       val next = sym.join(labels.withColumnRenamed("n", "m")
@@ -180,7 +201,7 @@ object GraphOps {
         .join(labels, "n")
         .select($"n", least($"nbMin", $"lbl").as("lbl"),
           ($"nbMin" < $"lbl").cast("long").as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val chgRow = next.agg(sum($"chg")).collect()(0)
       changed = if (chgRow.isNullAt(0)) 0L else chgRow.getLong(0) // null: no nodes
       labels = next.select($"n", $"lbl")
@@ -215,9 +236,11 @@ object GraphOps {
       .unionByName(e.select($"dst".as("id")))
       .unionByName(spark.createDataset(sources).toDF("id"))
       .distinct()
+    // lazy checkpoints + one convergence agg per round (see
+    // [[minLabelComponents]]): one job per relax round, not two
     var dist = nodes
       .select($"id", when($"id".isin(sources: _*), 0L).otherwise(INF).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     while (changed > 0) {
       val relax = e
@@ -230,7 +253,7 @@ object GraphOps {
         .select($"id",
           least($"d", coalesce($"cand", lit(INF))).as("d"),
           (coalesce($"cand", lit(INF)) < $"d").cast("long").as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val chgRow = next.agg(sum($"chg")).collect()(0)
       changed = if (chgRow.isNullAt(0)) 0L else chgRow.getLong(0)
       dist = next.select($"id", $"d")
@@ -320,18 +343,21 @@ object GraphOps {
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .where($"a" =!= $"b" && $"a".isNotNull && $"b".isNotNull)
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var peeled = 1L
     while (peeled > 0) {
+      // lazy checkpoints: bad.count() is the round's single job — it
+      // materializes bad (and, transitively, the previous round's peeled
+      // edge table) as a side effect
       val bad = e.select(explode(array($"a", $"b")).as("node"))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
         .filter($"deg" < k).select($"node")
-        .localCheckpoint()
+        .localCheckpoint(false)
       peeled = bad.count()
       if (peeled > 0) {
         e = e.join(bad.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
           .join(bad.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
     }
     e.select(explode(array($"a", $"b")).as("node"))
