@@ -15,13 +15,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Append-mode window emission is one-batch-lagged: a batch evicts and
   * emits a window using the watermark derived from the PREVIOUS batch's
-  * max event time. [[stageChronological]] therefore stages two trailing
-  * flush files — the first advances the watermark past every real
-  * window, the second triggers the batch in which they all emit. The
-  * same trailing files carry one far-future sentinel row per user
-  * (event_id = -1), which is what closes each session group's state
-  * (data-driven flush — no reliance on timeout firing semantics under
-  * AvailableNow). At production scale neither trick is needed: a live
+  * max event time. [[stageChronological]] therefore stages ONE trailing
+  * flush file that advances the watermark past every real window; the
+  * engine's trailing no-data micro-batch (on by default) then evicts and
+  * emits every lagged window. The flush file carries one far-future
+  * sentinel row per user (event_id = -1), which is what closes each
+  * session group's state (data-driven flush — no reliance on timeout
+  * firing semantics under AvailableNow). At production scale neither trick is needed: a live
   * stream advances the watermark forever; sentinels are only how a
   * FINITE drain reproduces the infinite-stream steady state. The memory
   * sink is likewise the fixture gate's sink (results must land in one
@@ -29,6 +29,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * a durable sink (parquet/icelite via foreachBatch, as StreamIngest
   * does) and none of the staging applies. */
 object StreamOps {
+
+  /** Schema of each staged stream dir, recorded at staging time so the
+    * drain queries skip the per-run schema-inference footer job (the
+    * staged layout is fixed once written). Falls back to inference for
+    * dirs staged by an earlier JVM. */
+  private val stagedSchemas =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+  private def schemaOf(spark: SparkSession, streamDir: String)
+      : org.apache.spark.sql.types.StructType =
+    stagedSchemas.getOrElseUpdate(streamDir,
+      spark.read.parquet(streamDir).schema)
 
   /** Write `df` as a single parquet part and move it to `dir/name` with
     * a controlled mtime (the file source orders batches by mtime). One
@@ -62,8 +73,8 @@ object StreamOps {
     * approximate ts quantiles — rows never leave the executors; the
     * driver sees only the boundary values, the max ts and the distinct
     * user list for the sentinels) with strictly increasing modification
-    * times (the file source's processing order), plus two trailing flush
-    * files (see class doc). Same-ts rows always land in one chunk (the
+    * times (the file source's processing order), plus one trailing flush
+    * file (see class doc). Same-ts rows always land in one chunk (the
     * split predicate is on ts alone), and between same-ts events the gap
     * rule is order-independent (gap 0 either way), so the quantile split
     * preserves every per-user session count. Returns the staged dir. */
@@ -94,20 +105,26 @@ object StreamOps {
         evMs.filter($"ts_ms" >= lo && $"ts_ms" < hi).drop("ts_ms"),
         base + i * 1000L)
     }
-    // flush 1: one generic far-future row (advances the watermark)
+    // ONE trailing flush file: per-user far-future sentinels close every
+    // session group (data-driven flush for the custom-state queries) and
+    // advance the watermark past every real window in the same batch.
+    // The former second flush file existed to "trigger the batch in
+    // which the lagged windows emit" — but the engine's trailing NO-DATA
+    // micro-batch (spark.sql.streaming.noDataMicroBatches, on by
+    // default, observed as the final rows=0 batch of every drain) runs
+    // after the last file precisely because the watermark advanced, and
+    // evicts/emits with the updated watermark — so the extra file only
+    // added a full micro-batch (state-store commits on every partition)
+    // per drain to every consumer of this stage.
     def sentinels(ts: Long, uids: Seq[Long]) = {
       val rows: java.util.List[org.apache.spark.sql.Row] =
         java.util.Arrays.asList(uids.map(u => org.apache.spark.sql.Row(
           -1L, new java.sql.Timestamp(ts), u, "zz_flush", 0.0, null)): _*)
       spark.createDataFrame(rows, ev.schema)
     }
-    moveChunk("f001.parquet", sentinels(maxTs + 864000000L, Seq(-1L)),
-      base + (chunks + 1) * 1000L)
-    // flush 2: one sentinel per user (emits windows lagged one batch;
-    // closes every session group)
-    moveChunk("f002.parquet",
+    moveChunk("f001.parquet",
       sentinels(maxTs + 867600000L, users.toSeq :+ -1L),
-      base + (chunks + 2) * 1000L)
+      base + (chunks + 1) * 1000L)
     streamDir
   }
 
@@ -152,10 +169,10 @@ object StreamOps {
           -1L, new java.sql.Timestamp(ts), u, "zz_flush", 0.0, null)): _*)
       spark.createDataFrame(rows, schema)
     }
-    moveChunk("f001.parquet", sentinels(maxTs + 864000000L, Seq(-1L)),
+    // one merged flush file (see stageChronological): the trailing
+    // no-data micro-batch emits the lagged windows, no second file needed
+    moveChunk("f001.parquet", sentinels(maxTs + 867600000L, Seq(-1L, -2L)),
       base + 3000L)
-    moveChunk("f002.parquet", sentinels(maxTs + 867600000L, Seq(-1L, -2L)),
-      base + 4000L)
     streamDir
   }
 
@@ -167,7 +184,7 @@ object StreamOps {
   def windowedEventCounts(spark: SparkSession, streamDir: String,
       checkpoint: String, queryName: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(streamDir).schema
+    val schema = schemaOf(spark, streamDir)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir)
@@ -195,7 +212,7 @@ object StreamOps {
       checkpoint: String, queryName: String,
       gapMs: Long = 1800000L): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(streamDir).schema
+    val schema = schemaOf(spark, streamDir)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir)
@@ -248,7 +265,7 @@ object StreamOps {
   def streamDedup(spark: SparkSession, streamDir: String,
       checkpoint: String, queryName: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(streamDir).schema
+    val schema = schemaOf(spark, streamDir)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir)
@@ -282,7 +299,7 @@ object StreamOps {
     import spark.implicits._
     require(windowMs > 0 && windowMs % 1000 == 0,
       s"windowMs must be a positive whole-second span, got $windowMs")
-    val schema = spark.read.parquet(streamDir).schema
+    val schema = schemaOf(spark, streamDir)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir)
@@ -332,7 +349,7 @@ object StreamOps {
     import spark.implicits._
     require(windowMs > 0 && windowMs % 1000 == 0,
       s"windowMs must be a positive whole-second span, got $windowMs")
-    val schema = spark.read.parquet(streamDir).schema
+    val schema = schemaOf(spark, streamDir)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir)
@@ -386,7 +403,7 @@ object StreamOps {
   def streamStaticEnrich(spark: SparkSession, streamDir: String,
       checkpoint: String, queryName: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(streamDir).schema
+    val schema = schemaOf(spark, streamDir)
     val dim = spark.read.parquet(streamDir)
       .select($"user_id").distinct()
       .withColumn("segment", concat(lit("seg"), pmod($"user_id", lit(5))))
@@ -456,7 +473,7 @@ object StreamOps {
   def imageQualityCuration(spark: SparkSession, streamDir: String,
       checkpoint: String, outDir: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(streamDir).schema
+    val schema = schemaOf(spark, streamDir)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir)
