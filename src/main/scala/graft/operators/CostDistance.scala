@@ -306,15 +306,25 @@ object CostDistance {
       }.toDF("id", "dist", "to", "steps")
       .localCheckpoint(false)
     val targetId = targetRow.toLong * ncols + targetCol
-    require(pred0.filter(col("id") === targetId).count() == 1,
+    // the same 1-row action that validates the target also yields its
+    // converged distance, which bounds the search region below
+    val tRow = pred0.filter(col("id") === targetId).select(col("dist")).collect()
+    require(tRow.length == 1,
       s"leastCostPath: target ($targetRow, $targetCol) is not a reachable valid cell")
+    val targetDist = tRow(0).getDouble(0)
 
     // lazy checkpoints throughout the doubling loop: each round's ONLY
     // job is nextPath.count(), which materializes the round's path AND
     // (transitively, on the following round) the doubled jump table —
     // one job per round instead of the previous three eager-checkpoint
     // jobs per round.
-    var jumps = pred0.select("id", "to", "steps").localCheckpoint(false)
+    // COST-BOUNDED pruning: backlink steps never increase dist (step
+    // weights are >= 0), so every cell on the target's chain has
+    // dist <= dist(target) — the doubling loop only ever probes such
+    // cells, and the jump table shrinks from the whole reachable raster
+    // to the target's cost ball before any self-join runs.
+    var jumps = pred0.filter(col("dist") <= targetDist)
+      .select("id", "to", "steps").localCheckpoint(false)
     var path = Seq((targetId, 0L)).toDF("id", "pos")
     var n = 1L
     var grown = true

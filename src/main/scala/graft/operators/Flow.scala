@@ -1326,11 +1326,30 @@ object Flow {
       // BOTH collected sets — the chain pointers AND the junction nodes
       // (a network of millions of short disjoint segments has few chain
       // cells but a junction set as large as the stream mask).
-      val nNodes = nodesDF.count()
-      var lab: DataFrame = if (!headsViaDoubling &&
-          chainPtrDF.count() + nNodes <= driverLimit) {
-        val nodeSet = nodesDF.as[(Long, Long)].collect().toSet
-        val chain = chainPtrDF.as[(Long, Long, Long, Long)].collect()
+      // ONE bounded probe action replaces the former count + count +
+      // collect + collect sequence: both sets come back in a single
+      // limit(driverLimit + 1) collect, and the gate trips exactly when
+      // the probe overflows the cap (same predicate as the old
+      // chainCount + nodeCount <= driverLimit, two fewer driver
+      // round-trips and no separate counting pass).
+      val probe: Array[(Long, Long, Long, Long, Boolean)] =
+        if (headsViaDoubling) Array.empty
+        else nodesDF
+          .select($"row", $"col", lit(0L).as("pr"), lit(0L).as("pc"),
+            lit(true).as("isNode"))
+          .unionByName(chainPtrDF
+            .select($"row", $"col", $"pr", $"pc", lit(false).as("isNode")))
+          .as[(Long, Long, Long, Long, Boolean)]
+          .limit(driverLimit + 1)
+          .collect()
+      val useDriverHeads = !headsViaDoubling && probe.length <= driverLimit
+      val nodeArr: Array[(Long, Long)] =
+        if (useDriverHeads) probe.filter(_._5).map(t => (t._1, t._2))
+        else Array.empty
+      val nNodes = if (useDriverHeads) nodeArr.length.toLong else nodesDF.count()
+      var lab: DataFrame = if (useDriverHeads) {
+        val nodeSet = nodeArr.toSet
+        val chain = probe.filterNot(_._5).map(t => (t._1, t._2, t._3, t._4))
         val ptr = chain.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
         val head = scala.collection.mutable.HashMap[(Long, Long), (Long, Long)]()
         def resolve(start: (Long, Long)): (Long, Long) = {
@@ -1382,15 +1401,25 @@ object Flow {
         .join(lab.select($"row", $"col", $"hr", $"hc"), Seq("row", "col"))
         .select($"hr", $"hc", $"to_r", $"to_c")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // same bounded-probe trick for the condensed-edge gate: one
+      // limit-collect whose overflow IS the gate (the cap accounts for
+      // the node rows the Kahn branch would also hold)
+      val capLeft = driverLimit.toLong - nNodes + 1
+      val condProbe: Array[(Long, Long, Long, Long)] =
+        if (capLeft >= 1)
+          condensedDf.as[(Long, Long, Long, Long)]
+            .limit(math.min(capLeft, Int.MaxValue.toLong).toInt).collect()
+        else Array.empty
       val orderDf: DataFrame =
-        if (condensedDf.count() + nNodes <= driverLimit) {
+        if (capLeft >= 1 && condProbe.length < capLeft) {
           // Kahn over the junction forest on the driver: order(node with
           // no incoming) = 1; order(w) = max incoming head orders, +1
           // when >=2 share the max. Gate includes the NODE count — this
           // branch collects nodesDF too, and zero-edge forests (all
           // single-junction streams) can still carry millions of nodes.
-          val condensed = condensedDf.as[(Long, Long, Long, Long)].collect()
-          val nodes = nodesDF.as[(Long, Long)].collect()
+          val condensed = condProbe
+          val nodes: Array[(Long, Long)] =
+            if (useDriverHeads) nodeArr else nodesDF.as[(Long, Long)].collect()
           val incoming = condensed.groupBy(e => (e._3, e._4))
             .map { case (w, es) => w -> es.map(e => (e._1, e._2)) }
           val outEdge = condensed.map(e => (e._1, e._2) -> ((e._3, e._4))).toMap
