@@ -214,9 +214,17 @@ object SparkEntry {
         graft.streaming.StreamOps.stageImageChunks(s, 64L, 8, d, chunks = 8)
       })
     }
+  /** State-store partition count for the drained fixture streams.
+    * Stateful-op overhead is per (partition x micro-batch) — each
+    * partition opens and commits its state stores every batch — so the
+    * count should track stream VOLUME, not the host's cores: measured on
+    * the ~100k-row fixture batches, 2 beats both 4 (more per-batch store
+    * commits than the data warrants) and 1 (no parallelism on the real
+    * chunks). Production streams size this by throughput per the usual
+    * 100MB-1GB-per-partition rule; checkpoints pin it per query. */
   private def withFewPartitions[A](s: SparkSession)(f: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
   /** Remove a drained stream's checkpoint dir — the returned result lives
