@@ -60,6 +60,43 @@ object Rasterize {
     fs.groupBy(f => (f.value, f.xs.toSeq, f.ys.toSeq))
       .map(_._2.maxBy(_.seq)).toArray.sortBy(_.seq)
 
+  /** Even-odd SCANLINE burn of one pixel row [cFrom, cTo] of a polygon:
+    * bit-identical pixel set to per-pixel [[RefKernel.pointInPolygon]] —
+    * for fixed py the kernel's inside(px) is exactly the PARITY of
+    * {crossing edges : px < xCross}, and the xCross values computed here
+    * are the same doubles from the same formula — but at O(V + m log m +
+    * W) per row instead of O(W * V): the crossing set is built once per
+    * row and a single pointer sweep over the sorted crossings classifies
+    * every pixel center. `emit` receives each inside column. */
+  private def scanRow(xs: Array[Double], ys: Array[Double], py: Double,
+      left: Double, cellsize: Double, cFrom: Int, cTo: Int,
+      scratch: Array[Double])(emit: Int => Unit): Unit = {
+    val n = xs.length
+    var m = 0
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val yi = ys(i); val yj = ys(j)
+      if ((yi > py) != (yj > py)) {
+        scratch(m) = (xs(j) - xs(i)) * (py - yi) / (yj - yi) + xs(i)
+        m += 1
+      }
+      j = i
+      i += 1
+    }
+    if (m > 0) {
+      java.util.Arrays.sort(scratch, 0, m)
+      var idx = 0 // count of crossings <= px so far (px increases with c)
+      var c = cFrom
+      while (c <= cTo) {
+        val px = left + (c + 0.5) * cellsize
+        while (idx < m && scratch(idx) <= px) idx += 1
+        if (((m - idx) & 1) == 1) emit(c)
+        c += 1
+      }
+    }
+  }
+
   def burn(tasks: Dataset[CoverTask], ref: GridRef,
       burnedPx: Option[LongAccumulator] = None): Dataset[CellPx] = {
     import tasks.sparkSession.implicits._
@@ -116,6 +153,14 @@ object Rasterize {
           val bw = uc1 - uc0 + 1
           val bh = ur1 - ur0 + 1
           val vals = Array.fill(bh * bw)(Double.NaN)
+          var maxV = 0
+          fi = 0
+          while (fi < fs.length) {
+            val l = fs(fi).xs.length
+            if (l > maxV) maxV = l
+            fi += 1
+          }
+          val scratch = new Array[Double](maxV)
           fi = 0
           while (fi < fs.length) {
             val f = fs(fi)
@@ -125,13 +170,9 @@ object Rasterize {
             var r = wins(fi * 4)
             while (r <= fr1) {
               val py = ref.top - (r + 0.5) * ref.cellsize
-              var c = fc0
-              while (c <= fc1) {
-                val px = ref.left + (c + 0.5) * ref.cellsize
-                if (RefKernel.pointInPolygon(px, py, f.xs, f.ys))
-                  vals((r - ur0) * bw + (c - uc0)) = f.value
-                c += 1
-              }
+              val rowBase = (r - ur0) * bw - uc0
+              scanRow(f.xs, f.ys, py, ref.left, ref.cellsize, fc0, fc1,
+                scratch)(c => vals(rowBase + c) = f.value)
               r += 1
             }
             fi += 1
@@ -268,6 +309,8 @@ object Rasterize {
               (xmin, xmax, ymin, ymax)
             }
             val out = Array.newBuilder[CellPx]
+            val scratch = new Array[Double](
+              if (fs.isEmpty) 0 else fs.iterator.map(_.xs.length).max)
             var r = r0 + ((s - (r0 % salt)) % salt + salt) % salt // first row with r % salt == s
             while (r <= r1) {
               val rowVals = Array.fill(w)(Double.NaN)
@@ -279,13 +322,8 @@ object Rasterize {
                 if (py >= ymin && py <= ymax) {
                   val fc0 = math.max(c0, math.ceil((xmin - ref.left) / ref.cellsize - 0.5).toInt)
                   val fc1 = math.min(c1, math.floor((xmax - ref.left) / ref.cellsize - 0.5).toInt)
-                  var c = fc0
-                  while (c <= fc1) {
-                    val px = ref.left + (c + 0.5) * ref.cellsize
-                    if (RefKernel.pointInPolygon(px, py, f.xs, f.ys))
-                      rowVals(c - c0) = f.value
-                    c += 1
-                  }
+                  scanRow(f.xs, f.ys, py, ref.left, ref.cellsize, fc0, fc1,
+                    scratch)(c => rowVals(c - c0) = f.value)
                 }
                 fi += 1
               }
