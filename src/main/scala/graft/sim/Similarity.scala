@@ -24,9 +24,15 @@ object Similarity extends Serializable {
 
   /** Exact cosine top-k for each query row (qid, qv) against (vid, v). */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val pairs = queries.join(corpus, col("vid") =!= col("qid"))
-      .withColumn("cos", dot("qv", "v") /
-        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+    // norms hoisted to each SIDE of the join: one sqrt(dot) per row
+    // instead of two per PAIR (each dot is an allocating zip_with/
+    // aggregate evaluation — per-pair norms tripled the expression work);
+    // the cosine itself is the same doubles: identical dot values,
+    // identical product, identical division
+    val q = queries.withColumn("_qn", sqrt(dot("qv", "qv")))
+    val c = corpus.withColumn("_vn", sqrt(dot("v", "v")))
+    val pairs = q.join(c, col("vid") =!= col("qid"))
+      .withColumn("cos", dot("qv", "v") / (col("_qn") * col("_vn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -45,10 +51,13 @@ object Similarity extends Serializable {
     * pattern e7 gates for the equality case). anchors: (qid, qv,
     * qlabel); corpus: (vid, v, label). */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val pairs = anchors.join(corpus,
+    // per-side norm hoist, as in [[bruteTopK]] — same doubles, 3x fewer
+    // allocating higher-order-function evaluations per pair
+    val q = anchors.withColumn("_qn", sqrt(dot("qv", "qv")))
+    val c = corpus.withColumn("_vn", sqrt(dot("v", "v")))
+    val pairs = q.join(c,
       col("vid") =!= col("qid") && col("label") =!= col("qlabel"))
-      .withColumn("cos", dot("qv", "v") /
-        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+      .withColumn("cos", dot("qv", "v") / (col("_qn") * col("_vn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -209,10 +218,13 @@ object Similarity extends Serializable {
     val probes = qc.withColumn("pr", row_number().over(wProbe))
       .filter($"pr" <= nProbe)
       .select($"qid", $"qv", $"cl")
-    // exact search inside the probed inverted lists only
-    val cand = probes.join(base, Seq("cl")).filter($"vid" =!= $"qid")
-      .withColumn("cos", dot("qv", "v") /
-        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+    // exact search inside the probed inverted lists only (norms hoisted
+    // per side — same doubles as the per-pair form, 3x fewer allocating
+    // HOF evaluations per candidate)
+    val cand = probes.withColumn("_qn", sqrt(dot("qv", "qv")))
+      .join(base.withColumn("_vn", sqrt(dot("v", "v"))), Seq("cl"))
+      .filter($"vid" =!= $"qid")
+      .withColumn("cos", dot("qv", "v") / ($"_qn" * $"_vn"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
     cand.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
@@ -282,9 +294,10 @@ object Similarity extends Serializable {
         array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
       .select($"cl", expr("transform(pm, p -> p.m)").as("cv")))
     rangeProbes(base, queries, centroids, tau)
-      .join(base, Seq("cl")).filter($"vid" =!= $"qid")
-      .withColumn("cos", dot("qv", "v") /
-        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+      .withColumn("_qn", sqrt(dot("qv", "qv")))
+      .join(base.withColumn("_vn", sqrt(dot("v", "v"))), Seq("cl"))
+      .filter($"vid" =!= $"qid")
+      .withColumn("cos", dot("qv", "v") / ($"_qn" * $"_vn"))
       .filter($"cos" >= tau)
       .select($"qid", $"vid")
   }
@@ -452,11 +465,12 @@ object Similarity extends Serializable {
     // exact cosine re-rank of shortlist survivors only; the query side
     // broadcasts only when it is genuinely the small side
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("_vn", sqrt(dot("v", "v")))
     val qv = queries.select(col("qid"), col("qv"))
+      .withColumn("_qn", sqrt(dot("qv", "qv")))
     val cand = short.join(vecs, "vid")
       .join(if (largeQ) qv else broadcast(qv), "qid")
-      .withColumn("cos", dot("qv", "v") /
-        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+      .withColumn("cos", dot("qv", "v") / (col("_qn") * col("_vn")))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
     cand.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
@@ -560,11 +574,12 @@ object Similarity extends Serializable {
       .filter($"sr" <= shortlist)
       .select($"qid", $"vid")
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("_vn", sqrt(dot("v", "v")))
     val qv = queries.select(col("qid"), col("qv"))
+      .withColumn("_qn", sqrt(dot("qv", "qv")))
     val cand = short.join(vecs, "vid")
       .join(if (largeQ) qv else broadcast(qv), "qid")
-      .withColumn("cos", dot("qv", "v") /
-        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+      .withColumn("cos", dot("qv", "v") / (col("_qn") * col("_vn")))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
     cand.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
@@ -644,11 +659,13 @@ object Similarity extends Serializable {
           col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("ia"), col("b.vid").as("ib"))
       .dropDuplicates("ia", "ib")
+    val withNrm = vecs.withColumn("_n", sqrt(dot("v", "v")))
     cand
-      .join(vecs.select(col("vid").as("ia"), col("v").as("va")), "ia")
-      .join(vecs.select(col("vid").as("ib"), col("v").as("vb")), "ib")
-      .withColumn("cos", dot("va", "vb") /
-        (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb"))))
+      .join(withNrm.select(col("vid").as("ia"), col("v").as("va"),
+        col("_n").as("_na")), "ia")
+      .join(withNrm.select(col("vid").as("ib"), col("v").as("vb"),
+        col("_n").as("_nb")), "ib")
+      .withColumn("cos", dot("va", "vb") / (col("_na") * col("_nb")))
       .filter(col("cos") >= threshold)
       .select(col("ia"), col("ib"))
   }
@@ -747,10 +764,11 @@ object Similarity extends Serializable {
       queries, qidCol, qvecCol, shortlist)
       .select(col("qid"), col("vid"), col("idot"))
     val qv = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+      .withColumn("_qn", sqrt(dot("qv", "qv")))
     val bv = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+      .withColumn("_vn", sqrt(dot("v", "v")))
     val rer = short.join(qv, "qid").join(bv, "vid")
-      .withColumn("cos", dot("qv", "v") /
-        (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v"))))
+      .withColumn("cos", dot("qv", "v") / (col("_qn") * col("_vn")))
     val wk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     rer.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"),
