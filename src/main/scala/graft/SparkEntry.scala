@@ -744,13 +744,19 @@ object SparkEntry {
       val cells = TileOps.cells(tiles)
         .select($"row".cast("int").as("qr"), $"col".cast("int").as("qc"),
           $"v".cast("long").as("v"))
-      def box(k: Int, tag: String) =
-        graft.operators.Sat.boxSumAt(sat, ref, tileRes, cells, k)
-          .select($"qr", $"qc", $"box_n".as(s"n_$tag"),
-            $"box_sum".cast("long").as(s"bs_$tag"))
+      // ONE probe pass + ONE SAT join serve BOTH radii (boxSumAtRadii),
+      // pivoted to per-radius columns with conditional aggregates — the
+      // per-radius boxSumAt calls ran the whole probe pipeline twice and
+      // needed two joins back onto the cells
+      val boxes = graft.operators.Sat.boxSumAtRadii(sat, ref, tileRes,
+          cells, Seq(4, 16))
+        .groupBy($"qr", $"qc")
+        .agg(max(when($"k" === 4, $"box_n")).as("n_s"),
+          max(when($"k" === 4, $"box_sum")).cast("long").as("bs_s"),
+          max(when($"k" === 16, $"box_n")).as("n_l"),
+          max(when($"k" === 16, $"box_sum")).cast("long").as("bs_l"))
       val out = cells
-        .join(box(4, "s"), Seq("qr", "qc"))
-        .join(box(16, "l"), Seq("qr", "qc"))
+        .join(boxes, Seq("qr", "qc"))
         .withColumn("tpi_s", $"v" * $"n_s" - $"bs_s")
         .withColumn("tpi_l", $"v" * $"n_l" - $"bs_l")
         .withColumn("class_s",

@@ -149,33 +149,50 @@ object Sat {
     * corner values. `pts` carries (qr, qc); returns
     * (qr, qc, box_n, box_sum) with box_n the clamped window cell count. */
   def boxSumAt(sat: Dataset[Tile], ref: GridRef, res: Int, pts: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    boxSumAtRadii(sat, ref, res, pts, Seq(k)).drop("k")
+
+  /** Multi-radius form: ONE probe explode + ONE SAT join + ONE rollup
+    * serve every radius in `ks` (a per-radius call pays the whole probe
+    * pipeline once per radius — the multi-scale consumers like r62's
+    * two-scale TPI ask for several radii over the same points). Returns
+    * (qr, qc, k, box_n, box_sum). */
+  def boxSumAtRadii(sat: Dataset[Tile], ref: GridRef, res: Int,
+      pts: DataFrame, ks: Seq[Int]): DataFrame = {
     val spark = sat.sparkSession
     import spark.implicits._
-    require(k >= 0, s"boxSumAt: radius must be >= 0, got $k")
+    require(ks.nonEmpty && ks.forall(_ >= 0),
+      s"boxSumAtRadii: radii must be >= 0, got $ks")
     val nrows = ref.nrows
     val ncols = ref.ncols
+    val kArr = ks.toArray
     val probes = pts.select(col("qr").cast("int"), col("qc").cast("int"))
       .as[(Int, Int)]
       .flatMap { case (qr, qc) =>
-        val r1 = math.max(0, qr - k); val r2 = math.min(nrows - 1, qr + k)
-        val c1 = math.max(0, qc - k); val c2 = math.min(ncols - 1, qc + k)
-        val n = (r2 - r1 + 1).toLong * (c2 - c1 + 1)
-        Seq((r2, c2, 1), (r1 - 1, c2, -1), (r2, c1 - 1, -1),
-          (r1 - 1, c1 - 1, 1))
-          .filter { case (r, c, _) => r >= 0 && c >= 0 }
-          .map { case (r, c, sgn) =>
-            (CellId.ofPixel(r.toLong, c.toLong, res), qr, qc, r, c, sgn, n)
-          }
-      }.toDF("cellId", "qr", "qc", "r", "c", "sgn", "box_n")
+        kArr.iterator.flatMap { k =>
+          val r1 = math.max(0, qr - k); val r2 = math.min(nrows - 1, qr + k)
+          val c1 = math.max(0, qc - k); val c2 = math.min(ncols - 1, qc + k)
+          val n = (r2 - r1 + 1).toLong * (c2 - c1 + 1)
+          Seq((r2, c2, 1), (r1 - 1, c2, -1), (r2, c1 - 1, -1),
+            (r1 - 1, c1 - 1, 1))
+            .filter { case (r, c, _) => r >= 0 && c >= 0 }
+            .map { case (r, c, sgn) =>
+              (CellId.ofPixel(r.toLong, c.toLong, res), k, qr, qc, r, c, sgn, n)
+            }
+        }
+      }.toDF("cellId", "k", "qr", "qc", "r", "c", "sgn", "box_n")
+    // corner extraction stays COLUMNAR: element_at reads the one SAT
+    // value per probe row inside whole-stage codegen. The former typed
+    // .as[...].map deserialized the tile's full payload array into a JVM
+    // Array[Double] for EVERY probe row (dense probe sets like r62's
+    // per-cell TPI put thousands of probes on each tile — payload x
+    // probes bytes copied just to read one double each); the SAT side
+    // stays a broadcast hash join either way, so no new exchange.
     probes.join(sat.toDF(), "cellId")
-      .as[(Long, Int, Int, Int, Int, Int, Long, Int, Int, Int, Int,
-        Array[Double])]
-      .map { case (_, qr, qc, r, c, sgn, n, row0, col0, _, w, pl) =>
-        (qr, qc, n, sgn * pl((r - row0) * w + (c - col0)))
-      }
-      .toDF("qr", "qc", "box_n", "contrib")
-      .groupBy($"qr", $"qc")
+      .select($"qr", $"qc", $"k", $"box_n",
+        ($"sgn" * element_at($"payload",
+          ($"r" - $"row0") * $"w" + ($"c" - $"col0") + 1)).as("contrib"))
+      .groupBy($"qr", $"qc", $"k")
       .agg(max($"box_n").as("box_n"), sum($"contrib").as("box_sum"))
   }
 }
