@@ -995,11 +995,8 @@ object Flow {
   }
 
   /** Depression-filled DEM: `(row, col, fill)` for every valid cell.
-    * Iterative parallel Priority-Flood: tiles run exact local floods
-    * against their current halo estimates and iterate until no cell
-    * changes (rounds bounded by the inter-tile drainage diameter; each
-    * round shuffles only the 1-pixel halo). localCheckpoint per round
-    * keeps plans constant-size (the GraphOps loop-cache discipline). */
+    * Two-pass parallel Priority-Flood (Barnes 2016) via
+    * [[fillSinksTiles]]. */
   def fillSinks(tiles: Dataset[Tile], ref: GridRef, res: Int,
       maxRounds: Int = 10000): DataFrame = {
     import tiles.sparkSession.implicits._
@@ -1016,9 +1013,263 @@ object Flow {
   }
 
   /** [[fillSinks]] keeping the tile representation (for pipelines that
-    * continue with routing over the conditioned surface). */
+    * continue with routing over the conditioned surface).
+    *
+    * Two-pass parallel Priority-Flood (Barnes 2016): pass 1 runs ONE
+    * tile-local multi-seed flood that condenses each tile to its
+    * "spillover graph" — border-cell terminals plus min-saddle edges
+    * between the flood's watershed labels (O(perimeter) nodes, the same
+    * ~4/2^res fraction as a halo); the driver solves global
+    * minimax-to-drain over the union of those graphs plus cross-tile
+    * border adjacencies; pass 2 re-floods each tile once, seeded with
+    * the exact resolved border fills. Round count is O(1) in the
+    * tile/grid ratio — the fixpoint `fill(c) = max(z(c), min over
+    * neighbors fill(n))` is unique, so the result is bit-identical to
+    * the iterative halo relaxation (FlowSpec gates both against each
+    * other and the Jacobi oracle). Above `driverLimit` condensed border
+    * cells the driver solve would not be driver-safe, so the iterative
+    * halo loop takes over (the same recursive supertile condensation as
+    * [[flowAcc]] is the production path there). */
   def fillSinksTiles(tiles: Dataset[Tile], ref: GridRef, res: Int,
-      maxRounds: Int = 10000): Dataset[Tile] = {
+      maxRounds: Int = 10000, driverLimit: Int = 2000000): Dataset[Tile] = {
+    val tilesX = ((ref.ncols - 1) >> res) + 1
+    val tilesY = ((ref.nrows - 1) >> res) + 1
+    val estBorder = tilesX.toLong * tilesY * (4L << res)
+    if (estBorder > driverLimit)
+      fillSinksIterative(tiles, ref, res, maxRounds)
+    else
+      fillSinksTwoPass(tiles, ref, res)
+  }
+
+  /** Pass-1 kernel: multi-seed Priority-Flood labeling every valid cell
+    * with the seed of minimal flood value. Seeds: every valid tile-edge
+    * cell (a terminal, seeded at z, labeled by its global cell index)
+    * and every interior drain (seeded at z, labeled DRAIN = -1). Emits
+    * `(key, -2, z)` per terminal, `(key, -1, z)` per drain terminal, and
+    * `(a, b, w)` min-saddle edges between labels — the tile's spillover
+    * graph, which preserves pairwise minimax between its terminals. */
+  private def tileSpillGraph(pf: Stencil.Padded, ncols: Long)
+      : Iterator[(Long, Long, Double)] = {
+    val h = pf.h
+    val w = pf.w
+    val n = h * w
+    val INF = Double.PositiveInfinity
+    val z = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      z(i) = pf.at(pf.row0 + i / w, pf.col0 + i % w)
+      i += 1
+    }
+    def isDrain(idx: Int): Boolean = {
+      val r = idx / w
+      val c = idx % w
+      var k = 0
+      var d = false
+      while (k < 8 && !d) {
+        val (_, dr, dc) = D8(k)
+        if (pf.at(pf.row0 + r + dr, pf.col0 + c + dc).isNaN) d = true
+        k += 1
+      }
+      d
+    }
+    val cand = Array.fill(n)(INF)
+    val lab = Array.fill(n)(Long.MinValue)
+    val done = new Array[Boolean](n)
+    val pq = new java.util.PriorityQueue[(Double, Int)](
+      (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+    val out = Array.newBuilder[(Long, Long, Double)]
+    i = 0
+    while (i < n) {
+      if (!z(i).isNaN) {
+        val r = i / w
+        val c = i % w
+        val edge = r == 0 || r == h - 1 || c == 0 || c == w - 1
+        if (edge) {
+          val key = (pf.row0 + r).toLong * ncols + (pf.col0 + c)
+          out += ((key, -2L, z(i)))
+          if (isDrain(i)) out += ((key, -1L, z(i)))
+          cand(i) = z(i); lab(i) = key; pq.add((z(i), i))
+        } else if (isDrain(i)) {
+          cand(i) = z(i); lab(i) = -1L; pq.add((z(i), i))
+        }
+      }
+      i += 1
+    }
+    val saddle = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    while (!pq.isEmpty) {
+      val (v, u) = pq.poll()
+      if (!done(u) && v == cand(u)) {
+        done(u) = true
+        val ur = u / w
+        val uc = u % w
+        var k = 0
+        while (k < 8) {
+          val (_, dr, dc) = D8(k)
+          val rr = ur + dr
+          val cc = uc + dc
+          if (rr >= 0 && rr < h && cc >= 0 && cc < w) {
+            val j = rr * w + cc
+            if (!z(j).isNaN) {
+              if (done(j)) {
+                if (lab(j) != lab(u)) {
+                  val p = if (lab(u) < lab(j)) (lab(u), lab(j)) else (lab(j), lab(u))
+                  val sw = math.max(v, cand(j))
+                  if (sw < saddle.getOrElse(p, INF)) saddle(p) = sw
+                }
+              } else {
+                val cnd = math.max(z(j), v)
+                if (cnd < cand(j)) { cand(j) = cnd; lab(j) = lab(u); pq.add((cnd, j)) }
+              }
+            }
+          }
+          k += 1
+        }
+      }
+    }
+    // (max, min) order: a saddle against the DRAIN label (-1) then lands
+    // in the edge's b slot, where the driver reads it as a drain seed —
+    // the same meaning (label a reaches a drain at weight w)
+    saddle.foreach { case (p, sw) => out += ((p._2, p._1, sw)) }
+    out.result().iterator
+  }
+
+  /** Pass-2 kernel: one tile-local flood seeded with the globally
+    * resolved border fills (and interior drains at z). */
+  private def refloodTile(pf: Stencil.Padded,
+      bfill: scala.collection.Map[Long, Double], ncols: Long): Tile = {
+    val h = pf.h
+    val w = pf.w
+    val n = h * w
+    val INF = Double.PositiveInfinity
+    val z = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      z(i) = pf.at(pf.row0 + i / w, pf.col0 + i % w)
+      i += 1
+    }
+    def isDrain(idx: Int): Boolean = {
+      val r = idx / w
+      val c = idx % w
+      var k = 0
+      var d = false
+      while (k < 8 && !d) {
+        val (_, dr, dc) = D8(k)
+        if (pf.at(pf.row0 + r + dr, pf.col0 + c + dc).isNaN) d = true
+        k += 1
+      }
+      d
+    }
+    val cand = new Array[Double](n)
+    val done = new Array[Boolean](n)
+    val pq = new java.util.PriorityQueue[(Double, Int)](
+      (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+    i = 0
+    while (i < n) {
+      if (z(i).isNaN) cand(i) = Double.NaN
+      else {
+        val r = i / w
+        val c = i % w
+        var seed = INF
+        if (r == 0 || r == h - 1 || c == 0 || c == w - 1) {
+          val key = (pf.row0 + r).toLong * ncols + (pf.col0 + c)
+          seed = bfill.getOrElse(key, INF)
+        }
+        if (isDrain(i)) seed = math.min(seed, z(i))
+        cand(i) = seed
+        if (seed != INF) pq.add((seed, i))
+      }
+      i += 1
+    }
+    while (!pq.isEmpty) {
+      val (v, u) = pq.poll()
+      if (!done(u) && v == cand(u)) {
+        done(u) = true
+        val ur = u / w
+        val uc = u % w
+        var k = 0
+        while (k < 8) {
+          val (_, dr, dc) = D8(k)
+          val rr = ur + dr
+          val cc = uc + dc
+          if (rr >= 0 && rr < h && cc >= 0 && cc < w) {
+            val j = rr * w + cc
+            if (!done(j) && !z(j).isNaN) {
+              val cnd = math.max(z(j), v)
+              if (cnd < cand(j)) { cand(j) = cnd; pq.add((cnd, j)) }
+            }
+          }
+          k += 1
+        }
+      }
+    }
+    Tile(pf.cellId, pf.row0, pf.col0, h, w, cand)
+  }
+
+  /** Two-pass fill body: condense (1 job) -> driver minimax solve ->
+    * re-flood (1 job, eager). */
+  private def fillSinksTwoPass(tiles: Dataset[Tile], ref: GridRef,
+      res: Int): Dataset[Tile] = {
+    import tiles.sparkSession.implicits._
+    val INF = Double.PositiveInfinity
+    val ncols = ref.ncols.toLong
+    val nrows = ref.nrows.toLong
+    val pad = Stencil.padded(tiles, ref, res)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = pad.flatMap(pf => tileSpillGraph(pf, ncols)).collect()
+      // assemble the global border graph: terminals carry z; DRAIN edges
+      // seed the solve; saddles + cross-tile adjacencies connect it
+      val zOf = scala.collection.mutable.HashMap.empty[Long, Double]
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+      def nbrs(k: Long) =
+        adj.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty)
+      val dist = scala.collection.mutable.HashMap.empty[Long, Double]
+      val pq = new java.util.PriorityQueue[(Double, Long)](
+        (a: (Double, Long), b: (Double, Long)) =>
+          java.lang.Double.compare(a._1, b._1))
+      rows.foreach {
+        case (k, -2L, zv) => zOf(k) = zv
+        case (a, -1L, wv) =>
+          if (wv < dist.getOrElse(a, INF)) { dist(a) = wv; pq.add((wv, a)) }
+        case (a, b, wv) => nbrs(a) += ((b, wv)); nbrs(b) += ((a, wv))
+      }
+      zOf.foreach { case (k, zv) =>
+        val r = k / ncols
+        val c = k % ncols
+        var i = 0
+        while (i < 8) {
+          val (_, dr, dc) = D8(i)
+          val rr = r + dr
+          val cc = c + dc
+          if (rr >= 0 && rr < nrows && cc >= 0 && cc < ncols &&
+              ((rr >> res) != (r >> res) || (cc >> res) != (c >> res))) {
+            val nk = rr * ncols + cc
+            // one direction per iteration; the reverse is added at nk
+            zOf.get(nk).foreach(zn => nbrs(k) += ((nk, math.max(zv, zn))))
+          }
+          i += 1
+        }
+      }
+      while (!pq.isEmpty) {
+        val (v, u) = pq.poll()
+        if (v == dist.getOrElse(u, INF)) {
+          adj.get(u).foreach(_.foreach { case (nb, wv) =>
+            val nd = math.max(v, wv)
+            if (nd < dist.getOrElse(nb, INF)) { dist(nb) = nd; pq.add((nd, nb)) }
+          })
+        }
+      }
+      val bfill: scala.collection.Map[Long, Double] = dist
+      val bc = tiles.sparkSession.sparkContext.broadcast(bfill)
+      pad.map(pf => refloodTile(pf, bc.value, ncols)).localCheckpoint(true)
+    } finally pad.unpersist()
+  }
+
+  /** Iterative halo-relaxation fill (the pre-Barnes path, kept as the
+    * above-`driverLimit` branch and as the FlowSpec equivalence gate). */
+  private[operators] def fillSinksIterative(tiles: Dataset[Tile], ref: GridRef,
+      res: Int, maxRounds: Int = 10000): Dataset[Tile] = {
     import tiles.sparkSession.implicits._
     val INF = Double.PositiveInfinity
     val z = tiles.persist()

@@ -337,6 +337,39 @@ class FlowSpec extends AnyFunSuite {
     }
   }
 
+  test("fillSinks two-pass (Barnes) == iterative halo relaxation, randomized grids") {
+    // the two implementations share only the fixpoint definition: any
+    // condensation bug (lost saddle, wrong cross-tile edge, bad drain
+    // seed) shows up as a value diff on some random surface
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val nr = 90 + rnd.nextInt(80)
+      val nc = 90 + rnd.nextInt(80)
+      val ref = GridRef(ncols = nc, nrows = nr, xll = 0, yll = 0,
+        cellsize = 1, nodata = -9999)
+      val vals = Array.tabulate(nr * nc) { i =>
+        if (rnd.nextInt(23) == 0) Double.NaN
+        else rnd.nextInt(4000) / 4.0
+      }
+      def f(r: Int, c: Int): Double = vals(r * nc + c)
+      for (res <- Seq(5, 6)) {
+        val tiles = TileOps.tileGrid(spark, ref, res)(f)
+        val a = Flow.fillSinksTiles(tiles, ref, res).collect()
+          .sortBy(_.cellId)
+        val b = Flow.fillSinksIterative(tiles, ref, res).collect()
+          .sortBy(_.cellId)
+        assert(a.length == b.length, s"trial=$trial res=$res tile count")
+        a.zip(b).foreach { case (ta, tb) =>
+          assert(ta.cellId == tb.cellId)
+          val same = ta.payload.zip(tb.payload).forall { case (x, y) =>
+            x == y || (x.isNaN && y.isNaN)
+          }
+          assert(same, s"trial=$trial res=$res tile=${ta.cellId} payload diff")
+        }
+      }
+    }
+  }
+
   test("conditioned routing: flowDir over fillSinksTiles == dirs on the Jacobi-filled surface") {
     val fillMap = globalFill(Synth.demRef, Synth.demValue)
     def filledValue(r: Int, c: Int): Double =
