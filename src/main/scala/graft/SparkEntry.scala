@@ -29,13 +29,37 @@ object SparkEntry {
     * results never depend on the location. */
   private val scratchBase: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (false && java.nio.file.Files.isDirectory(shm) &&
+    if (java.nio.file.Files.isDirectory(shm) &&
         java.nio.file.Files.isWritable(shm)) shm.resolve("graft-scratch")
     else java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
   }
+  // scratch is tmpfs-backed when available (icelite tables rewrite small
+  // parquet files per run; streaming checkpoints fsync offset/commit
+  // logs and state deltas per micro-batch — on this sandbox /tmp is a
+  // REAL DISK and those fsyncs dominate the metadata-bound queries).
+  // Every dir this JVM creates is removed on exit so repeated runs
+  // cannot accumulate in shared memory.
+  private val scratchCreated =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchCreated.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+              case _: Throwable => ()
+            })
+        } catch { case _: Throwable => () }
+      }))
+    ()
+  }
   private def scratchDir(prefix: String): String = {
+    scratchHook
     java.nio.file.Files.createDirectories(scratchBase)
-    java.nio.file.Files.createTempDirectory(scratchBase, prefix).toString
+    val d = java.nio.file.Files.createTempDirectory(scratchBase, prefix)
+    scratchCreated.add(d)
+    d.toString
   }
 
   private def table(s: SparkSession, dir: String, name: String): DataFrame =

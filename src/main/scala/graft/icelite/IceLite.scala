@@ -31,6 +31,19 @@ object IceLite {
 
   private def mkdirs(p: Path): Unit = { Files.createDirectories(p); () }
 
+  /** Bounded wait for an [[org.apache.spark.sql.Observation]]'s metrics
+    * (they are delivered on the async listener bus just after the
+    * observed action returns); empty map on timeout so callers can fall
+    * back to a separate aggregate pass instead of hanging. */
+  private def awaitMetrics(
+      obs: org.apache.spark.sql.Observation): Map[String, Any] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try Await.result(Future(obs.get), 10.seconds)
+    catch { case _: java.util.concurrent.TimeoutException => Map.empty }
+  }
+
   private def q(s: String) = "\"" + s + "\""
 
   private def writeAtomic(target: Path, content: String): Unit = {
@@ -146,28 +159,48 @@ object IceLite {
 
     val stageRoot = s"$table/data/$snap"
     val todo = (0 until buckets).filterNot(done.contains)
+    // per-bucket rows, order-independent checksum, and cell min/max
+    // (lineage + manifest). FRESH-COMMIT FAST PATH: the stats ride the
+    // write job itself as observed metrics (Observation + 4 conditional
+    // aggregates per bucket) — one job per commit instead of write +
+    // stats-agg, with values identical by definition (same frame the
+    // write consumed). The checksum term stays a JVM udf (Long
+    // wraparound; the SQL expression would throw under ANSI overflow on
+    // high Z ids). Resumed commits (stats must also cover already-done
+    // buckets), accumulator-instrumented commits, and wide layouts
+    // (> 64 buckets — 4 aggregates per bucket stops being a sane plan;
+    // production tables that wide take the one extra aggregate pass)
+    // use the separate codegen'd partial/final aggregate below.
+    val useObserve = done.isEmpty && rowsCommitted.isEmpty &&
+      buckets <= 64 && todo.nonEmpty
+    val obs = org.apache.spark.sql.Observation(s"commit_${snap}_b$buckets")
     if (todo.nonEmpty) {
+      val base = bucketed.filter($"bucket".isInCollection(todo))
+      val toWrite =
+        if (!useObserve) base
+        else {
+          val chkTerm = udf((cid: Long, n: Int) => cid * 31 + n)
+          val chkv = chkTerm($"cellId", size($"payload"))
+          val aggs = todo.flatMap { b =>
+            val c = $"bucket" === lit(b)
+            Seq(count(when(c, lit(1))).as(s"n$b"),
+              expr(s"bit_xor(IF(bucket = $b, chk_term, NULL))").as(s"x$b"),
+              min(when(c, $"cellId")).as(s"lo$b"),
+              max(when(c, $"cellId")).as(s"hi$b"))
+          }
+          base.withColumn("chk_term", chkv)
+            .observe(obs, aggs.head, aggs.tail: _*)
+            .drop("chk_term")
+        }
       // single write job: dynamic partition overwrite touches ONLY the
       // re-written buckets, leaving committed ones' files intact
-      bucketed.filter($"bucket".isInCollection(todo))
-        .write.mode("overwrite")
+      toWrite.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(stageRoot)
     }
 
-    // per-bucket rows, order-independent checksum, and cell min/max
-    // (lineage + manifest), computed from the SAME bucketed frame the
-    // write consumed (deterministic write -> identical values to the
-    // previous written-files read-back, minus a full parquet re-read).
-    // Checksum terms stay in a typed map (JVM Long wraparound; the SQL
-    // expression would throw under ANSI overflow on high Z ids), but the
-    // rollup is a codegen'd partial/final aggregate — bit_xor/min/max
-    // combine map-side, so the shuffle carries one row per (bucket x
-    // input partition) instead of every row (groupByKey shipped all).
-    // rowsCommitted (accumulator-backed metric) counts alongside: one
-    // increment per committed row, rolled up by Spark per task.
-    val stats = bucketed
+    def statsAgg(): Map[Int, (Int, Long, Long, Long, Long)] = bucketed
       .select($"bucket".cast("int"), $"cellId", size($"payload"))
       .as[(Int, Long, Int)]
       .map { case (b, cid, n) =>
@@ -180,6 +213,22 @@ object IceLite {
         min($"cid").as("lo"), max($"cid").as("hi"))
       .as[(Int, Long, Long, Long, Long)]
       .collect().map(s => s._1 -> s).toMap
+
+    val stats: Map[Int, (Int, Long, Long, Long, Long)] =
+      if (!useObserve) statsAgg()
+      else {
+        // observed metrics arrive on the listener thread just after the
+        // write returns; bounded wait, with the aggregate pass as a
+        // belt-and-braces fallback (never expected to fire)
+        val m = awaitMetrics(obs)
+        if (m.isEmpty) statsAgg()
+        else todo.map { b =>
+          def l(k: String) =
+            Option(m(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+          b -> ((b, m(s"n$b").asInstanceOf[Long], l(s"x$b"),
+            l(s"lo$b"), l(s"hi$b")))
+        }.toMap
+      }
 
     (0 until buckets).foreach { b =>
       if (!done.contains(b)) {
@@ -843,23 +892,38 @@ object IceLite {
     require(merged0.columns.contains("payload"),
       s"$op: tables without a payload column are not supported " +
         "(lineage checksum formula is payload-based)")
-    // persist: the write below materializes the merge once; the stats
-    // aggregation then reads the cached rows instead of re-running the
-    // touched-file scan + anti-join (measured 1.4s slower on q23 without)
-    val merged = merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stats of the rewritten buckets only: rows, order-independent
+    // checksum, cell min/max (a delete that empties every touched bucket
+    // simply yields empty stats; all touched buckets then record
+    // rows: 0). FAST PATH (same as commitResumableDf): the stats ride
+    // the write job as observed metrics — one job for merge + write +
+    // stats, no persist of the merge frame at all. Wide touch sets
+    // (> 64 buckets) persist and aggregate separately as before.
+    val touchedSeq = touched.toSeq.sorted
+    val useObserve = touchedSeq.size <= 64
+    val obs = org.apache.spark.sql.Observation(s"$op$newSnap")
+    val merged =
+      if (useObserve) {
+        val chkTerm = udf((cid: Long, nn: Int) => cid * 31 + nn)
+        val aggs = touchedSeq.flatMap { b =>
+          val c = $"bucket" === lit(b)
+          Seq(count(when(c, lit(1))).as(s"n$b"),
+            expr(s"bit_xor(IF(bucket = $b, chk_term, NULL))").as(s"x$b"),
+            min(when(c, $"cellId")).as(s"lo$b"),
+            max(when(c, $"cellId")).as(s"hi$b"))
+        }
+        merged0.withColumn("chk_term", chkTerm($"cellId", size($"payload")))
+          .observe(obs, aggs.head, aggs.tail: _*)
+          .drop("chk_term")
+      } else
+        merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     merged
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(stageRoot)
     updB.unpersist()
-    // stats of the rewritten buckets only: rows, order-independent
-    // checksum, cell min/max — computed from the persisted merge frame
-    // (a delete that empties every touched bucket simply yields empty
-    // stats; all touched buckets then record rows: 0). Checksum terms in
-    // a typed map (JVM wraparound; SQL would throw under ANSI overflow
-    // on high Z ids); rollup is a codegen'd partial/final aggregate.
-    val stats = merged
+    def statsAgg(): Map[Int, (Int, Long, Long, Long, Long)] = merged
       .select($"bucket".cast("int"), $"cellId", size($"payload"))
       .as[(Int, Long, Int)]
       .map { case (b, cid, nn) => (b, cid, cid * 31 + nn) }
@@ -869,7 +933,21 @@ object IceLite {
         min($"cid").as("lo"), max($"cid").as("hi"))
       .as[(Int, Long, Long, Long, Long)]
       .collect().map(s => s._1 -> s).toMap
-    merged.unpersist()
+    val stats: Map[Int, (Int, Long, Long, Long, Long)] =
+      if (!useObserve) statsAgg()
+      else {
+        val m = awaitMetrics(obs)
+        if (m.isEmpty) statsAgg()
+        else touchedSeq.flatMap { b =>
+          val rows = m(s"n$b").asInstanceOf[Long]
+          if (rows == 0L) None // emptied bucket: records rows 0 below
+          else {
+            def l(k: String) = m(k).asInstanceOf[Long]
+            Some(b -> ((b, rows, l(s"x$b"), l(s"lo$b"), l(s"hi$b"))))
+          }
+        }.toMap
+      }
+    if (!useObserve) merged.unpersist()
     mkdirs(Paths.get(table, "lineage", newSnap.toString))
     val newEntries = entries.map { e =>
       if (!touched.contains(e.bucket)) {

@@ -274,7 +274,7 @@ object CostDistance {
     * family as a few extra halo sweeps of the converged solve. */
   def leastCostPath(cost: Dataset[Tile], ref: GridRef, res: Int,
       isSource: Double => Boolean, targetRow: Int, targetCol: Int,
-      maxRounds: Int = 10000): DataFrame = {
+      maxRounds: Int = 10000, driverLimit: Int = 2000000): DataFrame = {
     val spark = cost.sparkSession
     import spark.implicits._
     val ncols = ref.ncols
@@ -313,16 +313,43 @@ object CostDistance {
       s"leastCostPath: target ($targetRow, $targetCol) is not a reachable valid cell")
     val targetDist = tRow(0).getDouble(0)
 
+    // COST-BOUNDED pruning: backlink steps never increase dist (step
+    // weights are >= 0), so every cell on the target's chain has
+    // dist <= dist(target) — only the target's cost ball is ever probed.
+    // HYBRID chain walk (the GraphOps condensation discipline): below
+    // `driverLimit` the pruned ball collects once and the inherently
+    // sequential chain walks on the driver — ONE job instead of the
+    // O(log pathLen) doubling rounds (each a count + two joins). Above
+    // the limit the pointer-doubling branch below runs unchanged, so no
+    // driver structure ever exceeds the budget.
+    val ballRows = pred0.filter(col("dist") <= targetDist)
+      .select("id", "to", "steps", "dist")
+      .limit(driverLimit + 1).collect()
+    if (ballRows.length <= driverLimit) {
+      val m = new java.util.HashMap[Long, (Long, Long, Double)](
+        ballRows.length * 2)
+      ballRows.foreach(r => m.put(r.getLong(0),
+        (r.getLong(2), r.getLong(1), r.getDouble(3))))
+      val out = Array.newBuilder[(Long, Long, Long, Double)]
+      var id = targetId
+      var pos = 0L
+      var walking = true
+      while (walking) {
+        val e = m.get(id)
+        require(e != null, s"leastCostPath: chain left the cost ball at $id")
+        require(pos <= ballRows.length,
+          "leastCostPath: backlink cycle (zero-cost tie — cost surface must be > 0)")
+        out += ((pos, id / ncols, id % ncols, e._3))
+        if (e._1 == 0L) walking = false else { id = e._2; pos += 1 }
+      }
+      return spark.createDataset(out.result())
+        .toDF("pos", "row", "col", "dist").orderBy("pos")
+    }
     // lazy checkpoints throughout the doubling loop: each round's ONLY
     // job is nextPath.count(), which materializes the round's path AND
     // (transitively, on the following round) the doubled jump table —
     // one job per round instead of the previous three eager-checkpoint
     // jobs per round.
-    // COST-BOUNDED pruning: backlink steps never increase dist (step
-    // weights are >= 0), so every cell on the target's chain has
-    // dist <= dist(target) — the doubling loop only ever probes such
-    // cells, and the jump table shrinks from the whole reachable raster
-    // to the target's cost ball before any self-join runs.
     var jumps = pred0.filter(col("dist") <= targetDist)
       .select("id", "to", "steps").localCheckpoint(false)
     var path = Seq((targetId, 0L)).toDF("id", "pos")

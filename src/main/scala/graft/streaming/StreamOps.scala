@@ -68,6 +68,26 @@ object StreamOps {
     * count, event count. Public top-level so Dataset encoders resolve. */
   final case class SessState(lastTs: Long, sessions: Long, events: Long)
 
+  /** Drain `f` with the trailing NO-DATA micro-batch disabled. The
+    * no-data batch exists to let WATERMARK-LAGGED emission fire after
+    * the last file (append-mode windows, outer-join null rows) — for
+    * queries whose output is entirely DATA-driven (inner interval join:
+    * matches emit on arrival; dropDuplicates: first sight; sessionize:
+    * sentinel rows close state) it adds one full batch of state-store
+    * commits and planning per drain and emits nothing. Output is
+    * bit-identical either way (the oracle gates it); only the drain's
+    * batch count changes. Watermark-lagged consumers (s1/s5/s6/s8 paths)
+    * must NOT use this. */
+  private def withoutNoDataBatch[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Stage the static events table as a chronological file stream:
     * `chunks` flat parquet files covering disjoint time ranges (split at
     * approximate ts quantiles — rows never leave the executors; the
@@ -210,7 +230,7 @@ object StreamOps {
     * equal to the batch window-function sessionization (q4). */
   def sessionize(spark: SparkSession, streamDir: String,
       checkpoint: String, queryName: String,
-      gapMs: Long = 1800000L): DataFrame = {
+      gapMs: Long = 1800000L): DataFrame = withoutNoDataBatch(spark) {
     import spark.implicits._
     val schema = schemaOf(spark, streamDir)
     val q = spark.readStream.schema(schema)
@@ -263,7 +283,8 @@ object StreamOps {
     * recurring beyond the watermark. Sentinel flush rows are excluded
     * upstream of the state store. */
   def streamDedup(spark: SparkSession, streamDir: String,
-      checkpoint: String, queryName: String): DataFrame = {
+      checkpoint: String, queryName: String): DataFrame =
+      withoutNoDataBatch(spark) {
     import spark.implicits._
     val schema = schemaOf(spark, streamDir)
     val q = spark.readStream.schema(schema)
@@ -295,7 +316,7 @@ object StreamOps {
     * (unix_millis both sides), replicated verbatim in the oracle. */
   def intervalJoin(spark: SparkSession, streamDir: String,
       checkpoint: String, queryName: String,
-      windowMs: Long = 1800000L): DataFrame = {
+      windowMs: Long = 1800000L): DataFrame = withoutNoDataBatch(spark) {
     import spark.implicits._
     require(windowMs > 0 && windowMs % 1000 == 0,
       s"windowMs must be a positive whole-second span, got $windowMs")

@@ -324,14 +324,20 @@ object TextOps {
     val rare = postings.groupBy($"ci", $"cv").count()
       .filter($"count" <= dfCap).select($"ci", $"cv")
     val exploded = postings.join(rare, Seq("ci", "cv"))
+    // hamming-filter BEFORE the dedup shuffle: hamming is a function of
+    // (ia, ib), so filter-then-dedup == dedup-then-filter — but the
+    // filter runs inside the join's codegen stage and drops the ~K x
+    // dfCap^2 candidate pairs (measured 2.6M at sf0.1) to just the near
+    // pairs, so the dropDuplicates exchange carries hundreds of 20-byte
+    // rows instead of millions of 32-byte ones (guide §2.3)
     exploded.as("a").join(exploded.as("b"),
         $"a.ci" === $"b.ci" && $"a.cv" === $"b.cv" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
-        $"a.simhash".as("ha"), $"b.simhash".as("hb"))
-      .dropDuplicates("ia", "ib")
-      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("int"))
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("int")
+          .as("hamming"))
       .filter($"hamming" <= maxHamming)
+      .dropDuplicates("ia", "ib")
       .select($"ia", $"ib", $"hamming")
   }
 

@@ -167,6 +167,12 @@ class CostDistanceSpec extends AnyFunSuite {
     assert(got.last._3 == 0.0, "path ends at a source")
     assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq,
       "dist non-increasing")
+    // driverLimit = 0 forces the pointer-doubling branch: both the
+    // driver-walk hybrid and the distributed enumeration stay gated
+    val got2 = CostDistance.leastCostPath(tiles, ref, 6, _ >= 240.0, 200, 150,
+        driverLimit = 0)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)), x.getDouble(3)))
+    assert(got2.toSeq == got.toSeq, "doubling branch == driver-walk branch")
   }
 
   test("leastCostPath refuses an invalid target loudly") {
