@@ -148,6 +148,7 @@ object IceLite {
     val done = committedBuckets(table, snap)
     // range-bucket on the Z-order id so each bucket is a CONTIGUOUS cell
     // range -> manifest min/max stats stay tight and reads prune by range
+    spark.sparkContext.setJobDescription(s"icelite commit $table@$snap range-agg")
     val zr = tiles.agg(min($"cellId"), max($"cellId")).collect()(0)
     val (zlo, zhi) =
       if (zr.isNullAt(0)) (0L, 0L) else (zr.getLong(0), zr.getLong(1))
@@ -194,6 +195,7 @@ object IceLite {
         }
       // single write job: dynamic partition overwrite touches ONLY the
       // re-written buckets, leaving committed ones' files intact
+      spark.sparkContext.setJobDescription(s"icelite commit $table@$snap write")
       toWrite.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
@@ -251,6 +253,7 @@ object IceLite {
     writeAtomic(Paths.get(table, "manifests", s"m-$snap.json"),
       entries.mkString("[", ",\n", "]"))
 
+    spark.sparkContext.setJobDescription(null)
     stageRef match {
       case Some(name) =>
         // WRITE-AUDIT-PUBLISH staging: the snapshot's data, lineage and
@@ -849,6 +852,7 @@ object IceLite {
     val updB = updates
       .join(broadcast(rangeDf), $"cellId" >= $"lo" && $"cellId" <= $"hi")
       .drop("lo", "hi").persist()
+    spark.sparkContext.setJobDescription(s"icelite $op $table@$newSnap touched-buckets")
     val touched = updB.select($"bucket").distinct().as[Int].collect().toSet
     if (touched.isEmpty) { updB.unpersist(); return snap } // no-op upsert
     val keys = updB.select($"cellId")
@@ -917,6 +921,7 @@ object IceLite {
           .drop("chk_term")
       } else
         merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spark.sparkContext.setJobDescription(s"icelite $op $table@$newSnap write")
     merged
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -948,6 +953,7 @@ object IceLite {
         }.toMap
       }
     if (!useObserve) merged.unpersist()
+    spark.sparkContext.setJobDescription(null)
     mkdirs(Paths.get(table, "lineage", newSnap.toString))
     val newEntries = entries.map { e =>
       if (!touched.contains(e.bucket)) {

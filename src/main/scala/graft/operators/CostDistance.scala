@@ -123,7 +123,7 @@ object CostDistance {
   def tilesDist(cost: Dataset[Tile], ref: GridRef, res: Int,
       isSource: Double => Boolean, maxRounds: Int = 10000): Dataset[Tile] = {
     import cost.sparkSession.implicits._
-    val pfQ = Stencil.padded(cost, ref, res).persist()
+    val pfQ = Stencil.padded(cost, ref, res).localCheckpoint(false)
     try {
       var state: Dataset[Tile] = cost.map { t =>
         val payload = t.payload.map { q =>

@@ -193,7 +193,7 @@ object Flow {
       driverLimit: Int = 2000000): DataFrame = {
     import tiles.sparkSession.implicits._
     val cs = ref.cellsize
-    val padded = Stencil.padded(tiles, ref, res).persist()
+    val padded = Stencil.padded(tiles, ref, res).localCheckpoint(false)
     try {
       // (padded is consumed twice: the summary pass and the seeded
       // finalize; the finalize is handed off via eager localCheckpoint so
@@ -627,7 +627,7 @@ object Flow {
       driverLimit: Int = 2000000): DataFrame = {
     import tiles.sparkSession.implicits._
     val cs = ref.cellsize
-    val padded = Stencil.padded(tiles, ref, res).persist()
+    val padded = Stencil.padded(tiles, ref, res).localCheckpoint(false)
     try {
       val summariesDs = traceSummariesDs(padded, cs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -748,7 +748,7 @@ object Flow {
       driverLimit: Int = 2000000): DataFrame = {
     import tiles.sparkSession.implicits._
     val cs = ref.cellsize
-    val padded = Stencil.padded(tiles, ref, res).persist()
+    val padded = Stencil.padded(tiles, ref, res).localCheckpoint(false)
     try {
       val summariesDs = traceSummariesDs(padded, cs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1272,7 +1272,7 @@ object Flow {
       res: Int, maxRounds: Int = 10000): Dataset[Tile] = {
     import tiles.sparkSession.implicits._
     val INF = Double.PositiveInfinity
-    val z = tiles.persist()
+    val z = tiles.localCheckpoint(false)
     try {
       // init: drains (grid border / NaN-adjacent, via the padded z halo
       // which is NaN off-grid) start at z; everything else at +inf
