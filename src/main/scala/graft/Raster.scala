@@ -502,8 +502,12 @@ final case class Raster(tiles: Dataset[Tile], ref: GridRef, res: Int = 6) {
           curRef = operators.Downsample.targetRef(curRef, 2)
           // persist each level: without it, evaluating level L lazily
           // re-runs the whole chain from the base (O(levels^2) scans)
+          // localCheckpoint, not persist: blocks release with the RDD
+          // once the pyramid's frames go out of scope (a CacheManager
+          // entry pinned them for the session), and the columnar encode
+          // of tile payloads is skipped
           cur = TileOps.tilesFromCells(cellsL, curRef, res)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(false)
         } else {
           // odd dimension or NaN holes: partial/hole-reduced 2x2 windows
           // would bias mean-of-means; this level (and the rest)

@@ -764,7 +764,7 @@ object SparkEntry {
       val tiles = TileOps.tileGrid(s, ref, tileRes)((r, c) =>
         ((r * 7 + c * 3) % 100).toDouble)
       val sat = graft.operators.Sat.satTiles(tiles)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val cells = TileOps.cells(tiles)
         .select($"row".cast("int").as("qr"), $"col".cast("int").as("qc"),
           $"v".cast("long").as("v"))
@@ -3015,7 +3015,7 @@ object SparkEntry {
           j += 1
         }
         (row.image_id, cs)
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }.localCheckpoint(false)
       val hist = codes.flatMap { case (_, cs) =>
         val m = new Array[Long](1000)
         cs.foreach(c => m(c) += 1)

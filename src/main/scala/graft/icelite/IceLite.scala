@@ -758,7 +758,7 @@ object IceLite {
           .join(broadcast(rangeDf), $"cellId" >= $"lo" && $"cellId" <= $"hi")
           .drop("lo", "hi")
           .filter($"cellId" < lit(lo) || $"cellId" > lit(hi))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(false)
         surv.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket")
@@ -851,7 +851,7 @@ object IceLite {
     val rangeDf = spark.createDataset(ranges).toDF("bucket", "lo", "hi")
     val updB = updates
       .join(broadcast(rangeDf), $"cellId" >= $"lo" && $"cellId" <= $"hi")
-      .drop("lo", "hi").persist()
+      .drop("lo", "hi").localCheckpoint(false)
     spark.sparkContext.setJobDescription(s"icelite $op $table@$newSnap touched-buckets")
     val touched = updB.select($"bucket").distinct().as[Int].collect().toSet
     if (touched.isEmpty) { updB.unpersist(); return snap } // no-op upsert

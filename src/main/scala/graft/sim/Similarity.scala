@@ -852,7 +852,7 @@ object Similarity extends Serializable {
     // each would re-run the assignment scan
     val withCl = vecs.join(clusters, Seq("vid"))
       .withColumn("nrm", sqrt(dot("v", "v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val removed = withCl.as("a").join(withCl.as("b"),
         col("a.cl") === col("b.cl") && col("a.vid") < col("b.vid"))
       .withColumn("cos", dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm")))
