@@ -59,7 +59,10 @@ object BenchExtra {
             import scala.jdk.CollectionConverters._
             val d = p.durationMs.asScala.toSeq.sortBy(-_._2)
               .map { case (k, v) => s"$k=$v" }.mkString(" ")
-            println(s"    [stream ${p.name} batch ${p.batchId}] rows=${p.numInputRows} $d")
+            val so = p.stateOperators.map { o =>
+              s"${o.operatorName}[commit=${o.commitTimeMs} rows=${o.numRowsTotal} mem=${o.memoryUsedBytes}]"
+            }.mkString(" ")
+            println(s"    [stream ${p.name} batch ${p.batchId}] rows=${p.numInputRows} $d | $so")
           }
         })
     }

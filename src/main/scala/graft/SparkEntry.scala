@@ -164,6 +164,23 @@ object SparkEntry {
       s.read.parquet(perceptualCorpusDir)
     }
 
+  /** Decode + phash of the perceptual corpus (one definition for
+    * i4/i5/m4). Measured: a pre-decode repartition to core count LOSES
+    * here — the byte shuffle costs more than the fixture's decode saves
+    * (the scan already yields enough splits) — so the kernel runs
+    * directly on the scan partitions. */
+  private def phashedPerceptual(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.codecs.ImageCodec
+    perceptualCorpusTable(s).select($"image_id", $"bytes", $"fmt")
+      .as[(String, Array[Byte], String)]
+      .map { case (id, bytes, fmt) =>
+        val (px, w, h) = ImageCodec.decode(bytes, fmt)
+        (id.stripPrefix("img-").toLong, ImageCodec.phash64(px, w, h))
+      }
+      .toDF("doc_id", "simhash")
+  }
+
 
   /** Shared e-family fixture: 16 true clusters x 30 members, dim 16,
     * dyadic coordinates (bit-identical cosines across engines). e2/e3/e4
@@ -3106,13 +3123,7 @@ object SparkEntry {
       import s.implicits._
       import graft.codecs.ImageCodec
       val corpus = perceptualCorpusTable(s)
-      val sig = corpus.select($"image_id", $"bytes", $"fmt")
-        .as[(String, Array[Byte], String)]
-        .map { case (id, bytes, fmt) =>
-          val (px, w, h) = ImageCodec.decode(bytes, fmt)
-          (id.stripPrefix("img-").toLong, ImageCodec.phash64(px, w, h))
-        }
-        .toDF("doc_id", "simhash")
+      val sig = phashedPerceptual(s)
       val pairs = graft.text.TextOps.simhashNearPairs(sig, maxHamming = 6)
         .select($"ia", $"ib")
       val dropped = graft.operators.GraphOps.components(pairs, "ia", "ib")
@@ -3222,14 +3233,7 @@ object SparkEntry {
     "i5_image_dedup_components" -> ((s, _) => {
       import s.implicits._
       import graft.codecs.ImageCodec
-      val sig = perceptualCorpusTable(s)
-        .select($"image_id", $"bytes", $"fmt")
-        .as[(String, Array[Byte], String)]
-        .map { case (id, bytes, fmt) =>
-          val (px, w, h) = ImageCodec.decode(bytes, fmt)
-          (id.stripPrefix("img-").toLong, ImageCodec.phash64(px, w, h))
-        }
-        .toDF("doc_id", "simhash")
+      val sig = phashedPerceptual(s)
       val pairs = graft.text.TextOps.simhashNearPairs(sig, maxHamming = 6)
         .select($"ia", $"ib")
       graft.operators.GraphOps.components(pairs, "ia", "ib")
@@ -3241,14 +3245,7 @@ object SparkEntry {
     "i4_phash_neardup" -> ((s, _) => {
       import s.implicits._
       import graft.codecs.ImageCodec
-      val sig = perceptualCorpusTable(s)
-        .select($"image_id", $"bytes", $"fmt")
-        .as[(String, Array[Byte], String)]
-        .map { case (id, bytes, fmt) =>
-          val (px, w, h) = ImageCodec.decode(bytes, fmt)
-          (id.stripPrefix("img-").toLong, ImageCodec.phash64(px, w, h))
-        }
-        .toDF("doc_id", "simhash")
+      val sig = phashedPerceptual(s)
       graft.text.TextOps.simhashNearPairs(sig, maxHamming = 6)
         .select(format_string("img-%08d", $"ia").as("id_a"),
           format_string("img-%08d", $"ib").as("id_b"),

@@ -130,7 +130,7 @@ object Similarity extends Serializable {
       : (DataFrame, DataFrame) = {
     import spark.implicits._
     val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .as[(Long, Array[Float])].cache()
+      .as[(Long, Array[Float])].localCheckpoint(false)
     var centroids: Array[Array[Double]] = base.orderBy($"vid").limit(k)
       .collect().map(_._2.map(_.toDouble))
     (1 to iters).foreach { _ =>
@@ -315,7 +315,7 @@ object Similarity extends Serializable {
       : Array[Array[Array[Double]]] = {
     import spark.implicits._
     val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .as[(Long, Array[Float])].cache()
+      .as[(Long, Array[Float])].localCheckpoint(false)
     val dim = base.head()._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
