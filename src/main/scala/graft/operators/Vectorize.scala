@@ -179,7 +179,7 @@ object Vectorize {
     val spark = tiles.sparkSession
     import spark.implicits._
     val lab = labeled(tiles, ref, res)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val roots = resolveRoots(lab, driverLimit)
     lab.flatMap { tl =>
       tl.counts.iterator.map { case (g, v, k, _) => (g, v, k) }
@@ -201,7 +201,7 @@ object Vectorize {
     val spark = tiles.sparkSession
     import spark.implicits._
     val lab = labeled(tiles, ref, res)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val roots = resolveRoots(lab, driverLimit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
