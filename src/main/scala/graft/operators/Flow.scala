@@ -239,7 +239,7 @@ object Flow {
           }
           TileSummary(crossing.result(), routing.result())
         }
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }.localCheckpoint(false)
       try {
         val nCollect = collectLenCount(
           summariesDs.map(s => (s.crossing.length + s.routing.length).toLong))
@@ -630,7 +630,7 @@ object Flow {
     val padded = Stencil.padded(tiles, ref, res).localCheckpoint(false)
     try {
       val summariesDs = traceSummariesDs(padded, cs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       try {
         val resolvedByTile: Dataset[(Long, Array[(Long, Long, Boolean, Long, Long, Long, Long)])] =
           if (collectCount(summariesDs) <= driverLimit) {
@@ -751,7 +751,7 @@ object Flow {
     val padded = Stencil.padded(tiles, ref, res).localCheckpoint(false)
     try {
       val summariesDs = traceSummariesDs(padded, cs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       try {
         // seeds: best (nc, nd) arriving INTO each crossing target cell,
         // grouped by its owning tile for the pass-2 equi-join
@@ -1214,7 +1214,7 @@ object Flow {
     val ncols = ref.ncols.toLong
     val nrows = ref.nrows.toLong
     val pad = Stencil.padded(tiles, ref, res)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     try {
       val rows = pad.flatMap(pf => tileSpillGraph(pf, ncols)).collect()
       // assemble the global border graph: terminals carry z; DRAIN edges
@@ -1406,7 +1406,7 @@ object Flow {
           }
           TraceSummary(crossing.result(), routing.result())
         }
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }.localCheckpoint(false)
       try {
         val resolvedByTile: Dataset[(Long, Array[(Long, Long, Boolean, Long, Long, Long, Long)])] =
           if (collectCount(summariesDs) <= driverLimit) {
