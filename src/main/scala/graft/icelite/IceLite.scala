@@ -40,8 +40,13 @@ object IceLite {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    try Await.result(Future(obs.get), 10.seconds)
-    catch { case _: java.util.concurrent.TimeoutException => Map.empty }
+    val t0 = System.nanoTime()
+    val r: Map[String, Any] =
+      try Await.result(Future(obs.get), 10.seconds)
+      catch { case _: java.util.concurrent.TimeoutException => Map.empty }
+    if (sys.env.contains("SPARK_GRAFT_OBS_DEBUG"))
+      System.err.println(f"[obs-wait] ${(System.nanoTime()-t0)/1e6}%.1f ms")
+    r
   }
 
   private def q(s: String) = "\"" + s + "\""
