@@ -2450,7 +2450,10 @@ object SparkEntry {
           graft.text.TextOps.wordShingles($"ws", 8)).as("g"))
         .select($"doc_id", xxhash64($"g").as("h"))
         .distinct()
-        .localCheckpoint()
+        // lazy: the final action's groupBy materializes every partition,
+        // so the checkpoint caches fully in the same job (one job, not
+        // an eager pre-pass + cached re-read)
+        .localCheckpoint(false)
       val first = gd.groupBy($"h").agg(min($"doc_id").as("first_doc"))
       gd.join(first, "h")
         .groupBy($"doc_id")

@@ -36,7 +36,11 @@ object CellOps {
       s"shiftleft(shiftrightunsigned(cell, 58) + 1L, 58) | " +
         s"shiftrightunsigned(cell & ${ZMask}L, 2)")
     var cur = cells.select(col(cellCol).cast("long").as("cell"))
-      .distinct().localCheckpoint()
+      // lazy: round 1's complete-agg scans every partition (the per-round
+      // checkpoints stay EAGER — isEmpty is a partial action and a lazy
+      // checkpoint materialized by take(1) caches only the partitions it
+      // touched)
+      .distinct().localCheckpoint(false)
     var changed = true
     while (changed) {
       val withP = cur.withColumn("p",

@@ -484,7 +484,7 @@ object TextOps {
       .groupBy($"word").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
       .map { case (w, f) => (f, w.map(_.toString).toArray) }
-      .localCheckpoint()
+      .localCheckpoint(false) // vocab.count() below materializes it fully
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     if (vocab.count() <= driverVocabLimit) {
       // Driver-side learn over the folded table: the r4 shape scheduled
@@ -555,7 +555,8 @@ object TextOps {
           merges += ((r, a, b, c))
           vocab = vocab
             .map { case (f, s) => (f, bpeApplyMerge(s, a, b)) }
-            .localCheckpoint()
+            // lazy: next round's winner agg scans every partition
+            .localCheckpoint(false)
           r += 1
         }
       }
