@@ -147,7 +147,7 @@ object TextOps {
     import spark.implicits._
     val sets = minhashSignatures(docs, idCol, textCol, shingleN, k = 0)
       .toDF("doc_id", "hs", "sig").drop("sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // hs arrays: block cache, no columnar encode
     val postings = sets.select($"doc_id", explode($"hs").as("h"))
     val rare = postings.groupBy($"h").count()
       .filter($"count" <= dfCap).select($"h")
@@ -181,7 +181,7 @@ object TextOps {
     val rowsPerBand = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
       .toDF("doc_id", "hs", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // hs + sig arrays: block cache
     val banded = sigs.select($"doc_id",
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))))))
